@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship — full validation-engine pass (span rules +
+uniqueness + referential + drift) over the sf0.001 documents table
+lifted to the interleaved span schema; returns the dense
+(partition × rule) verdict matrix.
+
+``queries`` / ``oracle_sql``: operator registry with DuckDB oracles —
+see ``zparse_spark/queries.py``.
 """
 
 from __future__ import annotations
@@ -15,24 +17,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate the interleaved sf0.001 documents table."""
+    from zparse_spark.plans.engine import ValidationEngine
+    from zparse_spark.sources.interleave import derive_media_catalog, interleave_documents
+    from zparse_spark.sources.readers import load_documents
+
+    flat = load_documents(spark, "/root/testdata/sf0.001")
+    # 8 partitions at sf0.001 keeps ≥60 docs per partition so the D1
+    # drift score reflects distribution, not small-sample noise
+    docs = interleave_documents(flat, n_partitions=8)
+    catalog = derive_media_catalog(spark)
+    result = ValidationEngine().validate(docs, catalog)
+    return result.verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from zparse_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from zparse_spark.queries import all_oracles
+
+    return all_oracles()

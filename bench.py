@@ -1,0 +1,123 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: validation throughput (docs/sec) of the full rule pack
+(span rules + uniqueness + referential + drift) over the interleaved
+documents table — the BASELINE.md target. ``value`` is total seconds
+across all benched queries (driver contract); ``docs_per_sec`` and
+per-query seconds ride along.
+
+Scaling-efficiency evidence (N vs 4N executors) is produced by
+scripts/scaling_bench.py, reported in BASELINE.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from zparse_spark.plans.engine import ValidationEngine
+    from zparse_spark.queries import all_queries
+    from zparse_spark.session import get_spark
+    from zparse_spark.sources.interleave import derive_media_catalog, interleave_documents
+    from zparse_spark.sources.readers import load_documents
+
+    spark = get_spark(app_name="zparse_spark_bench")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM + parquet footers outside the timed region
+    flat = load_documents(spark, sf_dir)
+    n_flat = flat.count()
+
+    # deterministic scale-up: replicate the flat docs with distinct
+    # doc_ids so the throughput measurement runs at a meaningful row
+    # count regardless of the sf tier's physical size (no external data;
+    # same text, disjoint keys)
+    from pyspark.sql import functions as F
+
+    target = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    factor = max(1, target // max(n_flat, 1))
+    if factor > 1:
+        reps = spark.range(factor).select(F.col("id").alias("_rep"))
+        flat = (
+            flat.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") * factor + F.col("_rep"))
+            .drop("_rep")
+        )
+    n_docs = n_flat * factor
+
+    # Materialize the interleaved table to parquet once (untimed): the
+    # engine's production input is a table (Iceberg/parquet), not a
+    # transform chain — validating from columnar storage is what the
+    # 100 TB job does, and it lets each rule branch scan/prune
+    # independently instead of recomputing the interleave per branch.
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="zparse_bench_")
+    interleave_documents(flat).write.mode("overwrite").parquet(f"{workdir}/documents")
+    docs = spark.read.parquet(f"{workdir}/documents")
+    catalog = derive_media_catalog(spark)
+    engine = ValidationEngine()
+
+    # JVM/codegen warmup on a slice so the timed run measures steady state
+    engine.validate(docs.limit(200), catalog).violations.count()
+
+    def run_validation():
+        # production shape: violations → parquet sink, verdict matrix
+        # computed from the written table (no branch recomputation)
+        engine.violations(docs, catalog).write.mode("overwrite").parquet(
+            f"{workdir}/violations"
+        )
+        written = spark.read.parquet(f"{workdir}/violations")
+        return engine.verdicts(docs, written).count()
+
+    timed("validate_full_pack", run_validation)
+    docs_per_sec = round(n_docs / timings["validate_full_pack"], 1)
+
+    qs = all_queries()
+    for name in (
+        "tpch_q1",
+        "topk_customer_revenue",
+        "uniqueness_lineitem_orderkey",
+        "window_running_rank",
+        "histogram_extendedprice",
+        "validate_documents_flat",
+    ):
+        fn = qs[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_and_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Span-sequence equality invariant (BASELINE.json input_hint): the
+canonical form is order-stable, the two canonicalization paths agree,
+and fingerprints detect any (kind, text, media_ref, order) difference —
+the table-scale analog of IndexMap order preservation
+(value.rs:226, tests/value_tests.rs:102-120)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_docs
+from zparse_spark.operators.canonical import (
+    canonicalize_spans,
+    canonicalize_spans_exploded,
+    sequence_equality,
+    span_fingerprint,
+)
+
+
+def fps(df):
+    return {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", span_fingerprint(F.col("spans")).alias("fp")).collect()
+    }
+
+
+def test_canonicalize_is_identity_on_sorted(spark):
+    docs = make_docs(
+        spark, [("a", [("text", "x", None, 0), ("image", "", "m", 5)], "p0")]
+    )
+    out = canonicalize_spans(docs).collect()[0]["spans"]
+    assert [s["offset"] for s in out] == [0, 5]
+
+
+def test_shuffled_spans_canonicalize_equal(spark):
+    spans = [("text", "x", None, 0), ("image", "", "m", 5), ("text", "y", None, 9)]
+    a = make_docs(spark, [("d", spans, "p0")])
+    b = make_docs(spark, [("d", list(reversed(spans)), "p0")])
+    assert fps(a)["d"] == fps(b)["d"]
+
+
+def test_fingerprint_sensitive_to_content_and_order(spark):
+    base = [("text", "x", None, 0), ("image", "", "m", 5)]
+    a = make_docs(spark, [("d", base, "p0")])
+    # different text
+    b = make_docs(spark, [("d", [("text", "X", None, 0), ("image", "", "m", 5)], "p0")])
+    # different order (swapped offsets → different sequence)
+    c = make_docs(spark, [("d", [("text", "x", None, 5), ("image", "", "m", 0)], "p0")])
+    assert fps(a)["d"] != fps(b)["d"]
+    assert fps(a)["d"] != fps(c)["d"]
+
+
+def test_exploded_path_agrees_with_map_only_path(spark):
+    from zparse_spark.sources.datagen import generate_documents
+
+    # exploded-path precondition: unique (doc_id, partition) — dedup the
+    # planted duplicate rows first (see canonicalize_spans_exploded docs)
+    docs = (
+        generate_documents(spark, n_docs=60, seed=9, n_partitions=2)
+        .drop("_fixture_class")
+        .dropDuplicates(["doc_id"])
+    )
+    map_only = canonicalize_spans(docs)
+    exploded = canonicalize_spans_exploded(docs)
+    a = fps(map_only)
+    b = fps(exploded)
+    assert a == b
+
+
+def test_sequence_equality_frame(spark):
+    a = make_docs(
+        spark,
+        [("same", [("text", "x", None, 0)], "p0"), ("diff", [("text", "x", None, 0)], "p0"),
+         ("only_a", [("text", "z", None, 0)], "p0")],
+    )
+    b = make_docs(
+        spark,
+        [("same", [("text", "x", None, 0)], "p0"), ("diff", [("text", "y", None, 0)], "p0"),
+         ("only_b", [("text", "z", None, 0)], "p0")],
+    )
+    got = {r["doc_id"]: r["equal"] for r in sequence_equality(a, b).collect()}
+    assert got == {"same": True, "diff": False, "only_a": False, "only_b": False}

@@ -1,0 +1,103 @@
+"""End-to-end pass/fail matrix test — the fixture-directory contract
+(tests/fixtures_test.rs:5-37) at table scale: golden verdicts derived
+from the generator's _fixture_class labels must match the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+
+
+def test_verdict_matrix_matches_golden(spark):
+    docs = generate_documents(spark, n_docs=400, seed=42, n_partitions=4)
+    cat = generate_media_catalog(spark)
+    eng = ValidationEngine()
+    res = eng.validate(docs.drop("_fixture_class"), cat)
+
+    got = {
+        (r["partition"], r["rule_id"]): (r["passed"], r["violation_count"])
+        for r in res.verdicts.collect()
+    }
+
+    # golden: which (partition, rule) cells must fail, from the labels
+    labeled = docs.select("partition", "doc_id", "_fixture_class").collect()
+    expect_fail = set()
+    per_class_rules = {
+        "offset_regression": ["S1"],
+        "null_kind": ["S2"],
+        # bad_kind docs violate S2 AND S8 (non-text kind with null media_ref)
+        "bad_kind": ["S2", "S8"],
+        "oversize_spans": ["S3"],
+        "control_chars": ["S5"],
+        "bad_escape": ["S6"],
+        "bad_unicode": ["S7"],
+        "dangling_media": ["R1"],
+        "text_with_media_ref": ["S8"],
+        "dup_doc_id": ["U1"],
+    }
+    from collections import Counter
+
+    expected_counts: Counter = Counter()
+    for r in labeled:
+        for rule in per_class_rules.get(r["_fixture_class"], []):
+            expect_fail.add((r["partition"], rule))
+            expected_counts[(r["partition"], rule)] += 1
+
+    for cell, (passed, count) in got.items():
+        if cell[1] in ("D1", "S4"):  # not planted at default caps
+            assert passed, cell
+            continue
+        if cell in expect_fail:
+            assert not passed, cell
+            assert count == expected_counts[cell], cell
+        else:
+            assert passed and count == 0, cell
+
+    # every (partition × rule) cell is present — dense grid
+    n_parts = docs.select("partition").distinct().count()
+    assert len(got) == n_parts * 11
+
+
+def test_engine_single_rule_toggles(spark):
+    docs = generate_documents(spark, n_docs=100, seed=1, n_partitions=2).drop("_fixture_class")
+    eng = ValidationEngine(
+        ValidationConfig(enable_uniqueness=False, enable_referential=False, enable_drift=False)
+    )
+    res = eng.validate(docs)
+    rule_ids = {r["rule_id"] for r in res.verdicts.select("rule_id").distinct().collect()}
+    assert rule_ids == {"S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8"}
+
+
+def test_metrics_shape(spark):
+    docs = generate_documents(spark, n_docs=100, seed=1, n_partitions=2).drop("_fixture_class")
+    m = ValidationEngine().metrics(docs)
+    rows = {r["partition"]: r for r in m.collect()}
+    assert sum(r["n_docs"] for r in rows.values()) >= 100
+    for r in rows.values():
+        assert r["n_spans"] >= r["n_docs"]
+        assert r["max_spans_per_doc"] >= r["avg_spans_per_doc"] >= 1.0
+
+
+def test_hot_key_skew_uniqueness(spark):
+    """The skew tier: one doc_id replicated 500× must still dedup
+    correctly through the salted two-phase aggregate."""
+    docs = generate_documents(
+        spark, n_docs=50, seed=3, n_partitions=2, hot_dup_copies=500
+    ).drop("_fixture_class")
+    from zparse_spark.operators.rules import uniqueness_violations
+
+    v = uniqueness_violations(docs, n_salts=16)
+    hot = v.filter(F.col("doc_id") == "0")
+    assert hot.count() == 501  # original + 500 replicas, one violation row each
+
+
+def test_no_python_udf_in_default_plan(spark):
+    """Vectorization discipline (SURVEY.md §7.3): the default rule pack
+    must stay JVM-side — no BatchEvalPython / ArrowEvalPython nodes."""
+    docs = generate_documents(spark, n_docs=10, seed=1).drop("_fixture_class")
+    cat = generate_media_catalog(spark)
+    plan = ValidationEngine().violations(docs, cat)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

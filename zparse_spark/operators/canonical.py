@@ -1,0 +1,126 @@
+"""Span canonicalization + stable fingerprints.
+
+The reference guarantees order preservation through parse→serialize
+(IndexMap, crates/zparse/src/value.rs:226; test tests/value_tests.rs:
+102-120) and rejects structural disorder (mismatched tags,
+xml/parser.rs:125-134). The engine's analog is the **span-sequence
+equality invariant** (BASELINE.json input_hint): two documents are
+equivalent iff their spans match on (kind, text, media_ref) *in offset
+order*. Canonical form = spans sorted by (offset, original position),
+fingerprint = xxhash64 over the canonical JSON — stable across partition
+layout, task order, and cluster size.
+
+Two implementations, same semantics:
+- ``canonicalize_spans``: array_sort with a comparator — map-only, no
+  shuffle. The scale path.
+- ``canonicalize_spans_exploded``: posexplode → window ordered by
+  (offset, pos) → collect_list — the shuffle-based reference shape
+  mandated by the north_star (used in tests to prove both agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sorted_spans(spans: Column) -> Column:
+    # array_sort comparator: order by offset; ties keep deterministic
+    # order by comparing (kind, media_ref, text) so the canonical form is
+    # layout-independent even for degenerate equal-offset data.
+    return F.array_sort(
+        spans,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(
+            F.when(a["kind"] < b["kind"], -1)
+            .when(a["kind"] > b["kind"], 1)
+            .otherwise(
+                F.when(
+                    F.coalesce(a["media_ref"], F.lit("")) < F.coalesce(b["media_ref"], F.lit("")),
+                    -1,
+                )
+                .when(
+                    F.coalesce(a["media_ref"], F.lit("")) > F.coalesce(b["media_ref"], F.lit("")),
+                    1,
+                )
+                .otherwise(
+                    F.when(F.coalesce(a["text"], F.lit("")) < F.coalesce(b["text"], F.lit("")), -1)
+                    .when(F.coalesce(a["text"], F.lit("")) > F.coalesce(b["text"], F.lit("")), 1)
+                    .otherwise(0)
+                )
+            )
+        ),
+    )
+
+
+def canonicalize_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Map-only canonical ordering of the span array (scale path)."""
+    return docs.withColumn(spans_col, _sorted_spans(F.col(spans_col)))
+
+
+def span_fingerprint(spans: Column) -> Column:
+    """64-bit stable fingerprint of the canonical span sequence.
+
+    to_json of an array of structs serializes fields in declared order
+    with deterministic text, so equal canonical sequences hash equal on
+    any executor. Used for oracle byte-match and exact near-dup joins.
+    """
+    canon = F.transform(
+        _sorted_spans(spans),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return F.xxhash64(F.to_json(canon))
+
+
+def canonicalize_spans_exploded(docs: DataFrame) -> DataFrame:
+    """Shuffle-based canonicalization: posexplode → window ordered by
+    (offset, pos) → collect_list (north_star reference shape).
+
+    Kept as the cross-check implementation: tests assert it produces
+    identical fingerprints to the map-only path. At scale prefer
+    ``canonicalize_spans`` — this one shuffles every span once.
+
+    Precondition: (doc_id, partition) is unique — groupBy-based
+    reassembly merges duplicate rows' spans into one (run U1 first, or
+    dropDuplicates). The map-only path has no such precondition.
+    """
+    w = Window.partitionBy("doc_id", "partition").orderBy("offset", "pos")
+    exploded = docs.select(
+        "doc_id", "partition", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "partition", "pos", F.col("s.offset").alias("offset"), "s")
+    reassembled = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id", "partition")
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "s"))).alias("rs"))
+        .select(
+            "doc_id",
+            "partition",
+            F.transform(F.col("rs"), lambda x: x["s"]).alias("spans"),
+        )
+    )
+    return reassembled
+
+
+def sequence_equality(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """Per-doc span-sequence equality verdict between two tables.
+
+    Full-outer join on doc_id over fingerprints; rows where either side is
+    missing or hashes differ are violations of the equality invariant.
+    """
+    fa = docs_a.select("doc_id", span_fingerprint(F.col("spans")).alias("fp_a"))
+    fb = docs_b.select("doc_id", span_fingerprint(F.col("spans")).alias("fp_b"))
+    return (
+        fa.join(fb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.col("fp_a").isNotNull() & F.col("fp_b").isNotNull() & (F.col("fp_a") == F.col("fp_b"))).alias(
+                "equal"
+            ),
+        )
+    )

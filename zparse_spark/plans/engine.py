@@ -1,0 +1,143 @@
+"""ValidationEngine — composes the rule pack into one Catalyst DAG.
+
+Lifecycle (SURVEY.md §3.4): read documents → span/doc rules (map-only) ∪
+uniqueness (salted two-phase agg) ∪ referential (pruned explode +
+broadcast anti-join) ∪ drift (two small aggs) → violations table →
+verdict matrix. One pass over the input; the four branches share the
+scan (Spark reuses the exchange under AQE where possible, and the input
+is columnar parquet/Iceberg so each branch prunes to the columns it
+needs).
+
+The per-(partition, rule) verdict matrix is the distributed analog of
+the reference's fixture-directory contract: every fixtures/valid/* must
+parse, every fixtures/invalid/* must fail
+(crates/zparse/tests/fixtures_test.rs:5-37).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zparse_spark.operators.rules import (
+    ALL_RULES,
+    RuleParams,
+    drift_violations,
+    referential_violations,
+    span_rule_violations,
+    uniqueness_violations,
+)
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    params: RuleParams = field(default_factory=RuleParams)
+    referential_strategy: str = "auto"  # 'auto' | 'broadcast' | 'smj'
+    enable_uniqueness: bool = True
+    enable_referential: bool = True
+    enable_drift: bool = True
+    n_salts: int = 64
+
+    def rules_hash(self) -> str:
+        """Stable hash of the active rule pack + params — stamped into the
+        manifest so resume only skips partitions validated under the SAME
+        rules (SURVEY.md §4.3)."""
+        payload = repr((self.params, self.referential_strategy, self.enable_uniqueness,
+                        self.enable_referential, self.enable_drift,
+                        sorted(r.rule_id for r in ALL_RULES))).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    metrics: DataFrame
+
+
+class ValidationEngine:
+    def __init__(self, config: ValidationConfig | None = None):
+        self.config = config or ValidationConfig()
+
+    # -- plan builders ------------------------------------------------
+
+    def violations(self, docs: DataFrame, media_catalog: DataFrame | None = None) -> DataFrame:
+        c = self.config
+        parts = [span_rule_violations(docs, c.params)]
+        if c.enable_uniqueness:
+            parts.append(uniqueness_violations(docs, n_salts=c.n_salts))
+        if c.enable_referential and media_catalog is not None:
+            parts.append(referential_violations(docs, media_catalog, c.referential_strategy))
+        if c.enable_drift:
+            parts.append(drift_violations(docs, c.params))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def verdicts(self, docs: DataFrame, violations: DataFrame) -> DataFrame:
+        """Dense (partition × rule) pass/fail grid, including all-pass
+        cells — built from a cross join of the (tiny) rule list with the
+        distinct partitions, left-joined to violation counts."""
+        spark = docs.sparkSession
+        c = self.config
+        active = [r.rule_id for r in ALL_RULES]
+        if not c.enable_uniqueness:
+            active.remove("U1")
+        if not c.enable_referential:
+            active.remove("R1")
+        if not c.enable_drift:
+            active.remove("D1")
+        rules_df = spark.createDataFrame([(r,) for r in active], ["rule_id"])
+        parts_df = docs.select("partition").distinct()
+        grid = parts_df.crossJoin(F.broadcast(rules_df))
+        counts = violations.groupBy("partition", "rule_id").agg(
+            F.count(F.lit(1)).alias("violation_count")
+        )
+        return (
+            grid.join(counts, ["partition", "rule_id"], "left")
+            .select(
+                "partition",
+                "rule_id",
+                F.col("violation_count").isNull().alias("passed"),
+                F.coalesce("violation_count", F.lit(0)).cast("long").alias("violation_count"),
+            )
+        )
+
+    def metrics(self, docs: DataFrame) -> DataFrame:
+        """Per-partition profile in ONE aggregate pass (the reference's
+        scalar counters bytes_parsed/depth, json/parser.rs:85-86, lifted
+        to per-partition table stats)."""
+        spans = F.coalesce(F.col("spans"), F.array())
+        text_bytes = F.aggregate(
+            spans, F.lit(0).cast("long"), lambda a, s: a + F.coalesce(F.octet_length(s["text"]), F.lit(0))
+        )
+        n_media = F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull()))
+        return (
+            docs.select(
+                "partition",
+                F.size(spans).alias("_n_spans"),
+                text_bytes.alias("_bytes"),
+                n_media.alias("_n_media"),
+            )
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_n_spans").alias("n_spans"),
+                F.sum("_bytes").alias("text_bytes"),
+                F.sum("_n_media").alias("n_media_spans"),
+                F.avg("_n_spans").alias("avg_spans_per_doc"),
+                F.max("_n_spans").alias("max_spans_per_doc"),
+            )
+        )
+
+    # -- one-shot -------------------------------------------------------
+
+    def validate(self, docs: DataFrame, media_catalog: DataFrame | None = None) -> ValidationResult:
+        v = self.violations(docs, media_catalog)
+        return ValidationResult(
+            violations=v, verdicts=self.verdicts(docs, v), metrics=self.metrics(docs)
+        )
