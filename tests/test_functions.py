@@ -1,0 +1,173 @@
+"""Scalar-function tests: the T5 micro-fixture matrix (FIXTURES.md) for
+the CSV inference cascade, TOML ints, datetime cascade, text analysis,
+and the pandas-UDF exact validator's agreement with the JVM rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zparse_spark.functions.inference import (
+    infer_cell_type,
+    parse_datetime_any,
+    parse_int_any,
+    try_cast_cascade,
+)
+from zparse_spark.functions.text import (
+    _scan_text,
+    doc_fingerprint,
+    lang_guess,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+
+# FIXTURES.md T5 matrix (mirrors csv.rs:7-34, yaml/parser.rs:509-524,
+# tests/csv_tests.rs:270-278)
+T5 = [
+    ("", False, "null"),
+    ("null", False, "null"),
+    ("NULL", False, "null"),
+    ("Null", False, "null"),
+    ("true", False, "bool"),
+    ("TRUE", False, "bool"),
+    ("false", False, "bool"),
+    ("42", False, "long"),
+    ("-7", False, "long"),
+    ("2.5", False, "double"),
+    ("1e9", False, "double"),
+    ("inf", False, "string"),
+    ("nan", False, "string"),
+    ("-inf", False, "string"),
+    ("hello", False, "string"),
+    ("001", True, "string"),  # quoted stays string
+    ("42", True, "string"),
+    ("1.0", False, "double"),  # not long: integral grammar required
+]
+
+
+def test_infer_cell_type_matrix(spark):
+    df = spark.createDataFrame([(r, q, e) for r, q, e in T5], ["raw", "quoted", "expected"])
+    got = df.select("raw", "quoted", "expected", infer_cell_type(F.col("raw"), F.col("quoted")).alias("t")).collect()
+    for r in got:
+        assert r["t"] == r["expected"], (r["raw"], r["quoted"], r["t"])
+
+
+def test_try_cast_cascade_values(spark):
+    df = spark.createDataFrame([("42",), ("2.5",), ("true",), ("x",)], ["raw"])
+    rows = {r["raw"]: r["v"] for r in df.select("raw", try_cast_cascade(F.col("raw")).alias("v")).collect()}
+    assert rows["42"]["long_v"] == 42 and rows["42"]["type"] == "long"
+    assert rows["2.5"]["double_v"] == 2.5
+    assert rows["true"]["bool_v"] is True
+    assert rows["x"]["string_v"] == "x"
+
+
+def test_parse_int_any_radix(spark):
+    cases = [("0xFF", 255), ("0o17", 15), ("0b101", 5), ("1_000_000", 1000000),
+             ("-0x10", -16), ("12", 12), ("zz", None)]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["raw"])
+    got = {r["raw"]: r["v"] for r in df.select("raw", parse_int_any(F.col("raw")).alias("v")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw])
+
+
+def test_parse_datetime_any_cascade(spark):
+    cases = [
+        ("2024-01-02T03:04:05Z", "2024-01-02 03:04:05"),
+        ("2024-01-02T03:04:05+02:00", "2024-01-02 01:04:05"),
+        ("2024-01-02 03:04:05", "2024-01-02 03:04:05"),
+        ("2024-01-02", "2024-01-02 00:00:00"),
+        ("not a date", None),
+        ("2024-13-99", None),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["raw"])
+    got = {r["raw"]: r["v"] for r in df.select("raw", parse_datetime_any(F.col("raw")).alias("v")).collect()}
+    for raw, want in cases:
+        s = got[raw].strftime("%Y-%m-%d %H:%M:%S") if got[raw] else None
+        assert s == want, (raw, s)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",), ("one",)], ["t"])
+    got = [r["n"] for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+    bp = df.select(token_count(F.col("t"), "bpeish").alias("n")).collect()
+    assert bp[0]["n"] == 3
+
+
+def test_quality_and_lang_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is fine",),
+         ("el que la los gato",),
+         ("!!! ??? $$$",),
+         ("THE THE THE",)],
+        ["t"],
+    )
+    rows = df.select(
+        quality_score(F.col("t")).alias("q"),
+        lang_guess(F.col("t")).alias("lang"),
+        doc_fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert 0.0 <= rows[0]["q"] <= 1.0 and rows[0]["q"] > rows[2]["q"]  # prose beats punct salad
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "es"
+    assert rows[2]["lang"] == "und"
+    assert len(rows[0]["fp"]) == 32  # md5 hex
+
+
+def test_fingerprint_normalization_and_rolling_hash(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("world hello",)], ["t"]
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1]  # case/whitespace-insensitive
+    assert fps[0] != fps[2]  # order-sensitive
+    rhs = [r["h"] for r in df.select(rolling_hash(F.col("t")).alias("h")).collect()]
+    assert rhs[0] == rhs[1] and rhs[0] != rhs[2]
+
+
+# exact scanner (the pandas-UDF core) vs reference semantics
+@pytest.mark.parametrize(
+    "s,want",
+    [
+        ("plain text", None),
+        (r"ok \n \t \" \\ \/", None),
+        (r"pair 😀 ok", None),
+        (r"bad \q", "InvalidEscapeSequence"),
+        ("ctrl \x01", "InvalidToken"),
+        (r"hex \uZZZZ", "InvalidUnicodeEscape"),
+        (r"lone \uD800 high", "InvalidUnicodeEscape"),
+        (r"lone \uDC00 low", "InvalidUnicodeEscape"),
+        ("trailing \\", "InvalidEscapeSequence"),
+        (r"𐀀", None),  # valid pair
+        (None, None),
+    ],
+)
+def test_scan_text_exact(s, want):
+    assert _scan_text(s) == want
+
+
+def test_udf_agrees_with_jvm_rules(spark):
+    """The Arrow UDF and the JVM regex rules must agree on every planted
+    fixture class (vectorization-discipline escape hatch, SURVEY.md §2.6)."""
+    from zparse_spark.functions.text import validate_text_udf
+    from zparse_spark.operators.rules import span_rule_violations
+    from zparse_spark.sources.datagen import generate_documents
+
+    docs = generate_documents(spark, n_docs=300, seed=11, n_partitions=2)
+    flat_text = docs.select(
+        "doc_id", F.explode(F.col("spans")).alias("s")
+    ).select("doc_id", F.col("s.text").alias("text"))
+    udf_bad = {
+        (r["doc_id"], r["kind"])
+        for r in flat_text.select("doc_id", validate_text_udf(F.col("text")).alias("kind"))
+        .filter(F.col("kind").isNotNull())
+        .collect()
+    }
+    jvm_bad = {
+        (r["doc_id"], r["kind"])
+        for r in span_rule_violations(docs.drop("_fixture_class"))
+        .filter(F.col("rule_id").isin("S5", "S6", "S7"))
+        .collect()
+    }
+    assert udf_bad == jvm_bad

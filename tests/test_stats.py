@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from zparse_spark.operators.stats import (
+    approx_quantiles,
+    column_profile,
+    group_stats_grouping_sets,
+    histogram,
+    tdigest_quantiles,
+)
+
+
+def test_column_profile(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = {r["column"]: r for r in column_profile(li, ["l_quantity", "l_returnflag"]).collect()}
+    assert prof["l_quantity"]["n_rows"] == li.count()
+    assert prof["l_quantity"]["null_rate"] == 0.0
+    assert prof["l_quantity"]["min"] >= 0
+    assert prof["l_quantity"]["max"] >= prof["l_quantity"]["min"]
+    assert prof["l_returnflag"]["avg"] is None  # non-numeric
+
+
+def test_histogram_covers_all_rows(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    h = histogram(li, "l_extendedprice", 900.0, 100900.0, 20)
+    assert h.agg(F.sum("n")).collect()[0][0] == li.count()
+    assert h.count() <= 20
+
+
+def test_tdigest_matches_exact_quantiles(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = np.array([r[0] for r in li.select("l_quantity").collect()], dtype=float)
+    got = tdigest_quantiles(li, "l_quantity", [0.25, 0.5, 0.75, 0.99])
+    for p, v in got.items():
+        exact = np.quantile(vals, p)
+        spread = vals.max() - vals.min()
+        assert abs(v - exact) <= max(0.02 * spread, 1e-9), (p, v, exact)
+
+
+def test_approx_quantiles_runs(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = approx_quantiles(li, "l_quantity", [0.5]).collect()[0]
+    assert row["q50"] > 0
+
+
+def test_grouping_sets_one_pass(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = group_stats_grouping_sets(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    rows = g.collect()
+    # cube of 2 dims → 4 grouping levels; the ALL/ALL row equals the table
+    allall = [r for r in rows if r["l_returnflag"] == "ALL" and r["l_linestatus"] == "ALL"]
+    assert len(allall) == 1 and allall[0]["n"] == li.count()

@@ -1,0 +1,207 @@
+"""Text-analysis functions for training-data pipelines, JVM-first.
+
+Everything here is a column expression except ``validate_text_udf`` —
+the Arrow pandas_udf fallback that implements the reference's exact
+sequential escape/unicode scanner (lexer/json.rs:86-262) for cases the
+JVM regex approximation can't express (escaped-backslash-before-\\u
+pathologies). The default rule pack uses the JVM path; this UDF is the
+documented precision escape hatch and its agreement with the JVM rules
+is tested.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------------------
+# token counting — whitespace tokens and a BPE-ish word/punct regex
+# --------------------------------------------------------------------------
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count. 'whitespace': split on \\s+; 'bpeish': count
+    word-pieces + digits + punctuation runs (a cheap stand-in for a BPE
+    pre-tokenizer)."""
+    if mode == "whitespace":
+        trimmed = F.trim(F.coalesce(text, F.lit("")))
+        return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+            F.size(F.split(trimmed, "\\s+"))
+        )
+    if mode == "bpeish":
+        # one token per word / number / single punctuation mark
+        return F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.coalesce(text, F.lit("")), "([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])", "$1"
+                    ),
+                    "",
+                ),
+                lambda s: F.trim(s) != "",
+            )
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+# --------------------------------------------------------------------------
+# quality scoring — length / punctuation / uppercase / stopword ratios
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation density, shouting, and stopword-free word salad."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.greatest(F.length(t), F.lit(1))
+    punct = F.length(F.regexp_replace(t, "[^!-/:-@\\[-`{-~]", "")) / n
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", "")) / n
+    words = F.split(F.lower(F.trim(t)), "\\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = stop_hits / n_words
+    len_score = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.least(
+                0.4 * len_score
+                + 0.2 * (1 - F.least(punct * 5, F.lit(1.0)))
+                + 0.2 * (1 - F.least(upper * 5, F.lit(1.0)))
+                + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)),
+                F.lit(1.0),
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID — deterministic stopword-hit heuristic (n-gram-lite)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "que", "los"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "les", "des", "est"),
+}
+
+
+def lang_guess(text: Column) -> Column:
+    """Deterministic language guess by marker-word hits; 'und' when no
+    marker fires. SQL-expressible on the oracle side (same CASE)."""
+    words = F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+")
+
+    def _marker_hits(marks: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(x) for x in marks])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: _marker_hits(marks) for lang, marks in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reverse order so earlier langs win ties (when chains short-circuit)
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapse + lowercase — the canonical text form for
+    exact-dup detection."""
+    return F.lower(F.trim(F.regexp_replace(F.coalesce(text, F.lit("")), "\\s+", " ")))
+
+
+def doc_fingerprint(text: Column, algo: str = "md5") -> Column:
+    """Stable content fingerprint of normalized text. md5 for oracle
+    parity (DuckDB has md5); xxhash64 for cheap 8-byte joins at scale."""
+    norm = normalize_text(text)
+    if algo == "md5":
+        return F.md5(norm)
+    if algo == "xxhash64":
+        return F.xxhash64(norm)
+    raise ValueError(f"unknown algo {algo!r}")
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = 2_147_483_647) -> Column:
+    """Polynomial rolling hash over whitespace tokens, mod a Mersenne
+    prime (2^31−1) so the accumulator never overflows under ANSI
+    arithmetic — the order-sensitive fingerprint variant: same tokens,
+    different order → different hash."""
+    words = F.split(normalize_text(text), " ")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * base + F.pmod(F.xxhash64(w), F.lit(mod)), F.lit(mod)),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact escape/unicode validation — the Arrow pandas_udf precision path
+# --------------------------------------------------------------------------
+
+_ESCAPES = set('"\\/bfnrtu')
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _scan_text(s: str | None) -> str | None:
+    """Sequential scanner mirroring the reference string lexer
+    (lexer/json.rs:86-262): returns the first error kind or None.
+    Python-level per string, but Arrow-batched per 10k rows."""
+    if s is None:
+        return None
+    i, n = 0, len(s)
+    pending_low = False  # expecting a low surrogate
+    while i < n:
+        ch = s[i]
+        if ord(ch) < 0x20:
+            return "InvalidToken"
+        if ch != "\\":
+            if pending_low:
+                return "InvalidUnicodeEscape"
+            i += 1
+            continue
+        if i + 1 >= n:
+            return "InvalidEscapeSequence"
+        e = s[i + 1]
+        if e not in _ESCAPES:
+            return "InvalidEscapeSequence"
+        if e != "u":
+            if pending_low:
+                return "InvalidUnicodeEscape"
+            i += 2
+            continue
+        hexs = s[i + 2 : i + 6]
+        if len(hexs) < 4 or any(c not in _HEX for c in hexs):
+            return "InvalidUnicodeEscape"
+        cp = int(hexs, 16)
+        if pending_low:
+            if 0xDC00 <= cp <= 0xDFFF:
+                pending_low = False
+            else:
+                return "InvalidUnicodeEscape"
+        elif 0xD800 <= cp <= 0xDBFF:
+            pending_low = True
+        elif 0xDC00 <= cp <= 0xDFFF:
+            return "InvalidUnicodeEscape"
+        i += 6
+    if pending_low:
+        return "InvalidUnicodeEscape"
+    return None
+
+
+@pandas_udf(T.StringType())
+def validate_text_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized exact validator: error-kind string or NULL."""
+    return texts.map(_scan_text)

@@ -1,0 +1,379 @@
+"""Deduplication operators for training-data pipelines.
+
+All signature computation is JVM-side (higher-order functions over
+shingle arrays + xxhash64) — no Python in the map stage. The generic
+scale shape is *bucket-join*: compute a compact signature per doc
+(map-only), explode only the few band keys, groupBy band to find
+candidate buckets, verify candidates pairwise. Nothing ever compares
+all docs against all docs.
+
+Operators:
+- exact_duplicates        hash-groupBy on normalized text (md5/xxhash64)
+- shingles / minhash_signature / minhash_lsh_candidates / minhash_dedup
+- simhash_signature / simhash_near_duplicates (hamming ≤ k via bands)
+- ngram_jaccard_pairs     verified Jaccard on candidate pairs
+- embedding_near_duplicates  cosine near-dup via random-hyperplane LSH
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zparse_spark.functions.text import normalize_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    docs: one row per duplicate group with member count + exemplar ids.
+
+    Scale: one shuffle on the 128-bit content hash; map-side partial agg
+    collapses per-partition duplicates first.
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3, mode: str = "word") -> Column:
+    """Distinct k-shingles of the normalized text as an array column.
+    'word' mode shingles over tokens; 'char' over characters."""
+    norm = normalize_text(text)
+    if mode == "word":
+        toks = F.split(norm, " ")
+        n = F.size(toks)
+        return F.array_distinct(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                ),
+            ).otherwise(F.array(norm))
+        )
+    if mode == "char":
+        n = F.length(norm)
+        return F.array_distinct(
+            F.when(
+                n >= k,
+                F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(norm, i, k)),
+            ).otherwise(F.array(norm))
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def minhash_signature(shingle_arr: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: for each of n_hashes seeded hash functions,
+    the min of xxhash64(shingle, seed_i) over the shingle set. Entirely
+    JVM (nested transform/aggregate), O(|shingles| × n_hashes) per doc."""
+    long_max = F.lit(2**63 - 1).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda h: F.aggregate(
+            shingle_arr,
+            long_max,
+            lambda acc, s: F.least(acc, F.xxhash64(s, h, F.lit(seed))),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k_shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: split the signature into
+    n_bands rows of n_hashes/n_bands values, hash each band, join docs
+    sharing any band bucket. Returns (id_a, id_b, n_shared_bands).
+
+    Shuffle profile: |docs| × n_bands small rows through one groupBy —
+    never a cross join. Hot buckets (boilerplate docs) are bounded by
+    an in-bucket pair cap at verify time.
+    """
+    rows_per_band = n_hashes // n_bands
+    # explode+groupBy formulation, NOT nested higher-order functions:
+    # HOF lambdas are interpreted (no whole-stage codegen), and the
+    # optimizer's CollapseProject merges staged projections back into one
+    # nested expression — re-evaluating the signature per band and the
+    # shingles per hash, a ~1000× blowup measured at sf0.01. Exploding
+    # shingles keeps every hash/min/band step inside codegen; the groupBy
+    # shuffles only |docs| rows because all shingles of a doc sit in the
+    # source row's partition and map-side combine collapses them first.
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k=k_shingle)).alias("_s")
+    )
+    hashed = ex.select(
+        "_id", *[F.xxhash64("_s", F.lit(h), F.lit(seed)).alias(f"_h{h}") for h in range(n_hashes)]
+    )
+    sig = hashed.groupBy("_id").agg(*[F.min(f"_h{h}").alias(f"_h{h}") for h in range(n_hashes)])
+    band_cols = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col(f"_h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.7,
+    mode: str = "word",
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over k-shingle sets:
+    |A∩B| / |A∪B| via array_intersect/array_union. Join fetches each
+    side's shingles once (broadcast if the candidate set is small)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k=k_shingle, mode=mode).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Full MinHash→LSH→Jaccard-verify pipeline: near-dup pairs above
+    threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, **kw)
+    return ngram_jaccard_pairs(df, cands.select("id_a", "id_b"), id_col, text_col,
+                               k_shingle=kw.get("k_shingle", 3), threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(text: Column, n_bits: int = 64, band_bits: int = 8) -> Column:
+    """SimHash over whitespace tokens: bit b of the signature is the sign
+    of Σ_tokens (±1 depending on bit b of xxhash64(token)). Returned as
+    an array of n_bits/band_bits band values (long) — band form is what
+    the near-dup join needs (pigeonhole: hamming ≤ n_bands−1 guarantees
+    at least one identical band), and it avoids signed-overflow games."""
+    toks = F.split(normalize_text(text), " ")
+    # per-bit vote counts via one aggregate with a long-array accumulator
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_bits)])
+    # shift amounts must be Python ints (F.shiftright takes no Column),
+    # so the per-token ±1 vote array is built with a static loop
+    votes = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for b in range(n_bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    n_bands = n_bits // band_bits
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda band: F.aggregate(
+            F.slice(bits, band * band_bits + 1, band_bits),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dups by SimHash: candidates share at least one band
+    (pigeonhole: hamming ≤ n_bands−1 ⇒ ≥1 identical band; defaults give
+    8 bands → guaranteed recall at hamming ≤ 7), verified by exact
+    hamming distance over the band values."""
+    # explode+groupBy formulation for the same reason as
+    # minhash_lsh_candidates: keep everything inside whole-stage codegen,
+    # shuffle only |docs| rows (map-side combine collapses tokens per doc)
+    n_bits = 64
+    n_bands = n_bits // band_bits
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
+    )
+    voted = ex.select(
+        "_id",
+        *[
+            F.when(F.shiftright(F.xxhash64("_t"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .cast("long")
+            .alias(f"_v{b}")
+            for b in range(n_bits)
+        ],
+    )
+    votes = voted.groupBy("_id").agg(*[F.sum(f"_v{b}").alias(f"_v{b}") for b in range(n_bits)])
+    bit = lambda b: F.when(F.col(f"_v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    band_exprs = [
+        sum(
+            (bit(band * band_bits + j) * (1 << (band_bits - 1 - j)) for j in range(band_bits)),
+            F.lit(0).cast("long"),
+        ).alias(f"_band{band}")
+        for band in range(n_bands)
+    ]
+    sdf = votes.select("_id", F.array(*[e for e in band_exprs]).alias("sig"))
+    banded = sdf.select(
+        "_id",
+        "sig",
+        F.posexplode("sig").alias("band", "bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact hamming: popcount of xor per 16-bit band, summed
+    ham = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return cands.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine) via random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Pure-column cosine: zip_with dot products + aggregate norms."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs: random-hyperplane signature (n_planes bits,
+    one bucket key), candidates share the full sign pattern, verified by
+    exact cosine. For looser recall lower n_planes or band the bits.
+
+    The hyperplane matrix is a deterministic literal broadcast with the
+    plan (n_planes × dim doubles — tiny); signatures are computed JVM-side.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(w) for w in p]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+    bucket = F.concat_ws("", *[b.cast("string") for b in bits])
+    sdf = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), bucket.alias("bucket"))
+    l, r = sdf.alias("l"), sdf.alias("r")
+    cands = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))
+    ).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        cosine_similarity(F.col("l._v"), F.col("r._v")).alias("cosine"),
+    )
+    return cands.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )

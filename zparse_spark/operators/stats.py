@@ -1,0 +1,190 @@
+"""Column statistics — one-pass profiles, histograms, quantiles.
+
+The engine's generalization of the reference's scalar fold counters
+(bytes_parsed/depth, crates/zparse/src/json/parser.rs:85-86,124): per-
+column null rate, min/max, avg, distinct estimates, histograms, and
+quantiles, computed with Catalyst partial+final aggregation (map-side
+combine for free).
+
+Quantiles at scale, three tiers:
+- exact ``percentile`` (sorts per group — small data / oracle checks)
+- ``percentile_approx`` (built-in GK sketch — the default at 100 TB)
+- t-digest via ``applyInPandas`` partial sketches + merge — tighter
+  tail accuracy than GK; the UDAF-style pattern SURVEY.md §4.3 documents.
+  Pure numpy, Arrow-batched, deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Tidy one-row-per-column profile in ONE aggregate pass.
+
+    All per-column aggregates are computed in a single ``agg`` (one scan,
+    partial+final) and reshaped driver-side with ``stack`` — no second
+    scan, no collect of data rows.
+    """
+    cols = cols or [f.name for f in df.schema.fields]
+    aggs = []
+    numeric = set()
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
+        ]
+        if dt in ("bigint", "int", "smallint", "tinyint", "double", "float", "decimal"):
+            numeric.add(c)
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+                F.avg(c).alias(f"{c}__avg"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"{c}__min"),
+                F.lit(None).cast("double").alias(f"{c}__max"),
+                F.lit(None).cast("double").alias(f"{c}__avg"),
+            ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nonnull`, `{c}__approx_distinct`, "
+        f"`{c}__min`, `{c}__max`, `{c}__avg`"
+        for c in cols
+    )
+    tall = wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as "
+        "(column, n_rows, n_nonnull, approx_distinct, min, max, avg)"
+    )
+    return tall.withColumn(
+        "null_rate",
+        F.round((F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows"), 6),
+    )
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, n_buckets: int) -> DataFrame:
+    """Fixed-bin histogram via floor arithmetic (no width_bucket needed on
+    the oracle side); clamps out-of-range values into edge buckets."""
+    step = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col) - lo) / step).cast("long"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def approx_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
+    """GK-sketch quantiles (built-in, mergeable, 100 TB-safe)."""
+    return df.agg(
+        *[
+            F.percentile_approx(col, F.lit(p), F.lit(10000)).alias(f"q{int(p * 100)}")
+            for p in probs
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-digest (partial per partition via applyInPandas, merge at driver)
+# ---------------------------------------------------------------------------
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted centroids down to ~delta clusters, density-scaled by
+    the t-digest quantile-size bound (k1 scale): clusters near the tails
+    stay small, the middle compresses hard."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m: list[float] = []
+    out_w: list[float] = []
+    q0 = 0.0
+    cur_m, cur_w = means[0], weights[0]
+    for m, w in zip(means[1:], weights[1:]):
+        q = q0 + (cur_w + w) / total
+        # max cluster size at quantile midpoint (classic 4δq(1−q) bound)
+        qm = q0 + (cur_w + w) / (2 * total)
+        cap = 4 * total * qm * (1 - qm) / delta
+        if cur_w + w <= max(cap, 1.0):
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _quantile_from_centroids(means: np.ndarray, weights: np.ndarray, p: float) -> float:
+    cum = np.cumsum(weights) - weights / 2
+    target = p * weights.sum()
+    return float(np.interp(target, cum, means))
+
+
+def tdigest_quantiles(
+    df: DataFrame, col: str, probs: list[float], delta: int = 200, n_partials: int = 32
+) -> dict[float, float]:
+    """Distributed t-digest: partial sketch per hash bucket
+    (``applyInPandas``, Arrow batches), centroid merge at the driver.
+
+    The partial output is tiny (≤delta centroids per bucket), so the
+    driver merge handles any input size — the same partial/merge shape a
+    JVM UDAF would have, without leaving Python-vectorized land.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("mean", T.ArrayType(T.DoubleType())),
+            T.StructField("weight", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].dropna().to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            return pd.DataFrame({"mean": [[]], "weight": [[]]})
+        m, w = _compress(v, np.ones_like(v), delta)
+        return pd.DataFrame({"mean": [m.tolist()], "weight": [w.tolist()]})
+
+    bucketed = df.select(col).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(col)), F.lit(n_partials))
+    )
+    partials = bucketed.groupBy("_b").applyInPandas(partial, schema).collect()
+    all_m = np.concatenate([np.asarray(r["mean"]) for r in partials if len(r["mean"])])
+    all_w = np.concatenate([np.asarray(r["weight"]) for r in partials if len(r["weight"])])
+    if len(all_m) == 0:
+        return {p: float("nan") for p in probs}
+    m, w = _compress(all_m, all_w, delta)
+    return {p: _quantile_from_centroids(m, w, p) for p in probs}
+
+
+def group_stats_grouping_sets(df: DataFrame, dims: list[str], value: str) -> DataFrame:
+    """Stats by every dim combination in one pass (SURVEY.md A9) —
+    ``cube`` compiles to a single expand+aggregate, not N scans."""
+    return (
+        df.cube(*dims)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value), 4).alias("sum_value"),
+            F.round(F.avg(value), 4).alias("avg_value"),
+        )
+        .select(
+            *[F.coalesce(F.col(d), F.lit("ALL")).alias(d) for d in dims],
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )

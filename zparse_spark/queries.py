@@ -465,3 +465,365 @@ def all_queries():
 
 def all_oracles():
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline ops) over documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+           round(avg(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    from zparse_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "doc_quality_components",
+    """
+    SELECT source,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
+                     / greatest(length(text), 1)), 6) AS lower_ratio,
+           round(avg(CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
+                     / greatest(length(text), 1)), 6) AS space_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def doc_quality_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1))
+    lower_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")) / n
+    space_ratio = F.length(F.regexp_replace("text", "[^ ]", "")) / n
+    return d.groupBy("source").agg(
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(lower_ratio), 6).alias("lower_ratio"),
+        F.round(F.avg(space_ratio), 6).alias("space_ratio"),
+    )
+
+
+@register(
+    "doc_langid_markers",
+    """
+    WITH scored AS (
+      SELECT lang,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> w IN ('the','and','is','of'))) AS s_en,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> w IN ('el','la','que','los'))) AS s_es,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> w IN ('der','die','und','das'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> w IN ('le','les','des','est'))) AS s_fr
+      FROM documents
+    ), guessed AS (
+      SELECT lang,
+        CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'und' END AS guess
+      FROM scored
+    )
+    SELECT lang, guess, count(*) AS n FROM guessed GROUP BY lang, guess
+    """,
+)
+def doc_langid_markers(spark, sf_dir):
+    from zparse_spark.functions.text import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", lang_guess(F.col("text")).alias("guess")).groupBy(
+        "lang", "guess"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "doc_fingerprint_stats",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_stats(spark, sf_dir):
+    from zparse_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication over documents (dups planted in-query: union a re-keyed
+# 10% sample so both engines see identical duplicate structure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    WITH extended AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id,
+           max(doc_id) AS max_id
+    FROM extended GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    from zparse_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extended = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return exact_duplicates(extended)
+
+
+def dedup_minhash_documents(spark, sf_dir):
+    """MinHash→LSH→Jaccard near-dup pairs on planted near-identical docs
+    (xxhash64 signatures are not DuckDB-expressible → rows-only check)."""
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return minhash_dedup(d.unionByName(planted), threshold=0.8)
+
+
+QUERIES["dedup_minhash_documents"] = dedup_minhash_documents
+
+
+def dedup_simhash_documents(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only: xxhash64 not in DuckDB)."""
+    from zparse_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return simhash_near_duplicates(d.unionByName(planted), max_hamming=3)
+
+
+QUERIES["dedup_simhash_documents"] = dedup_simhash_documents
+
+
+@register(
+    "dedup_ngram_jaccard_documents",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 2, 1)),
+               i -> substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 3)
+             )) AS sh
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard_documents(spark, sf_dir):
+    """Exact pairwise char-3-gram Jaccard on a bounded slice (doc_id < 50)
+    — the verify stage of the dedup pipeline, oracle-checked; LSH provides
+    candidates at scale (rows-only queries above)."""
+    from zparse_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("doc_id").alias("doc_id"), "text")
+    )
+    ids = d.select(F.col("doc_id").alias("id_a"))
+    ids_b = d.select(F.col("doc_id").alias("id_b"))
+    cands = ids.crossJoin(ids_b).filter(F.col("id_a") < F.col("id_b"))
+    return ngram_jaccard_pairs(d, cands, k_shingle=3, mode="char", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg(norm), 4).alias("avg_norm")
+    )
+
+
+@register(
+    "similarity_topk_embeddings",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings c
+    ), ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk_embeddings(spark, sf_dir):
+    from zparse_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = (
+        e.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return brute_force_topk(e, queries, k=5)
+
+
+def similarity_lsh_topk_embeddings(spark, sf_dir):
+    """LSH-bucketed ANN top-k (rows-only: hyperplane signatures use a
+    seeded numpy literal, recall vs brute force asserted in pytest)."""
+    from zparse_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = (
+        e.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_topk(e, queries, k=5, n_planes=6)
+
+
+QUERIES["similarity_lsh_topk_embeddings"] = similarity_lsh_topk_embeddings
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch shape of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), per_user AS (
+      SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events
+      FROM flagged GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(n_sessions) AS total_sessions,
+           round(avg(CAST(n_events AS DOUBLE) / n_sessions), 4) AS avg_events_per_session
+    FROM per_user
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: cast via timestamp (session TZ = UTC) to
+    # get epoch seconds, matching DuckDB's epoch() on the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev_epoch = F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
+    gap = epoch - prev_epoch
+    flagged = ev.withColumn(
+        "is_start", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_sessions").alias("total_sessions"),
+        F.round(F.avg(F.col("n_events").cast("double") / F.col("n_sessions")), 4).alias(
+            "avg_events_per_session"
+        ),
+    )
+
+
+@register(
+    "events_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# JSON parsing surface (from_json — the lib.rs:69-87 analog): events.props
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(CASE WHEN json_valid(props) THEN 1 END) AS n_valid_json
+    FROM events
+    """,
+)
+def events_props_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.agg(
+        F.round(F.avg(parsed["k"]), 4).alias("avg_k"),
+        F.count(F.when(parsed.isNotNull(), 1)).alias("n_valid_json"),
+    )
