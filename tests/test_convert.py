@@ -1,0 +1,71 @@
+"""Conversion-surface contracts from the reference test suite:
+header union (csv_tests.rs:261-267), quoted-string round-trip
+(csv_tests.rs:270-278), non-finite → null (convert.rs:258-260)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from zparse_spark.functions.convert import (
+    from_json_lines,
+    header_union,
+    sanitize_doubles,
+    to_json_lines,
+    write_csv,
+)
+
+
+def test_header_union_across_heterogeneous_rows(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a"])
+    b = spark.createDataFrame([(2, "y")], ["id", "b"])
+    out = header_union([a, b])
+    assert out.columns == ["id", "a", "b"]
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, "y")}
+
+
+def test_nonfinite_serializes_null(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (float("inf",),), (float("-inf"),)], ["v"]
+    )
+    lines = [json.loads(r["json"]) for r in to_json_lines(df).collect()]
+    assert lines[0] == {"v": 1.5}
+    for l in lines[1:]:
+        assert "v" not in l or l["v"] is None  # to_json drops nulls or emits null
+
+
+def test_json_roundtrip_identity(spark):
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "b", None)], ["id", "s", "v"])
+    back = from_json_lines(to_json_lines(df), "id BIGINT, s STRING, v DOUBLE")
+    got = sorted((r["id"], r["s"], r["v"]) for r in back.collect())
+    assert got == [(1, "a", 2.5), (2, "b", None)]
+    assert back.filter("_corrupt").count() == 0
+
+
+def test_malformed_json_flagged_not_fatal(spark):
+    df = spark.createDataFrame([('{"id": 1}',), ("{oops",)], ["json"])
+    out = from_json_lines(df, "id BIGINT")
+    assert out.filter("_corrupt").count() == 1
+    assert out.filter("id = 1").count() == 1
+
+
+def test_csv_force_quoted_strings_roundtrip(spark, tmp_path):
+    """'001' stays a string through a CSV round-trip because strings are
+    force-quoted on write — the reference's quoted-preservation rule."""
+    path = str(tmp_path / "csv_out")
+    df = spark.createDataFrame([("001", 1), ("2.50", 2)], ["code", "n"])
+    write_csv(df, path)
+    raw = spark.read.text(path).filter(F.col("value").contains("001")).collect()
+    assert '"001"' in raw[0]["value"]
+    back = spark.read.option("header", "true").csv(path)  # no inference
+    codes = sorted(r["code"] for r in back.collect())
+    assert codes == ["001", "2.50"]
+
+
+def test_sanitize_doubles_only_touches_float_cols(spark):
+    df = spark.createDataFrame([(1, float("nan"), "x")], ["i", "d", "s"])
+    out = sanitize_doubles(df).collect()[0]
+    assert out["i"] == 1 and out["s"] == "x" and out["d"] is None

@@ -1,0 +1,78 @@
+"""Physical-plan discipline tests: the optimizations SURVEY.md §4 says
+come free from Catalyst must actually appear in the executed plans —
+pushdown, pruning, broadcast joins, whole-stage codegen, no Python in
+the default path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zparse_spark.operators.rules import referential_violations, span_rule_violations
+from zparse_spark.plans.engine import ValidationEngine
+from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    generate_documents(spark, n_docs=400, seed=13, n_partitions=4).drop(
+        "_fixture_class"
+    ).write.parquet(path)
+    return path
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_filter_pushed_to_scan(spark, docs_path):
+    docs = spark.read.parquet(docs_path).filter(F.col("partition") == "p001")
+    viol = span_rule_violations(docs)
+    plan = plan_of(viol)
+    assert "PushedFilters: [IsNotNull(partition), EqualTo(partition,p001)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    metrics = ValidationEngine().metrics(docs)
+    plan = plan_of(metrics)
+    # metrics touches partition+spans only: doc_id must be pruned out
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("doc_id" not in l for l in scan_lines)
+
+
+def test_referential_broadcast_join(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    cat = generate_media_catalog(spark)
+    plan = plan_of(referential_violations(docs, cat, strategy="broadcast"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_referential_smj_hint(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    cat = generate_media_catalog(spark)
+    plan = plan_of(referential_violations(docs, cat, strategy="smj"))
+    assert "SortMergeJoin" in plan
+
+
+def test_span_rules_map_only_no_shuffle(spark, docs_path):
+    """S1..S8 must be a single narrow stage: no Exchange in the plan."""
+    docs = spark.read.parquet(docs_path)
+    plan = plan_of(span_rule_violations(docs))
+    assert "Exchange" not in plan
+    # executedPlan.toString renders WholeStageCodegen stages as "*(n)"
+    assert "*(" in plan
+
+
+def test_full_pack_has_no_python_eval(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    cat = generate_media_catalog(spark)
+    plan = plan_of(ValidationEngine().violations(docs, cat))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -1,0 +1,87 @@
+"""Streaming validation: the same rule pack over a file stream via
+foreachBatch, and the watermark-windowed violation-rate operator."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+from zparse_spark.schema import DOCUMENTS_SCHEMA
+from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+from zparse_spark.streaming.validate_stream import validate_stream, violation_rate_windows
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs = generate_documents(spark, n_docs=300, seed=21, n_partitions=2).drop("_fixture_class")
+    docs.write.parquet(src)
+    cat = generate_media_catalog(spark)
+    eng = ValidationEngine(ValidationConfig(enable_drift=False))
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+    q = validate_stream(stream, cat, out, engine=eng, trigger_once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/violations")
+    want = eng.violations(spark.read.parquet(src), cat)
+    # same violation multiset (batch_id column aside)
+    assert got.count() == want.count()
+    key = ["partition", "doc_id", "rule_id", "span_pos"]
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_violation_rate_windows_with_watermark(spark, tmp_path):
+    # memory-source stream of violation rows with event times
+    rows = [
+        ("2024-01-01 10:01:00", "S1"),
+        ("2024-01-01 10:05:00", "S1"),
+        ("2024-01-01 10:12:00", "S2"),
+        ("2024-01-01 10:03:00", "S1"),  # late but inside watermark
+    ]
+    src = str(tmp_path / "viol_src")
+    spark.createDataFrame(rows, ["ts_s", "rule_id"]).select(
+        F.to_timestamp("ts_s").alias("ts"), "rule_id"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, rule_id string").parquet(src)
+    agg = violation_rate_windows(stream, window_duration="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("viol_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["rule_id"]): r["n_violations"]
+        for r in spark.sql("select * from viol_rates").collect()
+    }
+    assert got == {("10:00", "S1"): 3, ("10:10", "S2"): 1}
+
+
+def test_stream_is_resumable_from_checkpoint(spark, tmp_path):
+    """availableNow + checkpoint: a second start with no new data
+    processes nothing (offsets committed) — the streaming resume
+    contract."""
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    docs = generate_documents(spark, n_docs=100, seed=22, n_partitions=2).drop("_fixture_class")
+    docs.write.parquet(src)
+    cat = generate_media_catalog(spark)
+    eng = ValidationEngine(ValidationConfig(enable_drift=False))
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+    q1 = validate_stream(stream, cat, out, engine=eng)
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out}/violations").count()
+
+    q2 = validate_stream(
+        spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src), cat, out, engine=eng
+    )
+    q2.awaitTermination(120)
+    time.sleep(1)
+    n2 = spark.read.parquet(f"{out}/violations").count()
+    assert n1 == n2  # nothing reprocessed

@@ -302,7 +302,10 @@ def uniqueness_violations(docs: DataFrame, n_salts: int = 64) -> DataFrame:
     back (AQE broadcasts the dup-key side when small; skew-join splits
     otherwise).
     """
-    salt = F.pmod(F.xxhash64(F.col("partition"), F.coalesce(F.size("spans"), F.lit(-1)), F.rand(seed=7)), F.lit(n_salts))
+    # salt must not reference spans: that would drag the whole span
+    # struct (all text bytes) through the scan — rand alone spreads the
+    # hot key and lets the parquet reader prune to (doc_id, partition)
+    salt = F.pmod(F.xxhash64(F.col("partition"), F.rand(seed=7)), F.lit(n_salts))
     partial = (
         docs.select("doc_id", salt.alias("_salt"))
         .groupBy("doc_id", "_salt")
@@ -337,17 +340,24 @@ def referential_violations(
     (``strategy='broadcast'`` forces it; 'auto' lets AQE decide; 'smj'
     hints shuffle merge for a catalog too big to broadcast).
     """
-    media_spans = F.filter(
-        _indexed(F.col("spans")), lambda x: x["s"]["media_ref"].isNotNull()
+    # GetArrayStructFields projections (spans.media_ref / spans.offset)
+    # are visible to nested-schema pruning, so the parquet scan reads ONLY
+    # those two subfields — a HOF over F.col("spans") would force the
+    # full struct (all text bytes) through the reader. posexplode keeps
+    # the span_pos position contract; text spans are filtered right after.
+    zipped = F.arrays_zip(
+        F.col("spans.media_ref").alias("media_ref"), F.col("spans.offset").alias("offset")
     )
-    refs = docs.select(
-        "partition", "doc_id", F.explode(media_spans).alias("x")
-    ).select(
-        "partition",
-        "doc_id",
-        F.col("x.i").cast("int").alias("span_pos"),
-        F.col("x.s.offset").cast("long").alias("offset"),
-        F.col("x.s.media_ref").alias("media_ref"),
+    refs = (
+        docs.select("partition", "doc_id", F.posexplode(zipped).alias("span_pos", "x"))
+        .filter(F.col("x.media_ref").isNotNull())
+        .select(
+            "partition",
+            "doc_id",
+            F.col("span_pos").cast("int").alias("span_pos"),
+            F.col("x.offset").cast("long").alias("offset"),
+            F.col("x.media_ref").alias("media_ref"),
+        )
     )
     cat = media_catalog.select("media_ref").distinct()
     if strategy == "broadcast":
@@ -379,23 +389,27 @@ def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataF
     p = params or RuleParams()
     eps = p.drift_epsilon
     kind_domain = list(p.kind_domain)
-    # per-doc counts per kind, map-side, in ONE pass over the spans array:
-    # an aggregate with a long-array accumulator (one slot per kind)
-    # instead of |domain| filter() calls — filter materializes a filtered
-    # copy of the span structs per kind, which dominated the profile.
+    # per-doc counts per kind in ONE pass. The kinds array is projected
+    # with GetArrayStructFields (spans.kind) BEFORE the aggregate so
+    # nested-schema pruning reaches the scan: a HOF over F.col("spans")
+    # would read every text byte just to count kinds (measured 6x
+    # anti-scaling at 32 cores from the wasted decode bandwidth).
     domain_arr = F.array(*[F.lit(k) for k in kind_domain])
     zero = F.array(*[F.lit(0).cast("long") for _ in kind_domain])
     counts = F.aggregate(
-        F.coalesce(F.col("spans"), F.array()),
+        F.coalesce(F.col("_kinds"), F.array()),
         zero,
-        lambda acc, s: F.zip_with(
-            acc, domain_arr, lambda c, k: c + F.when(s["kind"] == k, 1).otherwise(0)
+        lambda acc, k0: F.zip_with(
+            acc, domain_arr, lambda c, k: c + F.when(k0 == k, 1).otherwise(0)
         ),
     )
-    # two-step select so the aggregate evaluates once, not once per kind
-    per_doc = docs.select("partition", counts.alias("_counts")).select(
-        "partition",
-        *[F.element_at("_counts", j + 1).alias(f"_c_{k}") for j, k in enumerate(kind_domain)],
+    per_doc = (
+        docs.select("partition", F.col("spans.kind").alias("_kinds"))
+        .select("partition", counts.alias("_counts"))
+        .select(
+            "partition",
+            *[F.element_at("_counts", j + 1).alias(f"_c_{k}") for j, k in enumerate(kind_domain)],
+        )
     )
     per_part = per_doc.groupBy("partition").agg(
         *[F.sum(f"_c_{k}").alias(f"c_{k}") for k in kind_domain]

