@@ -42,7 +42,9 @@ viol.count()
 
 n_docs = docs.count()
 t0 = time.perf_counter()
-viol.write.mode("overwrite").parquet(f"{out_path}/violations")
+# violations are sparse: repartition the tiny output before the sink so
+# the file-commit cost is O(cores) files, not O(input partitions)
+viol.repartition(cores).write.mode("overwrite").parquet(f"{out_path}/violations")
 written = spark.read.parquet(f"{out_path}/violations")
 engine.verdicts(docs, written).count()
 elapsed = time.perf_counter() - t0

@@ -1,0 +1,76 @@
+"""Production entry point: ``spark-submit --py-files zparse_spark.zip
+validate.py --documents ... --catalog ... --out ...``.
+
+The CLI mirrors the reference's ``zparse parse`` contract
+(crates/zparse-cli/src/main.rs:153-259): arguments select input, rule
+configuration (limits, lenient flags), and output; the process exit code
+is the verdict (0 = all partitions pass, 1 = violations found) — the
+table-scale analog of "print ok or exit nonzero" (main.rs:225-230).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="zparse-spark-validate")
+    ap.add_argument("--documents", required=True, help="parquet/iceberg path of the documents table")
+    ap.add_argument("--catalog", help="media catalog path (enables R1)")
+    ap.add_argument("--out", required=True, help="output dir: violations/, verdicts/, metrics/, manifest")
+    ap.add_argument("--max-spans", type=int, default=128)
+    ap.add_argument("--max-text-bytes", type=int, default=10 * 1024 * 1024)
+    ap.add_argument("--psi-threshold", type=float, default=0.25)
+    ap.add_argument("--lenient-offsets", action="store_true",
+                    help="allow equal offsets in S1 (non-decreasing instead of strictly increasing)")
+    ap.add_argument("--referential-strategy", choices=["auto", "broadcast", "smj"], default="auto")
+    ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and revalidate everything")
+    ap.add_argument("--master", default=None, help="override master (default: spark-submit supplies it)")
+    args = ap.parse_args(argv)
+
+    from zparse_spark.operators.rules import RuleParams
+    from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+    from zparse_spark.plans.manifest import Manifest, run_with_manifest
+    from zparse_spark.session import get_spark
+
+    spark = get_spark(app_name="zparse_spark_validate", master=args.master)
+    params = RuleParams(
+        max_spans=args.max_spans,
+        max_text_bytes=args.max_text_bytes,
+        psi_threshold=args.psi_threshold,
+        allow_equal_offsets=args.lenient_offsets,
+    )
+    engine = ValidationEngine(
+        ValidationConfig(
+            params=params,
+            referential_strategy=args.referential_strategy,
+            enable_referential=args.catalog is not None,
+        )
+    )
+    docs = spark.read.parquet(args.documents)
+    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+
+    if args.no_resume:
+        import shutil
+
+        shutil.rmtree(args.out, ignore_errors=True)
+    done = run_with_manifest(engine, docs, catalog, args.out)
+
+    from zparse_spark.schema import VIOLATION_SCHEMA
+
+    viol = spark.read.schema(VIOLATION_SCHEMA).parquet(f"{args.out}/violations")
+    verdicts = engine.verdicts(docs, viol)
+    verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
+    engine.metrics(docs).write.mode("overwrite").parquet(f"{args.out}/metrics")
+
+    n_viol = viol.count()
+    n_fail = verdicts.filter("NOT passed").count()
+    print(f"validated partitions: {len(done)} (resumed past {Manifest(args.out)._read_rows().__len__() - len(done)})")
+    print(f"violations: {n_viol}; failing (partition, rule) cells: {n_fail}")
+    spark.stop()
+    return 0 if n_viol == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,7 +65,9 @@ class RuleParams:
     max_text_bytes: int = 10 * 1024 * 1024  # analog of max_size 10 MiB
     kind_domain: tuple[str, ...] = SPAN_KIND_DOMAIN
     # lenient flags, mirroring Config.with_comments / with_trailing_commas
-    allow_empty_spans: bool = False
+    # (json/parser.rs:20-23): strict mode demands strictly increasing
+    # offsets; lenient tolerates ties (the JSONC-style relaxation)
+    allow_equal_offsets: bool = False
     psi_threshold: float = 0.25
     # probability floor for PSI's zero buckets; 1e-4 keeps a kind that is
     # merely absent-by-chance in a small partition from exploding the score
@@ -142,14 +144,18 @@ def build_span_rule_columns(
     domain = F.array(*[F.lit(k) for k in p.kind_domain])
     idx = indexed if indexed is not None else _indexed(spans)
 
+    def _s1_regressed(s, i):
+        prev = F.element_at(spans, i.cast("int"))["offset"]
+        return s["offset"] < prev if p.allow_equal_offsets else s["offset"] <= prev
+
     s1 = _span_rule(
         idx,
         "S1",
         ErrorKind.INVALID_ARRAY,
-        # offset must be strictly increasing; element_at is 1-based so
-        # element_at(spans, i) is the *previous* span for 0-based i >= 1
-        lambda s, i: (i >= 1)
-        & (s["offset"] <= F.element_at(spans, i.cast("int"))["offset"]),
+        # offset must be strictly increasing (non-decreasing in lenient
+        # mode); element_at is 1-based so element_at(spans, i) is the
+        # *previous* span for 0-based i >= 1
+        lambda s, i: (i >= 1) & _s1_regressed(s, i),
         lambda s, i: F.concat(
             F.lit("offset regression: "),
             s["offset"].cast("string"),

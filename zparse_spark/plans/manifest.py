@@ -19,7 +19,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zparse_spark.schema import MANIFEST_SCHEMA
+from zparse_spark.schema import MANIFEST_SCHEMA, VIOLATION_SCHEMA
 
 
 class Manifest:
@@ -103,7 +103,10 @@ def run_with_manifest(
         for r in pending_docs.groupBy("partition")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(
-            spark.read.parquet(viol_path)
+            # explicit schema: an all-valid run writes zero part files and
+            # schema inference would fail on the empty directory tree
+            spark.read.schema(VIOLATION_SCHEMA)
+            .parquet(viol_path)
             .filter(F.col("partition").isin(todo))
             .groupBy("partition")
             .agg(F.count(F.lit(1)).alias("v")),

@@ -65,6 +65,31 @@ def load_table(
     return df
 
 
+def normalize_headers(df: DataFrame) -> DataFrame:
+    """CSV header normalization (csv/parser.rs:313-342): trim names,
+    empty → column_N (1-based position), duplicates deduped with _2/_3
+    suffixes in encounter order."""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for i, name in enumerate(df.columns):
+        base = name.strip() or f"column_{i + 1}"
+        n = seen.get(base, 0) + 1
+        seen[base] = n
+        out.append(base if n == 1 else f"{base}_{n}")
+    return df.toDF(*out)
+
+
+_FORBIDDEN_DELIMS = {"\n", "\r", '"'}
+
+
+def validate_delimiter(delim: str) -> str:
+    """Delimiter contract (csv/parser.rs:87-94): one ASCII char, not a
+    quote or record terminator."""
+    if len(delim) != 1 or ord(delim) > 127 or delim in _FORBIDDEN_DELIMS:
+        raise ValueError(f"invalid CSV delimiter {delim!r}: must be one ASCII char, not quote/CR/LF")
+    return delim
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the driver's flat documents table for an SF tier."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
