@@ -1,0 +1,96 @@
+"""Property-based tests (Hypothesis) — the engine analog of the
+reference's proptest suite (tests/property_tests.rs:121-156: roundtrip
+parse∘serialize = id, never-panic)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import make_docs
+from zparse_spark.operators.canonical import canonicalize_spans, span_fingerprint
+from zparse_spark.operators.rules import RuleParams, span_rule_violations
+
+KINDS = ["text", "image", "audio", "video", "table", "code"]
+
+span_st = st.tuples(
+    st.sampled_from(KINDS),
+    st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=12),
+    st.one_of(st.none(), st.text(alphabet="mr0123456789_", min_size=1, max_size=8)),
+    st.integers(min_value=0, max_value=10_000),
+)
+doc_st = st.lists(span_st, min_size=0, max_size=8)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(spans=doc_st)
+@_settings
+def test_canonicalize_idempotent_and_order_insensitive(spark, spans):
+    """canonicalize∘shuffle = canonicalize; fingerprint invariant under
+    permutation (parse∘serialize = id analog for the span invariant)."""
+    docs = make_docs(spark, [("d", spans, "p0")])
+    rev = make_docs(spark, [("d", list(reversed(spans)), "p0")])
+    fp = lambda df: df.select(span_fingerprint(F.col("spans")).alias("f")).collect()[0]["f"]  # noqa: E731
+    assert fp(docs) == fp(rev)
+    once = canonicalize_spans(docs)
+    twice = canonicalize_spans(once)
+    assert fp(once) == fp(twice) == fp(docs)
+
+
+@given(spans=doc_st)
+@_settings
+def test_rules_never_raise_and_positions_in_range(spark, spans):
+    """Never-panic: arbitrary span content flows through the rule pack;
+    every reported span_pos is a valid index and offsets echo the data."""
+    docs = make_docs(spark, [("d", spans, "p0")])
+    rows = span_rule_violations(docs, RuleParams(max_spans=4, max_text_bytes=64)).collect()
+    for r in rows:
+        if r["span_pos"] is not None:
+            assert 0 <= r["span_pos"] < len(spans)
+            assert r["offset"] == spans[r["span_pos"]][3]
+        assert r["rule_id"] in {"S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8"}
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=200
+    )
+)
+@_settings
+def test_tdigest_quantiles_bounded(spark, vals):
+    """Sketch invariants: quantiles lie within [min, max] and are
+    monotone in p."""
+    import numpy as np
+
+    from zparse_spark.operators.stats import _compress, _quantile_from_centroids
+
+    v = np.asarray(vals, dtype=float)
+    m, w = _compress(v, np.ones_like(v), delta=50)
+    qs = [_quantile_from_centroids(m, w, p) for p in (0.1, 0.5, 0.9)]
+    assert all(v.min() - 1e-9 <= q <= v.max() + 1e-9 for q in qs)
+    assert qs == sorted(qs)
+    assert math.isclose(w.sum(), len(v))
+
+
+@given(raw=st.text(max_size=12))
+@_settings
+def test_infer_cell_type_total(spark, raw):
+    """The typing cascade is total: every string lands in exactly one of
+    the five types, and quoted always yields string."""
+    from zparse_spark.functions.inference import infer_cell_type
+
+    df = spark.createDataFrame([(raw, False), (raw, True)], ["raw", "quoted"])
+    got = [
+        r["t"]
+        for r in df.select(infer_cell_type(F.col("raw"), F.col("quoted")).alias("t")).collect()
+    ]
+    assert got[0] in {"null", "bool", "long", "double", "string"}
+    assert got[1] == "string"

@@ -134,6 +134,30 @@ class ValidationEngine:
             )
         )
 
+    def worst_offenders(self, violations: DataFrame, k: int = 10) -> DataFrame:
+        """Top-k report (SURVEY.md A8): the partitions and documents
+        carrying the most violations — orderBy+limit compiles to a
+        TakeOrderedAndProject (partial top-k per partition, never a full
+        sort at scale)."""
+        by_partition = (
+            violations.groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n_violations"), F.countDistinct("rule_id").alias("n_rules"))
+            .orderBy(F.desc("n_violations"), F.asc("partition"))
+            .limit(k)
+            .withColumn("level", F.lit("partition"))
+            .withColumnRenamed("partition", "key")
+        )
+        by_doc = (
+            violations.filter(F.col("doc_id").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_violations"), F.countDistinct("rule_id").alias("n_rules"))
+            .orderBy(F.desc("n_violations"), F.asc("doc_id"))
+            .limit(k)
+            .withColumn("level", F.lit("doc"))
+            .withColumnRenamed("doc_id", "key")
+        )
+        return by_partition.unionByName(by_doc).select("level", "key", "n_violations", "n_rules")
+
     # -- one-shot -------------------------------------------------------
 
     def validate(self, docs: DataFrame, media_catalog: DataFrame | None = None) -> ValidationResult:

@@ -827,3 +827,106 @@ def events_props_json(spark, sf_dir):
         F.round(F.avg(parsed["k"]), 4).alias("avg_k"),
         F.count(F.when(parsed.isNotNull(), 1)).alias("n_valid_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Broader relational coverage: multi-join, simple predicate agg, approx
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def tpch_q5_region_revenue(spark, sf_dir):
+    """Five-table star join: dims broadcast (customer/nation/region are
+    tiny), the only shuffles are fact-side groupBy."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Pure filter+agg: every predicate pushes to the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_tolerance",
+    """
+    SELECT count(DISTINCT l_partkey) AS exact_distinct,
+           true AS approx_within_5pct
+    FROM lineitem
+    """,
+)
+def approx_distinct_tolerance(spark, sf_dir):
+    """A11 cardinality sanity: HLL approx_count_distinct must land within
+    5% of exact. The boolean (not the approx value, which differs by
+    sketch implementation across engines) is the oracle-stable output."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            / F.countDistinct("l_partkey")
+            < 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+def worst_offenders_report(spark, sf_dir):
+    """A8 top-k violation report over the interleaved documents table
+    (rows-only: spans tables are built by this repo's interleaver)."""
+    from zparse_spark.plans.engine import ValidationEngine
+    from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+
+    docs = generate_documents(spark, n_docs=500, seed=42).drop("_fixture_class")
+    cat = generate_media_catalog(spark)
+    eng = ValidationEngine()
+    return eng.worst_offenders(eng.violations(docs, cat), k=5)
+
+
+QUERIES["worst_offenders_report"] = worst_offenders_report
