@@ -1,0 +1,58 @@
+"""Skew-handling join utilities (SURVEY.md §4.3).
+
+AQE's skew-join splitting handles skewed *shuffle partitions*, but a
+single pathological key (one doc_id duplicated 10^8 times, one media_ref
+used by half the corpus) still lands every matching row on one reducer
+in a plain shuffle join. ``salted_join`` explicitly spreads the skewed
+side over ``n_salts`` sub-keys and replicates the small side to match —
+the classic salting scheme, as a reusable operator.
+
+``broadcast_threshold_join`` picks broadcast vs salted-SMJ by a row
+estimate — the engine's referential rule uses the same decision via its
+``strategy`` flag; this utility generalizes it to any equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys in ``big``.
+
+    big rows get a random salt in [0, n_salts); small rows are replicated
+    n_salts times (explode of a literal range — n_salts × |small| rows,
+    fine for dimension-sized tables). The join key becomes (key, salt),
+    so a hot key's rows spread over n_salts reducers instead of one.
+    Output schema = normal join output (salt column dropped).
+    """
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(F.rand(seed=11)), F.lit(n_salts)))
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    out = salted_big.join(replicated_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def broadcast_threshold_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Broadcast when the small side is provably small; otherwise salted
+    sort-merge. The row probe is a cheap count on the (already pruned)
+    small side — at 100 TB the catalog size is known from table metadata
+    instead."""
+    if small.count() <= broadcast_max_rows:
+        return big.join(F.broadcast(small), key, how)
+    return salted_join(big, small, key, n_salts=n_salts, how=how)
