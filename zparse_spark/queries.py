@@ -930,3 +930,97 @@ def worst_offenders_report(spark, sf_dir):
 
 
 QUERIES["worst_offenders_report"] = worst_offenders_report
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator: union+window, oracled vs DuckDB ASOF JOIN)
+# + pivot / rollup coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_events_purchase",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT c.user_id, c.event_id, p.value AS last_purchase_value
+      FROM clicks c
+      ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT user_id,
+           count(*) AS n_clicks,
+           count(last_purchase_value) AS clicks_after_purchase,
+           round(sum(coalesce(last_purchase_value, 0)), 4) AS sum_last_purchase
+    FROM joined GROUP BY user_id
+    """,
+)
+def asof_events_purchase(spark, sf_dir):
+    """For every click, the user's most recent prior (or simultaneous)
+    purchase value — asof_join via union+window (one shuffle), aggregated
+    per user so float ordering can't destabilize the hash."""
+    from zparse_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("asof_purchase_value").alias("clicks_after_purchase"),
+        F.round(F.sum(F.coalesce("asof_purchase_value", F.lit(0.0))), 4).alias(
+            "sum_last_purchase"
+        ),
+    )
+
+
+@register(
+    "pivot_lineitem_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_lineitem_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@register(
+    "rollup_orders_priority",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_orders_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
