@@ -80,3 +80,19 @@ def test_sequence_equality_frame(spark):
     )
     got = {r["doc_id"]: r["equal"] for r in sequence_equality(a, b).collect()}
     assert got == {"same": True, "diff": False, "only_a": False, "only_b": False}
+
+
+def test_canonical_violation_lines_stable_across_layout(spark):
+    """The byte-compare contract (FIXTURES.md T3): identical violations in
+    any partition layout produce identical canonical bytes."""
+    from zparse_spark.operators.canonical import violations_digest
+    from zparse_spark.operators.rules import span_rule_violations
+    from zparse_spark.sources.datagen import generate_documents
+
+    docs = generate_documents(spark, n_docs=200, seed=17, n_partitions=4).drop("_fixture_class")
+    v1 = span_rule_violations(docs)
+    v2 = span_rule_violations(docs.repartition(13))
+    d1, d2 = violations_digest(v1), violations_digest(v2)
+    assert d1 == d2
+    assert len(d1) == 64
+    assert v1.count() > 0  # digest covers real rows

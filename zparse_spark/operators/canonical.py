@@ -107,6 +107,42 @@ def canonicalize_spans_exploded(docs: DataFrame) -> DataFrame:
     return reassembled
 
 
+def canonical_violation_lines(violations: DataFrame) -> DataFrame:
+    """Violations in canonical byte-compare form (FIXTURES.md T3): rows
+    sorted by (partition, doc_id, rule_id, span_pos), serialized as
+    stable JSON lines with declared field order and integral longs —
+    deterministic bytes on any cluster, so golden-file comparison is a
+    plain diff. ``agg(sha2(...))`` over the lines gives a single digest
+    for manifest stamping."""
+    ordered = violations.orderBy(
+        F.asc_nulls_first("partition"),
+        F.asc_nulls_first("doc_id"),
+        F.asc("rule_id"),
+        F.asc_nulls_first("span_pos"),
+    )
+    line = F.to_json(
+        F.struct(
+            F.col("partition"),
+            F.col("doc_id"),
+            F.col("rule_id"),
+            F.col("kind"),
+            F.col("span_pos").cast("int").alias("span_pos"),
+            F.col("offset").cast("long").alias("offset"),
+            F.col("message"),
+        )
+    )
+    return ordered.select(line.alias("line"))
+
+
+def violations_digest(violations: DataFrame) -> str:
+    """One stable sha256 over the canonical lines (order-independent of
+    cluster layout because the lines are collected sorted)."""
+    import hashlib
+
+    lines = [r["line"] for r in canonical_violation_lines(violations).collect()]
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
 def sequence_equality(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
     """Per-doc span-sequence equality verdict between two tables.
 

@@ -1024,3 +1024,34 @@ def rollup_orders_priority(spark, sf_dir):
             "total",
         )
     )
+
+
+@register(
+    "sql_customer_segments",
+    """
+    SELECT c_mktsegment AS segment,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band,
+           count(*) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def sql_customer_segments(spark, sf_dir):
+    """SQL-API surface: the engine accepts spark.sql text verbatim —
+    Catalyst produces the same plan as the DataFrame API."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS balance_band,
+               count(*) AS n,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer_v
+        GROUP BY 1, 2
+        """
+    )
