@@ -175,7 +175,11 @@ TABLE_RULES = [
 ALL_RULES = SPAN_RULES + TABLE_RULES
 
 
-def span_rule_violations(docs: DataFrame, params: RuleParams | None = None) -> DataFrame:
+def span_rule_violations(
+    docs: DataFrame,
+    params: RuleParams | None = None,
+    media_catalog: DataFrame | None = None,
+) -> DataFrame:
     """Evaluate S1..S8 in ONE narrow map stage — no shuffle anywhere.
 
     Span rules (S1/S2/S5-S8): the spans array is zipped with its own
@@ -187,6 +191,13 @@ def span_rule_violations(docs: DataFrame, params: RuleParams | None = None) -> D
 
     Doc-level limits (S3/S4): computed per document BEFORE the explode
     (they are properties of the whole array) and unioned in.
+
+    Fused referential (R1): when ``media_catalog`` is passed, the
+    exploded frame takes a broadcast left join against the catalog keys
+    and R1 becomes one more codegen check — saving the separate
+    referential branch's full scan + explode. Only valid for a
+    broadcastable catalog; the engine falls back to the standalone
+    SMJ-based ``referential_violations`` otherwise.
     """
     p = params or RuleParams()
     spans = F.col("spans")
@@ -242,6 +253,26 @@ def span_rule_violations(docs: DataFrame, params: RuleParams | None = None) -> D
         (cond, _item(rule_id, kind, msg, F.col("span_pos"), F.col("offset")))
         for rule_id, kind, cond, msg in _span_checks(p)
     ]
+    if media_catalog is not None:
+        # broadcast hash join is a streaming pass over the exploded rows
+        # (build side = catalog keys); R1 fires when a non-null media_ref
+        # found no catalog hit
+        cat_keys = F.broadcast(
+            media_catalog.select("media_ref").distinct().withColumn("_cat_hit", F.lit(True))
+        )
+        ex = ex.join(cat_keys, "media_ref", "left")
+        checks.append(
+            (
+                F.col("media_ref").isNotNull() & F.col("_cat_hit").isNull(),
+                _item(
+                    "R1",
+                    ErrorKind.DANGLING_MEDIA_REF,
+                    F.concat(F.lit("dangling media_ref: "), F.col("media_ref")),
+                    F.col("span_pos"),
+                    F.col("offset"),
+                ),
+            )
+        )
     # S3/S4 document-level limits fire once per doc, on the first span row
     # (span_pos/offset null in the emitted violation — the reference's
     # error-at-opener position lifted to error-at-document); a doc that

@@ -66,10 +66,20 @@ class ValidationEngine:
 
     def violations(self, docs: DataFrame, media_catalog: DataFrame | None = None) -> DataFrame:
         c = self.config
-        parts = [span_rule_violations(docs, c.params)]
+        # R1 fuses into the span-rule explode (one scan saved) whenever the
+        # catalog can broadcast; 'smj' keeps the standalone sort-merge
+        # branch for catalogs too large to broadcast
+        fuse_ref = (
+            c.enable_referential
+            and media_catalog is not None
+            and c.referential_strategy in ("auto", "broadcast")
+        )
+        parts = [
+            span_rule_violations(docs, c.params, media_catalog=media_catalog if fuse_ref else None)
+        ]
         if c.enable_uniqueness:
             parts.append(uniqueness_violations(docs, n_salts=c.n_salts))
-        if c.enable_referential and media_catalog is not None:
+        if c.enable_referential and media_catalog is not None and not fuse_ref:
             parts.append(referential_violations(docs, media_catalog, c.referential_strategy))
         if c.enable_drift:
             parts.append(drift_violations(docs, c.params))
