@@ -290,7 +290,7 @@ def cube_lineitem(spark, sf_dir):
     )
     SELECT event_type,
            count(*) AS n_events,
-           sum(CASE WHEN prev_value IS NOT NULL AND value < prev_value THEN 1 ELSE 0 END) AS regressions
+           CAST(sum(CASE WHEN prev_value IS NOT NULL AND value < prev_value THEN 1 ELSE 0 END) AS BIGINT) AS regressions
     FROM seq GROUP BY event_type
     """,
 )
@@ -477,8 +477,8 @@ def all_oracles():
     """
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+           CAST(sum(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
            round(avg(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 4) AS avg_tokens
     FROM documents GROUP BY lang
@@ -764,7 +764,7 @@ QUERIES["similarity_lsh_topk_embeddings"] = similarity_lsh_topk_embeddings
       FROM flagged GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(n_sessions) AS total_sessions,
+           CAST(sum(n_sessions) AS BIGINT) AS total_sessions,
            round(avg(CAST(n_events AS DOUBLE) / n_sessions), 4) AS avg_events_per_session
     FROM per_user
     """,
