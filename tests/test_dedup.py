@@ -98,3 +98,80 @@ def test_embedding_near_duplicates(spark):
            embedding_near_duplicates(df, dim=64, threshold=0.99).collect()}
     assert ("e1", "e2") in got and got[("e1", "e2")] > 0.99
     assert len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket cap — the boilerplate-cluster scale guard
+# ---------------------------------------------------------------------------
+
+
+def test_hot_bucket_cap_bounds_boilerplate_pairs(spark):
+    """One boilerplate bucket of 5k identical docs must NOT go quadratic:
+    candidate pairs stay bounded by the cap, and honest near-dups outside
+    the hot bucket are still found."""
+    n, cap = 5000, 32
+    boiler = spark.range(n).select(
+        F.concat(F.lit("b"), F.col("id")).alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    outsiders = spark.createDataFrame(
+        [("x1", DIFF), ("x2", DIFF + " indeed")], ["doc_id", "text"]
+    )
+    df = boiler.unionByName(outsiders)
+    n_bands = 4
+    cands = minhash_lsh_candidates(df, n_hashes=16, n_bands=n_bands, max_bucket=cap)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    # hash-sampling keeps ~cap members per hot bucket per band; allow 4x
+    # slack for sampling variance — versus ~12.5M uncapped pairs
+    bound = n_bands * (4 * cap) ** 2 // 2
+    assert 0 < len(pairs) < bound
+    assert ("x1", "x2") in pairs  # non-hot bucket untouched
+
+
+def test_hot_bucket_stats_surfaces_truncation(spark):
+    from zparse_spark.operators.dedup import cap_hot_buckets, hot_bucket_stats
+
+    banded = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("_id"),
+        F.lit(0).alias("band"),
+        # one hot bucket (900 members) + spread tail
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id")).alias("bucket"),
+    )
+    stats = hot_bucket_stats(banded, ["band", "bucket"], max_bucket=64).collect()
+    assert len(stats) == 1 and stats[0]["n_members"] == 900
+    capped = cap_hot_buckets(banded, ["band", "bucket"], max_bucket=64)
+    per_bucket = {r["bucket"]: r["n"] for r in
+                  capped.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # hot bucket reduced to ~64 (hash-sample: allow 3x), tail untouched
+    assert per_bucket[1] < 3 * 64
+    assert sum(v for k, v in per_bucket.items() if k != 1) == 100
+
+
+def test_simhash_and_embedding_caps_apply(spark):
+    import numpy as np
+
+    n = 2000
+    boiler = spark.range(n).select(
+        F.concat(F.lit("s"), F.col("id")).alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    got = simhash_near_duplicates(boiler, max_bucket=16)
+    assert 0 < got.count() < 8 * (4 * 16) ** 2 // 2
+
+    rng = np.random.default_rng(1)
+    v = [float(x) for x in rng.standard_normal(16)]
+    vdf = spark.range(500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.array(*[F.lit(x) for x in v]).alias("embedding"),
+    )
+    gote = embedding_near_duplicates(vdf, dim=16, n_planes=8, max_bucket=16)
+    assert 0 < gote.count() < (4 * 16) ** 2 // 2
+
+
+def test_minhash_md5_mode_matches_xxhash_pairs(spark):
+    """The DuckDB-portable md5 hash family drives the same pipeline and
+    (after exact-Jaccard verification) finds the same duplicate pairs."""
+    base = {tuple(sorted((r["id_a"], r["id_b"])))
+            for r in minhash_dedup(corpus(spark), threshold=0.6).collect()}
+    md5 = {tuple(sorted((r["id_a"], r["id_b"])))
+           for r in minhash_dedup(corpus(spark), threshold=0.6, hash_fn="md5").collect()}
+    assert ("d1", "d2") in md5 and ("d1", "d3") in md5
+    assert md5 == base

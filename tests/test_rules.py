@@ -120,6 +120,14 @@ def test_s7_bad_unicode(spark):
             ("badhex", [T(r"\uDZZZ", 0)], "p0"),
             ("lonehigh", [T(r"\uD800 alone", 0)], "p0"),
             ("lonelow", [T(r"\uDC00 alone", 0)], "p0"),
+            # escaped backslash + literal 'u...': the first backslash
+            # consumes the second, so there is NO \u escape here — the
+            # lexer accepts it and S7 must too (consuming grammar, not a
+            # bad-substring search)
+            ("escbackslash", [T(r"fine \\uZZZZ and \\uD800 too", 0)], "p0"),
+            ("okpair", [T("pair \\uD83D\\uDE00 and bmp \\u00e9 ok", 0)], "p0"),
+            # trailing lone backslash is S6's unterminated-escape, not S7
+            ("trailing", [T("dangling \\u0041 then \\", 0)], "p0"),
         ],
     )
     got = rows(span_rule_violations(docs).filter(F.col("rule_id") == "S7"))

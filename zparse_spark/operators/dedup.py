@@ -49,6 +49,62 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 # ---------------------------------------------------------------------------
+# hot-bucket cap — shared guard for every band-bucket self-join
+# ---------------------------------------------------------------------------
+
+
+def hot_bucket_stats(banded: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Buckets whose membership exceeds ``max_bucket`` — the truncation
+    the cap applies, surfaced as a DataFrame so callers can count/log
+    what was dropped instead of silently losing recall."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
+def cap_hot_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Bound each LSH bucket to ~``max_bucket`` members before the pair
+    self-join — THE web-dedup scale guard: one boilerplate bucket of 1M
+    docs otherwise yields 5×10¹¹ candidate pairs and the join never
+    finishes.
+
+    Mechanism: count members per bucket (map-side combine — one small
+    aggregate), join the hot-bucket counts back (aggregated+filtered side
+    is tiny in practice; AQE broadcasts it when it is, and falls back to
+    a shuffle join on the same key the pair-join shuffles on anyway), and
+    keep a deterministic hash-sample of ~max_bucket members from each hot
+    bucket: row kept iff xxhash64(id) ≡ 0 (mod ceil(n/max_bucket)).
+    Sampling is per-row and fully parallel — no window sort lands a whole
+    hot bucket in one task. Non-hot buckets pass through untouched, so
+    recall only degrades inside boilerplate clusters (which exact-dedup
+    catches anyway). Inspect the truncation with ``hot_bucket_stats``.
+
+    ``max_bucket <= 0`` disables the cap (the reference-free small-data
+    path used by tests that assert exhaustive recall).
+    """
+    if max_bucket is None or max_bucket <= 0:
+        return banded
+    hot = hot_bucket_stats(banded, bucket_cols, max_bucket).withColumnRenamed(
+        "n_members", "_bucket_n"
+    )
+    keep = F.col("_bucket_n").isNull() | (
+        F.pmod(
+            F.xxhash64(F.col(id_col)),
+            F.ceil(F.col("_bucket_n") / F.lit(max_bucket)).cast("long"),
+        )
+        == 0
+    )
+    return banded.join(hot, list(bucket_cols), "left").filter(keep).drop("_bucket_n")
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -103,14 +159,23 @@ def minhash_lsh_candidates(
     n_bands: int = 16,
     k_shingle: int = 3,
     seed: int = 42,
+    max_bucket: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: split the signature into
     n_bands rows of n_hashes/n_bands values, hash each band, join docs
     sharing any band bucket. Returns (id_a, id_b, n_shared_bands).
 
     Shuffle profile: |docs| × n_bands small rows through one groupBy —
-    never a cross join. Hot buckets (boilerplate docs) are bounded by
-    an in-bucket pair cap at verify time.
+    never a cross join. Hot buckets (boilerplate clusters) are capped at
+    ~``max_bucket`` members by ``cap_hot_buckets`` BEFORE the self-join,
+    so the worst-case pair count per bucket is bounded at max_bucket²/2
+    regardless of how many near-identical docs the corpus holds.
+
+    ``hash_fn`` picks the per-shingle hash primitive: 'xxhash64' (JVM
+    codegen, 8-byte values — the throughput path) or 'md5' (hex-string
+    min — bit-for-bit reproducible in DuckDB, so the whole LSH pipeline
+    is oracle-checkable cross-engine; ~5× slower, use for verification).
     """
     rows_per_band = n_hashes // n_bands
     # explode+groupBy formulation, NOT nested higher-order functions:
@@ -124,14 +189,23 @@ def minhash_lsh_candidates(
     ex = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k=k_shingle)).alias("_s")
     )
-    hashed = ex.select(
-        "_id", *[F.xxhash64("_s", F.lit(h), F.lit(seed)).alias(f"_h{h}") for h in range(n_hashes)]
-    )
+    if hash_fn == "xxhash64":
+        hashes = [F.xxhash64("_s", F.lit(h), F.lit(seed)) for h in range(n_hashes)]
+        bucket_of = F.xxhash64
+    elif hash_fn == "md5":
+        # hex-string hash family h_i(s) = md5(s ‖ ':' ‖ i ‖ ':' ‖ seed);
+        # MIN over hex strings is plain lexicographic — identical semantics
+        # in DuckDB, which makes the pipeline cross-engine verifiable
+        hashes = [F.md5(F.concat_ws(":", F.col("_s"), F.lit(h), F.lit(seed))) for h in range(n_hashes)]
+        bucket_of = F.md5
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashed = ex.select("_id", *[h.alias(f"_h{i}") for i, h in enumerate(hashes)])
     sig = hashed.groupBy("_id").agg(*[F.min(f"_h{h}").alias(f"_h{h}") for h in range(n_hashes)])
     band_cols = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
-            F.xxhash64(
+            bucket_of(
                 F.concat_ws(
                     ",", *[F.col(f"_h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
                 )
@@ -142,6 +216,7 @@ def minhash_lsh_candidates(
     banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    banded = cap_hot_buckets(banded, ["band", "bucket"], id_col="_id", max_bucket=max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -250,11 +325,14 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 7,
     band_bits: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dups by SimHash: candidates share at least one band
     (pigeonhole: hamming ≤ n_bands−1 ⇒ ≥1 identical band; defaults give
     8 bands → guaranteed recall at hamming ≤ 7), verified by exact
-    hamming distance over the band values."""
+    hamming distance over the band values. Hot band buckets are capped
+    at ~``max_bucket`` members (``cap_hot_buckets``) before the
+    self-join — boilerplate clusters cannot go quadratic."""
     # explode+groupBy formulation for the same reason as
     # minhash_lsh_candidates: keep everything inside whole-stage codegen,
     # shuffle only |docs| rows (map-side combine collapses tokens per doc)
@@ -289,6 +367,7 @@ def simhash_near_duplicates(
         "sig",
         F.posexplode("sig").alias("band", "bucket"),
     )
+    banded = cap_hot_buckets(banded, ["band", "bucket"], id_col="_id", max_bucket=max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -342,6 +421,7 @@ def embedding_near_duplicates(
     n_planes: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Cosine near-dup pairs: random-hyperplane signature (n_planes bits,
     one bucket key), candidates share the full sign pattern, verified by
@@ -349,6 +429,8 @@ def embedding_near_duplicates(
 
     The hyperplane matrix is a deterministic literal broadcast with the
     plan (n_planes × dim doubles — tiny); signatures are computed JVM-side.
+    Hot sign-pattern buckets (embedding clusters) are capped at
+    ~``max_bucket`` members before the self-join via ``cap_hot_buckets``.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col)
@@ -366,6 +448,7 @@ def embedding_near_duplicates(
     ]
     bucket = F.concat_ws("", *[b.cast("string") for b in bits])
     sdf = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), bucket.alias("bucket"))
+    sdf = cap_hot_buckets(sdf, ["bucket"], id_col="_id", max_bucket=max_bucket)
     l, r = sdf.alias("l"), sdf.alias("r")
     cands = l.join(
         r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))

@@ -91,13 +91,22 @@ _CONTROL_CHARS = "[\\x00-\\x1F]"
 # a sequence of (non-backslash | complete escape). A trailing lone
 # backslash fails the grammar too (the reference's unterminated-escape).
 _VALID_ESCAPES = '^(?:[^\\\\]|\\\\["\\\\/bfnrtu])*$'
-# \u not followed by 4 hex digits, or a lone surrogate: high surrogate
-# \uD800-\uDBFF must be followed by a low surrogate \uDC00-\uDFFF, and a
-# low surrogate must be preceded by a high one (lexer/json.rs:220-262)
-_BAD_UNICODE = (
-    "\\\\u(?![0-9a-fA-F]{4})"  # malformed hex
-    "|\\\\u[dD][89abAB][0-9a-fA-F]{2}(?!\\\\u[dD][c-fC-F][0-9a-fA-F]{2})"  # lone high
-    "|(?<!\\\\u[dD][89abAB][0-9a-fA-F]{2})\\\\u[dD][c-fC-F][0-9a-fA-F]{2}"  # lone low
+# \u escape validity as a CONSUMING full-match grammar, like S6: text is
+# unicode-valid iff it is a sequence of (non-backslash | two-char escape
+# that is not \u — this consumes \\ so an escaped backslash followed by a
+# literal 'u' never false-positives | \u + non-surrogate hex4 | full
+# surrogate pair \uD800-DBFF\uDC00-DFFF | trailing lone backslash, which
+# is S6's unterminated-escape, not a unicode problem). Malformed hex and
+# lone surrogates fail the match (lexer/json.rs:220-262). Deliberately
+# lookaround-free: the same pattern runs under Java regex AND RE2
+# (DuckDB), so the rule is oracle-checkable cross-engine.
+_VALID_UNICODE = (
+    "^(?:[^\\\\]"
+    "|\\\\$"
+    "|\\\\[^u]"
+    "|\\\\u(?:[0-9a-cA-Ce-fE-F][0-9a-fA-F]{3}|[dD][0-7][0-9a-fA-F]{2})"
+    "|\\\\u[dD][89abAB][0-9a-fA-F]{2}\\\\u[dD][c-fC-F][0-9a-fA-F]{2}"
+    ")*$"
 )
 
 
@@ -141,7 +150,10 @@ def _span_checks(p: RuleParams) -> list[tuple[str, str, Column, Column]]:
         (
             "S7",
             ErrorKind.INVALID_UNICODE_ESCAPE,
-            text.contains("\\u") & text.rlike(_BAD_UNICODE),
+            # the contains gate doubles as a semantic filter: every S7
+            # failure mode requires a literal "\u" substring, and pure-S6
+            # problems (trailing backslash, \q) never contain one
+            text.contains("\\u") & ~text.rlike(_VALID_UNICODE),
             F.lit("invalid unicode escape"),
         ),
         (
