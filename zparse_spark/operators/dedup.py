@@ -326,13 +326,19 @@ def simhash_near_duplicates(
     max_hamming: int = 7,
     band_bits: int = 8,
     max_bucket: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dups by SimHash: candidates share at least one band
     (pigeonhole: hamming ≤ n_bands−1 ⇒ ≥1 identical band; defaults give
     8 bands → guaranteed recall at hamming ≤ 7), verified by exact
     hamming distance over the band values. Hot band buckets are capped
     at ~``max_bucket`` members (``cap_hot_buckets``) before the
-    self-join — boilerplate clusters cannot go quadratic."""
+    self-join — boilerplate clusters cannot go quadratic.
+
+    ``hash_fn='md5'`` derives the per-token bit vector from md5 hex
+    nibbles instead of xxhash64 — ~4× more hashing but reproducible in
+    DuckDB (ascii arithmetic on hex chars), making the whole SimHash
+    pipeline oracle-checkable cross-engine."""
     # explode+groupBy formulation for the same reason as
     # minhash_lsh_candidates: keep everything inside whole-stage codegen,
     # shuffle only |docs| rows (map-side combine collapses tokens per doc)
@@ -342,16 +348,34 @@ def simhash_near_duplicates(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
     )
-    voted = ex.select(
-        "_id",
-        *[
-            F.when(F.shiftright(F.xxhash64("_t"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .cast("long")
-            .alias(f"_v{b}")
-            for b in range(n_bits)
-        ],
-    )
+    if hash_fn == "xxhash64":
+        voted = ex.select(
+            "_id",
+            *[
+                F.when(F.shiftright(F.xxhash64("_t"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+                .alias(f"_v{b}")
+                for b in range(n_bits)
+            ],
+        )
+    elif hash_fn == "md5":
+        # bit b of token t = bit (b mod 4) of hex nibble b//4 of md5(t);
+        # the nibble decodes via ascii arithmetic (identical in DuckDB)
+        hexed = ex.select("_id", F.md5("_t").alias("_m"))
+
+        def _vote(b: int) -> Column:
+            a = F.ascii(F.substring(F.col("_m"), b // 4 + 1, 1))
+            nib = F.when(a >= 97, a - 87).otherwise(a - 48)
+            return (
+                F.when(F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+            )
+
+        voted = hexed.select("_id", *[_vote(b).alias(f"_v{b}") for b in range(n_bits)])
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     votes = voted.groupBy("_id").agg(*[F.sum(f"_v{b}").alias(f"_v{b}") for b in range(n_bits)])
     bit = lambda b: F.when(F.col(f"_v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
     band_exprs = [

@@ -441,10 +441,10 @@ def referential_violations(
     )
 
 
-def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataFrame:
-    """D1: per-partition span-kind frequency must not drift from the
-    global distribution (PSI ≤ threshold) — pure column math, two small
-    aggregates over pre-shrunk per-doc kind counts.
+def drift_scores(docs: DataFrame, params: RuleParams | None = None) -> DataFrame:
+    """D1's raw score: (partition, psi) for every partition — the
+    pre-threshold surface, exposed so the oracle gate can compare the
+    actual PSI values (not just the fired/not-fired verdict).
 
     Scale shape: per-doc kind counts are computed in the map stage with
     higher-order functions (no explode), so the shuffle input is
@@ -493,7 +493,15 @@ def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataF
         qk = F.col(f"g_{k}") / F.col("g_tot") + eps
         psi_terms.append((pk - qk) * F.log(pk / qk))
     psi = sum(psi_terms[1:], psi_terms[0])
-    scored = joined.select("partition", psi.alias("psi"))
+    return joined.select("partition", psi.alias("psi"))
+
+
+def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataFrame:
+    """D1: per-partition span-kind frequency must not drift from the
+    global distribution (PSI ≤ threshold) — thresholded ``drift_scores``
+    projected into violation rows."""
+    p = params or RuleParams()
+    scored = drift_scores(docs, p)
     return scored.filter(F.col("psi") > p.psi_threshold).select(
         "partition",
         F.lit(None).cast("string").alias("doc_id"),

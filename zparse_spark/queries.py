@@ -604,39 +604,6 @@ def dedup_exact_documents(spark, sf_dir):
     return exact_duplicates(extended)
 
 
-def dedup_minhash_documents(spark, sf_dir):
-    """MinHash→LSH→Jaccard near-dup pairs on planted near-identical docs
-    (xxhash64 signatures are not DuckDB-expressible → rows-only check)."""
-    from zparse_spark.operators.dedup import minhash_dedup
-
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
-    planted = d.filter(F.col("doc_id").cast("long") % 10 == 0).select(
-        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
-    )
-    return minhash_dedup(d.unionByName(planted), threshold=0.8)
-
-
-QUERIES["dedup_minhash_documents"] = dedup_minhash_documents
-
-
-def dedup_simhash_documents(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only: xxhash64 not in DuckDB)."""
-    from zparse_spark.operators.dedup import simhash_near_duplicates
-
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
-    planted = d.filter(F.col("doc_id").cast("long") % 10 == 0).select(
-        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
-    )
-    return simhash_near_duplicates(d.unionByName(planted), max_hamming=3)
-
-
-QUERIES["dedup_simhash_documents"] = dedup_simhash_documents
-
-
 @register(
     "dedup_ngram_jaccard_documents",
     """
@@ -917,21 +884,6 @@ def approx_distinct_tolerance(spark, sf_dir):
     )
 
 
-def worst_offenders_report(spark, sf_dir):
-    """A8 top-k violation report over the interleaved documents table
-    (rows-only: spans tables are built by this repo's interleaver)."""
-    from zparse_spark.plans.engine import ValidationEngine
-    from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
-
-    docs = generate_documents(spark, n_docs=500, seed=42).drop("_fixture_class")
-    cat = generate_media_catalog(spark)
-    eng = ValidationEngine()
-    return eng.worst_offenders(eng.violations(docs, cat), k=5)
-
-
-QUERIES["worst_offenders_report"] = worst_offenders_report
-
-
 # ---------------------------------------------------------------------------
 # As-of join (custom operator: union+window, oracled vs DuckDB ASOF JOIN)
 # + pivot / rollup coverage
@@ -1055,3 +1007,9 @@ def sql_customer_segments(spark, sf_dir):
         GROUP BY 1, 2
         """
     )
+
+
+# span-pack oracle queries register themselves on import (kept in a
+# separate module: the SQL twins of the engine rules are sizeable)
+from zparse_spark import queries_span  # noqa: E402,F401  (registration side effect)
+from zparse_spark import queries_lsh  # noqa: E402,F401  (registration side effect)

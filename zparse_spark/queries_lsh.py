@@ -1,0 +1,181 @@
+"""LSH dedup oracle queries — MinHash and SimHash, DuckDB-gated.
+
+Round 1 left ``dedup_minhash_documents`` / ``dedup_simhash_documents``
+rows-only because xxhash64 has no DuckDB counterpart. These rebuild the
+same pipelines on portable hash primitives — md5 hex strings (min is
+plain lexicographic) and md5-nibble bit extraction (ascii arithmetic) —
+so DuckDB can reproduce every stage: shingle → signature → band buckets
+→ candidate self-join → exact verification. The xxhash64 path stays the
+production default (tests assert the md5 path finds the same verified
+pairs); the hot-bucket cap is disabled here (its sampling hash is not
+portable) and is pytest-gated instead.
+"""
+
+from __future__ import annotations
+
+from zparse_spark.queries import register
+
+_SEED = 42
+_N_HASHES = 64
+_N_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_JACCARD_T = 0.8
+_N_BITS = 64
+_BAND_BITS = 8
+_SIM_BANDS = _N_BITS // _BAND_BITS
+_MAX_HAMMING = 3
+
+# normalized text + word-3-shingles — the SQL twin of
+# functions.text.normalize_text and operators.dedup.shingles(mode='word')
+_SHINGLE_CTE = """
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+input AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT 'dup_' || doc_id, text FROM base WHERE CAST(doc_id AS BIGINT) % 10 = 0
+),
+norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+  FROM input
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w, t FROM norm),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [t] END AS sh
+  FROM toks
+)"""
+
+_min_cols = ",\n         ".join(
+    f"min(md5(s || ':{h}:{_SEED}')) AS h{h}" for h in range(_N_HASHES)
+)
+_band_rows = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({cc}) AS bucket FROM sig".format(
+        b=b,
+        cc=" || ',' || ".join(f"h{b * _ROWS_PER_BAND + j}" for j in range(_ROWS_PER_BAND)),
+    )
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_SQL = f"""WITH{_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_min_cols}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{_band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver WHERE j >= {_JACCARD_T}"""
+
+
+@register("dedup_minhash_documents", _MINHASH_SQL)
+def dedup_minhash_documents(spark, sf_dir):
+    """MinHash→LSH→Jaccard near-dup pairs on planted duplicates, md5
+    hash family — the full pipeline (signature, banding, candidate join,
+    exact verify) reproduced stage-for-stage by the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    return minhash_dedup(d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED)
+
+
+def _docs_with_planted(spark, sf_dir, F):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return d.unionByName(planted)
+
+
+# --- SimHash twin: md5-nibble bit votes --------------------------------
+
+def _nib_sql(b: int) -> str:
+    pos = b // 4 + 1
+    return (
+        f"(CASE WHEN ascii(substr(m, {pos}, 1)) >= 97 "
+        f"THEN ascii(substr(m, {pos}, 1)) - 87 "
+        f"ELSE ascii(substr(m, {pos}, 1)) - 48 END)"
+    )
+
+
+_vote_cols = ",\n         ".join(
+    f"sum(CASE WHEN (({_nib_sql(b)} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_N_BITS)
+)
+_bit = lambda b: f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END)"  # noqa: E731
+_band_vals = ",\n         ".join(
+    "("
+    + " + ".join(
+        f"{_bit(band * _BAND_BITS + j)} * {1 << (_BAND_BITS - 1 - j)}" for j in range(_BAND_BITS)
+    )
+    + f") AS b{band}"
+    for band in range(_SIM_BANDS)
+)
+_sim_band_rows = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, b{b} AS bucket FROM sig" for b in range(_SIM_BANDS)
+)
+_hamming = " + ".join(f"bit_count(xor(a.b{b}, bb.b{b}))" for b in range(_SIM_BANDS))
+
+_SIMHASH_SQL = f"""WITH{_SHINGLE_CTE},
+tok AS (SELECT doc_id, md5(unnest(w)) AS m FROM toks),
+votes AS (
+  SELECT doc_id,
+         {_vote_cols}
+  FROM tok GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {_band_vals}
+  FROM votes
+),
+banded AS (
+{_sim_band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ham AS (
+  SELECT id_a, id_b, ({_hamming}) AS hamming
+  FROM cand
+  JOIN sig a ON a.doc_id = cand.id_a
+  JOIN sig bb ON bb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= {_MAX_HAMMING}"""
+
+
+@register("dedup_simhash_documents", _SIMHASH_SQL)
+def dedup_simhash_documents(spark, sf_dir):
+    """SimHash near-dup pairs, md5-nibble bit family — band bucketing
+    and exact hamming verification mirrored bit-for-bit in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import simhash_near_duplicates
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    return simhash_near_duplicates(d, max_hamming=_MAX_HAMMING, hash_fn="md5", max_bucket=0)

@@ -1,0 +1,253 @@
+"""Span-pack oracle queries — the engine's OWN rule pack, DuckDB-gated.
+
+Round 1's correctness gate only exercised a flat-table proxy
+(``validate_documents_flat``); these queries run the real
+``ValidationEngine`` over the interleaved span table and hand DuckDB an
+UNNEST-based reimplementation of every rule to compare against — the
+distributed analog of the reference's fixture-directory oracle
+(/root/reference/crates/zparse/tests/fixtures_test.rs:5-37: every
+valid/* parses, every invalid/* fails with the expected error).
+
+Mechanics: the seed-pinned fixture corpus (plus one planted drift
+partition) is persisted to parquet inside the query, so Spark and DuckDB
+read byte-identical data; the driver always executes the Spark side
+first, so the oracle sees the freshly persisted files. The rule regexes
+are imported from the rule pack itself and are deliberately
+lookaround-free, valid under both Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zparse_spark.operators.rules import (
+    _CONTROL_CHARS,
+    _VALID_ESCAPES,
+    _VALID_UNICODE,
+    RuleParams,
+    drift_scores,
+)
+from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+from zparse_spark.queries import register
+from zparse_spark.schema import SPAN_KIND_DOMAIN
+
+_W = "/root/repo/spark-warehouse/oracle"
+_MAX_SPANS = 128
+# small enough that the fixture corpus's long tail (~5% of docs) trips
+# S4 — with the reference default (10 MiB) the rule would never fire here
+_MAX_BYTES = 256
+_PSI_THRESHOLD = 0.25
+_EPS = 1e-4
+
+_PARAMS = RuleParams(max_spans=_MAX_SPANS, max_text_bytes=_MAX_BYTES)
+
+
+def _pack_input(spark):
+    """Persist the fixture corpus + media catalog; read both back from
+    parquet so the engine runs on exactly the bytes the oracle reads.
+
+    The extra ``pdrift`` partition holds media-stripped copies of every
+    8th doc — an all-text kind distribution that D1 must flag."""
+    from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+
+    docs = generate_documents(spark, n_docs=2000, seed=42, n_partitions=8, n_media_refs=512)
+    drift = docs.filter(F.col("doc_id").cast("long") % 8 == 0).select(
+        F.concat(F.lit("drift_"), F.col("doc_id")).alias("doc_id"),
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")).alias("spans"),
+        F.lit("pdrift").alias("partition"),
+        F.col("_fixture_class"),
+    )
+    cat = generate_media_catalog(spark, 512)
+    docs.unionByName(drift).write.mode("overwrite").parquet(f"{_W}/span_docs")
+    cat.write.mode("overwrite").parquet(f"{_W}/span_catalog")
+    docs2 = spark.read.parquet(f"{_W}/span_docs").drop("_fixture_class")
+    cat2 = spark.read.parquet(f"{_W}/span_catalog")
+    return docs2, cat2
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders — one rule, one UNION branch, shared CTE prologue
+# ---------------------------------------------------------------------------
+
+_DOMAIN_SQL = ", ".join(f"'{k}'" for k in SPAN_KIND_DOMAIN)
+
+# exploded span frame with doc-level scalars riding along — the SQL twin
+# of span_rule_violations' posexplode formulation
+_SP_CTE = f"""
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')),
+cat AS (SELECT DISTINCT media_ref FROM read_parquet('{_W}/span_catalog/*.parquet')),
+ex0 AS (
+  SELECT partition, doc_id, spans,
+         len(spans) AS n_spans,
+         coalesce(list_sum(list_transform(spans, x -> strlen(coalesce(x.text, '')))), 0) AS total_bytes,
+         unnest(spans) AS s,
+         generate_subscripts(spans, 1) AS pos
+  FROM docs
+),
+sp AS (
+  SELECT partition, doc_id, n_spans, total_bytes,
+         CAST(pos - 1 AS INT) AS span_pos,
+         s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+         CAST(s."offset" AS BIGINT) AS off,
+         CAST(CASE WHEN pos > 1 THEN spans[pos - 1]."offset" END AS BIGINT) AS prev_off
+  FROM ex0
+)"""
+
+_VIOL_CTE = f"""
+viol AS (
+  SELECT partition, doc_id, 'S1' AS rule_id, 'InvalidArray' AS kind,
+         span_pos, off AS "offset",
+         'offset regression: ' || off || ' <= prev ' || prev_off AS message
+  FROM sp WHERE span_pos >= 1 AND off <= prev_off
+  UNION ALL
+  SELECT partition, doc_id, 'S2', 'InvalidToken', span_pos, off,
+         'kind not in domain: ' || coalesce(kind, '<null>')
+  FROM sp WHERE kind IS NULL OR kind NOT IN ({_DOMAIN_SQL})
+  UNION ALL
+  SELECT partition, doc_id, 'S5', 'InvalidToken', span_pos, off,
+         'control character in text'
+  FROM sp WHERE regexp_matches(text, '{_CONTROL_CHARS}')
+  UNION ALL
+  SELECT partition, doc_id, 'S6', 'InvalidEscapeSequence', span_pos, off,
+         'invalid escape sequence'
+  FROM sp WHERE contains(text, '\\') AND NOT regexp_matches(text, '{_VALID_ESCAPES}')
+  UNION ALL
+  SELECT partition, doc_id, 'S7', 'InvalidUnicodeEscape', span_pos, off,
+         'invalid unicode escape'
+  FROM sp WHERE contains(text, '\\u') AND NOT regexp_matches(text, '{_VALID_UNICODE}')
+  UNION ALL
+  SELECT partition, doc_id, 'S8', 'Expected', span_pos, off,
+         CASE WHEN kind = 'text' THEN 'expected media_ref=null for kind=text'
+              ELSE 'expected media_ref for kind=' || coalesce(kind, '<null>') END
+  FROM sp WHERE (kind = 'text' AND media_ref IS NOT NULL)
+             OR (kind <> 'text' AND media_ref IS NULL)
+  UNION ALL
+  SELECT partition, doc_id, 'R1', 'DanglingMediaRef', span_pos, off,
+         'dangling media_ref: ' || media_ref
+  FROM sp WHERE media_ref IS NOT NULL AND media_ref NOT IN (SELECT media_ref FROM cat)
+  UNION ALL
+  SELECT partition, doc_id, 'S3', 'MaxDepthExceeded', CAST(NULL AS INT), CAST(NULL AS BIGINT),
+         'span count ' || n_spans || ' > max {_MAX_SPANS}'
+  FROM sp WHERE span_pos = 0 AND n_spans > {_MAX_SPANS}
+  UNION ALL
+  SELECT partition, doc_id, 'S4', 'MaxSizeExceeded', CAST(NULL AS INT), CAST(NULL AS BIGINT),
+         'text bytes ' || total_bytes || ' > max {_MAX_BYTES}'
+  FROM sp WHERE span_pos = 0 AND total_bytes > {_MAX_BYTES}
+  UNION ALL
+  SELECT d.partition, d.doc_id, 'U1', 'DuplicateKey', CAST(NULL AS INT), CAST(NULL AS BIGINT),
+         'doc_id appears ' || c.n || ' times'
+  FROM docs d
+  JOIN (SELECT doc_id, count(*) AS n FROM docs GROUP BY doc_id HAVING count(*) > 1) c
+    USING (doc_id)
+)"""
+
+# D1 PSI scores, mirroring drift_scores term-for-term (same eps, same
+# left-to-right accumulation order over the kind domain)
+_kc_cols = ",\n         ".join(
+    f"sum(CASE WHEN kind = '{k}' THEN 1 ELSE 0 END) AS c_{k}" for k in SPAN_KIND_DOMAIN
+)
+_tot = " + ".join(f"c_{k}" for k in SPAN_KIND_DOMAIN)
+_g_cols = ", ".join(f"sum(c_{k}) AS g_{k}" for k in SPAN_KIND_DOMAIN)
+_psi_terms = " + ".join(
+    f"((c_{k} / tot + {_EPS} - (g_{k} / g_tot + {_EPS})) * "
+    f"ln((c_{k} / tot + {_EPS}) / (g_{k} / g_tot + {_EPS})))"
+    for k in SPAN_KIND_DOMAIN
+)
+_PSI_CTE = f"""
+kc AS (
+  SELECT partition,
+         {_kc_cols}
+  FROM sp GROUP BY partition
+),
+kct AS (SELECT *, ({_tot}) AS tot FROM kc),
+g AS (SELECT {_g_cols}, sum(tot) AS g_tot FROM kct),
+psi AS (
+  SELECT partition, ({_psi_terms}) AS psi
+  FROM kct, g
+)"""
+
+_RULE_IDS = ["S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8", "U1", "R1", "D1"]
+_RULES_VALUES = ", ".join(f"('{r}')" for r in _RULE_IDS)
+
+
+@register(
+    "span_pack_violations",
+    f"WITH{_SP_CTE},{_VIOL_CTE}\nSELECT * FROM viol",
+)
+def span_pack_violations(spark, sf_dir):
+    """S1–S8 + U1 + fused R1 over the interleaved fixture corpus —
+    full violation rows (positions AND messages) vs the DuckDB twin."""
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
+    return eng.violations(docs, cat)
+
+
+@register(
+    "span_pack_verdicts",
+    f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
+grid AS (
+  SELECT p.partition, r.rule_id
+  FROM (SELECT DISTINCT partition FROM docs) p
+  CROSS JOIN (VALUES {_RULES_VALUES}) r(rule_id)
+),
+counts AS (
+  SELECT partition, rule_id, count(*) AS violation_count FROM viol GROUP BY 1, 2
+  UNION ALL
+  SELECT partition, 'D1', 1 FROM psi WHERE psi > {_PSI_THRESHOLD}
+)
+SELECT g.partition, g.rule_id,
+       (c.violation_count IS NULL) AS passed,
+       CAST(coalesce(c.violation_count, 0) AS BIGINT) AS violation_count
+FROM grid g LEFT JOIN counts c USING (partition, rule_id)""",
+)
+def span_pack_verdicts(spark, sf_dir):
+    """The dense per-(partition, rule) pass/fail matrix — the north
+    rule's per-partition verdict contract, oracle-checked (all 11 rules
+    including D1, which the planted ``pdrift`` partition must fail)."""
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS))
+    return eng.verdicts(docs, eng.violations(docs, cat))
+
+
+@register(
+    "span_pack_drift",
+    f"""WITH{_SP_CTE},{_PSI_CTE}
+SELECT partition, round(psi, 4) AS psi, (psi <= {_PSI_THRESHOLD}) AS passed FROM psi""",
+)
+def span_pack_drift(spark, sf_dir):
+    """D1's raw PSI scores per partition — value-level drift oracle."""
+    docs, _ = _pack_input(spark)
+    return drift_scores(docs, _PARAMS).select(
+        "partition",
+        F.round("psi", 4).alias("psi"),
+        (F.col("psi") <= _PSI_THRESHOLD).alias("passed"),
+    )
+
+
+@register(
+    "worst_offenders_report",
+    f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
+allviol AS (
+  SELECT partition, doc_id, rule_id FROM viol
+  UNION ALL
+  SELECT partition, CAST(NULL AS VARCHAR), 'D1' FROM psi WHERE psi > {_PSI_THRESHOLD}
+),
+po AS (
+  SELECT partition AS key, count(*) AS n_violations, count(DISTINCT rule_id) AS n_rules
+  FROM allviol GROUP BY partition ORDER BY n_violations DESC, key ASC LIMIT 5
+),
+dd AS (
+  SELECT doc_id AS key, count(*) AS n_violations, count(DISTINCT rule_id) AS n_rules
+  FROM allviol WHERE doc_id IS NOT NULL GROUP BY doc_id
+  ORDER BY n_violations DESC, key ASC LIMIT 5
+)
+SELECT 'partition' AS level, key, n_violations, n_rules FROM po
+UNION ALL
+SELECT 'doc', key, n_violations, n_rules FROM dd""",
+)
+def worst_offenders_report(spark, sf_dir):
+    """A8 top-k violation report over the full pack (D1 included) —
+    TakeOrderedAndProject on the Spark side, window+limit in DuckDB."""
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS))
+    return eng.worst_offenders(eng.violations(docs, cat), k=5)
