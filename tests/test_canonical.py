@@ -96,3 +96,25 @@ def test_canonical_violation_lines_stable_across_layout(spark):
     assert d1 == d2
     assert len(d1) == 64
     assert v1.count() > 0  # digest covers real rows
+
+
+def test_violations_digest_distributed_at_1m_rows(spark):
+    """The digest must scale: 1M synthetic violations reduce to one
+    sha256 with only n_chunks tiny rows ever collected (no line
+    materialization on the driver), and the value is layout-independent."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.canonical import violations_digest
+
+    v = spark.range(1_000_000).select(
+        F.concat(F.lit("p"), (F.col("id") % 16).cast("string")).alias("partition"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("S1").alias("rule_id"),
+        F.lit("InvalidArray").alias("kind"),
+        (F.col("id") % 7).cast("int").alias("span_pos"),
+        (F.col("id") % 1000).cast("long").alias("offset"),
+        F.concat(F.lit("offset regression: "), F.col("id").cast("string")).alias("message"),
+    )
+    d1 = violations_digest(v, n_chunks=32)
+    d2 = violations_digest(v.repartition(7), n_chunks=32)
+    assert d1 == d2 and len(d1) == 64

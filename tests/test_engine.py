@@ -101,3 +101,31 @@ def test_no_python_udf_in_default_plan(spark):
     plan = ValidationEngine().violations(docs, cat)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_referential_auto_falls_back_to_smj_for_large_catalog(spark):
+    """'auto' must not force-broadcast an over-threshold catalog: the
+    fused-R1 path is skipped and the standalone merge-hinted referential
+    branch still finds the dangling ref."""
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "hello", None, 0), ("image", "", "media_00001", 5)], "p0"),
+            ("d2", [("text", "world", None, 0), ("image", "", "ghost_ref", 5)], "p0"),
+        ],
+    )
+    cat = spark.range(100).selectExpr(
+        "concat('media_', lpad(CAST(id AS STRING), 5, '0')) AS media_ref"
+    )
+    eng = ValidationEngine(
+        ValidationConfig(
+            enable_drift=False, enable_uniqueness=False, broadcast_max_catalog_rows=10
+        )
+    )
+    viol = eng.violations(docs, cat)
+    r1 = [(r["doc_id"], r["message"]) for r in viol.filter("rule_id = 'R1'").collect()]
+    assert r1 == [("d2", "dangling media_ref: ghost_ref")]
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan

@@ -52,3 +52,16 @@ def test_grouping_sets_one_pass(spark, sf_dir):
     # cube of 2 dims → 4 grouping levels; the ALL/ALL row equals the table
     allall = [r for r in rows if r["l_returnflag"] == "ALL" and r["l_linestatus"] == "ALL"]
     assert len(allall) == 1 and allall[0]["n"] == li.count()
+
+
+def test_column_profile_decimal_columns(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        (F.col("id") + 1).cast("decimal(10,2)").alias("amount"), F.col("id").alias("k")
+    )
+    prof = {r["column"]: r for r in column_profile(df, ["amount", "k"]).collect()}
+    assert prof["amount"]["min"] == 1.0 and prof["amount"]["max"] == 10.0
+    assert abs(prof["amount"]["avg"] - 5.5) < 1e-9

@@ -120,7 +120,11 @@ def canonical_violation_lines(violations: DataFrame) -> DataFrame:
         F.asc("rule_id"),
         F.asc_nulls_first("span_pos"),
     )
-    line = F.to_json(
+    return ordered.select(_line_expr().alias("line"))
+
+
+def _line_expr() -> Column:
+    return F.to_json(
         F.struct(
             F.col("partition"),
             F.col("doc_id"),
@@ -131,16 +135,40 @@ def canonical_violation_lines(violations: DataFrame) -> DataFrame:
             F.col("message"),
         )
     )
-    return ordered.select(line.alias("line"))
 
 
-def violations_digest(violations: DataFrame) -> str:
-    """One stable sha256 over the canonical lines (order-independent of
-    cluster layout because the lines are collected sorted)."""
+def violations_digest(violations: DataFrame, n_chunks: int = 64) -> str:
+    """One stable sha256 over the violation set — computed WITHOUT ever
+    materializing lines on the driver (a systemic rule firing on every
+    doc of a 10^12-doc table would OOM a collect-based digest).
+
+    Two-level scheme: each line is assigned to a chunk by content hash
+    (pmod(xxhash64(line), n_chunks) — deterministic and independent of
+    cluster layout, unlike range partitioning, whose sampled boundaries
+    shift with the input split). Within a chunk, lines are sorted and
+    reduced to one sha256 entirely JVM-side (sort_array + concat_ws +
+    sha2); only the ≤ n_chunks (chunk, digest, count) rows reach the
+    driver, where the final sha256 hashes them in chunk order. Size
+    n_chunks so a chunk's lines fit executor memory (lines/chunk ≈
+    |violations|/n_chunks).
+    """
     import hashlib
 
-    lines = [r["line"] for r in canonical_violation_lines(violations).collect()]
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    per_chunk = (
+        violations.select(_line_expr().alias("line"))
+        .withColumn("chunk", F.pmod(F.xxhash64("line"), F.lit(n_chunks)))
+        .groupBy("chunk")
+        .agg(
+            F.sha2(F.concat_ws("\n", F.sort_array(F.collect_list("line"))), 256).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("chunk")
+        .collect()
+    )
+    h = hashlib.sha256()
+    for r in per_chunk:
+        h.update(f"{r['chunk']}:{r['n']}:{r['d']}\n".encode())
+    return h.hexdigest()
 
 
 def sequence_equality(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:

@@ -39,12 +39,18 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.count(c).alias(f"{c}__nonnull"),
             F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
         ]
-        if dt in ("bigint", "int", "smallint", "tinyint", "double", "float", "decimal"):
+        # decimal dtypes carry precision/scale ("decimal(10,2)"), so
+        # membership must be a prefix test, not an exact match
+        if dt in ("bigint", "int", "smallint", "tinyint", "double", "float") or dt.startswith(
+            "decimal"
+        ):
             numeric.add(c)
             aggs += [
                 F.min(c).cast("double").alias(f"{c}__min"),
                 F.max(c).cast("double").alias(f"{c}__max"),
-                F.avg(c).alias(f"{c}__avg"),
+                # avg over decimal yields decimal(p,s) — cast so the
+                # stack() reshape sees one uniform double column
+                F.avg(c).cast("double").alias(f"{c}__avg"),
             ]
         else:
             aggs += [

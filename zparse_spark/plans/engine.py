@@ -40,6 +40,11 @@ class ValidationConfig:
     enable_referential: bool = True
     enable_drift: bool = True
     n_salts: int = 64
+    # 'auto' fuses R1 into the span explode only when the catalog key set
+    # is provably under this row count (cheap count probe here; table
+    # metadata on a real Iceberg catalog) — an unconditionally forced
+    # broadcast would OOM the driver at the 10^12-doc design point
+    broadcast_max_catalog_rows: int = 1_000_000
 
     def rules_hash(self) -> str:
         """Stable hash of the active rule pack + params — stamped into the
@@ -64,25 +69,58 @@ class ValidationEngine:
 
     # -- plan builders ------------------------------------------------
 
-    def violations(self, docs: DataFrame, media_catalog: DataFrame | None = None) -> DataFrame:
+    def violations(
+        self,
+        docs: DataFrame,
+        media_catalog: DataFrame | None = None,
+        include_table_rules: bool = True,
+    ) -> DataFrame:
+        """All enabled rules over ``docs``. ``include_table_rules=False``
+        restricts to the partition-decomposable rules (span/doc + R1) —
+        the resumable runner evaluates those on pending partitions only
+        while re-running U1/D1 table-wide (see plans.manifest)."""
         c = self.config
-        # R1 fuses into the span-rule explode (one scan saved) whenever the
-        # catalog can broadcast; 'smj' keeps the standalone sort-merge
-        # branch for catalogs too large to broadcast
-        fuse_ref = (
-            c.enable_referential
-            and media_catalog is not None
-            and c.referential_strategy in ("auto", "broadcast")
+        # R1 fuses into the span-rule explode (one scan saved) when the
+        # catalog is provably broadcastable: always for
+        # strategy='broadcast' (caller vouches), for 'auto' only when a
+        # count probe confirms the key set is under the threshold —
+        # otherwise the standalone SMJ branch takes over
+        fuse_ref = c.enable_referential and media_catalog is not None and (
+            c.referential_strategy == "broadcast"
+            or (
+                c.referential_strategy == "auto"
+                and media_catalog.count() <= c.broadcast_max_catalog_rows
+            )
         )
         parts = [
             span_rule_violations(docs, c.params, media_catalog=media_catalog if fuse_ref else None)
         ]
-        if c.enable_uniqueness:
+        if c.enable_uniqueness and include_table_rules:
             parts.append(uniqueness_violations(docs, n_salts=c.n_salts))
         if c.enable_referential and media_catalog is not None and not fuse_ref:
-            parts.append(referential_violations(docs, media_catalog, c.referential_strategy))
+            strategy = "smj" if c.referential_strategy == "auto" else c.referential_strategy
+            parts.append(referential_violations(docs, media_catalog, strategy))
+        if c.enable_drift and include_table_rules:
+            parts.append(drift_violations(docs, c.params))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def table_violations(self, docs: DataFrame) -> DataFrame:
+        """Only the table-wide rules (U1 uniqueness, D1 drift) — the ones
+        that are NOT partition-decomposable and must always see the full
+        table, even on a resumed run."""
+        from zparse_spark.schema import VIOLATION_SCHEMA
+
+        c = self.config
+        parts = []
+        if c.enable_uniqueness:
+            parts.append(uniqueness_violations(docs, n_salts=c.n_salts))
         if c.enable_drift:
             parts.append(drift_violations(docs, c.params))
+        if not parts:
+            return docs.sparkSession.createDataFrame([], VIOLATION_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -4,10 +4,13 @@ The reference is fail-fast single-shot (first error aborts the parse,
 error.rs:144); a 10^12-doc job cannot be. The engine writes violations
 partition-by-partition and commits one manifest row per completed
 partition; on restart it anti-joins the manifest and validates only the
-remainder (SURVEY.md §4.3). Commit protocol: write the partition's
-violations under ``violations/partition=<p>/`` (atomic directory write via
-Spark's commit protocol), then append the manifest row — last-writer-wins
-per (partition, rules_hash), so a speculative double-commit is idempotent.
+remainder (SURVEY.md §4.3) — except U1/D1, which are table-wide and
+always re-evaluated over the full table (see ``run_with_manifest``).
+Commit protocol: dynamic-partition-overwrite the partition's violations
+under ``violations/partition=<p>/`` (a re-validated partition REPLACES
+its files), then append the manifest row — last-writer-wins per
+(partition, rules_hash), so a crash-and-rerun or speculative
+double-commit is idempotent for both the data files and the manifest.
 """
 
 from __future__ import annotations
@@ -83,6 +86,16 @@ def run_with_manifest(
     filter is a partition-prunable predicate — on a real Iceberg table it
     becomes partition pruning at the scan); per-partition violation counts
     then commit one manifest row each. Returns newly committed partitions.
+
+    Resume semantics for the non-decomposable rules: U1 (table-wide
+    doc_id uniqueness) and D1 (per-partition PSI vs the GLOBAL kind
+    distribution) always run over the FULL table — a dup spanning a
+    committed and a pending partition, or a drift baseline computed from
+    a subset, would otherwise silently weaken a resumed run. Their
+    violation rows are then restricted to pending partitions (committed
+    partitions' rows were persisted by the run that committed them).
+    Both rules read pruned scans (doc_id/partition, spans.kind), so the
+    full-table pass does not re-decode text bytes.
     """
     spark = docs.sparkSession
     manifest = Manifest(out_dir)
@@ -94,9 +107,22 @@ def run_with_manifest(
     if not todo:
         return []
 
-    viol = engine.violations(pending_docs, media_catalog)
+    viol = engine.violations(pending_docs, media_catalog, include_table_rules=False)
+    table_viol = engine.table_violations(docs)
+    if done:
+        table_viol = table_viol.filter(~F.col("partition").isin(sorted(done)))
+    viol = viol.unionByName(table_viol)
     viol_path = os.path.join(out_dir, "violations")
-    viol.write.mode("append").partitionBy("partition").parquet(viol_path)
+    # per-partition dynamic overwrite: re-validating a partition REPLACES
+    # its violation files instead of appending a second copy — a job that
+    # died between the data write and the manifest commit stays idempotent
+    # on rerun (mode('append') would double-count on readback)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        viol.write.mode("overwrite").partitionBy("partition").parquet(viol_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     counts = {
         r["partition"]: (r["n"], r["v"])

@@ -149,27 +149,25 @@ def uniqueness_orders_orderkey_verdict(spark, sf_dir):
     """,
 )
 def referential_lineitem(spark, sf_dir):
+    # ONE job, ONE scan of the fact table: three broadcast left joins
+    # against the (unique-keyed) dimension key sets, then one aggregate
+    # of three conditional counts. The earlier three-anti-join version
+    # scanned lineitem three times and assembled the row driver-side.
     li = _t(spark, sf_dir, "lineitem")
-    # broadcast the dimension side: anti-join against a small-ish key set
-    # never shuffles the fact table at scale
-    d_orders = li.join(
-        F.broadcast(_t(spark, sf_dir, "orders").select("o_orderkey")),
-        li.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
-    ).count()
-    d_parts = li.join(
-        F.broadcast(_t(spark, sf_dir, "part").select("p_partkey")),
-        li.l_partkey == F.col("p_partkey"),
-        "left_anti",
-    ).count()
-    d_supp = li.join(
-        F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey")),
-        li.l_suppkey == F.col("s_suppkey"),
-        "left_anti",
-    ).count()
-    return spark.createDataFrame(
-        [(d_orders, d_parts, d_supp)],
-        "dangling_orders long, dangling_parts long, dangling_suppliers long",
+    probes = [
+        ("orders", "o_orderkey", "l_orderkey", "dangling_orders"),
+        ("part", "p_partkey", "l_partkey", "dangling_parts"),
+        ("supplier", "s_suppkey", "l_suppkey", "dangling_suppliers"),
+    ]
+    joined = li
+    for table, key, fact_key, _ in probes:
+        dim = _t(spark, sf_dir, table).select(F.col(key))
+        joined = joined.join(F.broadcast(dim), joined[fact_key] == F.col(key), "left")
+    return joined.agg(
+        *[
+            F.count(F.when(F.col(key).isNull(), 1)).alias(out)
+            for _, key, _, out in probes
+        ]
     )
 
 
@@ -403,11 +401,20 @@ def quantiles_quantity(spark, sf_dir):
     """,
 )
 def setops_customers(spark, sf_dir):
+    # intersect/except as ONE job: left join the distinct key sets and
+    # count hit/miss in a single aggregate (the two-action
+    # intersect().count() + exceptAll().count() version ran two jobs)
     c = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
-    with_orders = c.intersect(o).count()
-    without = c.exceptAll(o).count()
-    return spark.createDataFrame([(with_orders, without)], "with_orders long, without_orders long")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return c.join(o, "c_custkey", "left").agg(
+        F.count(F.when(F.col("_hit").isNotNull(), 1)).alias("with_orders"),
+        F.count(F.when(F.col("_hit").isNull(), 1)).alias("without_orders"),
+    )
 
 
 # ---------------------------------------------------------------------------
