@@ -69,3 +69,64 @@ def test_sanitize_doubles_only_touches_float_cols(spark):
     df = spark.createDataFrame([(1, float("nan"), "x")], ["i", "d", "s"])
     out = sanitize_doubles(df).collect()[0]
     assert out["i"] == 1 and out["s"] == "x" and out["d"] is None
+
+
+# ---------------------------------------------------------------------------
+# XML entity decode/escape (xml/parser.rs:341-390, convert.rs:652-659)
+# + datetime formatting (convert.rs:471-490)
+# ---------------------------------------------------------------------------
+
+
+def test_xml_escape_and_unescape_matrix(spark):
+    from zparse_spark.functions.convert import xml_escape, xml_invalid_entity, xml_unescape
+
+    rows = [
+        ("named", "&amp;&lt;&gt;&quot;&apos;", "&<>\"'"),
+        ("numeric", "A&#66;C &#x44; &#x1F600;", "ABC D \U0001F600"),
+        ("leading_zeros", "&#0000065;&#x0041;", "AA"),
+        ("plain", "no entities", "no entities"),
+        ("empty", "", ""),
+        ("bad_name", "oops &bogus; x", None),
+        ("bare_amp", "a & b", None),
+        ("unterminated", "a &amp", None),
+        ("lone_surrogate", "&#xD800;", None),
+        ("beyond_unicode", "&#x110000;", None),
+    ]
+    df = spark.createDataFrame([(k, t) for k, t, _ in rows], ["k", "t"])
+    got = {
+        r["k"]: (r["dec"], r["bad"])
+        for r in df.select(
+            "k",
+            xml_unescape(F.col("t")).alias("dec"),
+            xml_invalid_entity(F.col("t")).alias("bad"),
+        ).collect()
+    }
+    for k, _, want in rows:
+        dec, bad = got[k]
+        assert dec == want, (k, dec, want)
+        assert bad == (want is None), (k, bad)
+
+    # escape matches the reference's replace order ('&' first) and
+    # roundtrips arbitrary text through unescape
+    nasty = "a<b & c>'d'\"e\" &amp; tail"
+    df2 = spark.createDataFrame([(nasty,)], ["t"])
+    esc, rt = df2.select(
+        xml_escape(F.col("t")).alias("e"), xml_unescape(xml_escape(F.col("t"))).alias("rt")
+    ).collect()[0]
+    assert esc == "a&lt;b &amp; c&gt;&apos;d&apos;&quot;e&quot; &amp;amp; tail"
+    assert rt == nasty
+
+
+def test_format_datetime_variants(spark):
+    from zparse_spark.functions.convert import format_datetime
+
+    df = spark.createDataFrame([("2024-03-05 07:32:09",)], ["s"]).select(
+        F.to_timestamp("s").alias("ts")
+    )
+    got = df.select(
+        *[format_datetime(F.col("ts"), v).alias(v) for v in ["offset", "local", "date", "time"]]
+    ).collect()[0]
+    assert got["offset"] == "2024-03-05T07:32:09Z"
+    assert got["local"] == "2024-03-05T07:32:09"
+    assert got["date"] == "2024-03-05"
+    assert got["time"] == "07:32:09"

@@ -171,3 +171,26 @@ def test_udf_agrees_with_jvm_rules(spark):
         .collect()
     }
     assert udf_bad == jvm_bad
+
+
+def test_special_float_fork_toml_vs_csv(spark):
+    """TOML accepts exactly inf/+inf/-inf/nan/+nan/-nan as floats
+    (lexer/toml.rs:504-511); CSV/YAML keep every inf/nan spelling a
+    string (csv.rs:24-28, yaml/parser.rs:509-524)."""
+    from zparse_spark.functions.inference import infer_cell_type
+
+    cells = ["inf", "+inf", "-inf", "nan", "+nan", "-nan", "INF", "Infinity", "1.5"]
+    df = spark.createDataFrame([(c,) for c in cells], ["raw"])
+    strict = {r["raw"]: r["t"] for r in df.select("raw", infer_cell_type(F.col("raw")).alias("t")).collect()}
+    toml = {
+        r["raw"]: r["t"]
+        for r in df.select(
+            "raw", infer_cell_type(F.col("raw"), allow_special_floats=True).alias("t")
+        ).collect()
+    }
+    for c in ["inf", "+inf", "-inf", "nan", "+nan", "-nan"]:
+        assert strict[c] == "string"
+        assert toml[c] == "double"
+    for mode in (strict, toml):
+        assert mode["INF"] == "string" and mode["Infinity"] == "string"
+        assert mode["1.5"] == "double"

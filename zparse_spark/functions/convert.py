@@ -103,3 +103,128 @@ def convert(df: DataFrame, target: str, path: str | None = None):
         df.write.mode("overwrite").parquet(path)
         return None
     raise ValueError(f"unknown target {target!r}")
+
+
+# --------------------------------------------------------------------------
+# XML entity escape / decode (convert.rs:652-659, xml/parser.rs:341-390)
+# --------------------------------------------------------------------------
+
+_XML_NAMED = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]
+
+# tokenizer: terminated entity | bare '&' run (always invalid) | text run.
+# Alternation order matters — Java regex takes the first alternative.
+_XML_TOKEN = "(&[^;&]*;|&[^&]*|[^&]+)"
+_DEC_ENTITY = "^#0*([0-9]{1,7})$"
+_HEX_ENTITY = "^#x0*([0-9a-fA-F]{1,6})$"
+
+
+def xml_escape(text: Column) -> Column:
+    """Escape the five XML entities, '&' first so already-produced
+    entities are never double-escaped (exact replace order of the
+    reference's escape_xml, convert.rs:652-659)."""
+    out = text
+    for ch, ent in _XML_NAMED:
+        out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+def _chr_utf8(cp: Column) -> Column:
+    """Codepoint → one-character string, entirely JVM-side: the UTF-8
+    byte sequence is computed arithmetically (shift/mask per the UTF-8
+    spec), hex-assembled, and decoded — Spark has no unicode chr(), and
+    dropping to Python for one character would poison the whole plan."""
+    def byte_hex(b: Column) -> Column:
+        return F.lpad(F.conv(b.cast("string"), 10, 16), 2, "0")
+
+    def cont(shift: int) -> Column:
+        piece = F.shiftright(cp, shift).bitwiseAND(F.lit(0x3F)) if shift else cp.bitwiseAND(
+            F.lit(0x3F)
+        )
+        return byte_hex(F.lit(0x80).bitwiseOR(piece))
+
+    hexes = (
+        F.when(cp < 0x80, byte_hex(cp))
+        .when(
+            cp < 0x800,
+            F.concat(byte_hex(F.lit(0xC0).bitwiseOR(F.shiftright(cp, 6))), cont(0)),
+        )
+        .when(
+            cp < 0x10000,
+            F.concat(byte_hex(F.lit(0xE0).bitwiseOR(F.shiftright(cp, 12))), cont(6), cont(0)),
+        )
+        .otherwise(
+            F.concat(
+                byte_hex(F.lit(0xF0).bitwiseOR(F.shiftright(cp, 18))), cont(12), cont(6), cont(0)
+            )
+        )
+    )
+    return F.decode(F.unhex(hexes), "UTF-8")
+
+
+def _decode_entity_token(tok: Column) -> Column:
+    """One tokenizer token → decoded text, or NULL if it is an invalid
+    entity (the reference's InvalidToken 'invalid xml entity')."""
+    body = F.regexp_extract(tok, "^&(.*);$", 1)  # strip '&' and ';'
+    # significant digits only (leading zeros stripped by the capture), so
+    # the numeric cast never sees an over-long string
+    dec_digits = F.regexp_extract(body, _DEC_ENTITY, 1)
+    hex_digits = F.regexp_extract(body, _HEX_ENTITY, 1)
+    cp = F.when(dec_digits != "", dec_digits.cast("long")).when(
+        hex_digits != "", F.conv(hex_digits, 16, 10).cast("long")
+    )
+    cp_ok = cp.isNotNull() & (cp <= 0x10FFFF) & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+    named = dict((ent[1:-1], ch) for ch, ent in _XML_NAMED)
+    decoded = F.when(body == "amp", named["amp"])
+    for name, ch in named.items():
+        if name != "amp":
+            decoded = decoded.when(body == name, ch)
+    decoded = decoded.when(cp_ok, _chr_utf8(cp)).otherwise(F.lit(None).cast("string"))
+    return (
+        F.when(tok.rlike("^&.*;$"), decoded)
+        .when(tok.startswith("&"), F.lit(None).cast("string"))  # bare/unterminated '&'
+        .otherwise(tok)
+    )
+
+
+def xml_unescape(text: Column) -> Column:
+    """Decode XML entities — named (amp/lt/gt/quot/apos) and numeric
+    (&#NN; / &#xHH;, validated against the unicode scalar range like
+    char::from_u32). A text containing any invalid entity decodes to
+    NULL, mirroring the reference's hard error (xml/parser.rs:371-380);
+    pair with ``xml_invalid_entity`` to surface those rows as rule
+    violations. Tokenize → per-token decode → reassemble, all JVM-side.
+    """
+    toks = F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(_XML_TOKEN), F.lit(1))
+    decoded = F.transform(toks, _decode_entity_token)
+    any_bad = F.exists(decoded, lambda d: d.isNull())
+    joined = F.array_join(decoded, "")
+    return F.when(text.isNull() | any_bad, F.lit(None).cast("string")).otherwise(joined)
+
+
+def xml_invalid_entity(text: Column) -> Column:
+    """True iff the text contains an '&' that does not start a valid,
+    range-checked entity — the rule-predicate twin of ``xml_unescape``'s
+    NULL result."""
+    return text.contains("&") & xml_unescape(text).isNull()
+
+
+# --------------------------------------------------------------------------
+# datetime formatting (convert.rs:471-490 format_datetime)
+# --------------------------------------------------------------------------
+
+_DT_PATTERNS = {
+    "offset": "yyyy-MM-dd'T'HH:mm:ss'Z'",  # Rfc3339, UTC 'Z' suffix
+    "local": "yyyy-MM-dd'T'HH:mm:ss",
+    "date": "yyyy-MM-dd",
+    "time": "HH:mm:ss",
+}
+
+
+def format_datetime(ts: Column, variant: str = "offset") -> Column:
+    """The reference's four-way TOML datetime serialization
+    (OffsetDateTime→RFC3339 / LocalDateTime / LocalDate / LocalTime,
+    convert.rs:471-490) as date_format patterns. The session runs UTC,
+    so 'offset' appends the RFC3339 'Z' designator."""
+    if variant not in _DT_PATTERNS:
+        raise ValueError(f"unknown variant {variant!r}")
+    return F.date_format(ts, _DT_PATTERNS[variant])

@@ -27,16 +27,26 @@ _BOOL_TOKENS = ("true", "false")
 JSON_NUMBER_RE = "^-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 
 
-def infer_cell_type(raw: Column, quoted: Column | None = None) -> Column:
+def infer_cell_type(
+    raw: Column, quoted: Column | None = None, allow_special_floats: bool = False
+) -> Column:
     """Classify a raw cell into {'null','bool','long','double','string'}
     with the reference CSV cascade. ``quoted`` cells are always 'string'
-    (quote-preservation contract)."""
+    (quote-preservation contract).
+
+    ``allow_special_floats`` picks the side of the reference's
+    inf/nan fork: TOML accepts the exact tokens inf/+inf/-inf/nan/+nan/
+    -nan as floats (parse_special_float, lexer/toml.rs:504-511), while
+    CSV (is_finite, csv.rs:24-28) and YAML (yaml/parser.rs:509-524)
+    keep all inf/nan-looking strings as strings."""
     lowered = F.lower(F.trim(raw))
+    special_float = F.trim(raw).isin("inf", "+inf", "-inf", "nan", "+nan", "-nan")
     unquoted_type = (
         F.when(raw.isNull() | lowered.isin(*_NULL_TOKENS), "null")
         .when(lowered.isin(*_BOOL_TOKENS), "bool")
-        # inf/nan guard: parseable as double but stays a string
-        # (yaml/parser.rs:509-524; CSV uses is_finite, csv.rs:24-28)
+        # inf/nan fork (see above): TOML-mode types the exact special
+        # tokens as doubles; CSV/YAML-mode strings the whole deny-list
+        .when(special_float, "double" if allow_special_floats else "string")
         .when(lowered.isin("inf", "+inf", "-inf", "nan", "infinity", "-infinity"), "string")
         # i64-then-f64: a long-parseable cell is 'long', else double.
         # The long branch must NOT accept '1.0' (try_cast(long) truncates),

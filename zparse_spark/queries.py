@@ -1016,6 +1016,41 @@ def sql_customer_segments(spark, sf_dir):
     )
 
 
+@register(
+    "doc_xml_escape_roundtrip",
+    """
+    WITH esc AS (
+      SELECT lang, text,
+             replace(replace(replace(replace(replace(text,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), chr(39), '&apos;') AS e
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN replace(replace(replace(replace(replace(e,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&') = text
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+           min(md5(e)) AS min_escaped_md5
+    FROM esc GROUP BY lang
+    """,
+)
+def doc_xml_escape_roundtrip(spark, sf_dir):
+    """XML entity escape parity: byte-identical escaped text (md5) and a
+    full unescape roundtrip, vs DuckDB's replace-chain twin. The Spark
+    side runs the real tokenizing decoder (numeric entities included);
+    escape output contains only named entities, so the chains agree."""
+    from zparse_spark.functions.convert import xml_escape, xml_unescape
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    e = xml_escape(F.col("text"))
+    return d.select("lang", e.alias("e"), "text").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(xml_unescape(F.col("e")) == F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_roundtrip"),
+        F.min(F.md5("e")).alias("min_escaped_md5"),
+    )
+
+
 # span-pack oracle queries register themselves on import (kept in a
 # separate module: the SQL twins of the engine rules are sizeable)
 from zparse_spark import queries_span  # noqa: E402,F401  (registration side effect)
