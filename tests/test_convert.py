@@ -130,3 +130,27 @@ def test_format_datetime_variants(spark):
     assert got["local"] == "2024-03-05T07:32:09"
     assert got["date"] == "2024-03-05"
     assert got["time"] == "07:32:09"
+
+
+def test_xml_lines_roundtrip_and_repeated_elements(spark):
+    """C8/C9: rows → XML strings → rows roundtrips (entities escaped on
+    the way out, decoded on the way in), and repeated child elements
+    fold into an array like the reference's element_to_value."""
+    from zparse_spark.functions.convert import from_xml_lines, to_xml_lines
+
+    df = spark.createDataFrame(
+        [(1, "x & <y>", 2.5), (2, "plain", float("inf"))], ["k", "s", "v"]
+    )
+    xml = to_xml_lines(df)
+    lines = [r["xml"] for r in xml.collect()]
+    # built-in to_xml escapes '&' and '<' (bare '>' is valid XML text)
+    assert "&amp;" in lines[0] and "&lt;y>" in lines[0]
+    back = from_xml_lines(xml, "k INT, s STRING, v DOUBLE").orderBy("k").collect()
+    assert [(r["k"], r["s"]) for r in back] == [(1, "x & <y>"), (2, "plain")]
+    assert back[0]["v"] == 2.5 and back[1]["v"] is None  # inf nulled pre-serialization
+
+    rep = spark.createDataFrame(
+        [("<row><v>1</v><v>2</v><v>3</v></row>",), ("<row><v>9</v></row>",)], ["xml"]
+    )
+    arr = from_xml_lines(rep, "v ARRAY<INT>").collect()
+    assert sorted(tuple(r["v"]) for r in arr) == [(1, 2, 3), (9,)]

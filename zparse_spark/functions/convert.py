@@ -228,3 +228,29 @@ def format_datetime(ts: Column, variant: str = "offset") -> Column:
     if variant not in _DT_PATTERNS:
         raise ValueError(f"unknown variant {variant!r}")
     return F.date_format(ts, _DT_PATTERNS[variant])
+
+
+# --------------------------------------------------------------------------
+# C8/C9: Value→XML serialization and XML→table (convert.rs:545-659, 341-430)
+# --------------------------------------------------------------------------
+
+
+def to_xml_lines(df: DataFrame) -> DataFrame:
+    """Rows → XML element strings (C8, Value→XML: convert.rs:545-659).
+    Non-finite doubles are nulled first (same contract as the JSON
+    serializer); entity escaping of text content is handled by the
+    built-in ``to_xml`` (the &amp;/&lt;/... set of escape_xml,
+    convert.rs:652-659)."""
+    clean = sanitize_doubles(df)
+    return clean.select(
+        F.to_xml(F.struct(*[F.col(c) for c in clean.columns])).alias("xml")
+    )
+
+
+def from_xml_lines(df: DataFrame, schema: str, col: str = "xml") -> DataFrame:
+    """XML element strings → typed columns (C9 direction XML→table,
+    convert.rs:341-430). Repeated child elements fold into arrays when
+    the schema says ARRAY — the reference's repeated-element→array rule
+    (element_to_value, convert.rs:562-588); entities are decoded by the
+    built-in parser (xml/parser.rs:341-390 analog)."""
+    return df.select(F.from_xml(F.col(col), schema).alias("_r")).select("_r.*")

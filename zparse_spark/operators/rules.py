@@ -110,34 +110,22 @@ _VALID_UNICODE = (
 )
 
 
-def _span_checks(p: RuleParams) -> list[tuple[str, str, Column, Column]]:
-    """(rule_id, kind, predicate, message) over the exploded span frame
-    with columns kind/text/media_ref/offset/prev_offset/span_pos. Plain
+def _span_checks(p: RuleParams) -> list[tuple[str, str, Column]]:
+    """(rule_id, kind, predicate) over the exploded span frame with
+    columns kind/text/media_ref/offset/prev_offset/span_pos. Plain
     column expressions — whole-stage codegen, unlike HOF lambdas which
-    Spark interprets (measured ~25% slower on the same data)."""
+    Spark interprets (measured ~25% slower on the same data). Violation
+    MESSAGES are deliberately not built here: they are attached after
+    the explode+filter (see span_rule_violations) so the hot path never
+    pays for string construction."""
     domain = F.array(*[F.lit(k) for k in p.kind_domain])
     kind, text, media_ref = F.col("kind"), F.col("text"), F.col("media_ref")
     offset, prev_offset = F.col("offset"), F.col("prev_offset")
     regressed = offset < prev_offset if p.allow_equal_offsets else offset <= prev_offset
     return [
-        (
-            "S1",
-            ErrorKind.INVALID_ARRAY,
-            (F.col("span_pos") >= 1) & regressed,
-            F.concat(
-                F.lit("offset regression: "),
-                offset.cast("string"),
-                F.lit(" <= prev "),
-                prev_offset.cast("string"),
-            ),
-        ),
-        (
-            "S2",
-            ErrorKind.INVALID_TOKEN,
-            kind.isNull() | ~F.array_contains(domain, kind),
-            F.concat(F.lit("kind not in domain: "), F.coalesce(kind, F.lit("<null>"))),
-        ),
-        ("S5", ErrorKind.INVALID_TOKEN, text.rlike(_CONTROL_CHARS), F.lit("control character in text")),
+        ("S1", ErrorKind.INVALID_ARRAY, (F.col("span_pos") >= 1) & regressed),
+        ("S2", ErrorKind.INVALID_TOKEN, kind.isNull() | ~F.array_contains(domain, kind)),
+        ("S5", ErrorKind.INVALID_TOKEN, text.rlike(_CONTROL_CHARS)),
         (
             "S6",
             ErrorKind.INVALID_ESCAPE_SEQUENCE,
@@ -145,7 +133,6 @@ def _span_checks(p: RuleParams) -> list[tuple[str, str, Column, Column]]:
             # bad escape, and skipping the anchored full-match regex on
             # the (overwhelmingly common) clean case is a large win
             text.contains("\\") & ~text.rlike(_VALID_ESCAPES),
-            F.lit("invalid escape sequence"),
         ),
         (
             "S7",
@@ -154,15 +141,11 @@ def _span_checks(p: RuleParams) -> list[tuple[str, str, Column, Column]]:
             # failure mode requires a literal "\u" substring, and pure-S6
             # problems (trailing backslash, \q) never contain one
             text.contains("\\u") & ~text.rlike(_VALID_UNICODE),
-            F.lit("invalid unicode escape"),
         ),
         (
             "S8",
             ErrorKind.EXPECTED,
             ((kind == "text") & media_ref.isNotNull()) | ((kind != "text") & media_ref.isNull()),
-            F.when(kind == "text", F.lit("expected media_ref=null for kind=text")).otherwise(
-                F.concat(F.lit("expected media_ref for kind="), F.coalesce(kind, F.lit("<null>")))
-            ),
         ),
     ]
 
@@ -252,18 +235,23 @@ def span_rule_violations(
         F.col("z.prev_offset").alias("prev_offset"),
     )
 
-    def _item(rule_id, kind, msg, span_pos, offset):
+    def _item(rule_id, kind, span_pos, offset):
+        # deliberately message-free: the item struct carries only small
+        # scalars. Building messages here looks lazy (when(cond, item))
+        # but codegen's common-subexpression elimination hoists the
+        # shared string concats OUT of the lazy branches — measured 2×
+        # on the whole write-shaped pass at 16M docs (string allocation
+        # per exploded row for violations that almost never fire).
         return F.struct(
             F.lit(rule_id).alias("rule_id"),
             F.lit(kind).alias("kind"),
             span_pos.cast("int").alias("span_pos"),
             offset.cast("long").alias("offset"),
-            msg.cast("string").alias("message"),
         )
 
     checks = [
-        (cond, _item(rule_id, kind, msg, F.col("span_pos"), F.col("offset")))
-        for rule_id, kind, cond, msg in _span_checks(p)
+        (cond, _item(rule_id, kind, F.col("span_pos"), F.col("offset")))
+        for rule_id, kind, cond in _span_checks(p)
     ]
     if media_catalog is not None:
         # broadcast hash join is a streaming pass over the exploded rows
@@ -279,7 +267,6 @@ def span_rule_violations(
                 _item(
                     "R1",
                     ErrorKind.DANGLING_MEDIA_REF,
-                    F.concat(F.lit("dangling media_ref: "), F.col("media_ref")),
                     F.col("span_pos"),
                     F.col("offset"),
                 ),
@@ -295,34 +282,14 @@ def span_rule_violations(
         checks.append(
             (
                 first & (F.col("_n_spans") > p.max_spans),
-                _item(
-                    "S3",
-                    ErrorKind.MAX_DEPTH_EXCEEDED,
-                    F.concat(
-                        F.lit("span count "),
-                        F.col("_n_spans").cast("string"),
-                        F.lit(f" > max {p.max_spans}"),
-                    ),
-                    null_i,
-                    null_l,
-                ),
+                _item("S3", ErrorKind.MAX_DEPTH_EXCEEDED, null_i, null_l),
             )
         )
     if p.max_text_bytes > 0:
         checks.append(
             (
                 first & (F.col("_total_bytes") > p.max_text_bytes),
-                _item(
-                    "S4",
-                    ErrorKind.MAX_SIZE_EXCEEDED,
-                    F.concat(
-                        F.lit("text bytes "),
-                        F.col("_total_bytes").cast("string"),
-                        F.lit(f" > max {p.max_text_bytes}"),
-                    ),
-                    null_i,
-                    null_l,
-                ),
+                _item("S4", ErrorKind.MAX_SIZE_EXCEEDED, null_i, null_l),
             )
         )
     viol_arr = F.array_compact(
@@ -333,14 +300,73 @@ def span_rule_violations(
             ]
         )
     )
-    return ex.select("partition", "doc_id", F.explode(viol_arr).alias("v")).select(
+    # Explode matched items FIRST, carry the (cheap scalar) message
+    # inputs through, and only THEN build the message strings: after the
+    # filter implied by explode(array_compact(...)), these expressions
+    # run on actual violations only — a vanishing fraction of rows. The
+    # span text does NOT ride through the explode (S5-S7 messages are
+    # constants), so no text bytes move past the scan stage.
+    matched = ex.select(
+        "partition",
+        "doc_id",
+        F.col("kind").alias("_span_kind"),
+        "media_ref",
+        "offset",
+        "prev_offset",
+        "_n_spans",
+        "_total_bytes",
+        F.explode(viol_arr).alias("v"),
+    )
+    kind_str = F.coalesce(F.col("_span_kind"), F.lit("<null>"))
+    message = (
+        F.when(
+            F.col("v.rule_id") == "S1",
+            F.concat(
+                F.lit("offset regression: "),
+                F.col("offset").cast("string"),
+                F.lit(" <= prev "),
+                F.col("prev_offset").cast("string"),
+            ),
+        )
+        .when(F.col("v.rule_id") == "S2", F.concat(F.lit("kind not in domain: "), kind_str))
+        .when(F.col("v.rule_id") == "S5", F.lit("control character in text"))
+        .when(F.col("v.rule_id") == "S6", F.lit("invalid escape sequence"))
+        .when(F.col("v.rule_id") == "S7", F.lit("invalid unicode escape"))
+        .when(
+            F.col("v.rule_id") == "S8",
+            F.when(
+                F.col("_span_kind") == "text", F.lit("expected media_ref=null for kind=text")
+            ).otherwise(F.concat(F.lit("expected media_ref for kind="), kind_str)),
+        )
+        .when(
+            F.col("v.rule_id") == "R1",
+            F.concat(F.lit("dangling media_ref: "), F.col("media_ref")),
+        )
+        .when(
+            F.col("v.rule_id") == "S3",
+            F.concat(
+                F.lit("span count "),
+                F.col("_n_spans").cast("string"),
+                F.lit(f" > max {p.max_spans}"),
+            ),
+        )
+        .when(
+            F.col("v.rule_id") == "S4",
+            F.concat(
+                F.lit("text bytes "),
+                F.col("_total_bytes").cast("string"),
+                F.lit(f" > max {p.max_text_bytes}"),
+            ),
+        )
+    )
+    return matched.select(
         "partition",
         "doc_id",
         F.col("v.rule_id").alias("rule_id"),
         F.col("v.kind").alias("kind"),
         F.col("v.span_pos").alias("span_pos"),
         F.col("v.offset").alias("offset"),
-        F.col("v.message").alias("message"),
+        message.cast("string").alias("message"),
     )
 
 
@@ -353,30 +379,33 @@ def uniqueness_violations(docs: DataFrame, n_salts: int = 64) -> DataFrame:
     """U1: doc_id must be unique table-wide (DuplicateKey lifted from
     toml/parser.rs:918-924).
 
-    Shuffle strategy: a two-phase salted count. Phase 1 aggregates
-    ``(doc_id, salt)`` where salt is derived from the row's content, so a
-    pathological hot key (FIXTURES.md plants one doc_id × 1000; at 10^12
-    scale think ×10^8) spreads over ``n_salts`` reducers instead of
-    melting one. Phase 2 sums the (tiny) per-salt partials. Plain
-    ``groupBy(doc_id).count()`` is *mostly* fine thanks to map-side
-    partial aggregation, but partial-agg hash maps degrade when a single
-    task sees millions of distinct keys plus one hot key; the salt keeps
-    phase-2 input bounded at ``n_salts`` rows per key regardless.
+    Shuffle strategy: ONE ``groupBy(doc_id).count()``. A count aggregate
+    needs no salting against hot keys — map-side partial aggregation
+    collapses a pathological doc_id (FIXTURES.md plants ×1000; at 10^12
+    scale think ×10^8) to at most one ``(key, local_count)`` row per
+    input task before anything shuffles, so the reducer for the hot key
+    receives ≤ #tasks rows, not #duplicates. (When the partial-agg hash
+    map overflows on high-cardinality tasks, Spark falls back to
+    sort-based aggregation, which still combines.) Round 1 shipped a
+    two-phase salted variant; measured at 16M unique keys / 32 cores it
+    shuffles |docs| rows twice and ran 2.99 s vs 1.94 s for this
+    single-phase form — salting solves a problem count aggregates don't
+    have, at the price of doubling shuffle volume. ``n_salts`` is kept
+    for API stability; the hot-key guard that still matters is on the
+    emit join below, where AQE skew-join splitting spreads a duplicated
+    key's violation rows.
 
     Violations are emitted per duplicated *row* by joining the dup keys
     back (AQE broadcasts the dup-key side when small; skew-join splits
-    otherwise).
+    otherwise). The scan prunes to (doc_id, partition) — nothing here
+    touches ``spans``, so no text bytes move.
     """
-    # salt must not reference spans: that would drag the whole span
-    # struct (all text bytes) through the scan — rand alone spreads the
-    # hot key and lets the parquet reader prune to (doc_id, partition)
-    salt = F.pmod(F.xxhash64(F.col("partition"), F.rand(seed=7)), F.lit(n_salts))
-    partial = (
-        docs.select("doc_id", salt.alias("_salt"))
-        .groupBy("doc_id", "_salt")
-        .agg(F.count(F.lit(1)).alias("c"))
+    dups = (
+        docs.select("doc_id")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
     )
-    dups = partial.groupBy("doc_id").agg(F.sum("c").alias("n")).filter(F.col("n") > 1)
     return (
         docs.join(dups, "doc_id")
         .select(
