@@ -179,3 +179,82 @@ def dedup_simhash_documents(spark, sf_dir):
 
     d = _docs_with_planted(spark, sf_dir, F)
     return simhash_near_duplicates(d, max_hamming=_MAX_HAMMING, hash_fn="md5", max_bucket=0)
+
+
+# --- Embedding near-dup twin: literal-hyperplane sign LSH --------------
+#
+# The production path (operators.dedup.embedding_near_duplicates) already
+# uses a DETERMINISTIC hyperplane matrix (seeded numpy literals baked into
+# the plan), so the oracle needs no portable-hash substitute at all: the
+# same 16x64 doubles are emitted as DuckDB list literals (repr() gives the
+# shortest round-tripping decimal, which both engines parse back to the
+# identical IEEE double). Sign ties would be the only cross-engine risk
+# (fold-left vs DuckDB's dot-product order) and require |dot| within
+# accumulation error of 0 — measure-zero for random-normal planes.
+
+_E_DIM = 64
+_E_PLANES = 16
+_E_SEED = 42
+_E_THRESHOLD = 0.95
+
+
+def _embedding_oracle_sql() -> str:
+    from zparse_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(_E_DIM, _E_PLANES, _E_SEED)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in p)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+input AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.02) FROM base
+  WHERE vec_id % 10 = 0
+),
+sig AS (
+  SELECT vec_id, v, {bits} AS bucket FROM input
+),
+ver AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         list_dot_product(l.v, r.v)
+           / greatest(sqrt(list_dot_product(l.v, l.v))
+                      * sqrt(list_dot_product(r.v, r.v)), 1e-12) AS c
+  FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM ver WHERE c >= {_E_THRESHOLD}"""
+
+
+@register("dedup_embedding_documents", _embedding_oracle_sql())
+def dedup_embedding_documents(spark, sf_dir):
+    """Embedding cosine near-dup pairs via sign-hyperplane LSH, planted
+    +0.02 perturbed duplicates — bucketing AND exact cosine verification
+    reproduced by DuckDB from the identical hyperplane literals."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import embedding_near_duplicates
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    planted = d.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        d.unionByName(planted),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=_E_DIM,
+        n_planes=_E_PLANES,
+        threshold=_E_THRESHOLD,
+        seed=_E_SEED,
+        max_bucket=0,
+    )
