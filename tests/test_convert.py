@@ -154,3 +154,54 @@ def test_xml_lines_roundtrip_and_repeated_elements(spark):
     )
     arr = from_xml_lines(rep, "v ARRAY<INT>").collect()
     assert sorted(tuple(r["v"]) for r in arr) == [(1, 2, 3), (9,)]
+
+
+def test_normalize_for_target_toml_root_object(spark):
+    """C2: targeting TOML folds the rows array into one root object
+    {rows: [...]} (convert.rs:84-93); any other target is the C1
+    fast path (input returned verbatim)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.functions.convert import normalize_for_target
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    assert normalize_for_target(df, "json") is df
+    out = normalize_for_target(df, "toml")
+    rows = out.collect()
+    assert len(rows) == 1
+    inner = sorted((r["k"], r["s"]) for r in rows[0]["rows"])
+    assert inner == [(1, "a"), (2, "b")]
+
+
+def test_xml_rows_to_table_reinfers_types(spark):
+    """C9 return path: each leaf cell is re-inferred through the CSV
+    cascade (convert.rs:411-430) — '42'→long, '3.5'→double, 'true'→bool,
+    'hi'→string; nested children flag _leaf_violation (convert.rs:399-
+    409); malformed XML flags _corrupt."""
+    from zparse_spark.functions.convert import xml_rows_to_table
+
+    df = spark.createDataFrame(
+        [
+            ("<row><a>42</a><b>hi</b></row>",),
+            ("<row><a>3.5</a><b>true</b></row>",),
+            ("<row><a><x>1</x></a><b>ok</b></row>",),
+            ("<<not xml",),
+        ],
+        ["xml"],
+    )
+    out = xml_rows_to_table(df, ["a", "b"]).collect()
+
+    r0 = out[0]
+    assert (r0["a"]["type"], r0["a"]["long_v"]) == ("long", 42)
+    assert (r0["b"]["type"], r0["b"]["string_v"]) == ("string", "hi")
+    assert not r0["_leaf_violation"] and not r0["_corrupt"]
+
+    r1 = out[1]
+    assert (r1["a"]["type"], r1["a"]["double_v"]) == ("double", 3.5)
+    assert (r1["b"]["type"], r1["b"]["bool_v"]) == ("bool", True)
+
+    r2 = out[2]
+    assert r2["_leaf_violation"] and r2["a"]["type"] == "null"
+    assert r2["b"]["string_v"] == "ok"
+
+    assert out[3]["_corrupt"]

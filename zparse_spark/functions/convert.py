@@ -254,3 +254,64 @@ def from_xml_lines(df: DataFrame, schema: str, col: str = "xml") -> DataFrame:
     (element_to_value, convert.rs:562-588); entities are decoded by the
     built-in parser (xml/parser.rs:341-390 analog)."""
     return df.select(F.from_xml(F.col(col), schema).alias("_r")).select("_r.*")
+
+
+def normalize_for_target(df: DataFrame, target: str) -> DataFrame:
+    """C2 (convert.rs:84-93): a CSV rows-array must be wrapped in a root
+    object when targeting TOML (TOML's root is necessarily a table,
+    convert.rs:295-303). Tabular analog: fold the frame into ONE row
+    ``{rows: array<struct<...>>}``.
+
+    Scale contract: this is by definition a global fold to a single
+    value — the reference applies it to one in-memory document, and the
+    engine applies it to bounded slices (a partition's violation sample,
+    a report page), never to an unbounded table. The aggregate itself
+    is still distributed (partial collect_lists merge at the final
+    reducer); only the RESULT is single-row. Other targets return the
+    input verbatim (the C1 fast path).
+    """
+    if target != "toml":
+        return df
+    return df.agg(
+        F.collect_list(F.struct(*[F.col(c) for c in df.columns])).alias("rows")
+    )
+
+
+def xml_rows_to_table(df: DataFrame, columns: list[str], col: str = "xml") -> DataFrame:
+    """C9 return path (convert.rs:341-430): ``<row><col>text</col>…``
+    strings → a typed table. Every cell comes back as TEXT and is
+    re-inferred through the CSV cascade (the reference re-parses each
+    leaf through ``infer_type``, convert.rs:411-430) — here each column
+    becomes the ``try_cast_cascade`` struct(type, long_v, double_v,
+    bool_v, string_v), the columnar stand-in for the Value enum.
+
+    The reference's leaf-only constraint (row children must not have
+    element children, convert.rs:399-409) surfaces as ``_leaf_violation``
+    instead of aborting: ``from_xml`` hands nested content back as raw
+    inner XML, so a cell matching an element tag marks the row (collect,
+    don't abort — same stance as the CSV corrupt-record column).
+    Malformed XML rows carry ``_corrupt`` true.
+    """
+    from zparse_spark.functions.inference import try_cast_cascade
+
+    schema = ", ".join(f"`{c}` STRING" for c in columns) + ", `_corrupt_record` STRING"
+    parsed = df.select(
+        F.from_xml(
+            F.col(col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_r")
+    )
+    cell = lambda c: F.col(f"_r.`{c}`")  # noqa: E731
+    nested = lambda c: cell(c).rlike("<[^<>]+>")  # noqa: E731
+    leaf_bad = None
+    for c in columns:
+        leaf_bad = nested(c) if leaf_bad is None else (leaf_bad | nested(c))
+    return parsed.select(
+        *[
+            try_cast_cascade(F.when(~nested(c), cell(c))).alias(c)
+            for c in columns
+        ],
+        F.coalesce(leaf_bad, F.lit(False)).alias("_leaf_violation"),
+        F.col("_r._corrupt_record").isNotNull().alias("_corrupt"),
+    )
