@@ -68,3 +68,78 @@ def test_lsh_self_match_on_random_data(spark, sf_dir):
     self_hits = {r["query_id"] for r in approx.filter("rank = 1").collect()
                  if r["query_id"] == r["corpus_id"]}
     assert len(self_hits) == 5
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """Same clustered fixture as the LSH recall test: IVF probing nprobe
+    of nlist cells must recover most true top-10 neighbors."""
+    import numpy as np
+
+    from zparse_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    for ci, c in enumerate(centers):
+        for m in range(25):
+            v = c + rng.standard_normal(64) * 0.15
+            rows.append((ci * 100 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(ci * 100, [float(x) for x in centers[ci]]) for ci in range(5)],
+        ["query_id", "embedding"],
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nprobe=4, nlist=16)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_self_match_and_determinism(spark, sf_dir):
+    from zparse_spark.operators.similarity import ivf_topk
+
+    emb, queries = load(spark, sf_dir)
+    out1 = ivf_topk(emb, queries, k=10)
+    out2 = ivf_topk(emb, queries, k=10)
+    rows1 = sorted(map(tuple, out1.collect()))
+    assert rows1 == sorted(map(tuple, out2.collect()))
+    self_hits = {r["query_id"] for r in out1.filter("rank = 1").collect()
+                 if r["query_id"] == r["corpus_id"]}
+    assert len(self_hits) == 5  # a vector always probes its own cell
+
+
+def test_train_codebook_improves_assignment(spark):
+    """Lloyd iterations on clustered data: trained centroids give higher
+    mean best-cell dot score than the seeded random book, and training
+    is deterministic."""
+    import numpy as np
+
+    from zparse_spark.operators.similarity import (
+        _codebook,
+        _cell_scores,
+        train_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64)) * 2
+    rows = []
+    for ci, c in enumerate(centers):
+        for m in range(30):
+            v = c + rng.standard_normal(64) * 0.1
+            rows.append((ci * 100 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def mean_best(cents):
+        return (
+            emb.select(F.array_max(_cell_scores(F.col("embedding"), cents)).alias("s"))
+            .agg(F.avg("s"))
+            .first()[0]
+        )
+
+    random_book = _codebook(64, 8, 42)
+    trained = train_codebook(emb, nlist=8, dim=64, iters=3, seed=42)
+    trained2 = train_codebook(emb, nlist=8, dim=64, iters=3, seed=42)
+    assert trained == trained2
+    assert mean_best(trained) > mean_best(random_book)

@@ -116,3 +116,145 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cell-probed scale path
+# ---------------------------------------------------------------------------
+
+
+def _codebook(dim: int, nlist: int, seed: int) -> list[list[float]]:
+    """Deterministic unit-norm codebook. At scale the codebook comes from
+    ``train_codebook`` (k-means on a sample); the seeded random book is
+    the bootstrap/initialization and keeps the whole pipeline (and its
+    DuckDB oracle) reproducible with no training dependency."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((nlist, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _cell_scores(vec, centroids: list[list[float]]):
+    """Array of <v, c_i> dots, one per centroid — unit centroids make
+    argmax(dot) ≡ argmax(cosine) without normalizing the data side."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(w) for w in c]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): each vector keyed by its nearest-centroid cell
+    (1-based; first-max wins on exact ties, matching ``array_position``).
+    At 100 TB the corpus is written ``partitionBy("cell")`` so probes
+    become partition pruning — the IVF twin of lsh_topk's pre-bucketed
+    corpus story."""
+    scores = _cell_scores(F.col(vec_col), centroids)
+    return df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_cv"),
+        F.array_position(scores, F.array_max(scores)).alias("cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing: corpus vectors are
+    scored only when they live in one of the query's ``nprobe`` best
+    cells. Same output schema as brute_force_topk (recall measured
+    against it in tests).
+
+    Plan shape: centroid dots are plan literals (no shuffle to assign);
+    the probe list explodes to ``nprobe`` rows per query and the
+    broadcast join against the (tiny) query side touches each corpus
+    row once — one scan, one window top-k, zero corpus self-joins.
+    Probe ordering tie-breaks (score desc, cell desc) are deterministic
+    and mirrored exactly by the DuckDB oracle.
+    """
+    cents = centroids or _codebook(dim, nlist, seed)
+    c = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    qscores = _cell_scores(F.col(vec_col), cents)
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    qscores, lambda s, i: F.struct(s.alias("s"), (i + 1).alias("c"))
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.transform(ranked, lambda x: x["c"])).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "corpus_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def train_codebook(
+    df: DataFrame,
+    nlist: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd iterations: assign (centroid literals in-plan,
+    no shuffle) → per-cell mean via posexplode + groupBy(cell, dim_pos)
+    (map-side combine keeps the shuffle at nlist×dim rows) → collect the
+    tiny codebook to the driver for the next round. Deterministic for a
+    fixed seed and input. Empty cells keep their previous centroid.
+
+    Runs ``iters`` Spark jobs over the sample ``df`` — train on a
+    sample (it's a codebook, not a model), then ``ivf_assign`` the full
+    corpus once with the result.
+    """
+    cents = _codebook(dim, nlist, seed)
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col=vec_col, vec_col=vec_col).select(
+            "cell", F.posexplode(F.col("_cv")).alias("pos", "x")
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        for r in rows:
+            cents[r["cell"] - 1] = [s["m"] for s in r["ms"]]
+    return cents

@@ -258,3 +258,88 @@ def dedup_embedding_documents(spark, sf_dir):
         seed=_E_SEED,
         max_bucket=0,
     )
+
+
+# --- IVF-ANN twin: literal-codebook cell probing ------------------------
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+_IVF_K = 10
+_IVF_NQ = 5
+
+
+def _ivf_oracle_sql() -> str:
+    from zparse_spark.operators.similarity import _codebook
+
+    cents = _codebook(64, _IVF_NLIST, _SEED)
+    cent_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i + 1} AS cell, [" + ", ".join(repr(w) for w in c) + "] AS cv"
+        for i, c in enumerate(cents)
+    )
+    return f"""WITH cents AS (
+{cent_rows}
+),
+input AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, cell, list_dot_product(v, cv) AS s FROM input CROSS JOIN cents
+),
+mx AS (SELECT vec_id, max(s) AS ms FROM scored GROUP BY vec_id),
+assign AS (
+  -- first-max wins, matching Spark's array_position on exact ties
+  SELECT s.vec_id, min(s.cell) AS cell
+  FROM scored s JOIN mx ON s.vec_id = mx.vec_id AND s.s = mx.ms
+  GROUP BY s.vec_id
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS pr
+    FROM scored WHERE vec_id < {_IVF_NQ}
+  ) WHERE pr <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS corpus_id, qi.v AS qv, ci.v AS cv
+  FROM qprobe q
+  JOIN assign a ON a.cell = q.cell
+  JOIN input qi ON qi.vec_id = q.query_id
+  JOIN input ci ON ci.vec_id = a.vec_id
+),
+cos AS (
+  SELECT query_id, corpus_id,
+         list_dot_product(qv, cv)
+           / greatest(sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv)), 1e-12) AS c
+  FROM cand
+),
+topk AS (
+  SELECT query_id, corpus_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, corpus_id ASC) AS rank
+  FROM cos
+)
+SELECT query_id, corpus_id, round(c, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM topk WHERE rank <= {_IVF_K}"""
+
+
+@register("similarity_ivf_topk_embeddings", _ivf_oracle_sql())
+def similarity_ivf_topk_embeddings(spark, sf_dir):
+    """IVF-ANN top-k with the seeded literal codebook — cell assignment,
+    nprobe probe ranking (score desc, cell desc), and exact-cosine
+    re-ranking reproduced stage-for-stage by DuckDB from the identical
+    centroid literals."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.similarity import ivf_topk
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    q = d.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        d, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST, seed=_SEED
+    )
