@@ -143,3 +143,17 @@ def test_train_codebook_improves_assignment(spark):
     trained2 = train_codebook(emb, nlist=8, dim=64, iters=3, seed=42)
     assert trained == trained2
     assert mean_best(trained) > mean_best(random_book)
+
+
+def test_ivf_arrow_and_expr_assignments_agree(spark, sf_dir):
+    from zparse_spark.operators.similarity import _codebook, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = _codebook(64, 16, 42)
+    a = {r["corpus_id"]: r["cell"]
+         for r in ivf_assign(emb, cents, impl="arrow").collect()}
+    e = {r["corpus_id"]: r["cell"]
+         for r in ivf_assign(emb, cents, impl="expr").collect()}
+    assert a == e

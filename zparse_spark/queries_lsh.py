@@ -341,5 +341,6 @@ def similarity_ivf_topk_embeddings(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(
-        d, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST, seed=_SEED
+        d, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST, seed=_SEED,
+        impl="expr",  # exact fold-left parity with the DuckDB twin
     )
