@@ -157,3 +157,14 @@ def test_ivf_arrow_and_expr_assignments_agree(spark, sf_dir):
     e = {r["corpus_id"]: r["cell"]
          for r in ivf_assign(emb, cents, impl="expr").collect()}
     assert a == e
+
+
+def test_brute_force_arrow_agrees_with_expr(spark, sf_dir):
+    emb, queries = load(spark, sf_dir)
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = queries.select("query_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    e = {(r["query_id"], r["corpus_id"], r["rank"], r["cosine"])
+         for r in brute_force_topk(emb, queries, k=10, impl="expr").collect()}
+    a = {(r["query_id"], r["corpus_id"], r["rank"], r["cosine"])
+         for r in brute_force_topk(emb, queries, k=10, impl="arrow").collect()}
+    assert e == a
