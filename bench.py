@@ -98,9 +98,26 @@ def main() -> None:
         "window_running_rank",
         "histogram_extendedprice",
         "validate_documents_flat",
+        "similarity_ivf_topk_embeddings",
+        "dedup_exact_documents",
     ):
         fn = qs[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    # production-shape MinHash dedup (xxhash64 signatures + hot-bucket
+    # cap) over the real documents table — the oracle-shaped registry
+    # query deliberately runs the slower portable-hash/uncapped variant,
+    # so the bench times the pipeline a 100 TB run would use
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    ddocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    minhash_dedup(ddocs.limit(500), threshold=0.8).count()  # codegen warmup
+    timed(
+        "dedup_minhash_production",
+        lambda: minhash_dedup(ddocs, threshold=0.8).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,6 +130,12 @@ def main() -> None:
                 "sf": sf,
                 "n_docs": n_docs,
                 "docs_per_sec": docs_per_sec,
+                # measured by scripts/multi_jvm_bench.py (1 vs 4 concurrent
+                # executor-sized JVMs, disjoint shards) — see BASELINE.md §4a;
+                # not re-measured per bench run (it needs a quiet box and
+                # ~5 min), quoted here so the round record carries it
+                "scaling_efficiency_n_to_4n_executors": 0.967,
+                "scaling_evidence": "BASELINE.md §4 / scripts/multi_jvm_bench.py",
             }
         )
     )
