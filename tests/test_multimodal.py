@@ -61,3 +61,56 @@ def test_frame_sample_plan_jvm_side(spark, payloads):
         assert sorted(ts) == [0, 200, 400, 600, 800]
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # bookkeeping stays JVM-side
+
+
+def test_resize_images_plans_dims_jvm_side(spark):
+    from zparse_spark.multimodal import (
+        deterministic_fake_resizer,
+        resize_images,
+        set_resizer,
+        synthesize_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    cat = spark.createDataFrame(
+        [("m1", "image"), ("m2", "image"), ("m3", "audio")],
+        ["media_ref", "media_kind"],
+    )
+    payloads = synthesize_payloads(spark, cat)
+    # give m2 an oversized frame so only it shrinks
+    payloads = payloads.withColumn(
+        "meta",
+        F.when(
+            F.col("media_ref") == "m2",
+            F.struct(
+                F.lit(1024).alias("width"), F.lit(512).alias("height"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+                F.col("meta.codec").alias("codec"),
+            ),
+        ).otherwise(F.col("meta")),
+    )
+
+    set_resizer(deterministic_fake_resizer)
+    try:
+        out = {r["media_ref"]: r for r in resize_images(payloads, max_side=256).collect()}
+    finally:
+        set_resizer(None)
+
+    assert set(out) == {"m1", "m2"}  # audio rows never reach Python
+    # m1 is 64x64, under the cap: dims unchanged
+    assert (out["m1"]["meta"]["width"], out["m1"]["meta"]["height"]) == (64, 64)
+    assert len(out["m1"]["payload"]) == 64 * 64
+    # m2 1024x512 -> scale 0.25 -> 256x128, aspect preserved
+    assert (out["m2"]["meta"]["width"], out["m2"]["meta"]["height"]) == (256, 128)
+    assert len(out["m2"]["payload"]) == 256 * 128
+
+
+def test_resize_images_requires_resizer(spark):
+    import pytest
+
+    from zparse_spark.multimodal import resize_images, synthesize_payloads
+
+    cat = spark.createDataFrame([("m1", "image")], ["media_ref", "media_kind"])
+    with pytest.raises(Exception, match="resizer"):
+        resize_images(synthesize_payloads(spark, cat)).collect()

@@ -147,3 +147,67 @@ def frame_sample_plan(payloads: DataFrame, every_ms: int = 200) -> DataFrame:
         "media_ref",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
+
+
+# Pluggable resizer, same stance as the decoder: the pixel op needs an
+# image lib this container lacks; the Spark-side plumbing (JVM-planned
+# target dims, Arrow batches, schema) is real and tested with a fake.
+_RESIZER: Callable[[bytes, str, int, int], bytes] | None = None
+
+
+def set_resizer(fn: Callable[[bytes, str, int, int], bytes] | None) -> None:
+    global _RESIZER
+    _RESIZER = fn
+
+
+def deterministic_fake_resizer(payload: bytes, kind: str, tw: int, th: int) -> bytes:
+    """Stand-in for PIL resize: tile/truncate the payload to tw*th bytes
+    — deterministic, size-exact, codec-free."""
+    n = max(tw * th, 1)
+    if not payload:
+        return b"\x00" * n
+    return (payload * (n // len(payload) + 1))[:n]
+
+
+def resize_images(payloads: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving image resize. The geometry is planned JVM-side
+    (scale = min(1, max_side/max(w,h)), floor'd target dims as columns)
+    so Python receives only image rows that actually shrink, already
+    annotated with their target size — the same explode-before-Python
+    stance as ``frame_sample_plan``. Output schema = input schema with
+    payload and meta.width/height rewritten.
+    """
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double"))
+    planned = payloads.filter(F.col("media_kind") == "image").select(
+        "media_ref",
+        "media_kind",
+        "payload",
+        "meta",
+        F.greatest(F.floor(w * scale).cast("int"), F.lit(1)).alias("_tw"),
+        F.greatest(F.floor(h * scale).cast("int"), F.lit(1)).alias("_th"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resizer = _RESIZER
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no image resizer installed in this environment; "
+                    "call set_resizer(...) (image libs not in container)"
+                )
+            out = pdf.copy()
+            out["payload"] = [
+                resizer(bytes(p) if p is not None else b"", k, tw, th)
+                for p, k, tw, th in zip(
+                    pdf["payload"], pdf["media_kind"], pdf["_tw"], pdf["_th"]
+                )
+            ]
+            out["meta"] = [
+                {**(m if isinstance(m, dict) else m._asdict() if hasattr(m, "_asdict") else dict(m)),
+                 "width": int(tw), "height": int(th)}
+                for m, tw, th in zip(pdf["meta"], pdf["_tw"], pdf["_th"])
+            ]
+            yield out[["media_ref", "media_kind", "payload", "meta"]]
+
+    return planned.mapInPandas(run, MEDIA_PAYLOAD_SCHEMA)
