@@ -76,3 +76,24 @@ def test_full_pack_has_no_python_eval(spark, docs_path):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_ivf_topk_plan_discipline(spark, sf_dir):
+    """IVF: the probe side must broadcast (corpus is never shuffled for
+    the join); the arrow impl is Arrow-batched (ArrowEvalPython), never
+    row-at-a-time (BatchEvalPython); the expr impl is Python-free."""
+    from zparse_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expr_plan = plan_of(ivf_topk(emb, q, k=5, impl="expr"))
+    assert "BroadcastHashJoin" in expr_plan or "BroadcastExchange" in expr_plan
+    assert "BatchEvalPython" not in expr_plan and "ArrowEvalPython" not in expr_plan
+
+    arrow_plan = plan_of(ivf_topk(emb, q, k=5, impl="arrow"))
+    assert "ArrowEvalPython" in arrow_plan
+    assert "BatchEvalPython" not in arrow_plan
