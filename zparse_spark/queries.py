@@ -702,9 +702,50 @@ def similarity_topk_embeddings(spark, sf_dir):
     return brute_force_topk(e, queries, k=5)
 
 
+def _lsh_ann_oracle_sql(n_planes: int = 6, k: int = 5) -> str:
+    """The LSH-ANN twin: hyperplane signatures are seeded plan literals
+    (same doubles emitted into SQL), bucket = MSB-first bit fold, probes
+    = bucket plus its hamming-1 xor flips — every stage DuckDB-exact."""
+    from zparse_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, 42)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in p)
+        + f"]) > 0 THEN {1 << (n_planes - 1 - j)} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(n_planes)]
+    )
+    return f"""WITH input AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+sig AS (SELECT vec_id, v, ({bucket}) AS bucket FROM input),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig ORDER BY vec_id LIMIT 5),
+probes AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q),
+cand AS (
+  SELECT p.query_id, s.vec_id AS corpus_id,
+         list_dot_product(p.qv, s.v)
+           / greatest(sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(s.v, s.v)), 1e-12) AS c
+  FROM probes p JOIN sig s ON s.bucket = p.bucket
+),
+ranked AS (
+  SELECT query_id, corpus_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, corpus_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, corpus_id, round(c, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+@register("similarity_lsh_topk_embeddings", _lsh_ann_oracle_sql())
 def similarity_lsh_topk_embeddings(spark, sf_dir):
-    """LSH-bucketed ANN top-k (rows-only: hyperplane signatures use a
-    seeded numpy literal, recall vs brute force asserted in pytest)."""
+    """LSH-bucketed ANN top-k — bucketing, hamming-1 multiprobe, and
+    cosine re-rank reproduced by DuckDB from the identical hyperplane
+    literals (recall vs brute force additionally asserted in pytest)."""
     from zparse_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings").select(
@@ -714,9 +755,6 @@ def similarity_lsh_topk_embeddings(spark, sf_dir):
         e.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return lsh_topk(e, queries, k=5, n_planes=6)
-
-
-QUERIES["similarity_lsh_topk_embeddings"] = similarity_lsh_topk_embeddings
 
 
 # ---------------------------------------------------------------------------
