@@ -94,3 +94,60 @@ def test_infer_cell_type_total(spark, raw):
     ]
     assert got[0] in {"null", "bool", "long", "double", "string"}
     assert got[1] == "string"
+
+
+vec_st = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+
+
+@given(st.lists(vec_st, min_size=2, max_size=10, unique_by=tuple))
+@_settings
+def test_ivf_full_probe_equals_brute_force(spark, vecs):
+    """Probing every cell IS brute force: identical (query, corpus)
+    top-k sets. (Note: top-k at nprobe=1 is NOT a subset of top-k at
+    nprobe=nlist — dropping strong candidates promotes weaker ones into
+    the k cut — so only the full-probe identity is a law.)"""
+    from zparse_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    k = 3
+    full = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk(emb, q, k=k, nprobe=4, nlist=4, dim=8, impl="expr").collect()
+    }
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+    assert full == exact
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=20),
+                min_size=1, max_size=8))
+@_settings
+def test_hot_bucket_cap_only_shrinks(spark, texts):
+    """cap_hot_buckets is a filter: capped output rows ⊆ uncapped rows,
+    and non-hot buckets pass through untouched."""
+    from zparse_spark.operators.dedup import cap_hot_buckets
+
+    df = spark.createDataFrame(
+        [(str(i), t[:1] or "a") for i, t in enumerate(texts)], ["_id", "bucket"]
+    )
+    uncapped = {(r["_id"], r["bucket"]) for r in df.collect()}
+    capped = {
+        (r["_id"], r["bucket"])
+        for r in cap_hot_buckets(df, ["bucket"], id_col="_id", max_bucket=2).collect()
+    }
+    assert capped <= uncapped
+    from collections import Counter
+
+    sizes = Counter(b for _, b in uncapped)
+    for _id, b in uncapped:
+        if sizes[b] <= 2:
+            assert (_id, b) in capped  # non-hot buckets never lose rows
