@@ -85,3 +85,27 @@ def test_stream_is_resumable_from_checkpoint(spark, tmp_path):
     time.sleep(1)
     n2 = spark.read.parquet(f"{out}/violations").count()
     assert n1 == n2  # nothing reprocessed
+
+
+def test_dedup_stream_drops_redelivered_docs(spark, tmp_path):
+    """Duplicate doc_ids re-delivered within the watermark window come
+    out exactly once; the dedup state is watermark-bounded."""
+    from zparse_spark.streaming.validate_stream import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    docs = (
+        generate_documents(spark, n_docs=200, seed=31, n_partitions=2)
+        .drop("_fixture_class")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.crc32("doc_id") % 600))
+    )
+    dup = docs.filter(F.crc32("doc_id") % 2 == 0)  # re-deliver half
+    docs.unionAll(dup).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = dedup_stream(stream, out, delay="1 hour")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/deduped")
+    assert got.count() == 200
+    assert got.select("doc_id").distinct().count() == 200

@@ -87,3 +87,37 @@ def violation_rate_windows(
             "n_violations",
         )
     )
+
+
+def dedup_stream(
+    stream_docs: DataFrame,
+    out_dir: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+    trigger_once: bool = True,
+):
+    """Streaming exact dedup — the ingest-side guard of the dedup family
+    (operators/dedup.py) as a genuinely incremental operator.
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on
+    ``id_cols`` and EXPIRES state once the watermark passes an entry —
+    the property that makes exact dedup runnable on an unbounded stream:
+    state is O(ids per watermark window), not O(ids ever seen). A
+    re-delivered document inside the window is dropped; re-delivery
+    after the window lands in the offline compaction's lap
+    (``exact_duplicates`` over the sink), the same split as U1's
+    per-batch / compaction trade-off in ``validate_stream``.
+    """
+    deduped = stream_docs.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{out_dir}/deduped")
+        .option("checkpointLocation", f"{out_dir}/_dedup_checkpoint")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
