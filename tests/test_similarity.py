@@ -168,3 +168,29 @@ def test_brute_force_arrow_agrees_with_expr(spark, sf_dir):
     a = {(r["query_id"], r["corpus_id"], r["rank"], r["cosine"])
          for r in brute_force_topk(emb, queries, k=10, impl="arrow").collect()}
     assert e == a
+
+
+def test_ivf_and_brute_force_on_empty_corpus(spark):
+    from pyspark.sql import types as T
+
+    from zparse_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    q = spark.createDataFrame(
+        [(0, [1.0] * 64)],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    assert brute_force_topk(empty, q, k=5).count() == 0
+    assert ivf_topk(empty, q, k=5, impl="expr").count() == 0
+    assert ivf_topk(empty, q, k=5, impl="arrow").count() == 0
