@@ -175,3 +175,40 @@ def test_minhash_md5_mode_matches_xxhash_pairs(spark):
            for r in minhash_dedup(corpus(spark), threshold=0.6, hash_fn="md5").collect()}
     assert ("d1", "d2") in md5 and ("d1", "d3") in md5
     assert md5 == base
+
+
+def test_resolve_duplicate_clusters_chain_and_disjoint(spark):
+    from zparse_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in resolve_duplicate_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_keep_representatives_drops_non_reps_only(spark):
+    from zparse_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [(d, f"text {d}") for d in "abcxyz"], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+    )
+    kept = sorted(r["doc_id"] for r in keep_representatives(docs, pairs).collect())
+    # component reps a and x survive; unpaired z survives untouched
+    assert kept == ["a", "x", "z"]
+
+
+def test_resolve_converges_on_star_in_one_round(spark):
+    """Boilerplate star: 30 docs all paired to one hub — min-label
+    propagation resolves in a single iteration (shallow diameter)."""
+    from zparse_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("hub", f"m{i:02d}") for i in range(30)], ["id_a", "id_b"]
+    )
+    got = resolve_duplicate_clusters(pairs, max_iter=3).collect()
+    assert {r["rep_id"] for r in got} == {"hub"}
+    assert len(got) == 31

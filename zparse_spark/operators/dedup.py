@@ -484,3 +484,86 @@ def embedding_near_duplicates(
     return cands.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution — pairs → components → representatives
+# ---------------------------------------------------------------------------
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup PAIRS → (doc_id, rep_id): connected components by
+    iterative min-label propagation, the step that turns candidate
+    pairs into an actionable keep/drop decision (rep = the component's
+    minimum id, so the choice is deterministic and engine-independent).
+
+    Each iteration is one join + one min-aggregate over the EDGE set
+    (O(|pairs|), never the corpus); lineage is truncated per iteration
+    with an eager ``localCheckpoint`` so the plan does not grow
+    exponentially across iterations (the classic iterative-algorithm
+    trap on Spark). Converges in O(component diameter) rounds — dedup
+    clusters are shallow (boilerplate stars, chains of 2-4), so the
+    fixpoint typically lands in ≤3 rounds; ``max_iter`` bounds
+    adversarial chains and the loop exits early on a cheap
+    changed-count probe. For graphs with deep paths use the
+    large-star/small-star variant (O(log n) rounds) — not needed for
+    dedup-shaped graphs.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))
+
+
+def keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **resolve_kwargs,
+) -> DataFrame:
+    """The dedup ACTION: drop every document whose component
+    representative is a different document; docs in no pair pass
+    through (left join against the small resolved-label table)."""
+    labels = resolve_duplicate_clusters(pairs, **resolve_kwargs).withColumnRenamed(
+        "doc_id", "_cc_node"
+    )
+    return (
+        docs.join(labels, docs[id_col] == F.col("_cc_node"), "left")
+        .filter(F.col("rep_id").isNull() | (F.col("rep_id") == docs[id_col]))
+        .select(*[docs[c] for c in docs.columns])
+    )

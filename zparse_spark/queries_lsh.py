@@ -344,3 +344,46 @@ def similarity_ivf_topk_embeddings(spark, sf_dir):
         d, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST, seed=_SEED,
         impl="expr",  # exact fold-left parity with the DuckDB twin
     )
+
+
+# --- Cluster resolution twin: recursive-CTE connected components -------
+
+
+def _cluster_oracle_sql() -> str:
+    """Components over the md5-MinHash verified pairs: the iterative
+    min-label propagation's fixpoint equals min(reachable id) per node,
+    which DuckDB computes directly with a recursive CTE over the SAME
+    pair SQL."""
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+pairs AS (
+  {pairs_select}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node"""
+
+
+@register("dedup_clusters_documents", _cluster_oracle_sql())
+def dedup_clusters_documents(spark, sf_dir):
+    """Near-dup pairs → connected components → per-doc representative:
+    Spark's iterative min-label propagation (checkpointed joins) against
+    DuckDB's recursive-CTE transitive closure over the identical pair
+    set — the fixpoints must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup, resolve_duplicate_clusters
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED)
+    return resolve_duplicate_clusters(pairs)
