@@ -194,3 +194,26 @@ def test_special_float_fork_toml_vs_csv(spark):
     for mode in (strict, toml):
         assert mode["INF"] == "string" and mode["Infinity"] == "string"
         assert mode["1.5"] == "double"
+
+
+def test_corpus_filter_reasons_first_match(spark):
+    from zparse_spark.operators.filtering import corpus_filter, filter_report
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("short", "tiny text"),                                   # 2 tokens -> too_short
+            ("ok", "the cat and the dog sat on the mat in the sun " * 3),
+            ("yelling", "AAAA BBBB CCCC DDDD " * 10),                 # quality gate
+            ("german", "der die und das " + "wort " * 20),            # wrong_lang
+        ],
+        ["doc_id", "text"],
+    )
+    ann = corpus_filter(docs, min_tokens=5, min_quality=0.3, langs=("en",))
+    got = {r["doc_id"]: (r["kept"], r["reject_reason"]) for r in ann.collect()}
+    assert got["short"] == (False, "too_short")
+    assert got["ok"] == (True, None)
+    assert got["yelling"][0] is False
+    assert got["german"] == (False, "wrong_lang")
+    rep = {r["outcome"]: r["n"] for r in filter_report(ann).collect()}
+    assert rep["kept"] == 1 and sum(rep.values()) == 4

@@ -1,0 +1,63 @@
+"""Corpus filtering — the training-data admission pipeline.
+
+Composes the text-analysis functions (token count, quality score,
+language ID) into a single annotate-then-decide pass: each document
+gets a first-match ``reject_reason`` (or NULL = kept). One projection,
+no shuffle — the decision is pure column math over the scan, so at
+100 TB this is a map-only stage whose filter pushes into downstream
+plans. The rejection BREAKDOWN (one tiny groupBy) is the monitoring
+artifact a data pipeline actually alerts on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zparse_spark.functions.text import lang_guess, quality_score, token_count
+
+REASONS = ("too_short", "too_long", "low_quality", "wrong_lang")
+
+
+def corpus_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Annotate each doc with its metrics and a first-match rejection
+    reason; ``kept`` is true iff no rule fired. Reason order is the
+    documented contract (cheap structural gates before the language
+    gate) so downstream breakdowns are stable."""
+    t = F.col(text_col)
+    toks = token_count(t, "whitespace")
+    q = quality_score(t)
+    lang = lang_guess(t)
+    reason = (
+        F.when(toks < min_tokens, "too_short")
+        .when(toks > max_tokens, "too_long")
+        .when(q < min_quality, "low_quality")
+        .when(~lang.isin(*langs), "wrong_lang")
+    )
+    return docs.withColumns(
+        {
+            "tokens": toks,
+            "quality": q,
+            "lang_guess": lang,
+            "reject_reason": reason,
+            "kept": reason.isNull(),
+        }
+    )
+
+
+def filter_report(annotated: DataFrame) -> DataFrame:
+    """Per-reason rejection counts plus the kept row — the one-line
+    health summary of an admission run."""
+    return (
+        annotated.groupBy(
+            F.coalesce("reject_reason", F.lit("kept")).alias("outcome")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

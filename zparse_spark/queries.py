@@ -1093,3 +1093,61 @@ def doc_xml_escape_roundtrip(spark, sf_dir):
 # separate module: the SQL twins of the engine rules are sizeable)
 from zparse_spark import queries_span  # noqa: E402,F401  (registration side effect)
 from zparse_spark import queries_lsh  # noqa: E402,F401  (registration side effect)
+
+
+_FILTER_QUALITY_SQL = """
+      round(greatest(least(
+        0.4 * least(length(t) / 200.0, 1.0)
+        + 0.2 * (1 - least(CAST(len(regexp_extract_all(t, '[!-/:-@\\[-`{-~]')) AS DOUBLE)
+                           / greatest(length(t), 1) * 5, 1.0))
+        + 0.2 * (1 - least(CAST(len(regexp_extract_all(t, '[A-Z]')) AS DOUBLE)
+                           / greatest(length(t), 1) * 5, 1.0))
+        + 0.2 * least(CAST(len(list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+                                w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE)
+                      / greatest(len(regexp_split_to_array(lower(trim(t)), '\\s+')), 1) * 5, 1.0)
+      , 1.0), 0.0), 6)
+"""
+
+
+@register(
+    "corpus_filter_report",
+    f"""
+    WITH base AS (SELECT coalesce(text, '') AS t FROM documents),
+    ann AS (
+      SELECT
+        CASE WHEN length(trim(t)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS tokens,
+        {_FILTER_QUALITY_SQL} AS q,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('the','and','is','of'))) AS s_en,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('el','la','que','los'))) AS s_es,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('der','die','und','das'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('le','les','des','est'))) AS s_fr
+      FROM base
+    ), decided AS (
+      SELECT CASE
+        WHEN tokens < 10 THEN 'too_short'
+        WHEN tokens > 100000 THEN 'too_long'
+        WHEN q < 0.3 THEN 'low_quality'
+        WHEN (CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END) <> 'en' THEN 'wrong_lang'
+        ELSE 'kept' END AS outcome
+      FROM ann
+    )
+    SELECT outcome, count(*) AS n FROM decided GROUP BY outcome
+    """,
+)
+def corpus_filter_report(spark, sf_dir):
+    """Training-data admission pipeline: token/quality/language gates in
+    one map-only projection, rejection breakdown as the report — every
+    gate formula reproduced by the DuckDB oracle."""
+    from zparse_spark.operators.filtering import corpus_filter, filter_report
+
+    d = _t(spark, sf_dir, "documents")
+    return filter_report(corpus_filter(d))
