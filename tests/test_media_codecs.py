@@ -1,0 +1,114 @@
+"""Pure-python codec tests (no Spark): BMP/WAV roundtrips, resize
+semantics, classification — including hypothesis property coverage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zparse_spark.functions.media_codecs import (
+    bmp_decode,
+    bmp_encode,
+    bmp_row_size,
+    classify_payload,
+    default_decoder,
+    default_resizer,
+    nearest_resize,
+    synth_audio,
+    synth_image,
+    wav_decode,
+    wav_encode,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = bmp_encode(img)
+    assert len(data) == 54 + bmp_row_size(w) * h
+    assert np.array_equal(bmp_decode(data), img)
+    assert classify_payload(data) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=512),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, sr, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype(np.int16)
+    data = wav_encode(samples, sr)
+    out, sr2 = wav_decode(data)
+    assert sr2 == sr and np.array_equal(out, samples)
+    assert classify_payload(data) is None
+
+
+def test_nearest_resize_known_case():
+    # 4x4 checker downsampled 2x with floor mapping picks rows/cols 0, 2
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = nearest_resize(img, 2, 2)
+    assert np.array_equal(out, img[[0, 2]][:, [0, 2]])
+
+
+def test_resizer_is_decode_subsample_encode():
+    img = synth_image(7)
+    out = default_resizer(bmp_encode(img), "image", 5, 3)
+    assert np.array_equal(bmp_decode(out), nearest_resize(img, 5, 3))
+
+
+def test_features_match_numpy():
+    img = synth_image(4)
+    f = default_decoder(bmp_encode(img), "image")
+    fl = img.astype(np.float64)
+    assert f[:3] == [img.shape[1], img.shape[0], 3.0]
+    assert f[3] == fl.mean() and f[4] == fl.std()
+    s, sr = synth_audio(5)
+    f = default_decoder(wav_encode(s, sr), "audio")
+    assert f[0] == sr and f[1] == len(s)
+    assert f[3] == s.astype(np.float64).mean()
+
+
+def test_classifier_matches_decoder_errors():
+    """classify_payload's verdict agrees with what the decoders actually
+    do: None ⇒ decodes, non-None ⇒ raises."""
+    img_ok = bmp_encode(synth_image(0))
+    wav_ok = wav_encode(*synth_audio(1))
+    cases = [
+        img_ok,
+        wav_ok,
+        b"XX" + img_ok[2:],  # bad magic
+        img_ok[:20],  # truncated header
+        img_ok[:-5],  # truncated body
+        img_ok[:28] + b"\x20" + img_ok[29:],  # bpp=32
+        wav_ok[:22] + b"\x02" + wav_ok[23:],  # stereo
+        wav_ok[:30],  # truncated header
+        wav_ok[:-3],  # truncated data
+        b"RIFF" + wav_ok[4:8] + b"XXXX" + wav_ok[12:],  # RIFF but not WAVE
+    ]
+    for payload in cases:
+        verdict = classify_payload(payload)
+        try:
+            default_decoder(payload, "any")
+            decoded = True
+        except (ValueError, NotImplementedError):
+            decoded = False
+        assert decoded == (verdict is None), (verdict, payload[:8])
+
+
+def test_strictness_rejects_variants():
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        img = bmp_encode(synth_image(0))
+        bmp_decode(img[:28] + b"\x20" + img[29:])
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        wav = wav_encode(*synth_audio(0))
+        wav_decode(wav[:22] + b"\x02" + wav[23:])

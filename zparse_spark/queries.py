@@ -1093,6 +1093,7 @@ def doc_xml_escape_roundtrip(spark, sf_dir):
 # separate module: the SQL twins of the engine rules are sizeable)
 from zparse_spark import queries_span  # noqa: E402,F401  (registration side effect)
 from zparse_spark import queries_lsh  # noqa: E402,F401  (registration side effect)
+from zparse_spark import queries_media  # noqa: E402,F401  (registration side effect)
 
 
 _FILTER_QUALITY_SQL = """

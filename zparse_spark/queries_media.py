@@ -1,0 +1,308 @@
+"""Multimodal oracle queries — real BMP/WAV decode, resize, verdicts.
+
+These make the multimodal family first-class in the correctness gate:
+the Spark side runs the REAL codec path (functions.media_codecs via
+mapInPandas — actual pixel/sample decode, actual nearest-neighbor
+resize with re-encode), and the DuckDB twin re-derives every output
+from the SAME persisted payload blobs using hex arithmetic only:
+
+- header fields parse as little-endian ints from hex nibbles
+  (``strpos('0123456789ABCDEF', …)`` — the md5-nibble trick from
+  queries_lsh, applied to container formats);
+- pixel/sample means aggregate over ``unnest(range(n))`` byte offsets
+  (padding-aware for BMP rows);
+- the resized payload is reconstructed BYTE-FOR-BYTE in SQL — header
+  emitted from target dims, body via the integer nearest-neighbor
+  mapping ``src = (dst * size) // target`` over the source hex — and
+  checked by sha256 equality against Spark's re-encoded output.
+
+Everything is derived from one deterministic persisted table
+(``synthesize_codec_payloads`` → parquet), so the queries are
+scale-factor-independent and the oracle reads byte-identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zparse_spark.queries import register
+
+_W = "/root/repo/spark-warehouse/oracle"
+_N_MEDIA = 96
+_MAX_SIDE = 8  # small enough that every synthesized image actually shrinks
+
+_HEXD = "0123456789ABCDEF"
+
+
+# -- SQL fragment emitters: LE integer parsing from the `hx` hex column ----
+
+
+def _nib(p: str) -> str:
+    return f"(strpos('{_HEXD}', substr(hx, CAST({p} AS INT), 1)) - 1)"
+
+
+def _byte(o: str) -> str:
+    return f"(16 * {_nib(f'2*({o})+1')} + {_nib(f'2*({o})+2')})"
+
+
+def _le16(o: str) -> str:
+    return f"({_byte(f'{o}')} + 256 * {_byte(f'({o})+1')})"
+
+
+def _le32(o: str) -> str:
+    return (
+        f"({_byte(f'{o}')} + 256 * {_byte(f'({o})+1')} "
+        f"+ 65536 * {_byte(f'({o})+2')} + 16777216 * {_byte(f'({o})+3')})"
+    )
+
+
+def _sle32(o: str) -> str:
+    u = _le32(o)
+    return f"(CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 ELSE {u} END)"
+
+
+def _pairhex(e: str) -> str:
+    return (
+        f"(substr('{_HEXD}', CAST(({e}) // 16 AS INT) + 1, 1) || "
+        f"substr('{_HEXD}', CAST(({e}) % 16 AS INT) + 1, 1))"
+    )
+
+
+def _le32hex(e: str) -> str:
+    return (
+        f"({_pairhex(f'({e}) % 256')} || {_pairhex(f'(({e}) // 256) % 256')} || "
+        f"{_pairhex(f'(({e}) // 65536) % 256')} || {_pairhex(f'(({e}) // 16777216) % 256')})"
+    )
+
+
+def _media_input(spark):
+    """Persist the deterministic codec-payload table; read it back so
+    Spark and DuckDB see byte-identical blobs (the _pack_input pattern)."""
+    from zparse_spark.multimodal import synthesize_codec_payloads
+
+    synthesize_codec_payloads(spark, n_media=_N_MEDIA).write.mode("overwrite").parquet(
+        f"{_W}/media_payloads"
+    )
+    return spark.read.parquet(f"{_W}/media_payloads")
+
+
+# ---------------------------------------------------------------------------
+# media_payload_report — decode stats + byte-exact resize oracle
+# ---------------------------------------------------------------------------
+
+_REPORT_SQL = f"""WITH pay AS (
+  SELECT media_ref, media_kind, meta, hex(payload) AS hx,
+         CAST(octet_length(payload) AS BIGINT) AS n_bytes
+  FROM read_parquet('{_W}/media_payloads/*.parquet')
+),
+img AS (
+  SELECT media_ref, n_bytes, hx, meta,
+         {_le32('18')} AS w, {_le32('22')} AS h
+  FROM pay WHERE media_kind = 'image'
+),
+imgt AS (
+  SELECT *, (3 * w + 3) // 4 * 4 AS rowsize,
+         CASE WHEN greatest(w, h) > {_MAX_SIDE}
+              THEN greatest((w * {_MAX_SIDE}) // greatest(w, h), 1) ELSE w END AS tw,
+         CASE WHEN greatest(w, h) > {_MAX_SIDE}
+              THEN greatest((h * {_MAX_SIDE}) // greatest(w, h), 1) ELSE h END AS th
+  FROM img
+),
+imgt2 AS (SELECT *, (3 * tw + 3) // 4 * 4 AS rowsize_t FROM imgt),
+pixmean AS (
+  SELECT media_ref, avg({_byte('54 + (j // (3*w)) * rowsize + (j % (3*w))')}) AS content_mean
+  FROM imgt2, unnest(range(imgt2.h * imgt2.w * 3)) AS u(j)
+  GROUP BY media_ref
+),
+rrow AS (
+  SELECT media_ref, rj,
+         string_agg(
+           substr(hx,
+                  CAST(1 + 2 * (54 + (h - 1 - ((th - 1 - rj) * h) // th) * rowsize
+                                + 3 * ((x * w) // tw)) AS INT),
+                  6),
+           '' ORDER BY x)
+         || repeat('00', rowsize_t - 3 * tw) AS row_hex
+  FROM imgt2, unnest(range(imgt2.th)) AS a(rj), unnest(range(imgt2.tw)) AS b(x)
+  GROUP BY media_ref, rj, h, th, rowsize, rowsize_t, tw, w, hx
+),
+rbody AS (
+  SELECT media_ref, string_agg(row_hex, '' ORDER BY rj) AS body
+  FROM rrow GROUP BY media_ref
+),
+rsha AS (
+  SELECT i.media_ref,
+         sha256('424D' || {_le32hex('54 + i.rowsize_t * i.th')} || '00000000' || '36000000'
+                || '28000000' || {_le32hex('i.tw')} || {_le32hex('i.th')} || '0100' || '1800'
+                || '00000000' || {_le32hex('i.rowsize_t * i.th')}
+                || '00000000' || '00000000' || '00000000' || '00000000'
+                || b.body) AS resized_sha
+  FROM imgt2 i JOIN rbody b USING (media_ref)
+),
+aud AS (
+  SELECT media_ref, n_bytes, hx, meta,
+         {_le32('24')} AS sr, {_le32('40')} // 2 AS ns
+  FROM pay WHERE media_kind = 'audio'
+),
+audmean AS (
+  SELECT media_ref, avg(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS content_mean
+  FROM (
+    SELECT media_ref, {_le16('44 + 2*j')} AS v
+    FROM aud, unnest(range(aud.ns)) AS u(j)
+  )
+  GROUP BY media_ref
+)
+SELECT i.media_ref, 'image' AS media_kind, i.n_bytes,
+       CAST(i.w AS INT) AS decoded_a, CAST(i.h AS INT) AS decoded_b,
+       round(p.content_mean, 4) AS content_mean,
+       (i.w = struct_extract(i.meta, 'width')
+        AND i.h = struct_extract(i.meta, 'height')) AS meta_ok,
+       CAST(i.tw AS INT) AS resized_w, CAST(i.th AS INT) AS resized_h,
+       r.resized_sha
+FROM imgt2 i JOIN pixmean p USING (media_ref) JOIN rsha r USING (media_ref)
+UNION ALL
+SELECT a.media_ref, 'audio', a.n_bytes, CAST(a.sr AS INT), CAST(a.ns AS INT),
+       round(m.content_mean, 4),
+       (a.sr = struct_extract(a.meta, 'sample_rate')),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+FROM aud a JOIN audmean m USING (media_ref)"""
+
+
+@register("media_payload_report", _REPORT_SQL)
+def media_payload_report(spark, sf_dir):
+    """Real-codec media report: decoded dims/rate + content mean from the
+    actual BMP/WAV decoders, decode-vs-metadata check (M2 rule), and the
+    sha256 of the ACTUAL resized BMP bytes — all re-derived independently
+    by DuckDB from the same payload blobs (resize reproduced byte-for-byte
+    in SQL)."""
+    from zparse_spark.multimodal import extract_features, resize_images
+
+    pay = _media_input(spark)
+    feats = extract_features(pay).select("media_ref", "feature")
+    resized = resize_images(pay, max_side=_MAX_SIDE).select(
+        "media_ref",
+        F.col("meta.width").alias("resized_w"),
+        F.col("meta.height").alias("resized_h"),
+        F.sha2(F.hex("payload"), 256).alias("resized_sha"),
+    )
+    a = F.col("feature")[0].cast("int")
+    b = F.col("feature")[1].cast("int")
+    is_img = F.col("media_kind") == "image"
+    return (
+        pay.select(
+            "media_ref",
+            "media_kind",
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            "meta",
+        )
+        .join(feats, "media_ref")
+        .join(resized, "media_ref", "left")
+        .select(
+            "media_ref",
+            "media_kind",
+            "n_bytes",
+            a.alias("decoded_a"),
+            b.alias("decoded_b"),
+            F.round(F.col("feature")[3], 4).alias("content_mean"),
+            F.when(
+                is_img,
+                (a == F.col("meta.width")) & (b == F.col("meta.height")),
+            )
+            .otherwise(a == F.col("meta.sample_rate"))
+            .alias("meta_ok"),
+            "resized_w",
+            "resized_h",
+            "resized_sha",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# media_decode_verdicts — typed error classification on corrupted payloads
+# ---------------------------------------------------------------------------
+
+_VERDICT_SQL = f"""WITH pay0 AS (
+  SELECT media_ref, media_kind, hex(payload) AS hx0,
+         CAST(substr(media_ref, 7) AS INT) AS i
+  FROM read_parquet('{_W}/media_payloads/*.parquet')
+),
+pay AS (
+  SELECT media_ref, media_kind,
+         CASE
+           WHEN i % 8 IN (1, 2) THEN substr(hx0, 1, 40)
+           WHEN i % 8 IN (3, 4) THEN '5858' || substr(hx0, 5)
+           WHEN i % 8 IN (5, 6) AND media_kind = 'image'
+             THEN substr(hx0, 1, 56) || '2000' || substr(hx0, 61)
+           WHEN i % 8 IN (5, 6)
+             THEN substr(hx0, 1, 44) || '0200' || substr(hx0, 49)
+           ELSE hx0
+         END AS hx
+  FROM pay0
+),
+parsed AS (
+  SELECT media_ref, media_kind, hx,
+         CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+         (substr(hx, 1, 4) = '424D') AS is_bmp,
+         (substr(hx, 1, 8) = '52494646') AS is_riff
+  FROM pay
+)
+SELECT media_ref, media_kind, n_bytes, (error_kind IS NULL) AS ok, error_kind
+FROM (
+  SELECT media_ref, media_kind, n_bytes,
+    CASE
+      WHEN NOT (is_bmp OR is_riff) THEN 'bad_magic'
+      WHEN is_bmp AND n_bytes < 54 THEN 'truncated'
+      WHEN is_bmp AND NOT ({_le16('26')} = 1 AND {_le16('28')} = 24 AND {_le32('30')} = 0
+                           AND {_sle32('18')} > 0 AND {_sle32('22')} > 0)
+        THEN 'unsupported_variant'
+      WHEN is_bmp AND {_le32('10')}
+             + ((3 * {_sle32('18')} + 3) // 4 * 4) * {_sle32('22')} > n_bytes
+        THEN 'truncated'
+      WHEN is_riff AND n_bytes < 44 THEN 'truncated'
+      WHEN is_riff AND substr(hx, 17, 8) <> '57415645' THEN 'bad_magic'
+      WHEN is_riff AND NOT ({_le16('20')} = 1 AND {_le16('22')} = 1 AND {_le16('34')} = 16
+                            AND substr(hx, 73, 8) = '64617461')
+        THEN 'unsupported_variant'
+      WHEN is_riff AND 44 + {_le32('40')} > n_bytes THEN 'truncated'
+      ELSE NULL
+    END AS error_kind
+  FROM parsed
+)"""
+
+
+@register("media_decode_verdicts", _VERDICT_SQL)
+def media_decode_verdicts(spark, sf_dir):
+    """M1 rule on deliberately corrupted payloads: deterministic hex-level
+    corruptions (truncation, magic overwrite, unsupported bpp/channels)
+    are planted identically in both engines; Spark classifies via the
+    real header parser (``classify_payload``), DuckDB via the same
+    ordered checks as a SQL CASE over the hex — the typed error rows
+    must agree exactly."""
+    from zparse_spark.multimodal import decode_verdicts
+
+    pay = _media_input(spark)
+    p0 = pay.select(
+        "media_ref",
+        "media_kind",
+        F.hex("payload").alias("hx0"),
+        F.substring("media_ref", 7, 10).cast("int").alias("i"),
+    )
+    m8 = F.col("i") % 8
+    tail = 1 << 30
+    hx = (
+        F.when(m8.isin(1, 2), F.substring("hx0", 1, 40))
+        .when(m8.isin(3, 4), F.concat(F.lit("5858"), F.substring("hx0", 5, tail)))
+        .when(
+            m8.isin(5, 6) & (F.col("media_kind") == "image"),
+            F.concat(F.substring("hx0", 1, 56), F.lit("2000"), F.substring("hx0", 61, tail)),
+        )
+        .when(
+            m8.isin(5, 6),
+            F.concat(F.substring("hx0", 1, 44), F.lit("0200"), F.substring("hx0", 49, tail)),
+        )
+        .otherwise(F.col("hx0"))
+    )
+    corrupted = p0.select(
+        "media_ref", "media_kind", F.to_binary(hx, F.lit("hex")).alias("payload")
+    )
+    return decode_verdicts(corrupted)
