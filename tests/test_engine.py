@@ -129,3 +129,29 @@ def test_referential_auto_falls_back_to_smj_for_large_catalog(spark):
     assert r1 == [("d2", "dangling media_ref: ghost_ref")]
     plan = viol._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
+
+
+def test_auto_probe_does_bounded_work_on_huge_catalog(spark):
+    """The 'auto' fuse probe must be limit(threshold+1).count(), not
+    count(): with a catalog whose full count is ~2^40 rows (hours of
+    work), deciding NOT to broadcast must still return immediately."""
+    import time
+
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark, [("d1", [("text", "hi", None, 0)], "p0")]
+    )
+    huge = spark.range(1 << 40).selectExpr(
+        "concat('media_', id) AS media_ref"
+    ).filter("media_ref IS NOT NULL")
+    eng = ValidationEngine(
+        ValidationConfig(
+            enable_drift=False, enable_uniqueness=False, broadcast_max_catalog_rows=100
+        )
+    )
+    t0 = time.perf_counter()
+    viol = eng.violations(docs, huge)  # eager probe happens here
+    assert time.perf_counter() - t0 < 30
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan  # fell back, did not fuse/broadcast

@@ -39,3 +39,23 @@ def test_broadcast_threshold_falls_back_to_salted(spark):
     small = spark.createDataFrame([(f"k{i}", i) for i in range(5)], ["key", "d"])
     out = broadcast_threshold_join(big, small, "key", broadcast_max_rows=2)
     assert out.count() == 100  # salted path, same result
+
+
+def test_broadcast_threshold_probe_bounded(spark):
+    """Same bounded-probe contract for the generic join utility: an
+    over-threshold 'small' side of ~2^40 rows must be detected in
+    bounded time and routed to the salted join."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.skew import broadcast_threshold_join
+
+    big = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    huge = spark.range(1 << 40).select(
+        F.col("id").alias("k"), F.lit(2).alias("w")
+    ).filter("k >= 0")
+    t0 = time.perf_counter()
+    out = broadcast_threshold_join(big, huge, "k", broadcast_max_rows=50)
+    assert time.perf_counter() - t0 < 30
+    assert "_salt" not in out.columns  # salted path taken, salt dropped

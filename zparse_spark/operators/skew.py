@@ -50,9 +50,10 @@ def broadcast_threshold_join(
     n_salts: int = 16,
 ) -> DataFrame:
     """Broadcast when the small side is provably small; otherwise salted
-    sort-merge. The row probe is a cheap count on the (already pruned)
-    small side — at 100 TB the catalog size is known from table metadata
-    instead."""
-    if small.count() <= broadcast_max_rows:
+    sort-merge. The probe is ``limit(threshold+1).count()`` so deciding
+    against broadcast costs bounded work even when the 'small' side turns
+    out to be a 10^9-row table — at 100 TB the catalog size is known from
+    table metadata instead and the probe disappears entirely."""
+    if small.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows:
         return big.join(F.broadcast(small), key, how)
     return salted_join(big, small, key, n_salts=n_salts, how=how)

@@ -84,12 +84,18 @@ class ValidationEngine:
         # catalog is provably broadcastable: always for
         # strategy='broadcast' (caller vouches), for 'auto' only when a
         # count probe confirms the key set is under the threshold —
-        # otherwise the standalone SMJ branch takes over
+        # otherwise the standalone SMJ branch takes over. The probe is
+        # limit(threshold+1).count(), NOT count(): deciding NOT to
+        # broadcast a 10^9-row catalog must not cost a full catalog scan
+        # — the limit stops the scan after threshold+1 rows either way
+        # (on a real Iceberg catalog, table metadata answers this for
+        # free; the bounded probe is the storage-agnostic fallback).
         fuse_ref = c.enable_referential and media_catalog is not None and (
             c.referential_strategy == "broadcast"
             or (
                 c.referential_strategy == "auto"
-                and media_catalog.count() <= c.broadcast_max_catalog_rows
+                and media_catalog.limit(c.broadcast_max_catalog_rows + 1).count()
+                <= c.broadcast_max_catalog_rows
             )
         )
         parts = [
