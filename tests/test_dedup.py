@@ -212,3 +212,31 @@ def test_resolve_converges_on_star_in_one_round(spark):
     got = resolve_duplicate_clusters(pairs, max_iter=3).collect()
     assert {r["rep_id"] for r in got} == {"hub"}
     assert len(got) == 31
+
+
+def test_md5_sample_hash_cap_matches_python_model(spark):
+    """cap_hot_buckets(sample_hash='md5') must keep exactly the ids whose
+    md5-derived keep-hash ≡ 0 (mod ceil(n/max_bucket)) — the invariant
+    the DuckDB capped-pipeline oracle relies on."""
+    import hashlib
+
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    n, mb = 40, 8
+    text = "identical boilerplate text repeated for every single document here"
+    docs = spark.createDataFrame(
+        [(f"b{i:02d}", text) for i in range(n)], ["doc_id", "text"]
+    )
+    pairs = minhash_dedup(docs, threshold=0.9, hash_fn="md5", max_bucket=mb).collect()
+    import math
+
+    mod = math.ceil(n / mb)
+    kept = sorted(
+        f"b{i:02d}"
+        for i in range(n)
+        if int(hashlib.md5(f"b{i:02d}".encode()).hexdigest()[:8], 16) % mod == 0
+    )
+    ids = sorted({r["id_a"] for r in pairs} | {r["id_b"] for r in pairs})
+    assert ids == kept
+    assert len(pairs) == len(kept) * (len(kept) - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in pairs)

@@ -69,6 +69,7 @@ def cap_hot_buckets(
     bucket_cols: list[str],
     id_col: str = "_id",
     max_bucket: int = 256,
+    sample_hash: str = "xxhash64",
 ) -> DataFrame:
     """Bound each LSH bucket to ~``max_bucket`` members before the pair
     self-join — THE web-dedup scale guard: one boilerplate bucket of 1M
@@ -88,18 +89,25 @@ def cap_hot_buckets(
 
     ``max_bucket <= 0`` disables the cap (the reference-free small-data
     path used by tests that assert exhaustive recall).
+
+    ``sample_hash`` picks the keep-hash: 'xxhash64' (codegen, the
+    production path) or 'md5' (first 8 hex nibbles of md5(id) parsed as
+    an integer — bit-reproducible in DuckDB via ascii arithmetic, so the
+    CAPPED pipeline itself is oracle-checkable, truncation included).
     """
     if max_bucket is None or max_bucket <= 0:
         return banded
     hot = hot_bucket_stats(banded, bucket_cols, max_bucket).withColumnRenamed(
         "n_members", "_bucket_n"
     )
+    if sample_hash == "xxhash64":
+        hv = F.xxhash64(F.col(id_col))
+    elif sample_hash == "md5":
+        hv = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown sample_hash {sample_hash!r}")
     keep = F.col("_bucket_n").isNull() | (
-        F.pmod(
-            F.xxhash64(F.col(id_col)),
-            F.ceil(F.col("_bucket_n") / F.lit(max_bucket)).cast("long"),
-        )
-        == 0
+        F.pmod(hv, F.ceil(F.col("_bucket_n") / F.lit(max_bucket)).cast("long")) == 0
     )
     return banded.join(hot, list(bucket_cols), "left").filter(keep).drop("_bucket_n")
 
@@ -151,7 +159,7 @@ def minhash_signature(shingle_arr: Column, n_hashes: int = 64, seed: int = 42) -
     )
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -159,24 +167,11 @@ def minhash_lsh_candidates(
     n_bands: int = 16,
     k_shingle: int = 3,
     seed: int = 42,
-    max_bucket: int = 256,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-dup pairs via banding: split the signature into
-    n_bands rows of n_hashes/n_bands values, hash each band, join docs
-    sharing any band bucket. Returns (id_a, id_b, n_shared_bands).
-
-    Shuffle profile: |docs| × n_bands small rows through one groupBy —
-    never a cross join. Hot buckets (boilerplate clusters) are capped at
-    ~``max_bucket`` members by ``cap_hot_buckets`` BEFORE the self-join,
-    so the worst-case pair count per bucket is bounded at max_bucket²/2
-    regardless of how many near-identical docs the corpus holds.
-
-    ``hash_fn`` picks the per-shingle hash primitive: 'xxhash64' (JVM
-    codegen, 8-byte values — the throughput path) or 'md5' (hex-string
-    min — bit-for-bit reproducible in DuckDB, so the whole LSH pipeline
-    is oracle-checkable cross-engine; ~5× slower, use for verification).
-    """
+    """The map side of MinHash-LSH: (_id, band, bucket) rows BEFORE the
+    hot-bucket cap — exposed separately so callers can inspect
+    ``hot_bucket_stats`` on exactly what the candidate join would see."""
     rows_per_band = n_hashes // n_bands
     # explode+groupBy formulation, NOT nested higher-order functions:
     # HOF lambdas are interpreted (no whole-stage codegen), and the
@@ -213,10 +208,52 @@ def minhash_lsh_candidates(
         )
         for b in range(n_bands)
     ]
-    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    banded = cap_hot_buckets(banded, ["band", "bucket"], id_col="_id", max_bucket=max_bucket)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k_shingle: int = 3,
+    seed: int = 42,
+    max_bucket: int = 256,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: split the signature into
+    n_bands rows of n_hashes/n_bands values, hash each band, join docs
+    sharing any band bucket. Returns (id_a, id_b, n_shared_bands).
+
+    Shuffle profile: |docs| × n_bands small rows through one groupBy —
+    never a cross join. Hot buckets (boilerplate clusters) are capped at
+    ~``max_bucket`` members by ``cap_hot_buckets`` BEFORE the self-join,
+    so the worst-case pair count per bucket is bounded at max_bucket²/2
+    regardless of how many near-identical docs the corpus holds.
+
+    ``hash_fn`` picks the per-shingle hash primitive: 'xxhash64' (JVM
+    codegen, 8-byte values — the throughput path) or 'md5' (hex-string
+    min — bit-for-bit reproducible in DuckDB, so the whole LSH pipeline
+    is oracle-checkable cross-engine; ~5× slower, use for verification).
+    The cap's keep-hash follows the same choice, so the md5 pipeline is
+    oracle-checkable WITH the cap enabled.
+    """
+    banded = minhash_banded(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        k_shingle=k_shingle,
+        seed=seed,
+        hash_fn=hash_fn,
+    )
+    banded = cap_hot_buckets(
+        banded, ["band", "bucket"], id_col="_id", max_bucket=max_bucket, sample_hash=hash_fn
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -391,7 +428,9 @@ def simhash_near_duplicates(
         "sig",
         F.posexplode("sig").alias("band", "bucket"),
     )
-    banded = cap_hot_buckets(banded, ["band", "bucket"], id_col="_id", max_bucket=max_bucket)
+    banded = cap_hot_buckets(
+        banded, ["band", "bucket"], id_col="_id", max_bucket=max_bucket, sample_hash=hash_fn
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(

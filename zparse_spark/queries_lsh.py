@@ -27,15 +27,7 @@ _MAX_HAMMING = 3
 
 # normalized text + word-3-shingles — the SQL twin of
 # functions.text.normalize_text and operators.dedup.shingles(mode='word')
-_SHINGLE_CTE = """
-base AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
-),
-input AS (
-  SELECT doc_id, text FROM base
-  UNION ALL
-  SELECT 'dup_' || doc_id, text FROM base WHERE CAST(doc_id AS BIGINT) % 10 = 0
-),
+_NORM_SH_TAIL = """,
 norm AS (
   SELECT doc_id, lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
   FROM input
@@ -49,6 +41,19 @@ sh AS (
          ELSE [t] END AS sh
   FROM toks
 )"""
+
+_SHINGLE_CTE = (
+    """
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+input AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT 'dup_' || doc_id, text FROM base WHERE CAST(doc_id AS BIGINT) % 10 = 0
+)"""
+    + _NORM_SH_TAIL
+)
 
 _min_cols = ",\n         ".join(
     f"min(md5(s || ':{h}:{_SEED}')) AS h{h}" for h in range(_N_HASHES)
@@ -108,6 +113,138 @@ def _docs_with_planted(spark, sf_dir, F):
         F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
     )
     return d.unionByName(planted)
+
+
+# --- Capped-pipeline twin: the hot-bucket cap IS oracle-gated ----------
+#
+# The scale guard itself (cap_hot_buckets) runs inside the oracled
+# pipeline here: a planted 40-copy boilerplate cluster makes every band
+# bucket hot (40 > max_bucket=8), the md5-derived keep-hash samples the
+# same survivors in both engines, and the verified pair set after
+# truncation must agree exactly. hot-bucket membership counts are
+# oracled separately so the round record shows the truncation FIRED.
+
+_CAP_MB = 8
+_N_BOILER = 40
+_BOILER_TEXT = (
+    "lorem ipsum boilerplate navigation footer copyright terms privacy contact about us"
+)
+
+_BOILER_SHINGLE_CTE = (
+    f"""
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+input AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT 'boiler_' || lpad(CAST(j AS VARCHAR), 2, '0'), '{_BOILER_TEXT}'
+  FROM unnest(range({_N_BOILER})) t(j)
+)"""
+    + _NORM_SH_TAIL
+)
+
+
+def _hv_sql(col: str) -> str:
+    """First 8 hex nibbles of md5(col) as an integer — the SQL twin of
+    cap_hot_buckets(sample_hash='md5')'s F.conv(substring(md5,1,8),16,10)."""
+    m = f"md5({col})"
+    terms = []
+    for k in range(8):
+        c = f"ascii(substr({m}, {k + 1}, 1))"
+        nib = f"CAST(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END AS BIGINT)"
+        terms.append(f"{nib} * {16 ** (7 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_CAPPED_SQL = f"""WITH{_BOILER_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_min_cols}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{_band_rows}
+),
+bcnt AS (
+  SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket
+  HAVING count(*) > {_CAP_MB}
+),
+capped AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM banded b LEFT JOIN bcnt c USING (band, bucket)
+  WHERE c.n IS NULL
+     OR ({_hv_sql('b.doc_id')} % CAST(ceil(CAST(c.n AS DOUBLE) / {_CAP_MB}) AS BIGINT)) = 0
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM capped l JOIN capped r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver WHERE j >= {_JACCARD_T}"""
+
+
+def _docs_with_boiler(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    boiler = spark.range(_N_BOILER).select(
+        F.concat(F.lit("boiler_"), F.lpad(F.col("id").cast("string"), 2, "0")).alias("doc_id"),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    return d.unionByName(boiler)
+
+
+@register("dedup_minhash_capped", _CAPPED_SQL)
+def dedup_minhash_capped(spark, sf_dir):
+    """MinHash near-dup pairs WITH the hot-bucket cap active
+    (max_bucket=8 against a planted 40-copy boilerplate cluster): the
+    deterministic md5 keep-hash truncation is reproduced by DuckDB, so
+    the oracle certifies the capped pipeline — the exact plan shape a
+    100 TB run uses — not just the exhaustive small-data variant."""
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    d = _docs_with_boiler(spark, sf_dir)
+    return minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=_CAP_MB, seed=_SEED
+    )
+
+
+_HOT_STATS_SQL = f"""WITH{_BOILER_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_min_cols}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{_band_rows}
+)
+SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_members
+FROM banded GROUP BY band, bucket HAVING count(*) > {_CAP_MB}"""
+
+
+@register("dedup_lsh_hot_bucket_stats", _HOT_STATS_SQL)
+def dedup_lsh_hot_bucket_stats(spark, sf_dir):
+    """The truncation evidence: per-(band, bucket) membership of every
+    hot bucket the cap trims — non-empty by construction (the planted
+    boilerplate cluster floods all 16 bands), value-matched by DuckDB."""
+    from zparse_spark.operators.dedup import hot_bucket_stats, minhash_banded
+
+    d = _docs_with_boiler(spark, sf_dir)
+    banded = minhash_banded(d, hash_fn="md5", seed=_SEED)
+    return hot_bucket_stats(banded, ["band", "bucket"], _CAP_MB)
 
 
 # --- SimHash twin: md5-nibble bit votes --------------------------------
