@@ -194,3 +194,39 @@ def test_ivf_and_brute_force_on_empty_corpus(spark):
     assert brute_force_topk(empty, q, k=5).count() == 0
     assert ivf_topk(empty, q, k=5, impl="expr").count() == 0
     assert ivf_topk(empty, q, k=5, impl="arrow").count() == 0
+
+
+def test_lsh_arrow_buckets_and_results_agree(spark, sf_dir):
+    """The arrow corpus-bucket path must produce identical buckets (and
+    therefore identical top-k) to the expr path on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import _hyperplanes
+    from zparse_spark.operators.similarity import (
+        _bucket_arrow_udf,
+        _bucket_expr,
+        lsh_topk,
+    )
+
+    emb, queries = load(spark, sf_dir)
+    planes = _hyperplanes(64, 8, 42)
+    both = emb.select(
+        _bucket_expr("embedding", planes).alias("b_expr"),
+        _bucket_arrow_udf(planes)(F.col("embedding")).alias("b_arrow"),
+    )
+    assert both.filter("b_expr <> b_arrow").count() == 0
+
+    r_expr = sorted(map(tuple, lsh_topk(emb, queries, k=5, impl="expr").collect()))
+    r_arrow = sorted(map(tuple, lsh_topk(emb, queries, k=5, impl="arrow").collect()))
+    assert r_expr == r_arrow
+
+
+def test_brute_force_arrow_empty_queries(spark, sf_dir):
+    """Empty query frame must return an empty, correctly-typed result
+    on the arrow path (previously crashed in np.linalg.norm)."""
+    from zparse_spark.operators.similarity import brute_force_topk
+
+    emb, queries = load(spark, sf_dir)
+    out = brute_force_topk(emb, queries.limit(0), k=5, impl="arrow")
+    assert out.count() == 0
+    assert out.columns == ["query_id", "corpus_id", "cosine", "rank"]
