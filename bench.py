@@ -119,26 +119,52 @@ def main() -> None:
         lambda: minhash_dedup(ddocs, threshold=0.8).count(),
     )
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "validation_and_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_docs": n_docs,
-                "docs_per_sec": docs_per_sec,
-                # measured by scripts/multi_jvm_bench.py (1 vs 4 concurrent
-                # executor-sized JVMs, disjoint shards) — see BASELINE.md §4a;
-                # not re-measured per bench run (it needs a quiet box and
-                # ~5 min), quoted here so the round record carries it
-                "scaling_efficiency_n_to_4n_executors": 0.967,
-                "scaling_evidence": "BASELINE.md §4 / scripts/multi_jvm_bench.py",
-            }
-        )
+    # production ANN paths (impl='arrow' — the 100 TB corpus-scan shape;
+    # the oracled registry queries pin impl='expr' for DuckDB parity)
+    from zparse_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_topk(emb.limit(500), qv, k=10, impl="arrow").count()  # warmup
+    timed("ivf_production", lambda: ivf_topk(emb, qv, k=10, impl="arrow").count())
+    timed("lsh_production", lambda: lsh_topk(emb, qv, k=10, impl="arrow").count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "validation_and_headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+    }
+    # scaling efficiency is quoted from the recorded multi-JVM artifact
+    # (scripts/multi_jvm_bench.py writes it; needs a quiet box + ~5 min,
+    # so it is not re-measured inside every bench run) — never a literal
+    # baked into this file, which would silently go stale
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "multi_jvm_result.json"
+    )
+    try:
+        with open(artifact) as f:
+            mj = json.load(f)
+        out["scaling_efficiency_n_to_4n_executors"] = mj["efficiency"]
+        out["scaling_efficiency_quoted_from"] = (
+            f"scripts/multi_jvm_result.json measured_at={mj.get('measured_at')} "
+            f"({mj.get('protocol')})"
+        )
+    except (OSError, KeyError, ValueError):
+        out["scaling_efficiency_n_to_4n_executors"] = None
+        out["scaling_efficiency_quoted_from"] = (
+            "missing scripts/multi_jvm_result.json — run scripts/multi_jvm_bench.py"
+        )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -44,6 +44,7 @@ import statistics
 import subprocess
 import sys
 import tempfile
+import time
 
 RUNNER = r"""
 import json, os, statistics, sys, time
@@ -151,10 +152,11 @@ def main() -> None:
     total_docs = sum(c["n_docs"] for c in concs)
     agg_solo = solo["n_docs"] / solo["sec"]
     agg_conc = total_docs / t_conc
-    print(json.dumps({
+    result = {
         "metric": "scale_out_efficiency",
         "protocol": f"1x vs {args.jvms}x concurrent local[{args.cores}] JVMs, "
                     f"{args.heap_gb}g heap each, disjoint shards",
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_docs_total": total_docs,
         "n_docs_per_shard": solo["n_docs"],
         "sec_solo": solo["sec"],
@@ -164,7 +166,13 @@ def main() -> None:
         "docs_per_sec_1jvm": round(agg_solo, 1),
         "docs_per_sec_kjvm": round(agg_conc, 1),
         "efficiency": round(solo["sec"] / t_conc, 3),
-    }))
+    }
+    print(json.dumps(result))
+    # persist as the per-round artifact bench.py quotes (ADVICE: never
+    # bake the figure into bench.py itself — it would silently go stale)
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multi_jvm_result.json")
+    with open(artifact, "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
