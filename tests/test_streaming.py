@@ -109,3 +109,45 @@ def test_dedup_stream_drops_redelivered_docs(spark, tmp_path):
     got = spark.read.parquet(f"{out}/deduped")
     assert got.count() == 200
     assert got.select("doc_id").distinct().count() == 200
+
+
+def test_compaction_removes_post_watermark_redelivery(spark, tmp_path):
+    """The documented handoff, end-to-end: a doc re-delivered AFTER its
+    dedup state expired slips into the sink twice (watermark semantics,
+    not a bug); compact_dedup_sink then leaves exactly one copy — the
+    FIRST arrival."""
+    from zparse_spark.streaming.validate_stream import compact_dedup_sink, dedup_stream
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    t0 = 1_700_000_000
+
+    def docs_at(ids_ts):
+        return spark.createDataFrame(
+            [(i, f"text of {i}", ts) for i, ts in ids_ts], ["doc_id", "text", "_ts"]
+        ).select("doc_id", "text", F.timestamp_seconds(F.col("_ts")).alias("ts"))
+
+    def run_batch(rows):
+        docs_at(rows).write.mode("append").parquet(src)
+        schema = "doc_id string, text string, ts timestamp"
+        q = dedup_stream(
+            spark.readStream.schema(schema).parquet(src), out, delay="1 hour"
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A and B arrive at t0
+    run_batch([("A", t0), ("B", t0)])
+    # batch 2: C at t0+3h advances the watermark to t0+2h (> A's expiry)
+    run_batch([("C", t0 + 3 * 3600)])
+    # batch 3: A re-delivered at t0+2.5h — state expired, slips through
+    run_batch([("A", t0 + 2 * 3600 + 1800)])
+
+    sink = spark.read.parquet(f"{out}/deduped")
+    assert sink.filter("doc_id = 'A'").count() == 2  # the gap is real
+
+    compacted = compact_dedup_sink(spark, out)
+    assert compacted.count() == 3
+    a_rows = compacted.filter("doc_id = 'A'").collect()
+    assert len(a_rows) == 1
+    # first arrival wins: the surviving copy carries the ORIGINAL ts
+    assert int(a_rows[0]["ts"].timestamp()) == t0

@@ -89,6 +89,46 @@ def violation_rate_windows(
     )
 
 
+def compact_dedup_sink(
+    spark,
+    out_dir: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Offline compaction closing ``dedup_stream``'s watermark gap: a
+    document re-delivered AFTER its dedup state expired lands in the
+    sink twice; this job removes those stragglers so streaming +
+    compaction together give exactly-once per id over all history.
+
+    Keep rule: first arrival wins — min event time per id, ties broken
+    by a stable row hash — the same row ``dropDuplicatesWithinWatermark``
+    keeps when its state is live, so compaction never changes which copy
+    survives, only removes late extras.
+
+    Scale shape: one shuffle on the id (the window's partition key);
+    the per-key sort is over duplicate copies only (a handful of rows),
+    never the corpus. Output goes to ``out_dir/compacted`` (full
+    overwrite — the compacted snapshot is a new table version, the
+    crash-safe pattern; callers swap pointers, never rewrite the live
+    sink in place). Returns the read-back compacted frame.
+    """
+    from pyspark.sql import Window
+
+    sink = spark.read.parquet(f"{out_dir}/deduped")
+    w = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
+        F.col(event_time_col).asc(),
+        F.xxhash64(*[F.col(c) for c in sink.columns]).asc(),
+    )
+    (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/compacted")
+    )
+    return spark.read.parquet(f"{out_dir}/compacted")
+
+
 def dedup_stream(
     stream_docs: DataFrame,
     out_dir: str,
@@ -105,9 +145,10 @@ def dedup_stream(
     the property that makes exact dedup runnable on an unbounded stream:
     state is O(ids per watermark window), not O(ids ever seen). A
     re-delivered document inside the window is dropped; re-delivery
-    after the window lands in the offline compaction's lap
-    (``exact_duplicates`` over the sink), the same split as U1's
-    per-batch / compaction trade-off in ``validate_stream``.
+    after the window lands in the offline compaction's lap —
+    ``compact_dedup_sink`` over this sink, tested end-to-end against a
+    post-watermark re-delivery — the same split as U1's per-batch /
+    compaction trade-off in ``validate_stream``.
     """
     deduped = stream_docs.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         list(id_cols)
