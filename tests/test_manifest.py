@@ -1,5 +1,8 @@
 """Resume semantics: a rerun validates only uncommitted partitions and
-produces no duplicate violations (SURVEY.md §5.2 item 5)."""
+produces no duplicate violations (SURVEY.md §5.2 item 5); table-wide
+rules re-evaluate over the full table into their own sink; sinks are
+namespaced by rules_hash; the manifest itself can be JSONL or a parquet
+table."""
 
 from __future__ import annotations
 
@@ -25,8 +28,8 @@ def test_resume_skips_committed_partitions(spark, tmp_path):
     second = run_with_manifest(eng, docs, cat, out)
     assert second == []
 
-    # violations written exactly once per partition
-    viol = spark.read.parquet(os.path.join(out, "violations"))
+    # violations written exactly once per partition (both sinks combined)
+    viol = Manifest(out).read_violations(spark, eng.config.rules_hash())
     base = eng.violations(docs, cat)
     assert viol.count() == base.count()
 
@@ -56,9 +59,10 @@ def test_rules_hash_invalidates_resume(spark, tmp_path):
 
 def test_resume_runs_table_rules_over_full_table(spark, tmp_path):
     """A doc_id duplicated across a COMMITTED and a PENDING partition
-    must still be caught on resume: U1 is not partition-decomposable, so
-    the resumed run evaluates it table-wide and emits the pending
-    partition's violation row."""
+    must flag BOTH copies on resume: U1 runs table-wide into its own
+    sink (violations_table), which is never partition-filtered — the
+    committed partition's row is no longer silently lost (round-2
+    ADVICE)."""
     from tests.conftest import make_docs
 
     out = str(tmp_path / "run4")
@@ -73,10 +77,11 @@ def test_resume_runs_table_rules_over_full_table(spark, tmp_path):
 
     done = run_with_manifest(eng, docs, None, out)
     assert done == ["p1"]
-    viol = spark.read.parquet(os.path.join(out, "violations"))
-    u1 = viol.filter("rule_id = 'U1'").collect()
-    # the pending partition's copy is reported; the committed one is not re-emitted
-    assert [(r["partition"], r["doc_id"]) for r in u1] == [("p1", "dup")]
+    viol = m.read_violations(spark, eng.config.rules_hash())
+    u1 = sorted(
+        (r["partition"], r["doc_id"]) for r in viol.filter("rule_id = 'U1'").collect()
+    )
+    assert u1 == [("p0", "dup"), ("p1", "dup")]
 
 
 def test_crash_rerun_does_not_duplicate_violations(spark, tmp_path):
@@ -87,12 +92,63 @@ def test_crash_rerun_does_not_duplicate_violations(spark, tmp_path):
     docs = generate_documents(spark, n_docs=200, seed=5, n_partitions=4).drop("_fixture_class")
     cat = generate_media_catalog(spark)
     eng = ValidationEngine(ValidationConfig(enable_drift=False))
+    rh = eng.config.rules_hash()
 
     run_with_manifest(eng, docs, cat, out)
-    expected = spark.read.parquet(os.path.join(out, "violations")).count()
+    expected = Manifest(out).read_violations(spark, rh).count()
 
     os.remove(os.path.join(out, "manifest.jsonl"))  # crash: data written, commits lost
     rerun = run_with_manifest(eng, docs, cat, out)
     assert len(rerun) == 4
-    got = spark.read.parquet(os.path.join(out, "violations")).count()
+    got = Manifest(out).read_violations(spark, rh).count()
     assert got == expected
+
+
+def test_parquet_backed_manifest_resume(spark, tmp_path):
+    """The cluster-deployment manifest shape: commit rows live in a
+    parquet table next to the data; resume works identically."""
+    out = str(tmp_path / "run6")
+    docs = generate_documents(spark, n_docs=200, seed=5, n_partitions=4).drop("_fixture_class")
+    cat = generate_media_catalog(spark)
+    eng = ValidationEngine(ValidationConfig(enable_drift=False))
+    m = Manifest(out, fmt="parquet")
+
+    first = run_with_manifest(eng, docs, cat, out, manifest=m)
+    assert len(first) == 4
+    assert not os.path.exists(os.path.join(out, "manifest.jsonl"))
+    assert os.path.isdir(os.path.join(out, "manifest_table"))
+
+    # a FRESH Manifest object (new driver) sees the commits
+    m2 = Manifest(out, fmt="parquet")
+    assert len(m2.committed_partitions(spark, eng.config.rules_hash())) == 4
+    assert run_with_manifest(eng, docs, cat, out, manifest=m2) == []
+    assert m2.as_dataframe(spark).count() == 4
+
+
+def test_rules_hash_change_does_not_mix_stale_violations(spark, tmp_path):
+    """After a rule change every partition re-validates under the new
+    hash; readback for the new hash must contain ONLY new-rule rows even
+    though the old namespace still holds the old files (round-2 ADVICE:
+    previously a partition with zero new-rule violations kept stale
+    files in the shared directory)."""
+    from zparse_spark.operators.rules import RuleParams
+
+    out = str(tmp_path / "run7")
+    docs = generate_documents(spark, n_docs=200, seed=5, n_partitions=4).drop("_fixture_class")
+    cat = generate_media_catalog(spark)
+
+    strict = ValidationEngine(
+        ValidationConfig(params=RuleParams(max_spans=1), enable_drift=False)
+    )  # every multi-span doc violates S3
+    lax = ValidationEngine(ValidationConfig(enable_drift=False))
+    assert strict.config.rules_hash() != lax.config.rules_hash()
+
+    run_with_manifest(strict, docs, cat, out)
+    n_strict = Manifest(out).read_violations(spark, strict.config.rules_hash()).count()
+    assert n_strict > 0
+
+    run_with_manifest(lax, docs, cat, out)
+    lax_viol = Manifest(out).read_violations(spark, lax.config.rules_hash())
+    assert lax_viol.filter("rule_id = 'S3'").count() == 0  # no stale strict rows
+    # the strict namespace is untouched
+    assert Manifest(out).read_violations(spark, strict.config.rules_hash()).count() == n_strict

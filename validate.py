@@ -55,11 +55,10 @@ def main(argv: list[str] | None = None) -> int:
         import shutil
 
         shutil.rmtree(args.out, ignore_errors=True)
-    done = run_with_manifest(engine, docs, catalog, args.out)
+    manifest = Manifest(args.out)
+    done = run_with_manifest(engine, docs, catalog, args.out, manifest=manifest)
 
-    from zparse_spark.schema import VIOLATION_SCHEMA
-
-    viol = spark.read.schema(VIOLATION_SCHEMA).parquet(f"{args.out}/violations")
+    viol = manifest.read_violations(spark, engine.config.rules_hash())
     verdicts = engine.verdicts(docs, viol)
     verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
     engine.metrics(docs).write.mode("overwrite").parquet(f"{args.out}/metrics")

@@ -4,13 +4,26 @@ The reference is fail-fast single-shot (first error aborts the parse,
 error.rs:144); a 10^12-doc job cannot be. The engine writes violations
 partition-by-partition and commits one manifest row per completed
 partition; on restart it anti-joins the manifest and validates only the
-remainder (SURVEY.md §4.3) — except U1/D1, which are table-wide and
-always re-evaluated over the full table (see ``run_with_manifest``).
-Commit protocol: dynamic-partition-overwrite the partition's violations
-under ``violations/partition=<p>/`` (a re-validated partition REPLACES
-its files), then append the manifest row — last-writer-wins per
-(partition, rules_hash), so a crash-and-rerun or speculative
-double-commit is idempotent for both the data files and the manifest.
+remainder (SURVEY.md §4.3).
+
+Sink layout (all namespaced by rules_hash, so a rule change can never
+mix old-rule rows into a new run's readback):
+
+    violations/rules_hash=<rh>/partition=<p>/   span/doc/R1 rules —
+        partition-decomposable, committed per partition via dynamic
+        partition overwrite (re-validation REPLACES the partition's
+        files; crash-and-rerun is idempotent)
+    violations_table/rules_hash=<rh>/           U1/D1 — table-wide
+        rules, re-evaluated over the FULL table on every run and the
+        whole sink overwritten: a duplicate whose second copy arrives
+        after a partition committed still (re)surfaces the committed
+        partition's row, because this sink is never partition-filtered
+
+Manifest storage: append-only JSONL (driver-local, the sandbox default)
+or a parquet table (``fmt='parquet'`` — the cluster deployment shape:
+lives next to the data, readable by any engine, commit rows carry a
+monotonic ``commit_seq``). Both are last-writer-wins per
+(partition, rules_hash), so speculative double-commits are idempotent.
 """
 
 from __future__ import annotations
@@ -26,41 +39,96 @@ from zparse_spark.schema import MANIFEST_SCHEMA, VIOLATION_SCHEMA
 
 
 class Manifest:
-    def __init__(self, path: str):
+    def __init__(self, path: str, fmt: str = "jsonl"):
+        if fmt not in ("jsonl", "parquet"):
+            raise ValueError(f"unknown manifest fmt {fmt!r}")
         self.path = path
+        self.fmt = fmt
         self._rows_path = os.path.join(path, "manifest.jsonl")
+        self._table_path = os.path.join(path, "manifest_table")
+
+    # -- reads --------------------------------------------------------
 
     def committed_partitions(self, spark: SparkSession, rules_hash: str) -> set[str]:
-        rows = self._read_rows()
+        rows = self._read_rows(spark)
         return {
             r["partition"]
             for r in rows
             if r["rules_hash"] == rules_hash and r["status"] == "done"
         }
 
-    def _read_rows(self) -> list[dict]:
+    def _read_rows(self, spark: SparkSession | None = None) -> list[dict]:
+        if self.fmt == "parquet":
+            if not os.path.isdir(self._table_path):
+                return []
+            spark = spark or SparkSession.getActiveSession()
+            return [
+                r.asDict()
+                for r in spark.read.parquet(self._table_path)
+                .orderBy("commit_seq")
+                .collect()
+            ]
         if not os.path.exists(self._rows_path):
             return []
         with open(self._rows_path) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def commit(self, partition: str, rules_hash: str, n_docs: int, n_violations: int) -> None:
+    # -- commits ------------------------------------------------------
+
+    def commit(
+        self,
+        partition: str,
+        rules_hash: str,
+        n_docs: int,
+        n_violations: int,
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.commit_many([(partition, rules_hash, n_docs, n_violations)], spark=spark)
+
+    def commit_many(
+        self,
+        entries: list[tuple[str, str, int, int]],
+        spark: SparkSession | None = None,
+    ) -> None:
+        """Commit a batch of (partition, rules_hash, n_docs, n_violations)
+        rows in ONE write — at cluster scale a run commits thousands of
+        partitions and a per-row parquet append would be a job each."""
+        if not entries:
+            return
+        ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        rows = [
+            {
+                "partition": p,
+                "rules_hash": rh,
+                "status": "done",
+                "n_docs": n,
+                "n_violations": v,
+                "ts": ts,
+            }
+            for p, rh, n, v in entries
+        ]
+        if self.fmt == "parquet":
+            spark = spark or SparkSession.getActiveSession()
+            seq = time.time_ns()
+            df = spark.createDataFrame(
+                [
+                    (r["partition"], r["rules_hash"], r["status"], r["n_docs"],
+                     r["n_violations"], r["ts"], seq + i)
+                    for i, r in enumerate(rows)
+                ],
+                "partition string, rules_hash string, status string, "
+                "n_docs long, n_violations long, ts string, commit_seq long",
+            )
+            df.coalesce(1).write.mode("append").parquet(self._table_path)
+            return
         os.makedirs(self.path, exist_ok=True)
-        row = {
-            "partition": partition,
-            "rules_hash": rules_hash,
-            "status": "done",
-            "n_docs": n_docs,
-            "n_violations": n_violations,
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
         # append-only JSONL; readers take the last row per key
-        # (last-writer-wins — idempotent under speculative re-commit)
         with open(self._rows_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
-        rows = self._read_rows()
+        rows = self._read_rows(spark)
         if not rows:
             return spark.createDataFrame([], MANIFEST_SCHEMA)
         df = spark.createDataFrame(rows)
@@ -73,32 +141,57 @@ class Manifest:
             F.to_timestamp("ts").alias("ts"),
         )
 
+    # -- violation sinks ----------------------------------------------
+
+    def partition_sink(self, rules_hash: str) -> str:
+        return os.path.join(self.path, "violations", f"rules_hash={rules_hash}")
+
+    def table_sink(self, rules_hash: str) -> str:
+        return os.path.join(self.path, "violations_table", f"rules_hash={rules_hash}")
+
+    def read_violations(self, spark: SparkSession, rules_hash: str) -> DataFrame:
+        """All persisted violations for ``rules_hash``: the per-partition
+        sink UNION the table-rule sink. Explicit schema — an all-valid
+        run leaves empty directories."""
+        parts = []
+        for p in (self.partition_sink(rules_hash), self.table_sink(rules_hash)):
+            if os.path.isdir(p):
+                parts.append(spark.read.schema(VIOLATION_SCHEMA).parquet(p))
+        if not parts:
+            return spark.createDataFrame([], VIOLATION_SCHEMA)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
 
 def run_with_manifest(
     engine,
     docs: DataFrame,
     media_catalog: DataFrame | None,
     out_dir: str,
+    manifest: Manifest | None = None,
 ) -> list[str]:
     """Resumable run: validate only partitions absent from the manifest.
 
     One Spark job validates ALL pending partitions together (the pending
     filter is a partition-prunable predicate — on a real Iceberg table it
     becomes partition pruning at the scan); per-partition violation counts
-    then commit one manifest row each. Returns newly committed partitions.
+    then commit one manifest batch. Returns newly committed partitions.
 
     Resume semantics for the non-decomposable rules: U1 (table-wide
     doc_id uniqueness) and D1 (per-partition PSI vs the GLOBAL kind
-    distribution) always run over the FULL table — a dup spanning a
-    committed and a pending partition, or a drift baseline computed from
-    a subset, would otherwise silently weaken a resumed run. Their
-    violation rows are then restricted to pending partitions (committed
-    partitions' rows were persisted by the run that committed them).
-    Both rules read pruned scans (doc_id/partition, spans.kind), so the
-    full-table pass does not re-decode text bytes.
+    distribution) always run over the FULL table and their rows replace
+    the whole ``violations_table`` sink — including rows for partitions
+    that committed long ago, so a duplicate that spans a committed and a
+    pending partition flags BOTH copies (the committed partition's
+    per-partition files are untouched; the table sink is a separate
+    namespace precisely so this rewrite cannot clobber them). Both rules
+    read pruned scans (doc_id/partition, spans.kind), so the full-table
+    pass does not re-decode text bytes.
     """
     spark = docs.sparkSession
-    manifest = Manifest(out_dir)
+    manifest = manifest or Manifest(out_dir)
     rh = engine.config.rules_hash()
     done = manifest.committed_partitions(spark, rh)
     pending_docs = docs.filter(~F.col("partition").isin(sorted(done))) if done else docs
@@ -108,11 +201,7 @@ def run_with_manifest(
         return []
 
     viol = engine.violations(pending_docs, media_catalog, include_table_rules=False)
-    table_viol = engine.table_violations(docs)
-    if done:
-        table_viol = table_viol.filter(~F.col("partition").isin(sorted(done)))
-    viol = viol.unionByName(table_viol)
-    viol_path = os.path.join(out_dir, "violations")
+    viol_path = manifest.partition_sink(rh)
     # per-partition dynamic overwrite: re-validating a partition REPLACES
     # its violation files instead of appending a second copy — a job that
     # died between the data write and the manifest commit stays idempotent
@@ -124,16 +213,18 @@ def run_with_manifest(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
+    # table-wide rules: full re-evaluation, full sink overwrite (see
+    # module docstring) — never filtered to pending partitions
+    table_viol = engine.table_violations(docs)
+    table_viol.write.mode("overwrite").parquet(manifest.table_sink(rh))
+
+    all_viol = manifest.read_violations(spark, rh)
     counts = {
         r["partition"]: (r["n"], r["v"])
         for r in pending_docs.groupBy("partition")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(
-            # explicit schema: an all-valid run writes zero part files and
-            # schema inference would fail on the empty directory tree
-            spark.read.schema(VIOLATION_SCHEMA)
-            .parquet(viol_path)
-            .filter(F.col("partition").isin(todo))
+            all_viol.filter(F.col("partition").isin(todo))
             .groupBy("partition")
             .agg(F.count(F.lit(1)).alias("v")),
             "partition",
@@ -142,7 +233,7 @@ def run_with_manifest(
         .fillna({"v": 0})
         .collect()
     }
-    for p in todo:
-        n, v = counts.get(p, (0, 0))
-        manifest.commit(p, rh, n, v)
+    manifest.commit_many(
+        [(p, rh, *counts.get(p, (0, 0))) for p in todo], spark=spark
+    )
     return todo
