@@ -240,3 +240,25 @@ def test_md5_sample_hash_cap_matches_python_model(spark):
     assert ids == kept
     assert len(pairs) == len(kept) * (len(kept) - 1) // 2
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_resolve_warns_on_non_convergence(spark):
+    """A chain deeper than max_iter must not return silently-wrong labels."""
+    import warnings
+
+    from zparse_spark.operators.dedup import resolve_duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(8)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        resolve_duplicate_clusters(chain, max_iter=2).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+
+    # and with enough iterations: no warning, correct single component
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = resolve_duplicate_clusters(chain, max_iter=10).collect()
+    assert not any("did not converge" in str(x.message) for x in w)
+    assert {r["rep_id"] for r in out} == {"n0"}

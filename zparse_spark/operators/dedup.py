@@ -563,6 +563,7 @@ def resolve_duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -586,6 +587,21 @@ def resolve_duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # component diameter exceeded max_iter: labels are NOT a fixpoint
+        # and keep_representatives would retain >1 'representative' inside
+        # one true cluster — surface it loudly instead of returning wrong
+        # labels silently (use the large-star/small-star variant or a
+        # higher max_iter for deep-chain graphs)
+        import warnings
+
+        warnings.warn(
+            f"resolve_duplicate_clusters did not converge within "
+            f"max_iter={max_iter} ({changed} labels still changing); "
+            f"results are NOT connected components — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))
 
 
