@@ -88,7 +88,7 @@ def test_hot_key_skew_uniqueness(spark):
     ).drop("_fixture_class")
     from zparse_spark.operators.rules import uniqueness_violations
 
-    v = uniqueness_violations(docs, n_salts=16)
+    v = uniqueness_violations(docs)
     hot = v.filter(F.col("doc_id") == "0")
     assert hot.count() == 501  # original + 500 replicas, one violation row each
 

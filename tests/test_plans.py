@@ -97,3 +97,19 @@ def test_ivf_topk_plan_discipline(spark, sf_dir):
     arrow_plan = plan_of(ivf_topk(emb, q, k=5, impl="arrow"))
     assert "ArrowEvalPython" in arrow_plan
     assert "BatchEvalPython" not in arrow_plan
+
+
+def test_decorrelation_plans(spark, sf_dir):
+    """The correlated EXISTS / NOT EXISTS flagships must decorrelate to
+    semi/anti joins — never a CartesianProduct, and the anti join keeps
+    the outer-column comparison as a join condition."""
+    from zparse_spark.queries import all_queries
+
+    qs = all_queries()
+    p4 = plan_of(qs["tpch_q4_exists"](spark, sf_dir))
+    assert "CartesianProduct" not in p4
+    assert "LeftSemi" in p4
+
+    p21 = plan_of(qs["tpch_q21_lite"](spark, sf_dir))
+    assert "CartesianProduct" not in p21
+    assert "LeftSemi" in p21 and "LeftAnti" in p21

@@ -375,7 +375,7 @@ def span_rule_violations(
 # --------------------------------------------------------------------------
 
 
-def uniqueness_violations(docs: DataFrame, n_salts: int = 64) -> DataFrame:
+def uniqueness_violations(docs: DataFrame) -> DataFrame:
     """U1: doc_id must be unique table-wide (DuplicateKey lifted from
     toml/parser.rs:918-924).
 
@@ -390,10 +390,10 @@ def uniqueness_violations(docs: DataFrame, n_salts: int = 64) -> DataFrame:
     two-phase salted variant; measured at 16M unique keys / 32 cores it
     shuffles |docs| rows twice and ran 2.99 s vs 1.94 s for this
     single-phase form — salting solves a problem count aggregates don't
-    have, at the price of doubling shuffle volume. ``n_salts`` is kept
-    for API stability; the hot-key guard that still matters is on the
-    emit join below, where AQE skew-join splitting spreads a duplicated
-    key's violation rows.
+    have, at the price of doubling shuffle volume (the former
+    ``n_salts`` knob is gone with it). The hot-key guard that still
+    matters is on the emit join below, where AQE skew-join splitting
+    spreads a duplicated key's violation rows.
 
     Violations are emitted per duplicated *row* by joining the dup keys
     back (AQE broadcasts the dup-key side when small; skew-join splits

@@ -1,9 +1,9 @@
 """ValidationEngine — composes the rule pack into one Catalyst DAG.
 
 Lifecycle (SURVEY.md §3.4): read documents → span/doc rules (map-only) ∪
-uniqueness (salted two-phase agg) ∪ referential (pruned explode +
-broadcast anti-join) ∪ drift (two small aggs) → violations table →
-verdict matrix. One pass over the input; the four branches share the
+uniqueness (single-phase count agg, map-side combine) ∪ referential
+(pruned explode + broadcast anti-join) ∪ drift (two small aggs) →
+violations table → verdict matrix. One pass over the input; the four branches share the
 scan (Spark reuses the exchange under AQE where possible, and the input
 is columnar parquet/Iceberg so each branch prunes to the columns it
 needs).
@@ -39,7 +39,6 @@ class ValidationConfig:
     enable_uniqueness: bool = True
     enable_referential: bool = True
     enable_drift: bool = True
-    n_salts: int = 64
     # 'auto' fuses R1 into the span explode only when the catalog key set
     # is provably under this row count (cheap count probe here; table
     # metadata on a real Iceberg catalog) — an unconditionally forced
@@ -102,7 +101,7 @@ class ValidationEngine:
             span_rule_violations(docs, c.params, media_catalog=media_catalog if fuse_ref else None)
         ]
         if c.enable_uniqueness and include_table_rules:
-            parts.append(uniqueness_violations(docs, n_salts=c.n_salts))
+            parts.append(uniqueness_violations(docs))
         if c.enable_referential and media_catalog is not None and not fuse_ref:
             strategy = "smj" if c.referential_strategy == "auto" else c.referential_strategy
             parts.append(referential_violations(docs, media_catalog, strategy))
@@ -122,7 +121,7 @@ class ValidationEngine:
         c = self.config
         parts = []
         if c.enable_uniqueness:
-            parts.append(uniqueness_violations(docs, n_salts=c.n_salts))
+            parts.append(uniqueness_violations(docs))
         if c.enable_drift:
             parts.append(drift_violations(docs, c.params))
         if not parts:

@@ -1152,3 +1152,68 @@ def corpus_filter_report(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return filter_report(corpus_filter(d))
+
+
+# ---------------------------------------------------------------------------
+# Decorrelation flagships: correlated EXISTS / NOT EXISTS (TPC-H q4/q21
+# shapes adapted to the driver tables' columns). The Spark side is
+# deliberately written as SQL with correlated subqueries so the oracle
+# gate exercises Catalyst's decorrelation (RewritePredicateSubquery →
+# left-semi / left-anti joins); tests/test_plans.py asserts the rewritten
+# plans contain the semi/anti joins and no CartesianProduct.
+# ---------------------------------------------------------------------------
+
+
+def _register_tpch_views(spark, sf_dir):
+    for t in ("orders", "lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("tpch_q4_exists", _Q4_SQL)
+def tpch_q4_exists(spark, sf_dir):
+    """TPC-H q4 shape: per-priority order counts gated on a correlated
+    EXISTS — Catalyst decorrelates to a left-semi join (plan-asserted);
+    DuckDB runs the identical SQL."""
+    _register_tpch_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND n.n_name IN ('NATION_3', 'NATION_7')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+@register("tpch_q21_lite", _Q21_SQL)
+def tpch_q21_lite(spark, sf_dir):
+    """TPC-H q21 shape: the anti-join-heavy 'only late supplier of a
+    finished order' query — one correlated EXISTS (semi), one correlated
+    NOT EXISTS with an outer-column comparison (anti), three dimension
+    joins, top-k. The NOT EXISTS references the OUTER query's
+    o_orderdate inside the subquery predicate, the harder decorrelation
+    case. (numwait, s_name) totally orders the result, so the LIMIT
+    cutoff is deterministic cross-engine."""
+    _register_tpch_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
