@@ -113,3 +113,36 @@ def test_decorrelation_plans(spark, sf_dir):
     p21 = plan_of(qs["tpch_q21_lite"](spark, sf_dir))
     assert "CartesianProduct" not in p21
     assert "LeftSemi" in p21 and "LeftAnti" in p21
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized IVF index must be probed via partition pruning:
+    the scan's PartitionFilters carry the cell IN (...) predicate and
+    only the probed cell directories are read."""
+    from zparse_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    idx = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, idx, nlist=16)
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    out = ivf_topk_indexed(spark, idx, q, k=5, nprobe=2, nlist=16, centroids=cents)
+    plan = plan_of(out)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("cell" in l for l in scan)
+    # at most nq*nprobe = 6 of 16 cells survive pruning
+    import re
+
+    m = re.search(r"cell#\d+ IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) <= 6
+
+    # results identical to the unindexed operator on the same codebook
+    base = ivf_topk(emb, q, k=5, nprobe=2, nlist=16, centroids=cents)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))

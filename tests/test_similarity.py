@@ -230,3 +230,32 @@ def test_brute_force_arrow_empty_queries(spark, sf_dir):
     out = brute_force_topk(emb, queries.limit(0), k=5, impl="arrow")
     assert out.count() == 0
     assert out.columns == ["query_id", "corpus_id", "cosine", "rank"]
+
+
+def test_lsh_index_pruning_and_equivalence(spark, sf_dir, tmp_path):
+    """write_lsh_index + lsh_topk_indexed: probed buckets reach the scan
+    as partition filters, and results equal the unindexed lsh_topk."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb, queries = load(spark, sf_dir)
+    # double vectors on both paths: the indexed probe side carries
+    # float64 query vectors, so float32 inputs would differ in the 6th
+    # cosine decimal between the two formulations
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = queries.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    idx = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, idx, n_planes=8)
+    out = lsh_topk_indexed(spark, idx, queries, k=5, n_planes=8)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("bucket" in l for l in scan)
+
+    base = lsh_topk(emb, queries, k=5, n_planes=8)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))

@@ -201,6 +201,106 @@ def lsh_topk(
     )
 
 
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    impl: str = "arrow",
+) -> None:
+    """Materialize the LSH-bucketed corpus: assign sign-buckets (Arrow
+    matmul by default) and write ``partitionBy("bucket")`` — the one-time
+    cost the multiprobe path amortizes; probes then read only matching
+    bucket directories (partition pruning), never the full corpus."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    if impl == "arrow":
+        bucket = _bucket_arrow_udf(planes)(F.col(vec_col))
+    else:
+        bucket = _bucket_expr(vec_col, planes)
+    corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), bucket.alias("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k over a ``write_lsh_index`` table with static
+    partition pruning: query buckets (plus hamming-1 probes) are
+    computed driver-side from the same hyperplanes and pushed into the
+    scan as ``bucket IN (...)``. Same output schema as lsh_topk."""
+    from pyspark.sql import types as T
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    pm = np.asarray(planes, dtype=np.float64)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"lsh_topk_indexed computes probes driver-side; got {len(qrows)} "
+            f"queries (> {max_queries}) — split the query batch"
+        )
+    qid_type = queries.schema[query_id_col].dataType
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, True),
+            T.StructField("_qv", T.ArrayType(T.DoubleType()), True),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+    probe_rows, probe_buckets = [], set()
+    for qid, vec in qrows:
+        bits = (pm @ np.asarray(vec, dtype=np.float64)) > 0
+        base = 0
+        for b in bits:  # planes[0] is the MSB, matching _bucket_expr
+            base = base * 2 + int(b)
+        buckets = [base] + (
+            [base ^ (1 << b) for b in range(n_planes)] if multiprobe else []
+        )
+        for bk in buckets:
+            probe_rows.append((qid, [float(x) for x in vec], bk))
+            probe_buckets.add(bk)
+    if not probe_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", qid_type, True),
+                    T.StructField("corpus_id", T.LongType(), True),
+                    T.StructField("cosine", T.DoubleType(), True),
+                    T.StructField("rank", T.IntegerType(), True),
+                ]
+            ),
+        )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+    c = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(sorted(probe_buckets))
+    )
+    scored = c.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        "corpus_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the cell-probed scale path
 # ---------------------------------------------------------------------------
@@ -312,6 +412,105 @@ def ivf_topk(
         F.explode(F.transform(ranked, lambda x: x["c"])).alias("cell"),
     )
     scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "corpus_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    impl: str = "arrow",
+) -> list[list[float]]:
+    """Materialize the IVF index: assign every corpus vector to its cell
+    (Arrow matmul) and write ``partitionBy("cell")`` — the one-time cost
+    that turns every later probe into PARTITION PRUNING instead of a full
+    corpus scan. At 100 TB this is the difference between reading
+    nprobe/nlist of the table per query batch and reading all of it.
+    Returns the codebook (persist it next to the index in real use)."""
+    cents = centroids or _codebook(dim, nlist, seed)
+    ivf_assign(corpus, cents, impl=impl).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    nlist: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Top-k over a ``write_ivf_index`` table with STATIC partition
+    pruning: the query batch is small (ANN query sets are — guarded by
+    ``max_queries``), so probe cells are computed driver-side and pushed
+    into the scan as ``cell IN (...)`` — the plan's PartitionFilters
+    prove only nprobe-cell directories are read (plan-asserted in
+    tests/test_plans.py). Probe ranking tie-breaks (score desc, cell
+    desc) match ``ivf_topk`` exactly, so results are identical to the
+    unindexed operator on the same codebook."""
+    cents = centroids or _codebook(dim, nlist, seed)
+    cmat = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_indexed computes probes driver-side; got {len(qrows)} "
+            f"queries (> {max_queries}) — split the query batch"
+        )
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, True),
+            T.StructField("_qv", T.ArrayType(T.DoubleType()), True),
+            T.StructField("cell", T.LongType(), False),
+        ]
+    )
+    probe_rows = []
+    probe_cells = set()
+    for qid, vec in qrows:
+        scores = cmat @ np.asarray(vec, dtype=np.float64)
+        # rank by (score desc, cell desc): sort keys mirror ivf_topk's
+        # array_sort(struct(s, c)) reversed — identical tie handling
+        order = sorted(range(len(scores)), key=lambda i: (scores[i], i + 1), reverse=True)
+        for cell0 in order[:nprobe]:
+            probe_rows.append((qid, [float(x) for x in vec], cell0 + 1))
+            probe_cells.add(cell0 + 1)
+    if not probe_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", qid_type, True),
+                    T.StructField("corpus_id", T.LongType(), True),
+                    T.StructField("cosine", T.DoubleType(), True),
+                    T.StructField("rank", T.IntegerType(), True),
+                ]
+            ),
+        )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+    c = spark.read.parquet(index_path).filter(F.col("cell").isin(sorted(probe_cells)))
+    scored = c.join(F.broadcast(probes), "cell").select(
         "query_id",
         "corpus_id",
         cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),

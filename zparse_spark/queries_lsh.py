@@ -483,6 +483,33 @@ def similarity_ivf_topk_embeddings(spark, sf_dir):
     )
 
 
+@register("similarity_ivf_indexed_embeddings", _ivf_oracle_sql())
+def similarity_ivf_indexed_embeddings(spark, sf_dir):
+    """The pre-bucketed IVF story, oracle-gated: the corpus is written
+    partitionBy(cell) once (write_ivf_index), then probed with STATIC
+    partition pruning (cell IN (...) reaches the scan's
+    PartitionFilters — plan-asserted in test_plans). Same codebook and
+    tie-breaks as similarity_ivf_topk_embeddings, so the same DuckDB
+    twin verifies the results."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.similarity import ivf_topk_indexed, write_ivf_index
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    idx = "/root/repo/spark-warehouse/oracle/ivf_index"
+    cents = write_ivf_index(d, idx, nlist=_IVF_NLIST, seed=_SEED)
+    q = d.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_indexed(
+        spark, idx, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST,
+        seed=_SEED, centroids=cents,
+    )
+
+
 # --- Cluster resolution twin: recursive-CTE connected components -------
 
 

@@ -225,6 +225,48 @@ def span_pack_drift(spark, sf_dir):
 
 
 @register(
+    "span_pack_metrics",
+    f"""WITH docs AS (
+  SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')
+),
+dm AS (
+  SELECT partition,
+         len(coalesce(spans, [])) AS n_spans,
+         coalesce(list_sum(list_transform(coalesce(spans, []),
+                                          x -> strlen(coalesce(x.text, '')))), 0) AS bytes,
+         len(list_filter(coalesce(spans, []), x -> x.media_ref IS NOT NULL)) AS n_media
+  FROM docs
+)
+SELECT partition,
+       count(*) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(bytes) AS BIGINT) AS text_bytes,
+       CAST(sum(n_media) AS BIGINT) AS n_media_spans,
+       round(avg(n_spans), 4) AS avg_spans_per_doc,
+       CAST(max(n_spans) AS INT) AS max_spans_per_doc
+FROM dm GROUP BY partition""",
+)
+def span_pack_metrics(spark, sf_dir):
+    """The engine's per-partition profile (metrics()) value-matched by
+    DuckDB — doc counts, span counts, text BYTES (octet-aware: DuckDB
+    strlen is bytes), media-span counts, avg/max spans per doc — over
+    the same fixture corpus as the rule pack, null/empty spans included."""
+    docs, _ = _pack_input(spark)
+    from zparse_spark.plans.engine import ValidationEngine
+
+    m = ValidationEngine().metrics(docs)
+    return m.select(
+        "partition",
+        "n_docs",
+        "n_spans",
+        "text_bytes",
+        "n_media_spans",
+        F.round("avg_spans_per_doc", 4).alias("avg_spans_per_doc"),
+        "max_spans_per_doc",
+    )
+
+
+@register(
     "worst_offenders_report",
     f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
 allviol AS (
