@@ -112,3 +112,26 @@ def test_strictness_rejects_variants():
     with pytest.raises(ValueError, match="unsupported WAV"):
         wav = wav_encode(*synth_audio(0))
         wav_decode(wav[:22] + b"\x02" + wav[23:])
+
+
+def test_zvid_roundtrip_and_slicing():
+    from zparse_spark.functions.media_codecs import (
+        synth_video,
+        zvid_encode,
+        zvid_frame,
+        zvid_info,
+    )
+
+    frames, frame_ms = synth_video(5)
+    data = zvid_encode(frames, frame_ms)
+    n, fms, fsz = zvid_info(data)
+    assert (n, fms) == (len(frames), frame_ms)
+    for i, f in enumerate(frames):
+        assert np.array_equal(zvid_frame(data, i), f)
+    assert classify_payload(data) is None
+    assert classify_payload(data[:10]) == "truncated"
+    assert classify_payload(data[:-3]) == "truncated"
+    bad_nf = data[:4] + b"\x00\x00\x00\x00" + data[8:]
+    assert classify_payload(bad_nf) == "unsupported_variant"
+    with pytest.raises(IndexError):
+        zvid_frame(data, len(frames))

@@ -130,23 +130,28 @@ def test_default_codec_path_end_to_end(spark):
         synthesize_codec_payloads,
     )
 
-    pay = synthesize_codec_payloads(spark, n_media=16)
+    pay = synthesize_codec_payloads(spark, n_media=18)
     feats = {r["media_ref"]: r for r in extract_features(pay).collect()}
-    assert len(feats) == 16
-    for idx in range(16):
+    assert len(feats) == 18
+    for idx in range(18):
         ref = f"media_{idx:05d}"
         f = feats[ref]["feature"]
-        if idx % 2 == 0:
+        if idx % 3 == 0:
             img = media_codecs.synth_image(idx)
             assert (f[0], f[1]) == (img.shape[1], img.shape[0])
             assert f[3] == img.astype(np.float64).mean()
-        else:
+        elif idx % 3 == 1:
             s, sr = media_codecs.synth_audio(idx)
             assert (f[0], f[1]) == (sr, len(s))
             assert f[3] == s.astype(np.float64).mean()
+        else:
+            frames, frame_ms = media_codecs.synth_video(idx)
+            assert (f[0], f[1]) == (frames[0].shape[1], frames[0].shape[0])
+            assert f[2] == len(frames) and f[4] == frame_ms
+            assert f[3] == np.stack(frames).astype(np.float64).mean()
 
     out = {r["media_ref"]: r for r in resize_images(pay, max_side=8).collect()}
-    for idx in range(0, 16, 2):
+    for idx in range(0, 18, 3):
         ref = f"media_{idx:05d}"
         src = media_codecs.synth_image(idx)
         h, w = src.shape[:2]
@@ -173,3 +178,37 @@ def test_decode_verdicts_classification(spark):
     )
     crows = decode_verdicts(corrupted).collect()
     assert all((not r["ok"]) and r["error_kind"] == "truncated" for r in crows)
+
+
+def test_sample_video_frames_real_decode(spark):
+    """Frame sampling over ZVID: the ts grid is JVM-planned, every
+    sampled frame's sha matches a direct local slice, clamped at the
+    last frame."""
+    import hashlib
+
+    from zparse_spark.functions import media_codecs
+    from zparse_spark.multimodal import sample_video_frames, synthesize_codec_payloads
+
+    pay = synthesize_codec_payloads(spark, n_media=9)
+    rows = sample_video_frames(pay, every_ms=150).collect()
+    assert rows
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for idx in range(2, 9, 3):  # video ids
+        ref = f"media_{idx:05d}"
+        frames, frame_ms = media_codecs.synth_video(idx)
+        payload = media_codecs.zvid_encode(frames, frame_ms)
+        dur = len(frames) * frame_ms
+        expect_n = max(dur // 150, 1)
+        got = sorted(by_ref[ref], key=lambda r: r["ts_ms"])
+        assert len(got) == expect_n
+        for r in got:
+            fi = min(r["ts_ms"] // frame_ms, len(frames) - 1)
+            assert r["frame_idx"] == fi
+            blob = media_codecs.bmp_encode(frames[fi])
+            want = hashlib.sha256(blob.hex().upper().encode()).hexdigest()
+            assert r["frame_sha"] == want
+    # Python only for the sampled rows; planning stays JVM-side
+    plan = sample_video_frames(pay, every_ms=150)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan

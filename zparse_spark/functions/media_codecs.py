@@ -143,6 +143,55 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# ZVID — fixed-rate video container of equal-size BMP frames
+# ---------------------------------------------------------------------------
+#
+# A deliberately minimal but REAL container (this engine's own format,
+# like the reference's choice to own its parsers): 16-byte header
+# ``'ZVID' ‖ n_frames:u32le ‖ frame_ms:u32le ‖ frame_size:u32le``
+# followed by n_frames concatenated BMP payloads of exactly frame_size
+# bytes each. Equal frame size is the load-bearing property: extracting
+# frame i is an O(1) byte-range slice (16 + i*frame_size), so frame
+# sampling at scale never decodes — or even reads — the frames it skips.
+
+_ZVID_HEADER_SIZE = 16
+
+
+def zvid_encode(frames: list[np.ndarray], frame_ms: int) -> bytes:
+    """Equal-shape RGB frames → ZVID bytes."""
+    if not frames:
+        raise ValueError("zvid_encode needs at least one frame")
+    blobs = [bmp_encode(f) for f in frames]
+    sizes = {len(b) for b in blobs}
+    if len(sizes) != 1:
+        raise ValueError("zvid_encode requires equal-shape frames")
+    frame_size = sizes.pop()
+    header = struct.pack("<4sIII", b"ZVID", len(blobs), frame_ms, frame_size)
+    return header + b"".join(blobs)
+
+
+def zvid_info(data: bytes) -> tuple[int, int, int]:
+    """(n_frames, frame_ms, frame_size); strict header validation."""
+    if len(data) < _ZVID_HEADER_SIZE or data[:4] != b"ZVID":
+        raise ValueError("not a ZVID payload (missing magic)")
+    n_frames, frame_ms, frame_size = struct.unpack_from("<III", data, 4)
+    if n_frames < 1 or frame_size < _BMP_HEADER_SIZE:
+        raise ValueError(f"unsupported ZVID layout (n_frames={n_frames}, frame_size={frame_size})")
+    if _ZVID_HEADER_SIZE + n_frames * frame_size > len(data):
+        raise ValueError("truncated ZVID: declared frames exceed payload")
+    return n_frames, frame_ms, frame_size
+
+
+def zvid_frame(data: bytes, i: int) -> np.ndarray:
+    """Decode frame i via byte-range slice — O(frame) work, not O(video)."""
+    n_frames, _, frame_size = zvid_info(data)
+    if not 0 <= i < n_frames:
+        raise IndexError(f"frame {i} out of range (n_frames={n_frames})")
+    off = _ZVID_HEADER_SIZE + i * frame_size
+    return bmp_decode(data[off : off + frame_size])
+
+
+# ---------------------------------------------------------------------------
 # default codec hooks for zparse_spark.multimodal
 # ---------------------------------------------------------------------------
 
@@ -155,11 +204,27 @@ def default_decoder(payload: bytes, kind: str) -> list[float]:
     image → [w, h, channels, pixel_mean, pixel_std, min, max, n_values]
     audio → [sample_rate, n_samples, duration_ms, mean, rms, min, max,
              zero_crossings]
+    video → [w, h, n_frames, pixel_mean(all frames), frame_ms,
+             duration_ms, frame_size, n_bytes]
 
     pixel_mean / sample mean are exact: integer values summed in float64
     stay exact below 2^53, so the DuckDB oracle's AVG over the same bytes
     reproduces them bit-for-bit.
     """
+    if payload[:4] == b"ZVID":
+        n_frames, frame_ms, frame_size = zvid_info(payload)
+        frames = np.stack([zvid_frame(payload, i) for i in range(n_frames)])
+        h, w = frames.shape[1:3]
+        return [
+            float(w),
+            float(h),
+            float(n_frames),
+            float(frames.astype(np.float64).mean()),
+            float(frame_ms),
+            float(n_frames * frame_ms),
+            float(frame_size),
+            float(len(payload)),
+        ]
     if payload[:2] == b"BM":
         img = bmp_decode(payload)
         h, w = img.shape[:2]
@@ -220,10 +285,20 @@ def classify_payload(payload: bytes) -> str | None:
     analog of the reference's closed error-kind enum (error.rs:48-64):
     malformed input yields a *typed* error row, never a crash.
     """
-    is_bmp = payload[:2] == b"BM"
+    is_zvid = payload[:4] == b"ZVID"
+    is_bmp = (not is_zvid) and payload[:2] == b"BM"
     is_riff = payload[:4] == b"RIFF"
-    if not (is_bmp or is_riff):
+    if not (is_zvid or is_bmp or is_riff):
         return "bad_magic"
+    if is_zvid:
+        if len(payload) < _ZVID_HEADER_SIZE:
+            return "truncated"
+        n_frames, _, frame_size = struct.unpack_from("<III", payload, 4)
+        if n_frames < 1 or frame_size < _BMP_HEADER_SIZE:
+            return "unsupported_variant"
+        if _ZVID_HEADER_SIZE + n_frames * frame_size > len(payload):
+            return "truncated"
+        return None
     if is_bmp:
         if len(payload) < _BMP_HEADER_SIZE:
             return "truncated"
@@ -274,3 +349,13 @@ def synth_audio(idx: int) -> tuple[np.ndarray, int]:
     a = 3 + 2 * (idx % 11)
     vals = (a * 257 * np.arange(n, dtype=np.int64) + idx) % 65536 - 32768
     return vals.astype(np.int16), sr
+
+
+def synth_video(idx: int) -> tuple[list[np.ndarray], int]:
+    """Deterministic frame stack: 3..6 frames of one ``synth_image``
+    shape, each frame a rotated byte ramp; 100/200 ms frame duration."""
+    base = synth_image(idx)
+    n_frames = 3 + idx % 4
+    frame_ms = 100 * (1 + idx % 2)
+    frames = [((base.astype(np.int64) + 11 * f) % 256).astype(np.uint8) for f in range(n_frames)]
+    return frames, frame_ms

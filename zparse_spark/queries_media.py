@@ -151,6 +151,21 @@ audmean AS (
     FROM aud, unnest(range(aud.ns)) AS u(j)
   )
   GROUP BY media_ref
+),
+vid AS (
+  SELECT media_ref, n_bytes, hx, meta,
+         {_le32('4')} AS nf, {_le32('8')} AS fms, {_le32('12')} AS fsz,
+         {_le32('34')} AS w, {_le32('38')} AS h
+  FROM pay WHERE media_kind = 'video'
+),
+vidd AS (SELECT *, (3 * w + 3) // 4 * 4 AS rowsize FROM vid),
+vidmean AS (
+  SELECT media_ref,
+         avg({_byte('16 + (j // (h*w*3)) * fsz + 54 '
+                    '+ ((j % (h*w*3)) // (3*w)) * rowsize + ((j % (h*w*3)) % (3*w))')})
+           AS content_mean
+  FROM vidd, unnest(range(vidd.nf * vidd.h * vidd.w * 3)) AS u(j)
+  GROUP BY media_ref
 )
 SELECT i.media_ref, 'image' AS media_kind, i.n_bytes,
        CAST(i.w AS INT) AS decoded_a, CAST(i.h AS INT) AS decoded_b,
@@ -165,7 +180,15 @@ SELECT a.media_ref, 'audio', a.n_bytes, CAST(a.sr AS INT), CAST(a.ns AS INT),
        round(m.content_mean, 4),
        (a.sr = struct_extract(a.meta, 'sample_rate')),
        CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
-FROM aud a JOIN audmean m USING (media_ref)"""
+FROM aud a JOIN audmean m USING (media_ref)
+UNION ALL
+SELECT v.media_ref, 'video', v.n_bytes, CAST(v.w AS INT), CAST(v.h AS INT),
+       round(m.content_mean, 4),
+       (v.w = struct_extract(v.meta, 'width')
+        AND v.h = struct_extract(v.meta, 'height')
+        AND v.nf * v.fms = struct_extract(v.meta, 'duration_ms')),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+FROM vidd v JOIN vidmean m USING (media_ref)"""
 
 
 @register("media_payload_report", _REPORT_SQL)
@@ -188,6 +211,12 @@ def media_payload_report(spark, sf_dir):
     a = F.col("feature")[0].cast("int")
     b = F.col("feature")[1].cast("int")
     is_img = F.col("media_kind") == "image"
+    is_vid = F.col("media_kind") == "video"
+    dims_ok = (a == F.col("meta.width")) & (b == F.col("meta.height"))
+    vid_dur_ok = (
+        (F.col("feature")[2] * F.col("feature")[4]).cast("long")
+        == F.col("meta.duration_ms").cast("long")
+    )
     return (
         pay.select(
             "media_ref",
@@ -204,10 +233,8 @@ def media_payload_report(spark, sf_dir):
             a.alias("decoded_a"),
             b.alias("decoded_b"),
             F.round(F.col("feature")[3], 4).alias("content_mean"),
-            F.when(
-                is_img,
-                (a == F.col("meta.width")) & (b == F.col("meta.height")),
-            )
+            F.when(is_img, dims_ok)
+            .when(is_vid, dims_ok & vid_dur_ok)
             .otherwise(a == F.col("meta.sample_rate"))
             .alias("meta_ok"),
             "resized_w",
@@ -231,6 +258,8 @@ pay AS (
          CASE
            WHEN i % 8 IN (1, 2) THEN substr(hx0, 1, 40)
            WHEN i % 8 IN (3, 4) THEN '5858' || substr(hx0, 5)
+           WHEN i % 8 IN (5, 6) AND media_kind = 'video'
+             THEN substr(hx0, 1, 8) || '00000000' || substr(hx0, 17)
            WHEN i % 8 IN (5, 6) AND media_kind = 'image'
              THEN substr(hx0, 1, 56) || '2000' || substr(hx0, 61)
            WHEN i % 8 IN (5, 6)
@@ -242,7 +271,8 @@ pay AS (
 parsed AS (
   SELECT media_ref, media_kind, hx,
          CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
-         (substr(hx, 1, 4) = '424D') AS is_bmp,
+         (substr(hx, 1, 8) = '5A564944') AS is_zvid,
+         (substr(hx, 1, 8) <> '5A564944' AND substr(hx, 1, 4) = '424D') AS is_bmp,
          (substr(hx, 1, 8) = '52494646') AS is_riff
   FROM pay
 )
@@ -250,7 +280,10 @@ SELECT media_ref, media_kind, n_bytes, (error_kind IS NULL) AS ok, error_kind
 FROM (
   SELECT media_ref, media_kind, n_bytes,
     CASE
-      WHEN NOT (is_bmp OR is_riff) THEN 'bad_magic'
+      WHEN NOT (is_zvid OR is_bmp OR is_riff) THEN 'bad_magic'
+      WHEN is_zvid AND n_bytes < 16 THEN 'truncated'
+      WHEN is_zvid AND ({_le32('4')} < 1 OR {_le32('12')} < 54) THEN 'unsupported_variant'
+      WHEN is_zvid AND 16 + {_le32('4')} * {_le32('12')} > n_bytes THEN 'truncated'
       WHEN is_bmp AND n_bytes < 54 THEN 'truncated'
       WHEN is_bmp AND NOT ({_le16('26')} = 1 AND {_le16('28')} = 24 AND {_le32('30')} = 0
                            AND {_sle32('18')} > 0 AND {_sle32('22')} > 0)
@@ -293,6 +326,10 @@ def media_decode_verdicts(spark, sf_dir):
         F.when(m8.isin(1, 2), F.substring("hx0", 1, 40))
         .when(m8.isin(3, 4), F.concat(F.lit("5858"), F.substring("hx0", 5, tail)))
         .when(
+            m8.isin(5, 6) & (F.col("media_kind") == "video"),
+            F.concat(F.substring("hx0", 1, 8), F.lit("00000000"), F.substring("hx0", 17, tail)),
+        )
+        .when(
             m8.isin(5, 6) & (F.col("media_kind") == "image"),
             F.concat(F.substring("hx0", 1, 56), F.lit("2000"), F.substring("hx0", 61, tail)),
         )
@@ -306,3 +343,45 @@ def media_decode_verdicts(spark, sf_dir):
         "media_ref", "media_kind", F.to_binary(hx, F.lit("hex")).alias("payload")
     )
     return decode_verdicts(corrupted)
+
+
+# ---------------------------------------------------------------------------
+# media_video_frames — real frame sampling, frame bytes fingerprinted
+# ---------------------------------------------------------------------------
+
+_EVERY_MS = 150
+
+_FRAMES_SQL = f"""WITH pay AS (
+  SELECT media_ref, meta, hex(payload) AS hx
+  FROM read_parquet('{_W}/media_payloads/*.parquet')
+  WHERE media_kind = 'video'
+),
+vid AS (
+  SELECT media_ref, hx,
+         {_le32('4')} AS nf, {_le32('8')} AS fms, {_le32('12')} AS fsz,
+         greatest(CAST(struct_extract(meta, 'duration_ms') // {_EVERY_MS} AS INT), 1) AS n_samples
+  FROM pay
+),
+grid AS (
+  SELECT media_ref, hx, nf, fms, fsz,
+         CAST(i * {_EVERY_MS} AS BIGINT) AS ts_ms,
+         CAST(least((i * {_EVERY_MS}) // fms, nf - 1) AS INT) AS frame_idx
+  FROM vid, unnest(range(vid.n_samples)) AS u(i)
+)
+SELECT media_ref, ts_ms, frame_idx,
+       sha256(substr(hx, CAST(1 + 2 * (16 + frame_idx * fsz) AS INT), CAST(2 * fsz AS INT)))
+         AS frame_sha
+FROM grid"""
+
+
+@register("media_video_frames", _FRAMES_SQL)
+def media_video_frames(spark, sf_dir):
+    """Real ZVID frame sampling: the JVM plans the ts grid from declared
+    duration, Python slices exactly the sampled frames (O(1) byte range
+    per frame — skipped frames are never read), and DuckDB re-derives
+    every sampled frame's sha256 fingerprint from the container header
+    arithmetic over the same blobs."""
+    from zparse_spark.multimodal import sample_video_frames
+
+    pay = _media_input(spark)
+    return sample_video_frames(pay, every_ms=_EVERY_MS)
