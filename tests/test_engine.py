@@ -155,3 +155,28 @@ def test_auto_probe_does_bounded_work_on_huge_catalog(spark):
     assert time.perf_counter() - t0 < 30
     plan = viol._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan  # fell back, did not fuse/broadcast
+
+
+def test_verdict_diff_statuses(spark):
+    """All five diff statuses from hand-built verdict matrices."""
+    from zparse_spark.plans.engine import verdict_diff
+
+    cols = ["partition", "rule_id", "passed", "violation_count"]
+    old = spark.createDataFrame(
+        [("p0", "S1", True, 0), ("p0", "S2", False, 3), ("p0", "S3", False, 2),
+         ("p1", "S1", True, 0), ("p2", "S1", True, 0)],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [("p0", "S1", False, 4), ("p0", "S2", True, 0), ("p0", "S3", False, 7),
+         ("p1", "S1", True, 0), ("p3", "S1", True, 0)],
+        cols,
+    )
+    got = {(r["partition"], r["rule_id"]): r["status"] for r in verdict_diff(old, new).collect()}
+    assert got == {
+        ("p0", "S1"): "regressed",
+        ("p0", "S2"): "fixed",
+        ("p0", "S3"): "changed",
+        ("p2", "S1"): "removed",
+        ("p3", "S1"): "appeared",
+    }

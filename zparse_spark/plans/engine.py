@@ -218,3 +218,39 @@ class ValidationEngine:
         return ValidationResult(
             violations=v, verdicts=self.verdicts(docs, v), metrics=self.metrics(docs)
         )
+
+
+def verdict_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Cell-level diff of two verdict matrices — the monitoring surface
+    of a recurring validation job: which (partition, rule) cells
+    regressed (pass→fail), got fixed (fail→pass), changed their count
+    while still failing, or appeared/disappeared with the partition set.
+    Unchanged cells are dropped, so the result is sparse — at 10^12-doc
+    scale the diff of two dense million-cell matrices is one full outer
+    join on the (small) verdict tables, never a document scan.
+
+    Output: (partition, rule_id, status, old_count, new_count) with
+    status ∈ appeared | removed | regressed | fixed | changed.
+    """
+    o = old.select(
+        "partition", "rule_id",
+        F.col("passed").alias("_op"), F.col("violation_count").alias("old_count"),
+    )
+    n = new.select(
+        "partition", "rule_id",
+        F.col("passed").alias("_np"), F.col("violation_count").alias("new_count"),
+    )
+    j = o.join(n, ["partition", "rule_id"], "full_outer")
+    status = (
+        F.when(F.col("_op").isNull(), F.lit("appeared"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        .when(F.col("_op") & ~F.col("_np"), F.lit("regressed"))
+        .when(~F.col("_op") & F.col("_np"), F.lit("fixed"))
+        .when(F.col("old_count") != F.col("new_count"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("partition", "rule_id", "status", "old_count", "new_count")
+    )

@@ -225,6 +225,54 @@ def span_pack_drift(spark, sf_dir):
 
 
 @register(
+    "span_pack_verdict_diff",
+    f"""WITH o AS (SELECT * FROM read_parquet('{_W}/verdicts_a/*.parquet')),
+n AS (SELECT * FROM read_parquet('{_W}/verdicts_b/*.parquet')),
+j AS (
+  SELECT coalesce(o.partition, n.partition) AS partition,
+         coalesce(o.rule_id, n.rule_id) AS rule_id,
+         o.passed AS op, n.passed AS np,
+         o.violation_count AS old_count, n.violation_count AS new_count
+  FROM o FULL OUTER JOIN n ON o.partition = n.partition AND o.rule_id = n.rule_id
+)
+SELECT partition, rule_id,
+       CASE WHEN op IS NULL THEN 'appeared'
+            WHEN np IS NULL THEN 'removed'
+            WHEN op AND NOT np THEN 'regressed'
+            WHEN NOT op AND np THEN 'fixed'
+            ELSE 'changed' END AS status,
+       old_count, new_count
+FROM j
+WHERE op IS NULL OR np IS NULL OR op <> np OR old_count <> new_count""",
+)
+def span_pack_verdict_diff(spark, sf_dir):
+    """Run-over-run verdict regression report: the pack evaluated under
+    the baseline params vs a stricter run (max_text_bytes halved, drift
+    disabled), both verdict matrices persisted, then ``verdict_diff`` —
+    regressed/fixed/changed/removed cells value-matched by DuckDB's full
+    outer join over the same parquet."""
+    from zparse_spark.plans.engine import verdict_diff
+
+    docs, cat = _pack_input(spark)
+    eng_a = ValidationEngine(ValidationConfig(params=_PARAMS))
+    eng_b = ValidationEngine(
+        ValidationConfig(
+            params=RuleParams(max_spans=_MAX_SPANS, max_text_bytes=_MAX_BYTES // 2),
+            enable_drift=False,
+        )
+    )
+    eng_a.verdicts(docs, eng_a.violations(docs, cat)).write.mode("overwrite").parquet(
+        f"{_W}/verdicts_a"
+    )
+    eng_b.verdicts(docs, eng_b.violations(docs, cat)).write.mode("overwrite").parquet(
+        f"{_W}/verdicts_b"
+    )
+    return verdict_diff(
+        spark.read.parquet(f"{_W}/verdicts_a"), spark.read.parquet(f"{_W}/verdicts_b")
+    )
+
+
+@register(
     "span_pack_metrics",
     f"""WITH docs AS (
   SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')
