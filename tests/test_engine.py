@@ -180,3 +180,43 @@ def test_verdict_diff_statuses(spark):
         ("p2", "S1"): "removed",
         ("p3", "S1"): "appeared",
     }
+
+
+def test_media_decode_rule_in_engine(spark):
+    """enable_media_decode: referenced payloads that are corrupt or
+    absent yield M1 rows per referencing span; the dense verdict grid
+    gains the M1 cell; clean payloads pass."""
+    from tests.conftest import make_docs
+    from zparse_spark.functions import media_codecs
+    from zparse_spark.multimodal import decode_verdicts
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "hi", None, 0), ("image", "", "m_good", 5)], "p0"),
+            ("d2", [("image", "", "m_bad", 0), ("image", "", "m_gone", 5)], "p0"),
+        ],
+    )
+    good = media_codecs.bmp_encode(media_codecs.synth_image(1))
+    pay = spark.createDataFrame(
+        [("m_good", "image", bytearray(good)), ("m_bad", "image", bytearray(good[:20]))],
+        "media_ref string, media_kind string, payload binary",
+    )
+    eng = ValidationEngine(
+        ValidationConfig(
+            enable_uniqueness=False, enable_referential=False, enable_drift=False,
+            enable_media_decode=True,
+        )
+    )
+    viol = eng.violations(docs, media_verdicts=decode_verdicts(pay))
+    m1 = sorted(
+        (r["doc_id"], r["span_pos"], r["message"]) for r in viol.filter("rule_id='M1'").collect()
+    )
+    assert m1 == [
+        ("d2", 0, "media payload truncated: m_bad"),
+        ("d2", 1, "media payload missing: m_gone"),
+    ]
+    verd = {(r["partition"], r["rule_id"]): r["passed"] for r in eng.verdicts(docs, viol).collect()}
+    assert verd[("p0", "M1")] is False
+    # hash changes with the flag (resume must re-validate)
+    assert eng.config.rules_hash() != ValidationEngine().config.rules_hash()

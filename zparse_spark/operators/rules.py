@@ -167,6 +167,14 @@ TABLE_RULES = [
     Rule("D1", ErrorKind.DRIFT_EXCEEDED, "table", "span-kind PSI under threshold per partition"),
 ]
 
+# Opt-in (ValidationConfig.enable_media_decode): referenced payloads must
+# exist and decode. Kept out of ALL_RULES so the default dense verdict
+# grid is unchanged for callers without a payload table.
+MEDIA_RULES = [
+    Rule("M1", ErrorKind.MEDIA_DECODE_FAILED, "media",
+         "referenced media payload present and decodes"),
+]
+
 ALL_RULES = SPAN_RULES + TABLE_RULES
 
 
@@ -467,6 +475,54 @@ def referential_violations(
         "span_pos",
         "offset",
         F.concat(F.lit("dangling media_ref: "), F.col("media_ref")).alias("message"),
+    )
+
+
+def media_payload_violations(docs: DataFrame, payload_verdicts: DataFrame) -> DataFrame:
+    """M1: every referenced media payload must exist and decode.
+
+    ``payload_verdicts`` is the output of ``multimodal.decode_verdicts``
+    (media_ref, ok, error_kind) — decode classification runs ONCE per
+    payload row, never per referencing span. The rule itself is the R1
+    shape: prune the scan to (spans.media_ref, spans.offset), explode
+    only media spans, and join against the bad-ref set (undecodable ∪
+    referenced-but-absent), which is sparse in practice — AQE broadcasts
+    it. Referenced-but-absent needs one distinct over referenced refs
+    (shuffle on the ref key, |distinct refs| rows, not |spans|).
+    """
+    zipped = F.arrays_zip(
+        F.col("spans.media_ref").alias("media_ref"), F.col("spans.offset").alias("offset")
+    )
+    refs = (
+        docs.select("partition", "doc_id", F.posexplode(zipped).alias("span_pos", "x"))
+        .filter(F.col("x.media_ref").isNotNull())
+        .select(
+            "partition",
+            "doc_id",
+            F.col("span_pos").cast("int").alias("span_pos"),
+            F.col("x.offset").cast("long").alias("offset"),
+            F.col("x.media_ref").alias("media_ref"),
+        )
+    )
+    present = payload_verdicts.select("media_ref")
+    undecodable = payload_verdicts.filter(~F.col("ok")).select("media_ref", "error_kind")
+    missing = (
+        refs.select("media_ref")
+        .distinct()
+        .join(present, "media_ref", "left_anti")
+        .withColumn("error_kind", F.lit("missing"))
+    )
+    bad = undecodable.unionByName(missing)
+    return refs.join(bad, "media_ref").select(
+        "partition",
+        "doc_id",
+        F.lit("M1").alias("rule_id"),
+        F.lit(ErrorKind.MEDIA_DECODE_FAILED).alias("kind"),
+        "span_pos",
+        "offset",
+        F.concat(
+            F.lit("media payload "), F.col("error_kind"), F.lit(": "), F.col("media_ref")
+        ).alias("message"),
     )
 
 

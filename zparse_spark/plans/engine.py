@@ -26,6 +26,7 @@ from zparse_spark.operators.rules import (
     ALL_RULES,
     RuleParams,
     drift_violations,
+    media_payload_violations,
     referential_violations,
     span_rule_violations,
     uniqueness_violations,
@@ -39,6 +40,9 @@ class ValidationConfig:
     enable_uniqueness: bool = True
     enable_referential: bool = True
     enable_drift: bool = True
+    # opt-in M1: referenced media payloads must exist and decode
+    # (violations() then needs the media_verdicts frame)
+    enable_media_decode: bool = False
     # 'auto' fuses R1 into the span explode only when the catalog key set
     # is provably under this row count (cheap count probe here; table
     # metadata on a real Iceberg catalog) — an unconditionally forced
@@ -51,6 +55,7 @@ class ValidationConfig:
         rules (SURVEY.md §4.3)."""
         payload = repr((self.params, self.referential_strategy, self.enable_uniqueness,
                         self.enable_referential, self.enable_drift,
+                        self.enable_media_decode,
                         sorted(r.rule_id for r in ALL_RULES))).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
@@ -73,6 +78,7 @@ class ValidationEngine:
         docs: DataFrame,
         media_catalog: DataFrame | None = None,
         include_table_rules: bool = True,
+        media_verdicts: DataFrame | None = None,
     ) -> DataFrame:
         """All enabled rules over ``docs``. ``include_table_rules=False``
         restricts to the partition-decomposable rules (span/doc + R1) —
@@ -107,6 +113,8 @@ class ValidationEngine:
             parts.append(referential_violations(docs, media_catalog, strategy))
         if c.enable_drift and include_table_rules:
             parts.append(drift_violations(docs, c.params))
+        if c.enable_media_decode and media_verdicts is not None:
+            parts.append(media_payload_violations(docs, media_verdicts))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -144,6 +152,8 @@ class ValidationEngine:
             active.remove("R1")
         if not c.enable_drift:
             active.remove("D1")
+        if c.enable_media_decode:
+            active.append("M1")
         rules_df = spark.createDataFrame([(r,) for r in active], ["rule_id"])
         parts_df = docs.select("partition").distinct()
         grid = parts_df.crossJoin(F.broadcast(rules_df))
@@ -213,8 +223,13 @@ class ValidationEngine:
 
     # -- one-shot -------------------------------------------------------
 
-    def validate(self, docs: DataFrame, media_catalog: DataFrame | None = None) -> ValidationResult:
-        v = self.violations(docs, media_catalog)
+    def validate(
+        self,
+        docs: DataFrame,
+        media_catalog: DataFrame | None = None,
+        media_verdicts: DataFrame | None = None,
+    ) -> ValidationResult:
+        v = self.violations(docs, media_catalog, media_verdicts=media_verdicts)
         return ValidationResult(
             violations=v, verdicts=self.verdicts(docs, v), metrics=self.metrics(docs)
         )

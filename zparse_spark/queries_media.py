@@ -86,6 +86,38 @@ def _media_input(spark):
     return spark.read.parquet(f"{_W}/media_payloads")
 
 
+
+
+# The ordered classification CASE (shared by every media-verdict oracle;
+# mirrors media_codecs.classify_payload check-for-check). Expects columns
+# is_zvid / is_bmp / is_riff / n_bytes / hx in scope.
+_CLASSIFY_CASE = f"""CASE
+      WHEN NOT (is_zvid OR is_bmp OR is_riff) THEN 'bad_magic'
+      WHEN is_zvid AND n_bytes < 16 THEN 'truncated'
+      WHEN is_zvid AND ({_le32('4')} < 1 OR {_le32('12')} < 54) THEN 'unsupported_variant'
+      WHEN is_zvid AND 16 + {_le32('4')} * {_le32('12')} > n_bytes THEN 'truncated'
+      WHEN is_bmp AND n_bytes < 54 THEN 'truncated'
+      WHEN is_bmp AND NOT ({_le16('26')} = 1 AND {_le16('28')} = 24 AND {_le32('30')} = 0
+                           AND {_sle32('18')} > 0 AND {_sle32('22')} > 0)
+        THEN 'unsupported_variant'
+      WHEN is_bmp AND {_le32('10')}
+             + ((3 * {_sle32('18')} + 3) // 4 * 4) * {_sle32('22')} > n_bytes
+        THEN 'truncated'
+      WHEN is_riff AND n_bytes < 44 THEN 'truncated'
+      WHEN is_riff AND substr(hx, 17, 8) <> '57415645' THEN 'bad_magic'
+      WHEN is_riff AND NOT ({_le16('20')} = 1 AND {_le16('22')} = 1 AND {_le16('34')} = 16
+                            AND substr(hx, 73, 8) = '64617461')
+        THEN 'unsupported_variant'
+      WHEN is_riff AND 44 + {_le32('40')} > n_bytes THEN 'truncated'
+      ELSE NULL
+    END"""
+
+_PARSED_COLS = """CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+         (substr(hx, 1, 8) = '5A564944') AS is_zvid,
+         (substr(hx, 1, 8) <> '5A564944' AND substr(hx, 1, 4) = '424D') AS is_bmp,
+         (substr(hx, 1, 8) = '52494646') AS is_riff"""
+
+
 # ---------------------------------------------------------------------------
 # media_payload_report — decode stats + byte-exact resize oracle
 # ---------------------------------------------------------------------------
@@ -279,26 +311,7 @@ parsed AS (
 SELECT media_ref, media_kind, n_bytes, (error_kind IS NULL) AS ok, error_kind
 FROM (
   SELECT media_ref, media_kind, n_bytes,
-    CASE
-      WHEN NOT (is_zvid OR is_bmp OR is_riff) THEN 'bad_magic'
-      WHEN is_zvid AND n_bytes < 16 THEN 'truncated'
-      WHEN is_zvid AND ({_le32('4')} < 1 OR {_le32('12')} < 54) THEN 'unsupported_variant'
-      WHEN is_zvid AND 16 + {_le32('4')} * {_le32('12')} > n_bytes THEN 'truncated'
-      WHEN is_bmp AND n_bytes < 54 THEN 'truncated'
-      WHEN is_bmp AND NOT ({_le16('26')} = 1 AND {_le16('28')} = 24 AND {_le32('30')} = 0
-                           AND {_sle32('18')} > 0 AND {_sle32('22')} > 0)
-        THEN 'unsupported_variant'
-      WHEN is_bmp AND {_le32('10')}
-             + ((3 * {_sle32('18')} + 3) // 4 * 4) * {_sle32('22')} > n_bytes
-        THEN 'truncated'
-      WHEN is_riff AND n_bytes < 44 THEN 'truncated'
-      WHEN is_riff AND substr(hx, 17, 8) <> '57415645' THEN 'bad_magic'
-      WHEN is_riff AND NOT ({_le16('20')} = 1 AND {_le16('22')} = 1 AND {_le16('34')} = 16
-                            AND substr(hx, 73, 8) = '64617461')
-        THEN 'unsupported_variant'
-      WHEN is_riff AND 44 + {_le32('40')} > n_bytes THEN 'truncated'
-      ELSE NULL
-    END AS error_kind
+{_CLASSIFY_CASE} AS error_kind
   FROM parsed
 )"""
 
@@ -385,3 +398,102 @@ def media_video_frames(spark, sf_dir):
 
     pay = _media_input(spark)
     return sample_video_frames(pay, every_ms=_EVERY_MS)
+
+
+# ---------------------------------------------------------------------------
+# span_pack_media_rule — M1 joined into the engine's rule pack
+# ---------------------------------------------------------------------------
+
+_PACK_W = _W  # same oracle warehouse as queries_span
+
+
+def _pack_media_input(spark):
+    """The span-pack fixture corpus plus a REAL payload table for its
+    media-ref keyspace, with planted decode failures: every ref whose id
+    ≡ 7 (mod 16) is truncated to 20 bytes, every id ≡ 11 (mod 16) is
+    DROPPED (referenced-but-absent). Corruption happens before the
+    write, so the oracle reads the corrupted bytes — it only needs to
+    classify, not reproduce the corruption."""
+    from zparse_spark.multimodal import synthesize_codec_payloads
+    from zparse_spark.queries_span import _pack_input
+
+    docs, _ = _pack_input(spark)
+    pay = synthesize_codec_payloads(spark, n_media=512)
+    i = F.substring("media_ref", 7, 10).cast("int")
+    hx = F.when(i % 16 == 7, F.substring(F.hex("payload"), 1, 40)).otherwise(
+        F.hex("payload")
+    )
+    corrupted = (
+        pay.filter(i % 16 != 11)
+        .select(
+            "media_ref",
+            "media_kind",
+            F.to_binary(hx, F.lit("hex")).alias("payload"),
+        )
+    )
+    corrupted.write.mode("overwrite").parquet(f"{_PACK_W}/media_for_pack")
+    return docs, spark.read.parquet(f"{_PACK_W}/media_for_pack")
+
+
+_M1_SQL = f"""WITH docs AS (
+  SELECT doc_id, spans, partition FROM read_parquet('{_PACK_W}/span_docs/*.parquet')
+),
+pay AS (
+  SELECT media_ref, hex(payload) AS hx
+  FROM read_parquet('{_PACK_W}/media_for_pack/*.parquet')
+),
+parsed AS (
+  SELECT media_ref, hx,
+         {_PARSED_COLS}
+  FROM pay
+),
+bad AS (
+  SELECT media_ref, error_kind FROM (
+    SELECT media_ref, {_CLASSIFY_CASE} AS error_kind FROM parsed
+  ) WHERE error_kind IS NOT NULL
+),
+refs AS (
+  SELECT partition, doc_id, CAST(pos - 1 AS INT) AS span_pos,
+         CAST(s."offset" AS BIGINT) AS off, s.media_ref AS media_ref
+  FROM (
+    SELECT partition, doc_id, unnest(spans) AS s,
+           generate_subscripts(spans, 1) AS pos
+    FROM docs
+  ) WHERE s.media_ref IS NOT NULL
+),
+badall AS (
+  SELECT media_ref, error_kind FROM bad
+  UNION ALL
+  SELECT DISTINCT r.media_ref, 'missing' FROM refs r
+  WHERE r.media_ref NOT IN (SELECT media_ref FROM pay)
+)
+SELECT r.partition, r.doc_id, 'M1' AS rule_id, 'MediaDecodeFailed' AS kind,
+       r.span_pos, r.off AS "offset",
+       'media payload ' || b.error_kind || ': ' || r.media_ref AS message
+FROM refs r JOIN badall b USING (media_ref)"""
+
+
+@register("span_pack_media_rule", _M1_SQL)
+def span_pack_media_rule(spark, sf_dir):
+    """M1 over the interleaved fixture corpus: referenced payloads that
+    are truncated or absent yield one violation row per referencing
+    span, emitted by the ENGINE (enable_media_decode) with
+    decode_verdicts classifying each payload once — DuckDB re-derives
+    the same rows by classifying the corrupted blobs and joining the
+    UNNESTed span refs."""
+    from zparse_spark.multimodal import decode_verdicts
+    from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+    from zparse_spark.queries_span import _PARAMS
+
+    docs, pay = _pack_media_input(spark)
+    eng = ValidationEngine(
+        ValidationConfig(
+            params=_PARAMS,
+            enable_uniqueness=False,
+            enable_referential=False,
+            enable_drift=False,
+            enable_media_decode=True,
+        )
+    )
+    viol = eng.violations(docs, media_verdicts=decode_verdicts(pay))
+    return viol.filter(F.col("rule_id") == "M1")

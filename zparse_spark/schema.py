@@ -39,6 +39,7 @@ class ErrorKind:
     # table-level extensions (north_star)
     DANGLING_MEDIA_REF = "DanglingMediaRef"
     DRIFT_EXCEEDED = "DriftExceeded"
+    MEDIA_DECODE_FAILED = "MediaDecodeFailed"
 
     ALL = frozenset(
         {
@@ -59,6 +60,7 @@ class ErrorKind:
             MAX_SIZE_EXCEEDED,
             DANGLING_MEDIA_REF,
             DRIFT_EXCEEDED,
+            MEDIA_DECODE_FAILED,
         }
     )
 
