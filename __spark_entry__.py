@@ -22,8 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: validate the interleaved sf0.001 documents table."""
-    from zparse_spark.plans.engine import ValidationEngine
+    """Flagship: validate the interleaved sf0.001 documents table —
+    the FULL interleaved text+media contract: span rules, uniqueness,
+    referential (fused broadcast), drift, AND M1 (every referenced
+    media payload decodes — real BMP/WAV/ZVID codecs classify the
+    synthesized payload table covering the catalog keyspace)."""
+    from zparse_spark.multimodal import decode_verdicts, synthesize_codec_payloads
+    from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
     from zparse_spark.sources.interleave import derive_media_catalog, interleave_documents
     from zparse_spark.sources.readers import load_documents
 
@@ -32,7 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
     # drift score reflects distribution, not small-sample noise
     docs = interleave_documents(flat, n_partitions=8)
     catalog = derive_media_catalog(spark)
-    result = ValidationEngine().validate(docs, catalog)
+    # payloads for the same media_NNNNN keyspace the interleaver draws from
+    payloads = synthesize_codec_payloads(spark, n_media=4096)
+    engine = ValidationEngine(ValidationConfig(enable_media_decode=True))
+    result = engine.validate(docs, catalog, media_verdicts=decode_verdicts(payloads))
     return result.verdicts
 
 

@@ -171,6 +171,7 @@ def run_with_manifest(
     media_catalog: DataFrame | None,
     out_dir: str,
     manifest: Manifest | None = None,
+    media_verdicts: DataFrame | None = None,
 ) -> list[str]:
     """Resumable run: validate only partitions absent from the manifest.
 
@@ -200,7 +201,11 @@ def run_with_manifest(
     if not todo:
         return []
 
-    viol = engine.violations(pending_docs, media_catalog, include_table_rules=False)
+    # M1 is partition-decomposable (each referencing span checks against
+    # the global payload table), so it rides with the pending-only pass
+    viol = engine.violations(
+        pending_docs, media_catalog, include_table_rules=False, media_verdicts=media_verdicts
+    )
     viol_path = manifest.partition_sink(rh)
     # per-partition dynamic overwrite: re-validating a partition REPLACES
     # its violation files instead of appending a second copy — a job that
