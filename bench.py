@@ -134,6 +134,26 @@ def main() -> None:
     timed("ivf_production", lambda: ivf_topk(emb, qv, k=10, impl="arrow").count())
     timed("lsh_production", lambda: lsh_topk(emb, qv, k=10, impl="arrow").count())
 
+    # multimodal headline: real BMP/WAV/ZVID codec path over a 100k-row
+    # payload table — header classification + full decode/features
+    from zparse_spark.multimodal import (
+        decode_verdicts,
+        extract_features,
+        synthesize_codec_payloads,
+    )
+
+    synthesize_codec_payloads(spark, n_media=100_000).write.mode("overwrite").parquet(
+        f"{workdir}/media_payloads"
+    )
+    media = spark.read.parquet(f"{workdir}/media_payloads")
+    decode_verdicts(media.limit(500)).count()  # warmup
+    extract_features(media.limit(500)).count()
+    timed(
+        "media_decode_and_features",
+        lambda: decode_verdicts(media).filter("NOT ok").count()
+        + extract_features(media).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "validation_and_headline_queries_total",
