@@ -18,6 +18,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="zparse-spark-validate")
     ap.add_argument("--documents", required=True, help="parquet/iceberg path of the documents table")
     ap.add_argument("--catalog", help="media catalog path (enables R1)")
+    ap.add_argument("--media", help="media payload table path (enables M1: payloads must decode)")
     ap.add_argument("--out", required=True, help="output dir: violations/, verdicts/, metrics/, manifest")
     ap.add_argument("--max-spans", type=int, default=128)
     ap.add_argument("--max-text-bytes", type=int, default=10 * 1024 * 1024)
@@ -46,17 +47,25 @@ def main(argv: list[str] | None = None) -> int:
             params=params,
             referential_strategy=args.referential_strategy,
             enable_referential=args.catalog is not None,
+            enable_media_decode=args.media is not None,
         )
     )
     docs = spark.read.parquet(args.documents)
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
+    media_verdicts = None
+    if args.media:
+        from zparse_spark.multimodal import decode_verdicts
+
+        media_verdicts = decode_verdicts(spark.read.parquet(args.media))
 
     if args.no_resume:
         import shutil
 
         shutil.rmtree(args.out, ignore_errors=True)
     manifest = Manifest(args.out)
-    done = run_with_manifest(engine, docs, catalog, args.out, manifest=manifest)
+    done = run_with_manifest(
+        engine, docs, catalog, args.out, manifest=manifest, media_verdicts=media_verdicts
+    )
 
     viol = manifest.read_violations(spark, engine.config.rules_hash())
     verdicts = engine.verdicts(docs, viol)

@@ -32,6 +32,20 @@ def get_spark(
         cpus_s = os.environ.get("SPARK_GRAFT_CPUS", "")
         shuffle_partitions = int(cpus_s) if cpus_s.isdigit() else 32
 
+    # Python WORKERS import the package by name inside mapInPandas /
+    # pandas_udf closures; the driver's sys.path does NOT propagate to
+    # them, so a driver launched outside the repo dir would crash with
+    # ModuleNotFoundError on the first Python stage. Export the package
+    # root on PYTHONPATH before the JVM forks workers (local mode
+    # inherits the env; on a real cluster ``spark-submit --py-files``
+    # ships the package instead and this is a harmless no-op).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
