@@ -135,3 +135,46 @@ def test_zvid_roundtrip_and_slicing():
     assert classify_payload(bad_nf) == "unsupported_variant"
     with pytest.raises(IndexError):
         zvid_frame(data, len(frames))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=21),
+    max_side=st.sampled_from([4, 8, 10, 16]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resize_matches_hex_arithmetic_model(w, h, max_side, seed):
+    """The DuckDB oracle reconstructs resized BMP bytes from the source
+    payload with header/offset arithmetic only; this python port of that
+    exact formula must equal the real resizer byte-for-byte for ANY dims
+    — the invariant the media_payload_report oracle rests on."""
+    import struct
+
+    from zparse_spark.functions.media_codecs import bmp_row_size, default_resizer
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = bmp_encode(img)
+
+    mx = max(w, h)
+    tw, th = (
+        (max(w * max_side // mx, 1), max(h * max_side // mx, 1)) if mx > max_side else (w, h)
+    )
+    real = default_resizer(payload, "image", tw, th)
+
+    # the SQL twin, ported literally (same integer formulas)
+    rowsize, rowsize_t = bmp_row_size(w), bmp_row_size(tw)
+    out = bytearray()
+    out += b"BM" + struct.pack("<I", 54 + rowsize_t * th)
+    out += b"\x00\x00\x00\x00" + struct.pack("<I", 54)
+    out += struct.pack("<IiiHHIIiiII", 40, tw, th, 1, 24, 0, rowsize_t * th, 0, 0, 0, 0)
+    for j in range(th):
+        src_fr = h - 1 - ((th - 1 - j) * h) // th
+        row = bytearray()
+        for x in range(tw):
+            off = 54 + src_fr * rowsize + 3 * ((x * w) // tw)
+            row += payload[off : off + 3]
+        row += b"\x00" * (rowsize_t - 3 * tw)
+        out += row
+    assert real == bytes(out)
