@@ -1217,3 +1217,163 @@ def tpch_q21_lite(spark, sf_dir):
     cutoff is deterministic cross-engine."""
     _register_tpch_views(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-set pipeline: filter → exact dedup → near-dup
+# clusters → representatives. The COMPOSITION is the point: a user of
+# the engine chains admission, exact dedup, MinHash clustering and the
+# keep/drop action into one lazy plan, and the oracle re-derives every
+# stage (filter gates, content-hash keep rule, md5-MinHash pipeline,
+# recursive-CTE components) plus a per-stage id fingerprint.
+# ---------------------------------------------------------------------------
+
+_PIPE_T = 0.8
+
+
+def _pipe_sql() -> str:
+    from zparse_spark import queries_lsh as L
+
+    stage_row = (
+        "SELECT '{name}' AS stage, CAST(count(*) AS BIGINT) AS n_docs, "
+        "md5(coalesce(string_agg(doc_id, ',' ORDER BY doc_id), '')) AS ids_md5 FROM {src}"
+    )
+    return f"""WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, coalesce(text, '') AS t FROM documents
+),
+ann AS (
+  SELECT doc_id, t,
+        CASE WHEN length(trim(t)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS tokens,
+        {_FILTER_QUALITY_SQL} AS q,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('the','and','is','of'))) AS s_en,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('el','la','que','los'))) AS s_es,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('der','die','und','das'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('le','les','des','est'))) AS s_fr
+  FROM base
+),
+decided AS (
+  SELECT doc_id, t, CASE
+        WHEN tokens < 10 THEN 'too_short'
+        WHEN tokens > 100000 THEN 'too_long'
+        WHEN q < 0.3 THEN 'low_quality'
+        WHEN (CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END) <> 'en' THEN 'wrong_lang'
+        ELSE 'kept' END AS outcome
+  FROM ann
+),
+admitted AS (SELECT doc_id, t FROM decided WHERE outcome = 'kept'),
+hashed AS (
+  SELECT doc_id, t,
+         md5(lower(trim(regexp_replace(t, '\\s+', ' ', 'g')))) AS ch
+  FROM admitted
+),
+after_exact AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t, min(doc_id) OVER (PARTITION BY ch) AS k FROM hashed
+  ) WHERE doc_id = k
+),
+input AS (SELECT doc_id, t AS text FROM after_exact){L._NORM_SH_TAIL},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {L._min_cols}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{L._band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b
+),
+pairs AS (SELECT id_a, id_b FROM ver WHERE j >= {_PIPE_T}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+final AS (
+  SELECT a.doc_id FROM after_exact a LEFT JOIN comp c ON c.node = a.doc_id
+  WHERE c.rep IS NULL OR c.rep = a.doc_id
+)
+{stage_row.format(name='input', src='base')}
+UNION ALL
+{stage_row.format(name='admitted', src='admitted')}
+UNION ALL
+{stage_row.format(name='after_exact', src='after_exact')}
+UNION ALL
+{stage_row.format(name='final', src='final')}"""
+
+
+@register("pipeline_training_set", _pipe_sql())
+def pipeline_training_set(spark, sf_dir):
+    """Corpus → training set in one composed lazy plan: admission filter
+    (map-only), exact dedup (content-hash min-keep), md5-MinHash near-dup
+    pairs, cluster resolution, keep-representatives — with per-stage doc
+    counts AND an md5 fingerprint over the sorted surviving ids, all
+    re-derived stage-for-stage by DuckDB."""
+    from zparse_spark.functions.text import normalize_text
+    from zparse_spark.operators.dedup import (
+        exact_duplicates,
+        keep_representatives,
+        minhash_dedup,
+    )
+    from zparse_spark.operators.filtering import corpus_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    admitted = corpus_filter(d).filter("kept").select("doc_id", "text")
+    groups = exact_duplicates(admitted).select(
+        F.col("content_hash").alias("_ch"), "keep_id"
+    )
+    after_exact = (
+        admitted.withColumn("_ch", F.md5(normalize_text(F.col("text"))))
+        .join(groups, "_ch", "left")
+        .filter(F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id")))
+        .select("doc_id", "text")
+    )
+    pairs = minhash_dedup(
+        after_exact, threshold=_PIPE_T, hash_fn="md5", max_bucket=0, seed=42
+    ).select("id_a", "id_b")
+    final = keep_representatives(after_exact, pairs)
+
+    def stage(df, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
+                "ids_md5"
+            ),
+        ).select(F.lit(name).alias("stage"), "n_docs", "ids_md5")
+
+    return (
+        stage(d, "input")
+        .unionByName(stage(admitted, "admitted"))
+        .unionByName(stage(after_exact, "after_exact"))
+        .unionByName(stage(final, "final"))
+    )
