@@ -151,3 +151,44 @@ def test_compaction_removes_post_watermark_redelivery(spark, tmp_path):
     assert len(a_rows) == 1
     # first arrival wins: the surviving copy carries the ORIGINAL ts
     assert int(a_rows[0]["ts"].timestamp()) == t0
+
+
+def test_stream_media_rule(spark, tmp_path):
+    """M1 in the streaming path: a static payload-verdict frame joins
+    each microbatch (stream-static), flagging spans whose payload is
+    corrupt or absent."""
+    from tests.conftest import make_docs
+    from zparse_spark.functions import media_codecs
+    from zparse_spark.multimodal import decode_verdicts
+    from zparse_spark.plans.engine import ValidationConfig
+    from zparse_spark.streaming.validate_stream import validate_stream
+
+    src = str(tmp_path / "msrc")
+    out = str(tmp_path / "mout")
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "hi", None, 0), ("image", "", "m_ok", 5)], "p0"),
+            ("d2", [("image", "", "m_bad", 0)], "p0"),
+        ],
+    )
+    docs.write.parquet(src)
+    good = media_codecs.bmp_encode(media_codecs.synth_image(0))
+    pay = spark.createDataFrame(
+        [("m_ok", "image", bytearray(good)), ("m_bad", "image", bytearray(good[:10]))],
+        "media_ref string, media_kind string, payload binary",
+    )
+    eng = ValidationEngine(
+        ValidationConfig(
+            enable_uniqueness=False, enable_referential=False, enable_drift=False,
+            enable_media_decode=True,
+        )
+    )
+    q = validate_stream(
+        spark.readStream.schema(docs.schema).parquet(src), None, out,
+        engine=eng, media_verdicts=decode_verdicts(pay),
+    )
+    q.awaitTermination(120)
+    viol = spark.read.parquet(f"{out}/violations")
+    rows = [(r["doc_id"], r["rule_id"]) for r in viol.collect()]
+    assert ("d2", "M1") in rows and all(d != "d1" for d, _ in rows)

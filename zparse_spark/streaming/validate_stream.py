@@ -35,6 +35,7 @@ def validate_stream(
     out_dir: str,
     engine: ValidationEngine | None = None,
     trigger_once: bool = True,
+    media_verdicts: DataFrame | None = None,
 ):
     """Attach the rule pack to a streaming documents DataFrame.
 
@@ -42,11 +43,15 @@ def validate_stream(
     uniqueness across the stream's history requires a compaction job on
     the violations table (documented trade-off — same reason the
     reference enforces DuplicateKey per document, not per corpus).
+
+    ``media_verdicts`` (static, from ``decode_verdicts`` over the payload
+    table) enables M1 per microbatch — a stream-static join, the standard
+    Structured Streaming dimension pattern.
     """
     eng = engine or ValidationEngine()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        viol = eng.violations(batch_df, media_catalog)
+        viol = eng.violations(batch_df, media_catalog, media_verdicts=media_verdicts)
         (
             viol.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
