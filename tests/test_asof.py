@@ -41,3 +41,21 @@ def test_range_join_binned_matches_naive(spark):
     f = {(r["pid"], r["iid"]) for r in fast.collect()}
     n = {(r["pid"], r["iid"]) for r in naive.collect()}
     assert f == n and len(f) > 0
+
+
+def test_range_join_no_cartesian(spark):
+    """The binned formulation must compile to an equi-join on the bin,
+    never a CartesianProduct/BroadcastNestedLoopJoin."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.asof import range_join_binned
+
+    pts = spark.range(100).select(F.col("id").alias("p"), (F.col("id") * 1.0).alias("x"))
+    iv = spark.range(10).select(
+        (F.col("id") * 10.0).alias("s"), (F.col("id") * 10.0 + 15.0).alias("e")
+    )
+    plan = (
+        range_join_binned(pts, iv, "x", "s", "e", bin_width=10.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

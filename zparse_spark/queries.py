@@ -1377,3 +1377,39 @@ def pipeline_training_set(spark, sf_dir):
         .unionByName(stage(after_exact, "after_exact"))
         .unionByName(stage(final, "final"))
     )
+
+
+@register(
+    "range_join_value_bands",
+    """
+    WITH bands AS (
+      SELECT r AS band_id, CAST(r * 7.5 AS DOUBLE) AS lo,
+             CAST(r * 7.5 + 12.0 AS DOUBLE) AS hi
+      FROM unnest(range(31)) t(r)
+    ),
+    j AS (
+      SELECT b.band_id, e.value
+      FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    )
+    SELECT band_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
+    FROM j GROUP BY band_id
+    """,
+)
+def range_join_value_bands(spark, sf_dir):
+    """Point-in-interval join via the shared-grid binning operator
+    (range_join_binned: explode intervals onto bins, equi-join, exact
+    filter — never a cross product; plan-asserted in test_asof) against
+    DuckDB's native theta join over overlapping value bands."""
+    from zparse_spark.operators.asof import range_join_binned
+
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(31).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 7.5).alias("lo"),
+        (F.col("id") * 7.5 + 12.0).alias("hi"),
+    )
+    joined = range_join_binned(events, bands, "value", "lo", "hi", bin_width=10.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
