@@ -478,7 +478,9 @@ def referential_violations(
     )
 
 
-def media_payload_violations(docs: DataFrame, payload_verdicts: DataFrame) -> DataFrame:
+def media_payload_violations(
+    docs: DataFrame, payload_verdicts: DataFrame, check_missing: bool = True
+) -> DataFrame:
     """M1: every referenced media payload must exist and decode.
 
     ``payload_verdicts`` is the output of ``multimodal.decode_verdicts``
@@ -488,7 +490,11 @@ def media_payload_violations(docs: DataFrame, payload_verdicts: DataFrame) -> Da
     only media spans, and join against the bad-ref set (undecodable ∪
     referenced-but-absent), which is sparse in practice — AQE broadcasts
     it. Referenced-but-absent needs one distinct over referenced refs
-    (shuffle on the ref key, |distinct refs| rows, not |spans|).
+    plus an anti-join against the payload key set — a shuffle of the
+    payload KEYS (not payloads) on media_ref; when the payload table is
+    authoritative-complete (ingest guarantees a row per ref), pass
+    ``check_missing=False`` to skip that whole branch and keep the rule
+    broadcast-only.
     """
     zipped = F.arrays_zip(
         F.col("spans.media_ref").alias("media_ref"), F.col("spans.offset").alias("offset")
@@ -504,15 +510,16 @@ def media_payload_violations(docs: DataFrame, payload_verdicts: DataFrame) -> Da
             F.col("x.media_ref").alias("media_ref"),
         )
     )
-    present = payload_verdicts.select("media_ref")
     undecodable = payload_verdicts.filter(~F.col("ok")).select("media_ref", "error_kind")
-    missing = (
-        refs.select("media_ref")
-        .distinct()
-        .join(present, "media_ref", "left_anti")
-        .withColumn("error_kind", F.lit("missing"))
-    )
-    bad = undecodable.unionByName(missing)
+    bad = undecodable
+    if check_missing:
+        missing = (
+            refs.select("media_ref")
+            .distinct()
+            .join(payload_verdicts.select("media_ref"), "media_ref", "left_anti")
+            .withColumn("error_kind", F.lit("missing"))
+        )
+        bad = undecodable.unionByName(missing)
     return refs.join(bad, "media_ref").select(
         "partition",
         "doc_id",
