@@ -95,6 +95,27 @@ def test_classifier_matches_decoder_errors():
         wav_ok[:-3],  # truncated data
         b"RIFF" + wav_ok[4:8] + b"XXXX" + wav_ok[12:],  # RIFF but not WAVE
     ]
+    # ok-verdict must also guarantee the decoders SUCCEED on uncurated
+    # variants that parse at the container level but break the payload
+    # contract (the round-3 gap: odd WAV data size, zero frame rate,
+    # non-BMP interior frames)
+    import struct
+
+    from zparse_spark.functions.media_codecs import synth_video, zvid_encode
+
+    wav_odd = wav_ok[:40] + struct.pack("<I", len(wav_ok) - 44 - 1) + wav_ok[44:]
+    vid_ok = zvid_encode(*synth_video(2))
+    vid_zero_ms = vid_ok[:8] + struct.pack("<I", 0) + vid_ok[12:]
+    # corrupt the SECOND frame's magic (frame 0 stays valid, so a
+    # first-frame-only check would wrongly classify ok)
+    frame_size = struct.unpack_from("<I", vid_ok, 12)[0]
+    f1 = 16 + frame_size
+    vid_bad_frame = vid_ok[:f1] + b"XX" + vid_ok[f1 + 2 :]
+    # second frame claims more pixel data than its slot holds
+    vid_big_frame = (
+        vid_ok[:f1 + 22] + struct.pack("<i", 1 << 20) + vid_ok[f1 + 26 :]
+    )
+    cases += [vid_ok, wav_odd, vid_zero_ms, vid_bad_frame, vid_big_frame]
     for payload in cases:
         verdict = classify_payload(payload)
         try:
@@ -103,6 +124,10 @@ def test_classifier_matches_decoder_errors():
         except (ValueError, NotImplementedError):
             decoded = False
         assert decoded == (verdict is None), (verdict, payload[:8])
+    assert classify_payload(wav_odd) == "unsupported_variant"
+    assert classify_payload(vid_zero_ms) == "unsupported_variant"
+    assert classify_payload(vid_bad_frame) == "unsupported_variant"
+    assert classify_payload(vid_big_frame) == "unsupported_variant"
 
 
 def test_strictness_rejects_variants():

@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lenient-offsets", action="store_true",
                     help="allow equal offsets in S1 (non-decreasing instead of strictly increasing)")
     ap.add_argument("--referential-strategy", choices=["auto", "broadcast", "smj"], default="auto")
+    ap.add_argument("--media-no-check-missing", action="store_true",
+                    help="skip M1's referenced-but-absent anti-join (use when the payload "
+                         "table is ingest-guaranteed complete; changes rules_hash)")
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and revalidate everything")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit supplies it)")
     args = ap.parse_args(argv)
@@ -48,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             referential_strategy=args.referential_strategy,
             enable_referential=args.catalog is not None,
             enable_media_decode=args.media is not None,
+            media_check_missing=not args.media_no_check_missing,
         )
     )
     docs = spark.read.parquet(args.documents)

@@ -175,8 +175,13 @@ def zvid_info(data: bytes) -> tuple[int, int, int]:
     if len(data) < _ZVID_HEADER_SIZE or data[:4] != b"ZVID":
         raise ValueError("not a ZVID payload (missing magic)")
     n_frames, frame_ms, frame_size = struct.unpack_from("<III", data, 4)
-    if n_frames < 1 or frame_size < _BMP_HEADER_SIZE:
-        raise ValueError(f"unsupported ZVID layout (n_frames={n_frames}, frame_size={frame_size})")
+    # frame_ms >= 1: timestamp→frame mapping is ts // frame_ms, so a
+    # zero rate video has no well-defined frame for any timestamp
+    if n_frames < 1 or frame_size < _BMP_HEADER_SIZE or frame_ms < 1:
+        raise ValueError(
+            f"unsupported ZVID layout (n_frames={n_frames}, "
+            f"frame_ms={frame_ms}, frame_size={frame_size})"
+        )
     if _ZVID_HEADER_SIZE + n_frames * frame_size > len(data):
         raise ValueError("truncated ZVID: declared frames exceed payload")
     return n_frames, frame_ms, frame_size
@@ -293,11 +298,29 @@ def classify_payload(payload: bytes) -> str | None:
     if is_zvid:
         if len(payload) < _ZVID_HEADER_SIZE:
             return "truncated"
-        n_frames, _, frame_size = struct.unpack_from("<III", payload, 4)
-        if n_frames < 1 or frame_size < _BMP_HEADER_SIZE:
+        n_frames, frame_ms, frame_size = struct.unpack_from("<III", payload, 4)
+        # frame_ms >= 1: frame sampling maps timestamps with ts // frame_ms
+        if n_frames < 1 or frame_size < _BMP_HEADER_SIZE or frame_ms < 1:
             return "unsupported_variant"
         if _ZVID_HEADER_SIZE + n_frames * frame_size > len(payload):
             return "truncated"
+        # every interior frame must be a decodable 24-bit BMP fitting its
+        # slot — 'ok' GUARANTEES zvid_frame()/default_decoder succeed on
+        # every frame, not just that the container header parses (the M1
+        # contract: corrupt media is violation DATA, never a task failure).
+        # Cost is O(n_frames) fixed-offset header reads, no pixel I/O.
+        for i in range(n_frames):
+            base = _ZVID_HEADER_SIZE + i * frame_size
+            if payload[base : base + 2] != b"BM":
+                return "unsupported_variant"
+            offset = struct.unpack_from("<I", payload, base + 10)[0]
+            w, h = struct.unpack_from("<ii", payload, base + 18)
+            planes, bpp = struct.unpack_from("<HH", payload, base + 26)
+            compression = struct.unpack_from("<I", payload, base + 30)[0]
+            if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h <= 0:
+                return "unsupported_variant"
+            if offset + bmp_row_size(w) * h > frame_size:
+                return "unsupported_variant"
         return None
     if is_bmp:
         if len(payload) < _BMP_HEADER_SIZE:
@@ -320,6 +343,10 @@ def classify_payload(payload: bytes) -> str | None:
     if fmt_tag != 1 or channels != 1 or bits != 16 or payload[36:40] != b"data":
         return "unsupported_variant"
     data_size = struct.unpack_from("<I", payload, 40)[0]
+    # odd data_size cannot hold whole int16 samples — wav_decode's
+    # frombuffer would raise, so 'ok' must not cover it
+    if data_size % 2 != 0:
+        return "unsupported_variant"
     if _WAV_HEADER_SIZE + data_size > len(payload):
         return "truncated"
     return None

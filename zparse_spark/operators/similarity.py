@@ -459,6 +459,7 @@ def ivf_topk_indexed(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     max_queries: int = 100_000,
+    probe_impl: str = "numpy",
 ) -> DataFrame:
     """Top-k over a ``write_ivf_index`` table with STATIC partition
     pruning: the query batch is small (ANN query sets are — guarded by
@@ -467,7 +468,14 @@ def ivf_topk_indexed(
     prove only nprobe-cell directories are read (plan-asserted in
     tests/test_plans.py). Probe ranking tie-breaks (score desc, cell
     desc) match ``ivf_topk`` exactly, so results are identical to the
-    unindexed operator on the same codebook."""
+    unindexed operator on the same codebook.
+
+    ``probe_impl``: 'numpy' (default — matmul probe scores, pairwise
+    summation) or 'expr' — sequential left-to-right accumulation,
+    bit-identical to the ``impl='expr'`` fold-left and DuckDB's
+    list_dot_product; oracled queries pin 'expr' on BOTH the index build
+    and the probe so a near-tie centroid score can never flip a cell
+    assignment or probe ordering between the engines."""
     cents = centroids or _codebook(dim, nlist, seed)
     cmat = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
     qrows = queries.select(query_id_col, vec_col).collect()
@@ -489,7 +497,17 @@ def ivf_topk_indexed(
     probe_rows = []
     probe_cells = set()
     for qid, vec in qrows:
-        scores = cmat @ np.asarray(vec, dtype=np.float64)
+        if probe_impl == "expr":
+            # fold-left float accumulation, same op sequence as the expr
+            # path's F.aggregate and DuckDB's list_dot_product
+            scores = []
+            for crow in cents:
+                s = 0.0
+                for cj, vj in zip(crow, vec):
+                    s += cj * vj
+                scores.append(s)
+        else:
+            scores = cmat @ np.asarray(vec, dtype=np.float64)
         # rank by (score desc, cell desc): sort keys mirror ivf_topk's
         # array_sort(struct(s, c)) reversed — identical tie handling
         order = sorted(range(len(scores)), key=lambda i: (scores[i], i + 1), reverse=True)

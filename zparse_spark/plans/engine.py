@@ -43,6 +43,11 @@ class ValidationConfig:
     # opt-in M1: referenced media payloads must exist and decode
     # (violations() then needs the media_verdicts frame)
     enable_media_decode: bool = False
+    # M1's missing-payload branch costs one distinct + anti-join over the
+    # payload KEYS; when ingest guarantees a verdict row per referenced
+    # payload, set False to keep M1 broadcast-only. Part of rules_hash —
+    # two runs with different M1 semantics must never share a resume.
+    media_check_missing: bool = True
     # 'auto' fuses R1 into the span explode only when the catalog key set
     # is provably under this row count (cheap count probe here; table
     # metadata on a real Iceberg catalog) — an unconditionally forced
@@ -55,7 +60,7 @@ class ValidationConfig:
         rules (SURVEY.md §4.3)."""
         payload = repr((self.params, self.referential_strategy, self.enable_uniqueness,
                         self.enable_referential, self.enable_drift,
-                        self.enable_media_decode,
+                        self.enable_media_decode, self.media_check_missing,
                         sorted(r.rule_id for r in ALL_RULES))).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
@@ -85,6 +90,16 @@ class ValidationEngine:
         the resumable runner evaluates those on pending partitions only
         while re-running U1/D1 table-wide (see plans.manifest)."""
         c = self.config
+        if c.enable_media_decode and media_verdicts is None:
+            # never skip silently: the dense verdict grid would show M1
+            # passing on every partition without the check having run, and
+            # the manifest would commit those partitions as done under this
+            # rules_hash — resume would then never re-check them
+            raise ValueError(
+                "enable_media_decode=True but media_verdicts is None — pass "
+                "decode_verdicts(payloads) (zparse_spark.multimodal) or build "
+                "the engine with enable_media_decode=False"
+            )
         # R1 fuses into the span-rule explode (one scan saved) when the
         # catalog is provably broadcastable: always for
         # strategy='broadcast' (caller vouches), for 'auto' only when a
@@ -113,8 +128,12 @@ class ValidationEngine:
             parts.append(referential_violations(docs, media_catalog, strategy))
         if c.enable_drift and include_table_rules:
             parts.append(drift_violations(docs, c.params))
-        if c.enable_media_decode and media_verdicts is not None:
-            parts.append(media_payload_violations(docs, media_verdicts))
+        if c.enable_media_decode:
+            parts.append(
+                media_payload_violations(
+                    docs, media_verdicts, check_missing=c.media_check_missing
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

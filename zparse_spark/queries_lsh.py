@@ -500,13 +500,17 @@ def similarity_ivf_indexed_embeddings(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     idx = "/root/repo/spark-warehouse/oracle/ivf_index"
-    cents = write_ivf_index(d, idx, nlist=_IVF_NLIST, seed=_SEED)
+    # impl/probe_impl pinned to the fold-left 'expr' path: the DuckDB twin
+    # scores cells with list_dot_product (sequential accumulation), and a
+    # near-tie centroid score under numpy's pairwise summation could flip
+    # an assignment or probe ordering. Bench paths keep the arrow default.
+    cents = write_ivf_index(d, idx, nlist=_IVF_NLIST, seed=_SEED, impl="expr")
     q = d.filter(F.col("vec_id") < _IVF_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk_indexed(
         spark, idx, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST,
-        seed=_SEED, centroids=cents,
+        seed=_SEED, centroids=cents, probe_impl="expr",
     )
 
 

@@ -88,14 +88,43 @@ def _media_input(spark):
 
 
 
+# ZVID per-frame validity (classify_payload's frame loop as a correlated
+# NOT EXISTS over the frame index): frame fi lives at byte offset
+# 16 + fi*frame_size and must be a 24-bit BI_RGB BMP whose declared pixel
+# data fits its fixed-size slot.
+_ZF = f"(16 + fi * {_le32('12')})"
+_ZF_W = _sle32(f"{_ZF} + 18")
+_ZF_H = _sle32(f"{_ZF} + 22")
+# the frame-loop bound is self-guarded (0 unless the container checks
+# already passed): DuckDB decorrelates the EXISTS and evaluates it for
+# EVERY row, including non-ZVID/corrupt ones whose bytes 4..15 are
+# garbage — an unguarded range() would be astronomically long there
+_ZF_N = (
+    f"(CASE WHEN is_zvid AND n_bytes >= 16 AND {_le32('4')} >= 1 "
+    f"AND {_le32('12')} >= 54 AND {_le32('8')} >= 1 "
+    f"AND 16 + {_le32('4')} * {_le32('12')} <= n_bytes "
+    f"THEN {_le32('4')} ELSE 0 END)"
+)
+_ZVID_BAD_FRAME = f"""EXISTS (
+        SELECT 1 FROM unnest(range({_ZF_N})) AS _zf(fi)
+        WHERE NOT (substr(hx, CAST(2 * {_ZF} + 1 AS INT), 4) = '424D'
+               AND {_le16(f'{_ZF} + 26')} = 1 AND {_le16(f'{_ZF} + 28')} = 24
+               AND {_le32(f'{_ZF} + 30')} = 0
+               AND {_ZF_W} > 0 AND {_ZF_H} > 0
+               AND {_le32(f'{_ZF} + 10')} + ((3 * {_ZF_W} + 3) // 4 * 4) * {_ZF_H}
+                   <= {_le32('12')})
+      )"""
+
 # The ordered classification CASE (shared by every media-verdict oracle;
 # mirrors media_codecs.classify_payload check-for-check). Expects columns
 # is_zvid / is_bmp / is_riff / n_bytes / hx in scope.
 _CLASSIFY_CASE = f"""CASE
       WHEN NOT (is_zvid OR is_bmp OR is_riff) THEN 'bad_magic'
       WHEN is_zvid AND n_bytes < 16 THEN 'truncated'
-      WHEN is_zvid AND ({_le32('4')} < 1 OR {_le32('12')} < 54) THEN 'unsupported_variant'
+      WHEN is_zvid AND ({_le32('4')} < 1 OR {_le32('12')} < 54 OR {_le32('8')} < 1)
+        THEN 'unsupported_variant'
       WHEN is_zvid AND 16 + {_le32('4')} * {_le32('12')} > n_bytes THEN 'truncated'
+      WHEN is_zvid AND {_ZVID_BAD_FRAME} THEN 'unsupported_variant'
       WHEN is_bmp AND n_bytes < 54 THEN 'truncated'
       WHEN is_bmp AND NOT ({_le16('26')} = 1 AND {_le16('28')} = 24 AND {_le32('30')} = 0
                            AND {_sle32('18')} > 0 AND {_sle32('22')} > 0)
@@ -108,6 +137,7 @@ _CLASSIFY_CASE = f"""CASE
       WHEN is_riff AND NOT ({_le16('20')} = 1 AND {_le16('22')} = 1 AND {_le16('34')} = 16
                             AND substr(hx, 73, 8) = '64617461')
         THEN 'unsupported_variant'
+      WHEN is_riff AND ({_le32('40')} % 2) = 1 THEN 'unsupported_variant'
       WHEN is_riff AND 44 + {_le32('40')} > n_bytes THEN 'truncated'
       ELSE NULL
     END"""

@@ -99,16 +99,25 @@ def compact_dedup_sink(
     out_dir: str,
     id_cols: tuple[str, ...] = ("doc_id",),
     event_time_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Offline compaction closing ``dedup_stream``'s watermark gap: a
     document re-delivered AFTER its dedup state expired lands in the
     sink twice; this job removes those stragglers so streaming +
     compaction together give exactly-once per id over all history.
 
-    Keep rule: first arrival wins — min event time per id, ties broken
-    by a stable row hash — the same row ``dropDuplicatesWithinWatermark``
-    keeps when its state is live, so compaction never changes which copy
-    survives, only removes late extras.
+    Keep rule — and its deliberate difference from the online operator:
+    ``dropDuplicatesWithinWatermark`` keeps the first-PROCESSED copy
+    (arrival order), which is not recoverable from the sink; compaction
+    defines the survivor by EVENT time — min ``event_time_col`` per id,
+    ties broken by a stable row hash — making the compacted table a
+    deterministic function of the data, independent of delivery order.
+    When a post-watermark re-delivery carries an *earlier* event time
+    (or differing payload columns), the two definitions disagree and the
+    event-time copy wins. Callers that need arrival order preserved must
+    have the stream writer stamp an ingest-order column (e.g. a
+    ``batch_id`` from foreachBatch) and pass it as ``order_cols`` — it
+    then takes precedence over event time in the keep rule.
 
     Scale shape: one shuffle on the id (the window's partition key);
     the per-key sort is over duplicate copies only (a handful of rows),
@@ -121,6 +130,7 @@ def compact_dedup_sink(
 
     sink = spark.read.parquet(f"{out_dir}/deduped")
     w = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
+        *[F.col(c).asc() for c in order_cols],
         F.col(event_time_col).asc(),
         F.xxhash64(*[F.col(c) for c in sink.columns]).asc(),
     )
