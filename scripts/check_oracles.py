@@ -58,8 +58,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+    import time
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from zparse_spark.session import get_spark
@@ -75,11 +81,14 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        spark_s = round(time.perf_counter() - t0, 3)
         if name not in oracles:
             print(f"  {name:40s} rows={len(srows):7d}  (rows-only, no oracle)")
+            results[name] = {"rows": len(srows), "oracle": False, "spark_sec": spark_s}
             continue
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
@@ -92,7 +101,12 @@ def main() -> int:
         print(
             f"  {name:40s} {status} rows={len(srows)}/{len(orows)}"
             f" cols={'=' if ok_cols else scols} hash={'=' if ok_hash else f'{sh}!={oh}'}"
+            f" [{spark_s}s]"
         )
+        results[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(srows), "oracle_rows": len(orows), "spark_sec": spark_s,
+        }
         if status == "FAIL":
             failures.append(name)
             if not ok_hash and ok_cols and ok_rows:
@@ -106,6 +120,10 @@ def main() -> int:
                         print(f"     spark: {x}\n     duck : {y}")
                         break
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall OK")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(results), "failures": failures,
+                       "queries": results}, f, indent=1)
     return 1 if failures else 0
 
 

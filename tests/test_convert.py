@@ -205,3 +205,45 @@ def test_xml_rows_to_table_reinfers_types(spark):
     assert r2["b"]["string_v"] == "ok"
 
     assert out[3]["_corrupt"]
+
+
+def test_strip_jsonc_matrix(spark):
+    """tests/jsonc_tests.rs:29-69 behaviors: comments + trailing commas
+    vanish, strings survive untouched, and every stripped result parses
+    as strict JSON."""
+    from zparse_spark.functions.convert import strip_jsonc
+
+    cases = [
+        # (jsonc, expected_strict)
+        ('{"a": 1}', '{"a": 1}'),
+        ('{ // c\n"a": 1}', '{ \n"a": 1}'),
+        ('{"a": 1 /* block */}', '{"a": 1 }'),
+        ('{"a": 1, /* multi\nline */ "b": 2}', '{"a": 1,  "b": 2}'),
+        # comment-lookalikes inside strings are data, not comments
+        ('{"u": "http://x/y", "c": "/* keep */ // keep"}',
+         '{"u": "http://x/y", "c": "/* keep */ // keep"}'),
+        # escaped quote does not end the string early
+        ('{"q": "a\\" // still-string"}', '{"q": "a\\" // still-string"}'),
+        # trailing commas in object and array (jsonc_tests.rs:29-42)
+        ('{"arr": [1, 2, 3,],}', '{"arr": [1, 2, 3]}'),
+        # star-heavy block comment (lookahead-free grammar edge)
+        ('{"a": 1 /*** x ***/}', '{"a": 1 }'),
+        # comma inside a string is untouched by the trailing-comma pass
+        ('{"s": ", ]",}', '{"s": ", ]"}'),
+    ]
+    df = spark.createDataFrame(cases, ["jsonc", "expected"]).withColumn(
+        "strict", strip_jsonc(F.col("jsonc"))
+    )
+    for r in df.collect():
+        assert r["strict"] == r["expected"], (r["jsonc"], r["strict"])
+    # every stripped result is valid strict JSON (convert_jsonc_to_json
+    # contract, jsonc_tests.rs:45-69): from_json returns non-null
+    parsed = df.select(
+        F.from_json("strict", "map<string,string>").alias("m"), "strict"
+    ).collect()
+    assert all(r["m"] is not None for r in parsed), [r for r in parsed if r["m"] is None]
+    # comments-only mode keeps trailing commas (with_trailing_commas=false)
+    one = spark.range(1).select(
+        strip_jsonc(F.lit('{"a": 1, /* c */}'), trailing_commas=False).alias("s")
+    ).collect()[0]["s"]
+    assert one == '{"a": 1, }'

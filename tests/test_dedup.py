@@ -262,3 +262,36 @@ def test_resolve_warns_on_non_convergence(spark):
         out = resolve_duplicate_clusters(chain, max_iter=10).collect()
     assert not any("did not converge" in str(x.message) for x in w)
     assert {r["rep_id"] for r in out} == {"n0"}
+
+
+def test_star_cc_matches_propagation_and_beats_diameter(spark):
+    """resolve_duplicate_clusters_star: identical labels to min-label
+    propagation on mixed graph shapes, and a 40-edge chain resolves in
+    ≤8 alternations — far under the diameter the propagation variant
+    needs (O(log n) claim)."""
+    from zparse_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+        resolve_duplicate_clusters_star,
+    )
+
+    # mixed: a star, a triangle with a duplicate edge, a pair, a chain
+    pairs = spark.createDataFrame(
+        [("h", "s1"), ("h", "s2"), ("h", "s3"),
+         ("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("t3", "t1"),
+         ("p1", "p2"),
+         ("c1", "c2"), ("c2", "c3"), ("c3", "c4")],
+        ["id_a", "id_b"],
+    )
+    star = {r["doc_id"]: r["rep_id"] for r in resolve_duplicate_clusters_star(pairs).collect()}
+    prop = {r["doc_id"]: r["rep_id"] for r in resolve_duplicate_clusters(pairs).collect()}
+    assert star == prop
+    assert star["s3"] == "h" and star["t3"] == "t1" and star["c4"] == "c1"
+
+    # 41-node chain (diameter 40): star converges within 8 rounds where
+    # propagation's default max_iter=10 would not even cover it
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(40)], ["id_a", "id_b"]
+    )
+    got = resolve_duplicate_clusters_star(chain, max_iter=8).collect()
+    assert len(got) == 41
+    assert all(r["rep_id"] == "n00" for r in got)

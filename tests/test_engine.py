@@ -22,7 +22,9 @@ def test_verdict_matrix_matches_golden(spark):
     }
 
     # golden: which (partition, rule) cells must fail, from the labels
-    labeled = docs.select("partition", "doc_id", "_fixture_class").collect()
+    labeled = docs.select(
+        "partition", "doc_id", "_fixture_class", F.size("spans").alias("n_spans")
+    ).collect()
     expect_fail = set()
     per_class_rules = {
         "offset_regression": ["S1"],
@@ -43,7 +45,11 @@ def test_verdict_matrix_matches_golden(spark):
     for r in labeled:
         for rule in per_class_rules.get(r["_fixture_class"], []):
             expect_fail.add((r["partition"], rule))
-            expected_counts[(r["partition"], rule)] += 1
+            # control_chars plants '\n' in span 0 AND '\x01' in span 1
+            # (when the doc has one) — two S5 rows per doc, at line 1
+            # and line 2 respectively
+            n = 2 if rule == "S5" and r["n_spans"] >= 2 else 1
+            expected_counts[(r["partition"], rule)] += n
 
     for cell, (passed, count) in got.items():
         if cell[1] in ("D1", "S4"):  # not planted at default caps

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from zparse_spark.operators.rules import referential_violations, span_rule_violations
-from zparse_spark.plans.engine import ValidationEngine
+from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
 from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
 
 
@@ -58,19 +58,36 @@ def test_referential_smj_hint(spark, docs_path):
 
 
 def test_span_rules_map_only_no_shuffle(spark, docs_path):
-    """S1..S8 must be a single narrow stage: no Exchange in the plan."""
+    """S1..S8 must be a single narrow stage: no Exchange in the plan —
+    with OR without the Pos derivation (both impls are map-only)."""
+    from zparse_spark.operators.rules import RuleParams
+
     docs = spark.read.parquet(docs_path)
-    plan = plan_of(span_rule_violations(docs))
-    assert "Exchange" not in plan
-    # executedPlan.toString renders WholeStageCodegen stages as "*(n)"
-    assert "*(" in plan
+    for params in (RuleParams(), RuleParams(line_col_impl="expr"),
+                   RuleParams(emit_line_col=False)):
+        plan = plan_of(span_rule_violations(docs, params))
+        assert "Exchange" not in plan, params
+        # executedPlan.toString renders WholeStageCodegen stages as "*(n)"
+        assert "*(" in plan, params
 
 
-def test_full_pack_has_no_python_eval(spark, docs_path):
+def test_full_pack_python_eval_contract(spark, docs_path):
+    """The default pack's ONLY Python stage is the Arrow-batched Pos
+    derivation (never row-at-a-time BatchEvalPython); with
+    line_col_impl='expr' or emit_line_col=False the whole pack plan is
+    Python-free."""
+    from zparse_spark.operators.rules import RuleParams
+
     docs = spark.read.parquet(docs_path)
     cat = generate_media_catalog(spark)
-    plan = plan_of(ValidationEngine().violations(docs, cat))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    default_plan = plan_of(ValidationEngine().violations(docs, cat))
+    assert "ArrowEvalPython" in default_plan
+    assert "BatchEvalPython" not in default_plan
+    for params in (RuleParams(line_col_impl="expr"), RuleParams(emit_line_col=False)):
+        plan = plan_of(
+            ValidationEngine(ValidationConfig(params=params)).violations(docs, cat)
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, params
 
 
 def test_aqe_enabled(spark):

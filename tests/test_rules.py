@@ -198,3 +198,51 @@ def test_d1_drift(spark):
 def test_empty_and_null_spans_do_not_crash(spark):
     docs = make_docs(spark, [("empty", [], "p0"), ("none", None, "p0")])
     assert span_rule_violations(docs).count() == 0
+
+
+def test_line_col_positions(spark):
+    """Pos contract (error.rs:8-18 prints offset:line:col) over the
+    canonical reconstruction: each span-level violation reports the
+    1-based (line, col) where the violating span STARTS in the
+    concatenation of span texts — newlines in earlier spans advance the
+    line and reset the column."""
+    docs = make_docs(
+        spark,
+        [
+            # span texts: "ab\ncd" (5 chars, 1 nl) | "xyz" | "\x01"
+            # span 2 starts after "ab\ncdxyz": line 2, col 6+1? no —
+            # after span0 (ends 'cd', col 3) span1 starts line 2 col 3,
+            # span2 starts at line 2, col 3+3=6... planted control char
+            ("d1", [T("ab\ncd", 0), T("xyz", 6), T("\x01", 10)], "p0"),
+            # no newlines anywhere: col accumulates, line stays 1
+            ("d2", [T("abcd", 0), T("\x01", 5)], "p0"),
+            # violating span directly after a newline: col resets to 1
+            ("d3", [T("ab\n", 0), T("\x01", 4)], "p0"),
+        ],
+    )
+    got = sorted(
+        (r["doc_id"], r["span_pos"], r["line"], r["col"])
+        for r in span_rule_violations(docs).filter("rule_id = 'S5'").collect()
+    )
+    assert got == [
+        ("d1", 0, 1, 1),   # the '\n' inside span 0 is itself a control char
+        ("d1", 2, 2, 6),   # after "ab\ncdxyz": line 2 (one nl), col 3+3
+        ("d2", 1, 1, 5),   # after "abcd": line 1, col 5
+        ("d3", 0, 1, 1),
+        ("d3", 1, 2, 1),   # prefix ends with '\n': column resets
+    ]
+    # the pure-JVM fold computes identical integers to the Arrow default
+    got_expr = sorted(
+        (r["doc_id"], r["span_pos"], r["line"], r["col"])
+        for r in span_rule_violations(docs, RuleParams(line_col_impl="expr"))
+        .filter("rule_id = 'S5'")
+        .collect()
+    )
+    assert got_expr == got
+    # doc/table-level rows stay position-free
+    limits = RuleParams(max_spans=2, max_text_bytes=0)
+    s3 = span_rule_violations(docs, limits).filter("rule_id = 'S3'").collect()
+    assert s3 and all(r["line"] is None and r["col"] is None for r in s3)
+    # the opt-out keeps the schema but nulls the derivation
+    off = span_rule_violations(docs, RuleParams(emit_line_col=False))
+    assert {r["line"] for r in off.collect()} == {None}

@@ -315,3 +315,39 @@ def xml_rows_to_table(df: DataFrame, columns: list[str], col: str = "xml") -> Da
         F.coalesce(leaf_bad, F.lit(False)).alias("_leaf_violation"),
         F.col("_r._corrupt_record").isNotNull().alias("_corrupt"),
     )
+
+
+# --------------------------------------------------------------------------
+# JSONC ingest: comment + trailing-comma stripping (lexer/json.rs:165-217,
+# json/parser.rs:20-23 Config.with_comments / with_trailing_commas)
+# --------------------------------------------------------------------------
+
+# Quote-aware via alternation-capture: a complete string literal matches
+# FIRST (group 1, kept), so '//', '/*' and ',' inside strings can never
+# match the comment/comma alternatives. Deliberately lookaround-free —
+# the identical patterns run under Java regex (Spark) and RE2 (DuckDB),
+# so the stripper is oracle-checkable cross-engine. The block-comment
+# branch is the classic lookahead-free form.
+JSONC_STRING = '("(?:[^"\\\\]|\\\\.)*")'
+JSONC_LINE_COMMENT = "//[^\\n\\r]*"
+JSONC_BLOCK_COMMENT = "/\\*[^*]*\\*+(?:[^/*][^*]*\\*+)*/"
+JSONC_COMMENT_PATTERN = f"{JSONC_STRING}|{JSONC_LINE_COMMENT}|{JSONC_BLOCK_COMMENT}"
+JSONC_TRAILING_COMMA_PATTERN = JSONC_STRING + "|,(\\s*[}\\]])"
+
+
+def strip_jsonc(col: Column, trailing_commas: bool = True) -> Column:
+    """JSONC → strict JSON: remove ``//`` and ``/* */`` comments (and,
+    by default, trailing commas) OUTSIDE string literals, so the result
+    feeds ``from_json``/``get_json_object`` directly. Two JVM
+    ``regexp_replace`` passes — whole-stage codegen, no Python, no
+    shuffle; the map-only shape holds at any scale.
+
+    Mirrors the reference's lenient JSON mode
+    (lexer/json.rs:165-217 skips both comment forms;
+    json/parser.rs:20-23 gates comments/trailing commas behind Config) —
+    there the lexer skips comments in-stream; here the same token
+    classes vanish in one vectorized pass before parsing."""
+    out = F.regexp_replace(col, JSONC_COMMENT_PATTERN, "$1")
+    if trailing_commas:
+        out = F.regexp_replace(out, JSONC_TRAILING_COMMA_PATTERN, "$1$2")
+    return out

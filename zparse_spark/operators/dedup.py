@@ -549,9 +549,10 @@ def resolve_duplicate_clusters(
     clusters are shallow (boilerplate stars, chains of 2-4), so the
     fixpoint typically lands in ≤3 rounds; ``max_iter`` bounds
     adversarial chains and the loop exits early on a cheap
-    changed-count probe. For graphs with deep paths use the
-    large-star/small-star variant (O(log n) rounds) — not needed for
-    dedup-shaped graphs.
+    changed-count probe. For graphs with deep paths use
+    ``resolve_duplicate_clusters_star`` (large-star/small-star, O(log n)
+    rounds) — same labels, same tie-breaks, ~2× the per-round cost, so
+    this propagation variant stays the default for dedup-shaped graphs.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.union(
@@ -598,11 +599,95 @@ def resolve_duplicate_clusters(
         warnings.warn(
             f"resolve_duplicate_clusters did not converge within "
             f"max_iter={max_iter} ({changed} labels still changing); "
-            f"results are NOT connected components — raise max_iter",
+            f"results are NOT connected components — raise max_iter or "
+            f"use resolve_duplicate_clusters_star (O(log n) rounds)",
             RuntimeWarning,
             stacklevel=2,
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))
+
+
+def resolve_duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star — the
+    O(log n)-round deep-graph variant ``resolve_duplicate_clusters``
+    names as its escape hatch (that one is O(component diameter), which
+    a 50-deep re-post chain or an adversarial near-dup path defeats).
+
+    Published algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14), as two DataFrame rounds per
+    iteration:
+
+    - large-star: over symmetric neighborhoods, hang every neighbor
+      LARGER than the center under ``min(Γ(u) ∪ {u})``;
+    - small-star: orient edges big→small, hang the smaller neighbors
+      (and the center) under the neighborhood minimum.
+
+    Each round is one groupBy + one join over the EDGE set — O(|pairs|)
+    shuffle per round, never the corpus — and the edge set monotonically
+    contracts toward stars rooted at component minima. Convergence is
+    detected with a cheap count+hash probe (two scalars, not a frame
+    diff); lineage is truncated per iteration with ``localCheckpoint``
+    like the propagation variant. Labels tie-break identically to
+    ``resolve_duplicate_clusters`` (component minimum id), so the two
+    variants agree exactly and share the DuckDB recursive-CTE oracle.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: ANSI mode (Spark 4 default) throws on long
+        # overflow, and XOR is order-independent across partitions
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return r["n"], r["h"]
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        lmin = lmin.select("u", F.least("u", "_mn").alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        d = (
+            large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smin = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("rep_id"))
+        .select(F.col("node").alias("doc_id"), "rep_id")
+    )
 
 
 def keep_representatives(

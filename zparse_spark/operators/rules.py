@@ -13,11 +13,15 @@ a map-side posexplode of the spans array. The scale decisions:
   predecessor's offset (a shifted copy of spans.offset) before exploding.
   Doc-level limits (S3/S4) ride the same explode as per-doc scalars and
   fire on the first span row — the whole pack is ONE scan + ONE Generate.
-- **No Python.** The escape/unicode/control-char grammars from the
-  reference lexer (crates/zparse/src/lexer/json.rs:86-262) are compiled
-  to Java regexes evaluated JVM-side. A vectorized Arrow pandas_udf
-  fallback exists in ``zparse_spark.functions.text`` for grammars regex
-  can't express, but the default pack never leaves the JVM.
+- **No per-row Python.** The escape/unicode/control-char grammars from
+  the reference lexer (crates/zparse/src/lexer/json.rs:86-262) are
+  compiled to Java regexes evaluated JVM-side. The ONE stage that leaves
+  the JVM by default is the Pos line/col derivation — an Arrow-batched
+  pandas UDF (the north-star's blessed vectorized path), because its
+  running fold is exactly what Catalyst interprets worst (measured 2.4×);
+  ``RuleParams(line_col_impl='expr')`` keeps the pack 100% Python-free.
+  A vectorized Arrow pandas_udf fallback also exists in
+  ``zparse_spark.functions.text`` for grammars regex can't express.
 
 Table-level rules (uniqueness, referential, drift) are the operators the
 reference *couldn't* have (single-thread, single buffer) and are where
@@ -35,6 +39,9 @@ Reference parity map (file:line in /root/reference):
   U1 doc_id uniqueness     ← DuplicateKey               toml/parser.rs:918-924
   R1 media_ref referential ← close-tag-must-match-open  xml/parser.rs:125-134
   D1 span-kind drift       ← (north_star extension)
+  line/col on violations   ← Pos{offset,line,col}       error.rs:7-18 (display
+      "offset:line:col", tests/error_tests.rs:4-7); derived for span-level
+      rules from the canonical text reconstruction, see span_rule_violations
 """
 
 from __future__ import annotations
@@ -71,6 +78,18 @@ class RuleParams:
     # (json/parser.rs:20-23): strict mode demands strictly increasing
     # offsets; lenient tolerates ties (the JSONC-style relaxation)
     allow_equal_offsets: bool = False
+    # derive the reference's Pos line/col (error.rs:8-18) for span-level
+    # violations: the 1-based start of the violating span in the doc's
+    # canonical text reconstruction. One extra O(text) pass per doc in
+    # the span-rule stage; disable for position-free pipelines. Part of
+    # rules_hash via RuleParams' repr.
+    emit_line_col: bool = True
+    # 'arrow' (default): Arrow-batched pandas UDF — the north-star's
+    # blessed vectorized path; measured 2.4× the pure-JVM fold at 100k
+    # docs/local[8] because Spark interprets HOF lambdas. 'expr': the
+    # Catalyst fold — keeps the plan 100% Python-free for clusters
+    # without Python workers. Identical integers either way.
+    line_col_impl: str = "arrow"
     psi_threshold: float = 0.25
     # probability floor for PSI's zero buckets; 1e-4 keeps a kind that is
     # merely absent-by-chance in a small partition from exploding the score
@@ -215,7 +234,70 @@ def span_rule_violations(
             F.slice(F.col("spans.offset"), 1, F.greatest(F.size(spans) - 1, F.lit(0))),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    zipped = F.arrays_zip(spans.alias("s"), prev_offsets.alias("prev_offset"))
+    # (line, col) where each span STARTS in the canonical reconstruction
+    # (span texts concatenated in array order) — the reference Pos
+    # contract (error.rs:8-18) at table scale. One O(total text) pass per
+    # doc, riding the same narrow map stage (no shuffle either way).
+    if p.emit_line_col and p.line_col_impl == "arrow":
+        # Arrow-batched vectorized UDF over the pruned spans.text array —
+        # the one pack stage that leaves the JVM, because the running
+        # fold is exactly what Catalyst interprets worst: measured
+        # 1.0 s vs 2.4 s (expr fold) vs 3.8 s (two-extraction fold) on
+        # the +line/col delta at 100k docs / local[8].
+        from zparse_spark.functions.text import span_start_positions
+
+        pos_arr = span_start_positions(F.col("spans.text"))
+    elif p.emit_line_col:
+        # pure-JVM fold: each step appends this span's start cursor and
+        # advances it — ONE aggregate evaluation (an earlier shape that
+        # zipped two field-extractions of a struct-state fold evaluated
+        # the whole fold twice; measured 1.6× slower)
+        def _pos_step(acc, s):
+            text = F.coalesce(s["text"], F.lit(""))
+            nls = F.length(text) - F.length(F.replace(text, F.lit("\n"), F.lit("")))
+            prv = F.element_at(acc, -1)
+            return F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        prv["nline"].alias("line"),
+                        prv["ncol"].alias("col"),
+                        (prv["nline"] + nls).cast("int").alias("nline"),
+                        F.when(
+                            nls > 0,
+                            F.length(F.substring_index(text, "\n", -1)) + 1,
+                        )
+                        .otherwise(prv["ncol"] + F.length(text))
+                        .cast("int")
+                        .alias("ncol"),
+                    )
+                ),
+            )
+
+        seed = F.array(
+            F.struct(
+                F.lit(1).cast("int").alias("line"),
+                F.lit(1).cast("int").alias("col"),
+                F.lit(1).cast("int").alias("nline"),
+                F.lit(1).cast("int").alias("ncol"),
+            )
+        )
+        safe_spans = F.coalesce(spans, F.array())
+        pos_arr = F.slice(
+            F.aggregate(safe_spans, seed, _pos_step),
+            2,
+            F.greatest(F.size(safe_spans), F.lit(1)),
+        )
+    else:
+        pos_arr = F.transform(
+            F.coalesce(spans, F.array()),
+            lambda s: F.lit(None).cast("struct<line:int,col:int>"),
+        )
+    zipped = F.arrays_zip(
+        spans.alias("s"),
+        prev_offsets.alias("prev_offset"),
+        pos_arr.alias("p"),
+    )
     # doc-level scalars (S3/S4 inputs) ride along the explode so the whole
     # pack needs exactly ONE scan and ONE Generate
     n_spans = F.coalesce(F.size(spans), F.lit(0))
@@ -241,24 +323,35 @@ def span_rule_violations(
         F.col("z.s.media_ref").alias("media_ref"),
         F.col("z.s.offset").alias("offset"),
         F.col("z.prev_offset").alias("prev_offset"),
+        F.col("z.p.line").alias("line"),
+        F.col("z.p.col").alias("col"),
     )
 
-    def _item(rule_id, kind, span_pos, offset):
+    def _item(rule_id, kind, span_pos, offset, line=None, col=None):
         # deliberately message-free: the item struct carries only small
         # scalars. Building messages here looks lazy (when(cond, item))
         # but codegen's common-subexpression elimination hoists the
         # shared string concats OUT of the lazy branches — measured 2×
         # on the whole write-shaped pass at 16M docs (string allocation
         # per exploded row for violations that almost never fire).
+        null_i = F.lit(None).cast("int")
         return F.struct(
             F.lit(rule_id).alias("rule_id"),
             F.lit(kind).alias("kind"),
             span_pos.cast("int").alias("span_pos"),
             offset.cast("long").alias("offset"),
+            (line if line is not None else null_i).cast("int").alias("line"),
+            (col if col is not None else null_i).cast("int").alias("col"),
         )
 
     checks = [
-        (cond, _item(rule_id, kind, F.col("span_pos"), F.col("offset")))
+        (
+            cond,
+            _item(
+                rule_id, kind, F.col("span_pos"), F.col("offset"),
+                F.col("line"), F.col("col"),
+            ),
+        )
         for rule_id, kind, cond in _span_checks(p)
     ]
     if media_catalog is not None:
@@ -374,6 +467,8 @@ def span_rule_violations(
         F.col("v.kind").alias("kind"),
         F.col("v.span_pos").alias("span_pos"),
         F.col("v.offset").alias("offset"),
+        F.col("v.line").alias("line"),
+        F.col("v.col").alias("col"),
         message.cast("string").alias("message"),
     )
 
@@ -423,6 +518,8 @@ def uniqueness_violations(docs: DataFrame) -> DataFrame:
             F.lit(ErrorKind.DUPLICATE_KEY).alias("kind"),
             F.lit(None).cast("int").alias("span_pos"),
             F.lit(None).cast("long").alias("offset"),
+            F.lit(None).cast("int").alias("line"),
+            F.lit(None).cast("int").alias("col"),
             F.concat(F.lit("doc_id appears "), F.col("n").cast("string"), F.lit(" times")).alias(
                 "message"
             ),
@@ -474,6 +571,10 @@ def referential_violations(
         F.lit(ErrorKind.DANGLING_MEDIA_REF).alias("kind"),
         "span_pos",
         "offset",
+        # null by design: this branch's scan prunes to (media_ref, offset)
+        # — deriving line/col would read every text byte
+        F.lit(None).cast("int").alias("line"),
+        F.lit(None).cast("int").alias("col"),
         F.concat(F.lit("dangling media_ref: "), F.col("media_ref")).alias("message"),
     )
 
@@ -527,6 +628,8 @@ def media_payload_violations(
         F.lit(ErrorKind.MEDIA_DECODE_FAILED).alias("kind"),
         "span_pos",
         "offset",
+        F.lit(None).cast("int").alias("line"),
+        F.lit(None).cast("int").alias("col"),
         F.concat(
             F.lit("media payload "), F.col("error_kind"), F.lit(": "), F.col("media_ref")
         ).alias("message"),
@@ -601,6 +704,8 @@ def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataF
         F.lit(ErrorKind.DRIFT_EXCEEDED).alias("kind"),
         F.lit(None).cast("int").alias("span_pos"),
         F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("int").alias("line"),
+        F.lit(None).cast("int").alias("col"),
         F.concat(F.lit("PSI "), F.round("psi", 6).cast("string"), F.lit(f" > {p.psi_threshold}")).alias(
             "message"
         ),

@@ -405,17 +405,10 @@ _IVF_K = 10
 _IVF_NQ = 5
 
 
-def _ivf_oracle_sql() -> str:
-    from zparse_spark.operators.similarity import _codebook
-
-    cents = _codebook(64, _IVF_NLIST, _SEED)
-    cent_rows = "\n  UNION ALL\n".join(
-        f"  SELECT {i + 1} AS cell, [" + ", ".join(repr(w) for w in c) + "] AS cv"
-        for i, c in enumerate(cents)
-    )
-    return f"""WITH cents AS (
-{cent_rows}
-),
+# everything downstream of the cents CTE is codebook-agnostic: the same
+# assignment/probe/top-k twin verifies the seeded-literal codebook AND a
+# trained codebook read back from parquet
+_IVF_TAIL = """,
 input AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
@@ -434,8 +427,8 @@ qprobe AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS pr
-    FROM scored WHERE vec_id < {_IVF_NQ}
-  ) WHERE pr <= {_IVF_NPROBE}
+    FROM scored WHERE vec_id < {nq}
+  ) WHERE pr <= {nprobe}
 ),
 cand AS (
   SELECT q.query_id, a.vec_id AS corpus_id, qi.v AS qv, ci.v AS cv
@@ -457,7 +450,19 @@ topk AS (
   FROM cos
 )
 SELECT query_id, corpus_id, round(c, 6) AS cosine, CAST(rank AS INT) AS rank
-FROM topk WHERE rank <= {_IVF_K}"""
+FROM topk WHERE rank <= {k}"""
+
+
+def _ivf_oracle_sql() -> str:
+    from zparse_spark.operators.similarity import _codebook
+
+    cents = _codebook(64, _IVF_NLIST, _SEED)
+    cent_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i + 1} AS cell, [" + ", ".join(repr(w) for w in c) + "] AS cv"
+        for i, c in enumerate(cents)
+    )
+    tail = _IVF_TAIL.format(nq=_IVF_NQ, nprobe=_IVF_NPROBE, k=_IVF_K)
+    return f"WITH cents AS (\n{cent_rows}\n){tail}"
 
 
 @register("similarity_ivf_topk_embeddings", _ivf_oracle_sql())
@@ -555,3 +560,108 @@ def dedup_clusters_documents(spark, sf_dir):
     d = _docs_with_planted(spark, sf_dir, F)
     pairs = minhash_dedup(d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED)
     return resolve_duplicate_clusters(pairs)
+
+
+# --- Trained-codebook IVF twin: Lloyd-trained centroids, table-fed -----
+
+_IVF_W = "/root/repo/spark-warehouse/oracle"
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Same assignment/probe/top-k twin as the literal-codebook oracle,
+    but the cents CTE reads the TRAINED centroids the Spark side
+    persisted to parquet this run — parquet round-trips float64 exactly,
+    so DuckDB scores against bit-identical centroid values."""
+    tail = _IVF_TAIL.format(nq=_IVF_NQ, nprobe=_IVF_NPROBE, k=_IVF_K)
+    return (
+        "WITH cents AS (\n"
+        f"  SELECT cell, cv FROM read_parquet('{_IVF_W}/ivf_trained_cents/*.parquet')\n"
+        f"){tail}"
+    )
+
+
+@register("similarity_ivf_trained_embeddings", _ivf_trained_oracle_sql())
+def similarity_ivf_trained_embeddings(spark, sf_dir):
+    """The FULL IVF story oracle-gated end to end: distributed Lloyd
+    training (2 deterministic iterations from the seeded codebook) →
+    trained centroids persisted → index materialized partitionBy(cell)
+    → probed with static partition pruning. Earlier rounds oracled only
+    the seeded random codebook; this closes the trained-codebook gap —
+    DuckDB re-derives cells, probes and top-k from the exact trained
+    centroid doubles. Fold-left 'expr' impl on both build and probe
+    (same near-tie rationale as similarity_ivf_indexed_embeddings)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.similarity import (
+        ivf_topk_indexed,
+        train_codebook,
+        write_ivf_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = train_codebook(d, nlist=_IVF_NLIST, iters=2, seed=_SEED)
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)], "cell int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_IVF_W}/ivf_trained_cents")
+    idx = f"{_IVF_W}/ivf_trained_index"
+    write_ivf_index(d, idx, nlist=_IVF_NLIST, centroids=cents, impl="expr")
+    q = d.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_indexed(
+        spark, idx, q, k=_IVF_K, nprobe=_IVF_NPROBE, nlist=_IVF_NLIST,
+        centroids=cents, probe_impl="expr",
+    )
+
+
+# --- Deep-graph cluster twin: 50-deep chains, O(log n) star rounds -----
+
+_CHAIN_N = 2000
+_CHAIN_LEN = 50
+# 8 alternations resolve a 49-edge path (~log2 rounds); min-label
+# propagation would need ~50 — the gate row itself is the O(log n) proof
+_CHAIN_MAX_ITER = 8
+
+
+def _chain_cluster_oracle_sql() -> str:
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT 'doc_' || lpad(CAST(i AS VARCHAR), 5, '0') AS id_a,
+         'doc_' || lpad(CAST(i + 1 AS VARCHAR), 5, '0') AS id_b
+  FROM unnest(range({_CHAIN_N - 1})) AS t(i)
+  WHERE (i + 1) % {_CHAIN_LEN} <> 0
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node"""
+
+
+@register("dedup_clusters_chain", _chain_cluster_oracle_sql())
+def dedup_clusters_chain(spark, sf_dir):
+    """Large-star/small-star connected components on the adversarial
+    graph shape that defeats min-label propagation: 40 planted chains of
+    depth 50. resolve_duplicate_clusters_star is capped at 8 rounds —
+    far under the 50 propagation would need — so a green row certifies
+    BOTH the labels (DuckDB recursive-CTE closure over the identical
+    pair set) and the O(log n) convergence claim."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import resolve_duplicate_clusters_star
+
+    def fmt(c):
+        return F.concat(F.lit("doc_"), F.lpad(c.cast("string"), 5, "0"))
+
+    ids = spark.range(_CHAIN_N - 1).filter((F.col("id") + 1) % _CHAIN_LEN != 0)
+    pairs = ids.select(fmt(F.col("id")).alias("id_a"), fmt(F.col("id") + 1).alias("id_b"))
+    return resolve_duplicate_clusters_star(pairs, max_iter=_CHAIN_MAX_ITER)

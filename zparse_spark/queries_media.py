@@ -499,6 +499,7 @@ badall AS (
 )
 SELECT r.partition, r.doc_id, 'M1' AS rule_id, 'MediaDecodeFailed' AS kind,
        r.span_pos, r.off AS "offset",
+       CAST(NULL AS INT) AS line, CAST(NULL AS INT) AS "col",
        'media payload ' || b.error_kind || ': ' || r.media_ref AS message
 FROM refs r JOIN badall b USING (media_ref)"""
 

@@ -84,58 +84,72 @@ ex0 AS (
          generate_subscripts(spans, 1) AS pos
   FROM docs
 ),
-sp AS (
+sp0 AS (
   SELECT partition, doc_id, n_spans, total_bytes,
          CAST(pos - 1 AS INT) AS span_pos,
          s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
          CAST(s."offset" AS BIGINT) AS off,
-         CAST(CASE WHEN pos > 1 THEN spans[pos - 1]."offset" END AS BIGINT) AS prev_off
+         CAST(CASE WHEN pos > 1 THEN spans[pos - 1]."offset" END AS BIGINT) AS prev_off,
+         -- canonical text before this span (concat of prior span texts);
+         -- the [1:0] slice for the first span is NULL, hence the coalesce
+         coalesce(
+           array_to_string(list_transform(spans[1:pos - 1], x -> coalesce(x.text, '')), ''),
+           '') AS prefix
   FROM ex0
+),
+sp AS (
+  SELECT * EXCLUDE (prefix),
+         CAST(1 + length(prefix) - length(replace(prefix, chr(10), '')) AS INT) AS line,
+         CAST(CASE WHEN contains(prefix, chr(10))
+                   THEN length(regexp_replace(prefix, '.*' || chr(10), '', 's'))
+                   ELSE length(prefix) END + 1 AS INT) AS "col"
+  FROM sp0
 )"""
 
+_NULL_LC = 'CAST(NULL AS INT) AS line, CAST(NULL AS INT) AS "col"'
 _VIOL_CTE = f"""
 viol AS (
   SELECT partition, doc_id, 'S1' AS rule_id, 'InvalidArray' AS kind,
-         span_pos, off AS "offset",
+         span_pos, off AS "offset", line, "col",
          'offset regression: ' || off || ' <= prev ' || prev_off AS message
   FROM sp WHERE span_pos >= 1 AND off <= prev_off
   UNION ALL
-  SELECT partition, doc_id, 'S2', 'InvalidToken', span_pos, off,
+  SELECT partition, doc_id, 'S2', 'InvalidToken', span_pos, off, line, "col",
          'kind not in domain: ' || coalesce(kind, '<null>')
   FROM sp WHERE kind IS NULL OR kind NOT IN ({_DOMAIN_SQL})
   UNION ALL
-  SELECT partition, doc_id, 'S5', 'InvalidToken', span_pos, off,
+  SELECT partition, doc_id, 'S5', 'InvalidToken', span_pos, off, line, "col",
          'control character in text'
   FROM sp WHERE regexp_matches(text, '{_CONTROL_CHARS}')
   UNION ALL
-  SELECT partition, doc_id, 'S6', 'InvalidEscapeSequence', span_pos, off,
+  SELECT partition, doc_id, 'S6', 'InvalidEscapeSequence', span_pos, off, line, "col",
          'invalid escape sequence'
   FROM sp WHERE contains(text, '\\') AND NOT regexp_matches(text, '{_VALID_ESCAPES}')
   UNION ALL
-  SELECT partition, doc_id, 'S7', 'InvalidUnicodeEscape', span_pos, off,
+  SELECT partition, doc_id, 'S7', 'InvalidUnicodeEscape', span_pos, off, line, "col",
          'invalid unicode escape'
   FROM sp WHERE contains(text, '\\u') AND NOT regexp_matches(text, '{_VALID_UNICODE}')
   UNION ALL
-  SELECT partition, doc_id, 'S8', 'Expected', span_pos, off,
+  SELECT partition, doc_id, 'S8', 'Expected', span_pos, off, line, "col",
          CASE WHEN kind = 'text' THEN 'expected media_ref=null for kind=text'
               ELSE 'expected media_ref for kind=' || coalesce(kind, '<null>') END
   FROM sp WHERE (kind = 'text' AND media_ref IS NOT NULL)
              OR (kind <> 'text' AND media_ref IS NULL)
   UNION ALL
-  SELECT partition, doc_id, 'R1', 'DanglingMediaRef', span_pos, off,
+  SELECT partition, doc_id, 'R1', 'DanglingMediaRef', span_pos, off, {_NULL_LC},
          'dangling media_ref: ' || media_ref
   FROM sp WHERE media_ref IS NOT NULL AND media_ref NOT IN (SELECT media_ref FROM cat)
   UNION ALL
   SELECT partition, doc_id, 'S3', 'MaxDepthExceeded', CAST(NULL AS INT), CAST(NULL AS BIGINT),
-         'span count ' || n_spans || ' > max {_MAX_SPANS}'
+         {_NULL_LC}, 'span count ' || n_spans || ' > max {_MAX_SPANS}'
   FROM sp WHERE span_pos = 0 AND n_spans > {_MAX_SPANS}
   UNION ALL
   SELECT partition, doc_id, 'S4', 'MaxSizeExceeded', CAST(NULL AS INT), CAST(NULL AS BIGINT),
-         'text bytes ' || total_bytes || ' > max {_MAX_BYTES}'
+         {_NULL_LC}, 'text bytes ' || total_bytes || ' > max {_MAX_BYTES}'
   FROM sp WHERE span_pos = 0 AND total_bytes > {_MAX_BYTES}
   UNION ALL
   SELECT d.partition, d.doc_id, 'U1', 'DuplicateKey', CAST(NULL AS INT), CAST(NULL AS BIGINT),
-         'doc_id appears ' || c.n || ' times'
+         {_NULL_LC}, 'doc_id appears ' || c.n || ' times'
   FROM docs d
   JOIN (SELECT doc_id, count(*) AS n FROM docs GROUP BY doc_id HAVING count(*) > 1) c
     USING (doc_id)

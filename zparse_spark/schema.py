@@ -104,6 +104,15 @@ VIOLATION_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("span_pos", T.IntegerType(), True),
         T.StructField("offset", T.LongType(), True),
+        # 1-based position of the violating span's START in the document's
+        # canonical text reconstruction (span texts concatenated in array
+        # order) — the table-scale analog of the reference's Pos line/col
+        # (error.rs:8-18 prints offset:line:col). Null for doc/table-level
+        # rules and for rules whose pruned scan never reads text (R1/M1):
+        # deriving positions there would push every text byte through a
+        # scan that otherwise reads two subfields.
+        T.StructField("line", T.IntegerType(), True),
+        T.StructField("col", T.IntegerType(), True),
         T.StructField("message", T.StringType(), True),
     ]
 )
@@ -116,17 +125,6 @@ VERDICT_SCHEMA = T.StructType(
         T.StructField("rule_id", T.StringType(), False),
         T.StructField("passed", T.BooleanType(), False),
         T.StructField("violation_count", T.LongType(), False),
-    ]
-)
-
-# Inner struct the span-level rules build before the explode.
-VIOLATION_ITEM_SCHEMA = T.StructType(
-    [
-        T.StructField("rule_id", T.StringType(), False),
-        T.StructField("kind", T.StringType(), False),
-        T.StructField("span_pos", T.IntegerType(), True),
-        T.StructField("offset", T.LongType(), True),
-        T.StructField("message", T.StringType(), True),
     ]
 )
 

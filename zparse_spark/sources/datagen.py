@@ -144,13 +144,40 @@ def generate_documents(
         )
         .when(
             F.col("_fixture_class") == "control_chars",
-            _mutate_first(
-                F.struct(
-                    first["kind"].alias("kind"),
-                    F.concat(first["text"], F.lit("\x01")).alias("text"),
-                    first["media_ref"].alias("media_ref"),
-                    first["offset"].alias("offset"),
-                )
+            # span 0 gains a trailing '\n' (itself a control char — S5
+            # fires at line 1 — AND it advances the line counter), and
+            # span 1 (when present) gains '\x01' so its S5 violation
+            # lands at line 2, col 1: the fixture exercises BOTH the
+            # newline-reset and the no-newline column accumulation paths
+            # of the Pos derivation.
+            F.concat(
+                F.array(
+                    F.struct(
+                        first["kind"].alias("kind"),
+                        F.concat(F.coalesce(first["text"], F.lit("")), F.lit("\n")).alias(
+                            "text"
+                        ),
+                        first["media_ref"].alias("media_ref"),
+                        first["offset"].alias("offset"),
+                    )
+                ),
+                F.when(
+                    F.size(s) >= 2,
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.element_at(s, 2)["kind"].alias("kind"),
+                                F.concat(
+                                    F.coalesce(F.element_at(s, 2)["text"], F.lit("")),
+                                    F.lit("\x01"),
+                                ).alias("text"),
+                                F.element_at(s, 2)["media_ref"].alias("media_ref"),
+                                F.element_at(s, 2)["offset"].alias("offset"),
+                            )
+                        ),
+                        F.slice(s, 3, 1_000_000),
+                    ),
+                ).otherwise(F.slice(s, 2, 1_000_000)),
             ),
         )
         .when(
