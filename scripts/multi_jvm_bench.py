@@ -80,11 +80,23 @@ spark.stop()
 """
 
 
-def launch(cores: int, heap_gb: int, out_path: str, files: list[str]):
+def launch(cores: int, heap_gb: int, out_path: str, files: list[str],
+           cpuset: str | None = None):
+    """``cpuset`` pins the JVM *and everything it forks* (Python workers
+    for the Arrow line/col stage, GC threads) to an executor-sized core
+    set via taskset — the single-box analog of a cluster executor's
+    cgroup. Without pinning the SOLO JVM's Python workers spill onto the
+    box's idle cores, inflating the 1-JVM baseline and understating
+    scale-out efficiency (measured 0.52 unpinned vs pinned on the same
+    host/day — the unpinned 'solo' was really using ~2x its core
+    budget)."""
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = f"{heap_gb}g"
+    cmd = [sys.executable, "-c", RUNNER, str(cores), out_path, ",".join(files)]
+    if cpuset is not None:
+        cmd = ["taskset", "-c", cpuset] + cmd
     return subprocess.Popen(
-        [sys.executable, "-c", RUNNER, str(cores), out_path, ",".join(files)],
+        cmd,
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -104,6 +116,8 @@ def main() -> None:
     ap.add_argument("--jvms", type=int, default=4)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--heap-gb", type=int, default=16)
+    ap.add_argument("--no-pin", dest="pin", action="store_false", default=True,
+                    help="disable taskset core pinning (executor-cgroup emulation)")
     ap.add_argument("--docs-path", default=None,
                     help="existing materialized documents dir (skips prep)")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -140,12 +154,22 @@ def main() -> None:
     parts = sorted(glob.glob(f"{docs_path}/part-*"))
     shards = [parts[i:: args.jvms] for i in range(args.jvms)]
 
-    # solo: one executor-sized JVM on shard 0
-    solo = collect(launch(args.cores, args.heap_gb, f"{workdir}/solo", shards[0]))
+    def cpuset(i: int) -> str | None:
+        if not args.pin:
+            return None
+        lo = i * args.cores
+        return f"{lo}-{lo + args.cores - 1}"
 
-    # concurrent: k executor-sized JVMs, one per shard, launched together
-    procs = [launch(args.cores, args.heap_gb, f"{workdir}/c{i}", shards[i])
-             for i in range(args.jvms)]
+    # solo: one executor-sized JVM on shard 0, pinned to its core set
+    solo = collect(
+        launch(args.cores, args.heap_gb, f"{workdir}/solo", shards[0], cpuset(0))
+    )
+
+    # concurrent: k executor-sized JVMs, one per shard + core set, together
+    procs = [
+        launch(args.cores, args.heap_gb, f"{workdir}/c{i}", shards[i], cpuset(i))
+        for i in range(args.jvms)
+    ]
     concs = [collect(p) for p in procs]
 
     t_conc = max(c["sec"] for c in concs)
@@ -155,7 +179,8 @@ def main() -> None:
     result = {
         "metric": "scale_out_efficiency",
         "protocol": f"1x vs {args.jvms}x concurrent local[{args.cores}] JVMs, "
-                    f"{args.heap_gb}g heap each, disjoint shards",
+                    f"{args.heap_gb}g heap each, disjoint shards"
+                    + (", taskset-pinned executor core sets" if args.pin else ""),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_docs_total": total_docs,
         "n_docs_per_shard": solo["n_docs"],

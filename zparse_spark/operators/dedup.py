@@ -555,9 +555,16 @@ def resolve_duplicate_clusters(
     this propagation variant stays the default for dedup-shaped graphs.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # eager checkpoint BEFORE the loop: ``edges`` is re-joined on every
+    # iteration, and without truncation each iteration's jobs would
+    # re-derive the pair set's full upstream lineage (for minhash input,
+    # the entire shingle→signature→band→verify chain — measured 15.7 s →
+    # 6.5 s on the composed training-set pipeline at sf0.01)
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
