@@ -4,12 +4,20 @@ Correctness runs at sf tiers; THIS answers the judge's remaining scale
 question for the dedup/ANN family: does wall time grow (sub)linearly
 when the corpus grows 10x, i.e. no hidden quadratic stage (all-pairs
 join, uncapped hot bucket, full re-sort)? The 10x corpus is the
-interleave re-key trick — each replica keeps the text/vector but gets a
-disjoint id, so signature distributions (and therefore bucket shapes)
-are preserved while candidate pressure grows 10x. Every replica of a
-document lands in the same MinHash buckets, so the 10x tier is also a
-worst-case hot-bucket stress: without the cap, bucket pair counts would
-grow 100x; with it, `hot_bucket_stats` reports the truncation.
+interleave re-key trick: each replica gets a disjoint id AND a
+replica-specific token interleaved between every pair of words. With
+word-shingle k=3 every shingle of replica r contains r's token, so
+cross-replica shingle sets are DISJOINT (Jaccard 0, no shared MinHash
+buckets) while within a replica the base corpus's near-dup structure is
+preserved exactly. The duplicate rate and bucket-size distribution are
+therefore constant across tiers and only the number of buckets grows —
+the property a 10x-bigger real corpus has, and the one that makes
+"wall grows ~10x" the correct linear yardstick. (A plain replica
+WITHOUT the interleave is the opposite: 200 copies of each doc are
+genuine near-dups, every bucket grows 10x, and candidate pairs grow
+100x BY CONSTRUCTION — measured as a multi-minute verify straggler;
+that pathology is the hot-bucket cap's job and is oracle-covered by
+dedup_minhash_capped, not a scaling yardstick.)
 
 Prints one JSON line; committed as scripts/scale_tier_r{N}.json and
 quoted in BASELINE.md. Run on a QUIET box (no concurrent Spark).
@@ -43,11 +51,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from zparse_spark.operators.dedup import (
-        hot_bucket_stats,
-        minhash_banded,
-        minhash_dedup,
-    )
+    from zparse_spark.operators.dedup import minhash_banded, minhash_dedup
     from zparse_spark.operators.similarity import ivf_topk
     from zparse_spark.session import get_spark
 
@@ -63,6 +67,11 @@ def main() -> None:
             df.crossJoin(F.broadcast(reps))
             .withColumn(id_col, fmt(F.col(id_col), F.col("_rep")))
             .drop("_rep")
+            # 32-way even files: the broadcast crossJoin inherits the
+            # source's 2-partition layout, and row-group-split scans of
+            # 2 skewed files leave the timed region running one
+            # straggler task on ~3 of 32 cores
+            .repartition(32)
         )
 
     def timed(fn):
@@ -86,25 +95,27 @@ def main() -> None:
     # operator, not the replication expressions
     fmt_doc = lambda c, r: F.concat(r.cast("string"), F.lit("_"), c)  # noqa: E731
 
-    def salt_text(df):
-        # 8 hash-derived tokens appended per replica push every
-        # cross-replica Jaccard under the 0.8 threshold: WITHOUT this,
-        # replication plants an all-duplicates corpus whose candidate
-        # pair count grows quadratically BY CONSTRUCTION — the tiers
-        # must share the base corpus's duplicate rate for wall growth
-        # to measure the operator, not the planted pathology
-        m = F.md5(F.col("doc_id"))
+    def interleave_text(df):
+        # replica-specific token between every pair of words: with
+        # word-shingle k=3 every shingle contains the token, so shingle
+        # sets are disjoint ACROSS replicas (no shared LSH buckets) and
+        # identical-up-to-token WITHIN a replica (base near-dup
+        # structure preserved). Appending salt tokens at the end does
+        # NOT work — it leaves >95% of shingles shared, replicas still
+        # collide in every band, and candidate pairs grow quadratically.
+        tok = F.concat(F.lit("q"), F.substring(F.md5(F.regexp_extract(
+            F.col("doc_id"), "^([0-9]+)_", 1)), 1, 6))
         return df.withColumn(
             "text",
-            F.concat_ws(
-                " ", F.col("text"), *[F.substring(m, 1 + 4 * j, 4) for j in range(8)]
+            F.regexp_replace(
+                F.col("text"), F.lit(" "), F.concat(F.lit(" "), tok, F.lit(" "))
             ),
         )
 
-    salt_text(replicate(docs, "doc_id", args.base_factor, fmt_doc)).write.mode(
+    interleave_text(replicate(docs, "doc_id", args.base_factor, fmt_doc)).write.mode(
         "overwrite"
     ).parquet(f"{wd}/docs_1x")
-    salt_text(
+    interleave_text(
         replicate(docs, "doc_id", args.base_factor * args.factor, fmt_doc)
     ).write.mode("overwrite").parquet(f"{wd}/docs_10x")
     d1 = spark.read.parquet(f"{wd}/docs_1x")
@@ -113,21 +124,32 @@ def main() -> None:
 
     t1 = timed(lambda: minhash_dedup(d1, threshold=0.8).count())
     t10 = timed(lambda: minhash_dedup(d10, threshold=0.8).count())
-    # the replicas make every bucket 10x hotter — record the cap firing
-    # (default max_bucket=256 is what minhash_dedup ran with above)
-    hot = hot_bucket_stats(minhash_banded(d10), ["band", "bucket"], max_bucket=256)
-    hs = hot.agg(
-        F.count(F.lit(1)).alias("n_hot"),
-        F.coalesce(F.sum(F.col("n_members") - 256), F.lit(0)).alias("dropped"),
-    ).collect()[0]
+
+    def bucket_shape(d):
+        # bucket-size distribution: the re-key is only a valid scaling
+        # yardstick if growing the corpus grows the NUMBER of buckets,
+        # not their size — max/avg must be ~equal at both tiers
+        sizes = (
+            minhash_banded(d).groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        )
+        r = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max"), F.round(F.avg("n"), 3).alias("avg"),
+            F.sum(F.when(F.col("n") > 256, F.col("n") - 256).otherwise(0)).alias(
+                "rows_over_cap256"
+            ),
+        ).collect()[0]
+        return {"n_buckets": r["n_buckets"], "max_bucket": r["max"],
+                "avg_bucket": float(r["avg"]), "rows_over_cap256": int(r["rows_over_cap256"])}
+
     out["minhash"] = {
         "n_docs_1x": n1, "n_docs_10x": n10,
         "sec_1x": t1, "sec_10x": t10,
         "docs_per_sec_1x": round(n1 / t1, 1),
         "docs_per_sec_10x": round(n10 / t10, 1),
         "wall_growth_vs_10x_linear": round(t10 / (args.factor * t1), 3),
-        "hot_buckets_over_cap256_at_10x": hs["n_hot"],
-        "rows_truncated_at_10x": int(hs["dropped"]),
+        "bucket_shape_1x": bucket_shape(d1),
+        "bucket_shape_10x": bucket_shape(d10),
     }
 
     # ---- IVF ANN (production path: arrow matmul assignment)

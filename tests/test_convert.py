@@ -247,3 +247,160 @@ def test_strip_jsonc_matrix(spark):
         strip_jsonc(F.lit('{"a": 1, /* c */}'), trailing_commas=False).alias("s")
     ).collect()[0]["s"]
     assert one == '{"a": 1, }'
+
+
+def test_toml_serializer_matrix(spark):
+    """serialize_toml (convert.rs:295-339): key = value lines, null →
+    '""', non-finite → nan, escaped strings, inline arrays + tables,
+    RFC3339 datetimes."""
+    import datetime
+
+    from zparse_spark.functions.convert import to_toml_lines
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                'say "hi"\\now\n\tdone',
+                None,
+                float("nan"),
+                2.5,
+                True,
+                ["a", None],
+                {"k": 7, "s": "v"},
+                datetime.datetime(1979, 5, 27, 7, 32, 0),
+            )
+        ],
+        "id long, s string, missing string, bad double, ok double, flag boolean, "
+        "arr array<string>, obj struct<k: long, s: string>, ts timestamp",
+    )
+    out = to_toml_lines(df).collect()[0]["toml"]
+    assert out == "\n".join(
+        [
+            "id = 1",
+            's = "say \\"hi\\"\\\\now\\n\\tdone"',
+            'missing = ""',
+            "bad = nan",
+            "ok = 2.5",
+            "flag = true",
+            'arr = ["a", ""]',
+            'obj = {k = 7, s = "v"}',
+            "ts = 1979-05-27T07:32:00Z",
+        ]
+    )
+
+
+def test_yaml_serializer_matrix(spark):
+    """serialize_yaml (convert.rs:436-465): block mappings, '- ' list
+    items with the first nested line folded onto the dash (trim_start),
+    indent+2 nesting, null arm, always-quoted strings."""
+    from zparse_spark.functions.convert import to_yaml_lines
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                'a "q" b',
+                None,
+                [1, 2],
+                [{"k": 1, "t": "x"}, {"k": 2, "t": None}],
+                {"inner": {"deep": "d"}, "n": 5},
+            )
+        ],
+        "id long, s string, missing string, nums array<long>, "
+        "objs array<struct<k: long, t: string>>, nest struct<inner: struct<deep: string>, n: long>",
+    )
+    out = to_yaml_lines(df).collect()[0]["yaml"]
+    assert out == "\n".join(
+        [
+            "id: 1",
+            's: "a \\"q\\" b"',
+            "missing: null",
+            "nums:",
+            "  - 1",
+            "  - 2",
+            "objs:",
+            "  - k: 1",
+            '    t: "x"',
+            "  - k: 2",
+            "    t: null",
+            "nest:",
+            "  inner:",
+            '    deep: "d"',
+            "  n: 5",
+        ]
+    )
+
+
+def test_yaml_nonfinite_and_null_containers(spark):
+    from zparse_spark.functions.convert import to_yaml_lines
+
+    df = spark.createDataFrame(
+        [(float("nan"), float("inf"), float("-inf"), None, None)],
+        "a double, b double, c double, arr array<long>, obj struct<k: long>",
+    )
+    out = to_yaml_lines(df).collect()[0]["yaml"]
+    assert out == "a: NaN\nb: inf\nc: -inf\narr: null\nobj: null"
+
+
+_ADVERSARIAL_STRINGS = [
+    "",
+    '"',
+    "\\",
+    "\n",
+    "\t",
+    "\r",
+    'a"b\\c',
+    "uni ü 中 🎉",
+    "trailing backslash\\",
+    '""\\""',
+    "tab\tnl\nmix\r\\\"",
+]
+
+
+def test_toml_output_parses_with_real_parser(spark):
+    """Validity oracle beyond string matching: every emitted document
+    must round-trip through the stdlib TOML parser back to the original
+    values (the reference's escape set \\ \" \\n \\r \\t is exactly what
+    tomllib requires for these inputs)."""
+    import math
+    import tomllib
+
+    rows = [(i, s) for i, s in enumerate(_ADVERSARIAL_STRINGS)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    from zparse_spark.functions.convert import to_toml_lines
+
+    parsed_by_i = {p["i"]: p["s"] for p in
+                   (tomllib.loads(r["toml"]) for r in to_toml_lines(df).collect())}
+    assert parsed_by_i == dict(rows)
+
+    typed = spark.createDataFrame(
+        [(float("nan"), True, [1, 2], {"k": "v"})],
+        "f double, b boolean, arr array<long>, obj struct<k: string>",
+    )
+    parsed = tomllib.loads(to_toml_lines(typed).collect()[0]["toml"])
+    assert math.isnan(parsed["f"]) and parsed["b"] is True
+    assert parsed["arr"] == [1, 2] and parsed["obj"] == {"k": "v"}
+
+
+def test_yaml_output_parses_with_real_parser(spark):
+    """Same validity oracle for YAML: double-quoted scalars with the
+    shared escape set are valid YAML escapes, so safe_load must recover
+    the original values (non-finite floats excluded — the reference
+    emits Rust Display spellings, parity-tested in the matrix test)."""
+    import yaml
+
+    rows = [(i, s) for i, s in enumerate(_ADVERSARIAL_STRINGS)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    from zparse_spark.functions.convert import to_yaml_lines
+
+    parsed_by_i = {p["i"]: p["s"] for p in
+                   (yaml.safe_load(r["yaml"]) for r in to_yaml_lines(df).collect())}
+    assert parsed_by_i == dict(rows)
+
+    typed = spark.createDataFrame(
+        [(None, [{"k": 1}, {"k": 2}], {"deep": {"x": "y"}})],
+        "miss string, arr array<struct<k: long>>, obj struct<deep: struct<x: string>>",
+    )
+    parsed = yaml.safe_load(to_yaml_lines(typed).collect()[0]["yaml"])
+    assert parsed == {"miss": None, "arr": [{"k": 1}, {"k": 2}], "obj": {"deep": {"x": "y"}}}

@@ -318,6 +318,178 @@ def xml_rows_to_table(df: DataFrame, columns: list[str], col: str = "xml") -> Da
 
 
 # --------------------------------------------------------------------------
+# C5/C6: TOML / YAML text serializers (convert.rs:295-339, 436-465)
+# --------------------------------------------------------------------------
+
+_TEXT_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+_INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATS = (T.FloatType, T.DoubleType)
+_INF = float("inf")
+
+
+def escape_text(col: Column) -> Column:
+    """The reference's shared escape_string (convert.rs:276-289): \\\\,
+    double quote, LF, CR, TAB — backslash first, so escapes produced by
+    the later replacements are never themselves re-escaped.
+    escape_json/escape_toml/escape_yaml are all aliases of this one
+    function in the reference (convert.rs:291-292, 432-433, 467-468)."""
+    out = col
+    for ch, esc in _TEXT_ESCAPES:
+        out = F.replace(out, F.lit(ch), F.lit(esc))
+    return out
+
+
+def _toml_value(col: Column, dt: T.DataType) -> Column:
+    """One typed column → its TOML value text (serialize_toml_value,
+    convert.rs:313-338). Null → ``\"\"`` (TOML has no null; the
+    reference serializes Value::Null as an empty string literal),
+    non-finite floats → ``nan``, arrays inline ``[a, b]``, structs as
+    inline tables ``{k = v}``. Typed long columns keep integer rendering
+    (the reference collapses every number to f64 and relies on Rust's
+    shortest-repr Display; with real column types the int/float split is
+    schema knowledge, and float text uses the JVM/DuckDB-portable
+    ``1.0``-style rendering — structure/escaping/null/non-finite are the
+    preserved contract, not float digit cosmetics)."""
+    if isinstance(dt, T.StringType):
+        base = F.concat(F.lit('"'), escape_text(col), F.lit('"'))
+    elif isinstance(dt, T.BooleanType):
+        base = F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    elif isinstance(dt, _INTEGRALS):
+        base = col.cast("string")
+    elif isinstance(dt, _FLOATS):
+        base = F.when(F.isnan(col) | (F.abs(col) == _INF), F.lit("nan")).otherwise(
+            col.cast("string")
+        )
+    elif isinstance(dt, T.TimestampType):
+        base = format_datetime(col, "offset")
+    elif isinstance(dt, T.DateType):
+        base = format_datetime(col, "date")
+    elif isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        base = F.concat(
+            F.lit("["),
+            F.array_join(F.transform(col, lambda x: _toml_value(x, et)), ", "),
+            F.lit("]"),
+        )
+    elif isinstance(dt, T.StructType):
+        base = F.concat(
+            F.lit("{"),
+            F.concat_ws(
+                ", ",
+                *[
+                    F.concat(
+                        F.lit(f.name + " = "), _toml_value(col.getField(f.name), f.dataType)
+                    )
+                    for f in dt.fields
+                ],
+            ),
+            F.lit("}"),
+        )
+    else:
+        raise TypeError(f"no TOML serialization for {dt.simpleString()}")
+    return F.when(col.isNull(), F.lit('""')).otherwise(base)
+
+
+def toml_doc(fields: list[T.StructField]) -> Column:
+    """The per-row TOML root table as one Column — ``key = value`` per
+    field, newline-joined (serialize_toml_object, convert.rs:305-311)."""
+    return F.concat_ws(
+        "\n",
+        *[
+            F.concat(F.lit(f.name + " = "), _toml_value(F.col(f.name), f.dataType))
+            for f in fields
+        ],
+    )
+
+
+def to_toml_lines(df: DataFrame) -> DataFrame:
+    """Rows → TOML documents (C5, serialize_toml: convert.rs:295-311).
+    Each row is the reference's root table — one ``key = value`` line
+    per column, newline-joined; the root-must-be-object error
+    (convert.rs:299-303) cannot fire because a row IS an object.
+    Compiled from the static schema into one JVM expression tree:
+    map-only, no Python, no shuffle, scale-free."""
+    return df.select(toml_doc(df.schema.fields).alias("toml"))
+
+
+def _yaml_scalar(col: Column, dt: T.DataType) -> Column:
+    """Unpadded YAML scalar text (the scalar arms of serialize_yaml,
+    convert.rs:439-444): strings always double-quoted + escaped,
+    non-finite floats keep Rust Display's NaN/inf/-inf spellings."""
+    if isinstance(dt, T.StringType):
+        return F.concat(F.lit('"'), escape_text(col), F.lit('"'))
+    if isinstance(dt, T.BooleanType):
+        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    if isinstance(dt, _INTEGRALS):
+        return col.cast("string")
+    if isinstance(dt, _FLOATS):
+        return (
+            F.when(F.isnan(col), F.lit("NaN"))
+            .when(col == _INF, F.lit("inf"))
+            .when(col == -_INF, F.lit("-inf"))
+            .otherwise(col.cast("string"))
+        )
+    if isinstance(dt, T.TimestampType):
+        return format_datetime(col, "offset")
+    if isinstance(dt, T.DateType):
+        return format_datetime(col, "date")
+    raise TypeError(f"no YAML scalar serialization for {dt.simpleString()}")
+
+
+def _yaml_value(col: Column, dt: T.DataType, indent: int) -> Column:
+    """One typed column → a padded, possibly multi-line YAML block
+    (serialize_yaml, convert.rs:436-465). Arrays become ``- item`` lines
+    (first line of a nested item folded onto the dash, exactly the
+    reference's trim_start), structs become ``key: scalar`` /
+    ``key:`` + nested block at indent+2. A NULL array/struct renders
+    ``null`` like the reference's Value::Null arm. Indentation is
+    schema-static, so the whole block compiles to JVM concat/transform
+    expressions — no Python in the plan."""
+    pad = " " * indent
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        items = F.transform(
+            col, lambda x: F.concat(F.lit(pad + "- "), F.ltrim(_yaml_value(x, et, indent + 2)))
+        )
+        return F.when(col.isNull(), F.lit(pad + "null")).otherwise(F.array_join(items, "\n"))
+    if isinstance(dt, T.StructType):
+        lines = []
+        for f in dt.fields:
+            v = col.getField(f.name)
+            if isinstance(f.dataType, (T.ArrayType, T.StructType)):
+                line = F.when(v.isNull(), F.lit(f"{pad}{f.name}: null")).otherwise(
+                    F.concat(
+                        F.lit(f"{pad}{f.name}:\n"), _yaml_value(v, f.dataType, indent + 2)
+                    )
+                )
+            else:
+                line = F.concat(
+                    F.lit(f"{pad}{f.name}: "),
+                    F.when(v.isNull(), F.lit("null")).otherwise(_yaml_scalar(v, f.dataType)),
+                )
+            lines.append(line)
+        return F.when(col.isNull(), F.lit(pad + "null")).otherwise(
+            F.concat_ws("\n", *lines)
+        )
+    return F.concat(
+        F.lit(pad), F.when(col.isNull(), F.lit("null")).otherwise(_yaml_scalar(col, dt))
+    )
+
+
+def yaml_doc(schema: T.StructType) -> Column:
+    """The per-row YAML root mapping (indent 0) as one Column."""
+    row = F.struct(*[F.col(f.name) for f in schema.fields])
+    return _yaml_value(row, schema, 0)
+
+
+def to_yaml_lines(df: DataFrame) -> DataFrame:
+    """Rows → YAML documents (C6, serialize_yaml: convert.rs:436-465).
+    Each row serializes as the root mapping at indent 0."""
+    return df.select(yaml_doc(df.schema).alias("yaml"))
+
+
+# --------------------------------------------------------------------------
 # JSONC ingest: comment + trailing-comma stripping (lexer/json.rs:165-217,
 # json/parser.rs:20-23 Config.with_comments / with_trailing_commas)
 # --------------------------------------------------------------------------

@@ -492,6 +492,7 @@ _GATE_PRIORITY = [
     "similarity_ivf_trained_embeddings",
     "streaming_dedup_compaction",
     "jsonc_strip_documents",
+    "doc_toml_yaml_serialize",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -1538,4 +1539,95 @@ def jsonc_strip_documents(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         strict.alias("strict"),
         F.length(strict).cast("long").alias("strict_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5/C6 TOML/YAML text serializers (convert.rs:295-339, 436-465)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of escape_text: the same five literal replacements in the
+# same order (backslash first). SQL single-quoted strings are
+# escape-free, so '\' is one backslash and '\\' is two.
+_ESC_SQL = (
+    "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
+    "'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+)
+
+
+def _toml_yaml_oracle_sql() -> str:
+    esc = _ESC_SQL.format
+    lang_q_toml = "CASE WHEN lang_e IS NULL THEN '\"\"' ELSE '\"' || lang_e || '\"' END"
+    lang_q_yaml = "CASE WHEN lang_e IS NULL THEN 'null' ELSE '\"' || lang_e || '\"' END"
+    n = " || chr(10)\n  || "
+    return (
+        "WITH base AS (\n"
+        "  SELECT doc_id, n_chars, source,\n"
+        "         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang2,\n"
+        "         substr(text, 1, 32) || '\"\\' || chr(10) || chr(9) || 'end' AS excerpt,\n"
+        "         CASE WHEN doc_id % 11 = 0 THEN CAST('infinity' AS DOUBLE)\n"
+        "              ELSE n_chars / 4.0 END AS fval\n"
+        "  FROM documents\n"
+        "), esc AS (\n"
+        "  SELECT doc_id, fval,\n"
+        "         CASE WHEN lang2 IS NULL THEN NULL ELSE " + esc(x="lang2") + " END AS lang_e,\n"
+        "         " + esc(x="excerpt") + " AS exc_e,\n"
+        "         " + esc(x="source") + " AS src_e\n"
+        "  FROM base\n"
+        ")\n"
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id,\n"
+        "  'doc_id = ' || CAST(doc_id AS VARCHAR)" + n
+        + "'lang = ' || " + lang_q_toml + n
+        + "'excerpt = \"' || exc_e || '\"'" + n
+        + "'fval = ' || CASE WHEN isinf(fval) OR isnan(fval) THEN 'nan'\n"
+        "                   ELSE CAST(fval AS VARCHAR) END" + n
+        + "'tags = [' || " + lang_q_toml + " || ', \"' || src_e || '\"]'" + n
+        + "'meta = {source = \"' || src_e || '\", lang = ' || " + lang_q_toml + " || '}'"
+        "  AS toml,\n"
+        "  'doc_id: ' || CAST(doc_id AS VARCHAR)" + n
+        + "'lang: ' || " + lang_q_yaml + n
+        + "'excerpt: \"' || exc_e || '\"'" + n
+        + "'fval: ' || CASE WHEN isnan(fval) THEN 'NaN'\n"
+        "                  WHEN fval = CAST('infinity' AS DOUBLE) THEN 'inf'\n"
+        "                  WHEN fval = CAST('-infinity' AS DOUBLE) THEN '-inf'\n"
+        "                  ELSE CAST(fval AS VARCHAR) END" + n
+        + "'tags:'" + n + "'  - ' || " + lang_q_yaml + n + "'  - \"' || src_e || '\"'" + n
+        + "'meta:'" + n + "'  source: \"' || src_e || '\"'" + n
+        + "'  lang: ' || " + lang_q_yaml
+        + " AS yaml\n"
+        "FROM esc"
+    )
+
+
+@register("doc_toml_yaml_serialize", _toml_yaml_oracle_sql())
+def doc_toml_yaml_serialize(spark, sf_dir):
+    """C5/C6 TOML + YAML text serializers (serialize_toml
+    convert.rs:295-339, serialize_yaml convert.rs:436-465) byte-matched
+    by a hand-built DuckDB twin. The shaped row exercises every branch
+    the reference tests: string escaping (a quote/backslash/newline/tab
+    tail is appended to the excerpt on both sides), TOML null → '""' vs
+    YAML null (every 7th doc's lang), non-finite floats (every 11th
+    doc's fval is +inf → TOML 'nan', YAML 'inf'), inline array, inline
+    table vs YAML nested block mapping. Serialization is one schema-
+    compiled JVM expression per format — map-only, no Python."""
+    from zparse_spark.functions.convert import toml_doc, yaml_doc
+
+    d = _t(spark, sf_dir, "documents")
+    lang2 = F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.col("lang")
+    )
+    shaped = d.select(
+        F.col("doc_id"),
+        lang2.alias("lang"),
+        F.concat(F.substring("text", 1, 32), F.lit('"\\\n\tend')).alias("excerpt"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(float("inf")))
+        .otherwise(F.col("n_chars") / 4.0)
+        .alias("fval"),
+        F.array(lang2, F.col("source")).alias("tags"),
+        F.struct(F.col("source"), lang2.alias("lang")).alias("meta"),
+    )
+    return shaped.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toml_doc(shaped.schema.fields).alias("toml"),
+        yaml_doc(shaped.schema).alias("yaml"),
     )
