@@ -509,6 +509,9 @@ _GATE_DEMOTED = [
     "window_events_monotonic",
     "uniqueness_orders_orderkey_verdict",
     "embedding_norm_stats",
+    # r4: registry grew to 62; text-analysis family keeps doc_token_stats
+    # + doc_quality_components as in-window representatives
+    "doc_langid_markers",
 ]
 
 
