@@ -34,11 +34,22 @@ def main() -> None:
     spark = get_spark(app_name="zparse_spark_bench")
 
     timings: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # median-of-n (default 3): the host's run-to-run swing (2-3×
+        # across rounds, §5d/§6a of BASELINE.md) makes a one-shot
+        # sample the dominant error term; each call builds a fresh plan
+        # so no shuffle/stage reuse flatters the repeats — only the OS
+        # page cache is warm, which is the steady state being measured
+        import statistics
+
+        ts, out = [], None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(ts), 3)
         return out
 
     # warm the JVM + parquet footers outside the timed region
