@@ -65,3 +65,20 @@ def test_column_profile_decimal_columns(spark):
     prof = {r["column"]: r for r in column_profile(df, ["amount", "k"]).collect()}
     assert prof["amount"]["min"] == 1.0 and prof["amount"]["max"] == 10.0
     assert abs(prof["amount"]["avg"] - 5.5) < 1e-9
+
+
+def test_tdigest_df_variant_is_lazy_and_composable(spark, sf_dir):
+    """The (prob, value) DataFrame form must compose into larger plans
+    (the dict API is now a collect of this frame): schema contract,
+    row-per-prob, and join composability without an eager action."""
+    from zparse_spark.operators.stats import tdigest_quantiles_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qdf = tdigest_quantiles_df(li, "l_quantity", [0.25, 0.5, 0.75])
+    assert qdf.columns == ["prob", "value"]
+    labeled = qdf.join(
+        spark.range(1).select(F.lit("lineitem").alias("table")), how="cross"
+    )
+    rows = {r["prob"]: (r["value"], r["table"]) for r in labeled.collect()}
+    assert set(rows) == {0.25, 0.5, 0.75}
+    assert all(v > 0 and t == "lineitem" for v, t in rows.values())

@@ -139,16 +139,14 @@ def _quantile_from_centroids(means: np.ndarray, weights: np.ndarray, p: float) -
     return float(np.interp(target, cum, means))
 
 
-def tdigest_quantiles(
+def tdigest_quantiles_df(
     df: DataFrame, col: str, probs: list[float], delta: int = 200, n_partials: int = 32
-) -> dict[float, float]:
-    """Distributed t-digest: partial sketch per hash bucket
-    (``applyInPandas``, Arrow batches), centroid merge at the driver.
-
-    The partial output is tiny (≤delta centroids per bucket), so the
-    driver merge handles any input size — the same partial/merge shape a
-    JVM UDAF would have, without leaving Python-vectorized land.
-    """
+) -> DataFrame:
+    """Distributed t-digest as a lazy (prob, value) DataFrame: partial
+    sketch per hash bucket (``applyInPandas``, Arrow batches), then a
+    single-group merge stage over the ≤ n_partials×delta centroids —
+    one tiny task, no driver collect, so the sketch composes into larger
+    plans (join/union/sink) like every other operator."""
     import pyspark.sql.types as T
 
     schema = T.StructType(
@@ -165,16 +163,37 @@ def tdigest_quantiles(
         m, w = _compress(v, np.ones_like(v), delta)
         return pd.DataFrame({"mean": [m.tolist()], "weight": [w.tolist()]})
 
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        nonempty = [np.asarray(x, dtype=np.float64) for x in pdf["mean"] if len(x)]
+        if not nonempty:
+            return pd.DataFrame({"prob": probs, "value": [float("nan")] * len(probs)})
+        all_m = np.concatenate(nonempty)
+        all_w = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in pdf["weight"] if len(x)]
+        )
+        m, w = _compress(all_m, all_w, delta)
+        return pd.DataFrame(
+            {"prob": probs, "value": [_quantile_from_centroids(m, w, p) for p in probs]}
+        )
+
     bucketed = df.select(col).withColumn(
         "_b", F.pmod(F.xxhash64(F.col(col)), F.lit(n_partials))
     )
-    partials = bucketed.groupBy("_b").applyInPandas(partial, schema).collect()
-    all_m = np.concatenate([np.asarray(r["mean"]) for r in partials if len(r["mean"])])
-    all_w = np.concatenate([np.asarray(r["weight"]) for r in partials if len(r["weight"])])
-    if len(all_m) == 0:
-        return {p: float("nan") for p in probs}
-    m, w = _compress(all_m, all_w, delta)
-    return {p: _quantile_from_centroids(m, w, p) for p in probs}
+    partials = bucketed.groupBy("_b").applyInPandas(partial, schema)
+    return (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(merge, "prob double, value double")
+    )
+
+
+def tdigest_quantiles(
+    df: DataFrame, col: str, probs: list[float], delta: int = 200, n_partials: int = 32
+) -> dict[float, float]:
+    """Driver-side convenience wrapper: collect the (prob, value) frame
+    from ``tdigest_quantiles_df`` into a dict (len(probs) rows)."""
+    rows = tdigest_quantiles_df(df, col, probs, delta, n_partials).collect()
+    return {r["prob"]: r["value"] for r in rows}
 
 
 def group_stats_grouping_sets(df: DataFrame, dims: list[str], value: str) -> DataFrame:

@@ -173,7 +173,12 @@ class ValidationEngine:
             active.remove("D1")
         if c.enable_media_decode:
             active.append("M1")
-        rules_df = spark.createDataFrame([(r,) for r in active], ["rule_id"])
+        # in-plan literal array, not createDataFrame: the rule list is
+        # tiny but per-call driver→executor parallelize is pure overhead
+        # when the ids can live inside the plan itself
+        rules_df = spark.range(1).select(
+            F.explode(F.array(*[F.lit(r) for r in active])).alias("rule_id")
+        )
         parts_df = docs.select("partition").distinct()
         grid = parts_df.crossJoin(F.broadcast(rules_df))
         counts = violations.groupBy("partition", "rule_id").agg(
