@@ -217,3 +217,52 @@ def test_corpus_filter_reasons_first_match(spark):
     assert got["german"] == (False, "wrong_lang")
     rep = {r["outcome"]: r["n"] for r in filter_report(ann).collect()}
     assert rep["kept"] == 1 and sum(rep.values()) == 4
+
+
+def test_token_budget_pack_equals_naive_global_window(spark):
+    """The bucketed two-phase pack must equal the naive single global
+    running-sum filter exactly — including order ties, a doc that
+    exactly exhausts the budget, and the first overflowing doc cutting
+    off everything after it (prefix semantics)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from zparse_spark.operators.filtering import token_budget_pack
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 50), round(rng.random(), 3)) for i in range(500)]
+    rows += [(1000, 25, rows[0][2]), (1001, 25, rows[0][2])]  # quality ties
+    df = spark.createDataFrame(rows, "doc_id long, tokens long, quality double")
+    for budget in (0, 37, 1000, 10**9):
+        got = token_budget_pack(df, budget=budget, n_buckets=16)
+        w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        naive = df.withColumn("cum_tokens", F.sum("tokens").over(w)).filter(
+            F.col("cum_tokens") <= budget
+        )
+        a = sorted(map(tuple, got.select("doc_id", "cum_tokens").collect()))
+        b = sorted(map(tuple, naive.select("doc_id", "cum_tokens").collect()))
+        assert a == b, budget
+
+
+def test_token_budget_pack_has_no_global_sort(spark):
+    """Scale contract: the only unpartitioned window runs over the tiny
+    per-bucket aggregate, never over the row stream — the row-level
+    cumulative window must be hash-partitioned by bucket."""
+    from zparse_spark.operators.filtering import token_budget_pack
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 40) + 1).alias("tokens"),
+        (F.pmod(F.col("id") * 37, 1000) / 1000.0).alias("quality"),
+    )
+    plan = (
+        token_budget_pack(df, budget=5000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # row-level window partitioned by _bkt => its exchange is
+    # hashpartitioning(_bkt...), and no single-partition exchange feeds
+    # a Window over the full row stream
+    assert "hashpartitioning(_bkt" in plan

@@ -69,3 +69,60 @@ def filter_report(annotated: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def token_budget_pack(
+    annotated: DataFrame,
+    budget: int,
+    tokens_col: str = "tokens",
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Fill a training-token budget with the best documents first:
+    order by (``order_col`` DESC, ``id_col`` ASC) and keep the maximal
+    prefix whose running token total stays ≤ ``budget``. Output = input
+    columns + ``cum_tokens`` (the global running total, so the result
+    is audit-ready and oracle-checkable).
+
+    Scale shape — the naive form is ONE global window sort, a single
+    reducer at 100 TB. Instead: bucket ``order_col`` on a fixed grid
+    over [lo, hi] (defaults fit the [0,1] quality score; pass the real
+    domain for other keys), aggregate per-bucket token sums (≤
+    ``n_buckets`` rows — the only global ordering ever materialized is
+    over this tiny frame), broadcast the running "tokens before this
+    bucket" back, PRUNE every bucket that starts past the budget
+    *before* any sort happens, and run the cumulative window
+    partitioned BY BUCKET — parallel, ~N/n_buckets rows per partition,
+    and only over the surviving prefix. Equal to the naive global
+    window because the grid is a coarsening of the global order and
+    ``order_col`` ties share a bucket.
+    """
+    o = F.col(order_col)
+    t = F.col(tokens_col).cast("long")
+    span = float(hi) - float(lo)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.lit(float(hi)) - o) / span * n_buckets)),
+    ).cast("int")
+    rows = annotated.withColumn("_bkt", bucket)
+
+    from pyspark.sql import Window
+
+    bstats = rows.groupBy("_bkt").agg(F.sum(t).alias("_btok"))
+    # tiny frame (≤ n_buckets rows): a single-partition running total
+    # here is deliberate and bounded
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    before = bstats.select(
+        "_bkt", F.coalesce(F.sum("_btok").over(wb), F.lit(0)).alias("_before")
+    )
+    pruned = rows.join(F.broadcast(before), "_bkt").filter(F.col("_before") < budget)
+    wr = (
+        Window.partitionBy("_bkt")
+        .orderBy(o.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = pruned.withColumn("cum_tokens", (F.col("_before") + F.sum(t).over(wr)))
+    return packed.filter(F.col("cum_tokens") <= budget).drop("_bkt", "_before")

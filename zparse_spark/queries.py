@@ -493,6 +493,7 @@ _GATE_PRIORITY = [
     "streaming_dedup_compaction",
     "jsonc_strip_documents",
     "doc_toml_yaml_serialize",
+    "corpus_pack_token_budget",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -509,9 +510,11 @@ _GATE_DEMOTED = [
     "window_events_monotonic",
     "uniqueness_orders_orderkey_verdict",
     "embedding_norm_stats",
-    # r4: registry grew to 62; text-analysis family keeps doc_token_stats
-    # + doc_quality_components as in-window representatives
+    # r4: registry grew to 63; text-analysis family keeps doc_token_stats
+    # + doc_quality_components in-window, dedup keeps exact/minhash/capped/
+    # simhash/embedding/clusters/chain
     "doc_langid_markers",
+    "dedup_ngram_jaccard_documents",
 ]
 
 
@@ -1633,4 +1636,71 @@ def doc_toml_yaml_serialize(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         toml_doc(shaped.schema.fields).alias("toml"),
         yaml_doc(shaped.schema).alias("yaml"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget pack: greedy best-first prefix under a training budget
+# ---------------------------------------------------------------------------
+
+
+def _pack_oracle_sql(budget: int = 5000) -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    ann AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(t)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS tokens,
+        {_FILTER_QUALITY_SQL} AS q,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('the','and','is','of'))) AS s_en,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('el','la','que','los'))) AS s_es,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('der','die','und','das'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+            w -> w IN ('le','les','des','est'))) AS s_fr
+      FROM base
+    ), kept AS (
+      SELECT doc_id, tokens, q FROM ann
+      WHERE NOT (tokens < 10 OR tokens > 100000 OR q < 0.3
+                 OR (CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                          WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                          WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                          WHEN s_fr > 0 THEN 'fr'
+                          ELSE 'und' END) <> 'en')
+    ), c AS (
+      SELECT doc_id, tokens, q,
+             SUM(tokens) OVER (ORDER BY q DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(tokens AS BIGINT) AS tokens,
+           q AS quality,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {budget}
+    """
+
+
+@register("corpus_pack_token_budget", _pack_oracle_sql())
+def corpus_pack_token_budget(spark, sf_dir):
+    """Training-set construction under a token budget: admit documents
+    best-quality-first until the running token total would exceed the
+    budget (greedy prefix — the contract a plain SQL running-sum filter
+    states). The engine never runs a global sort: order buckets are
+    aggregated to a tiny per-bucket frame, buckets past the budget are
+    pruned before any shuffle, and the cumulative window is partitioned
+    by bucket (operators/filtering.py::token_budget_pack). DuckDB's
+    single ORDER BY running sum is the semantic oracle."""
+    from zparse_spark.operators.filtering import corpus_filter, token_budget_pack
+
+    d = _t(spark, sf_dir, "documents")
+    ann = corpus_filter(d).filter(F.col("kept")).select("doc_id", "tokens", "quality")
+    packed = token_budget_pack(ann, budget=5000)
+    return packed.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("quality"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
