@@ -266,3 +266,27 @@ def test_token_budget_pack_has_no_global_sort(spark):
     # hashpartitioning(_bkt...), and no single-partition exchange feeds
     # a Window over the full row stream
     assert "hashpartitioning(_bkt" in plan
+
+
+def test_hash_sample_is_deterministic_and_partition_invariant(spark):
+    """The keep set must be a pure function of (key, seed): identical
+    across repeated runs and across repartitionings (df.sample is
+    neither), disjoint-ish across seeds, and close to the requested
+    rate."""
+    from zparse_spark.operators.filtering import hash_sample, stratified_hash_sample
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"),
+                                  (F.pmod(F.col("id"), 3)).cast("string").alias("g"))
+    a = {r["doc_id"] for r in hash_sample(df, 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(13), 0.3, seed=1).collect()}
+    assert a == b and 0.25 < len(a) / 4000 < 0.35
+    c = {r["doc_id"] for r in hash_sample(df, 0.3, seed=2).collect()}
+    assert c != a  # independent selection per seed
+    strat = stratified_hash_sample(df, "g", {"0": 0.5, "1": 0.1}, key_col="doc_id",
+                                   seed=1, default_fraction=0.0)
+    rates = {r["g"]: r["n"] for r in
+             strat.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_per = 4000 / 3
+    assert 0.4 < rates["0"] / n_per < 0.6
+    assert 0.05 < rates["1"] / n_per < 0.16
+    assert "2" not in rates

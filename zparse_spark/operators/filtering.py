@@ -126,3 +126,49 @@ def token_budget_pack(
     )
     packed = pruned.withColumn("cum_tokens", (F.col("_before") + F.sum(t).over(wr)))
     return packed.filter(F.col("cum_tokens") <= budget).drop("_bkt", "_before")
+
+
+def hash_unit(key, seed: int = 0):
+    """Deterministic uniform-[0,1) value per key: first 8 hex nibbles of
+    md5(key ‖ ':' ‖ seed) over 2^32 — the same engine-portable idiom as
+    cap_hot_buckets' md5 sampler, so a DuckDB/any-SQL twin reproduces it
+    bit-for-bit. One codegen expression, no rng state."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(key).cast("string") if isinstance(key, str) else key.cast("string"), F.lit(seed))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return hv / float(0x100000000)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Reproducible sampling for training-set construction: keep a row
+    iff hash_unit(key) < fraction. Unlike ``df.sample`` (rng per task,
+    changes with partitioning/retries/resumes), the decision is a pure
+    function of the KEY — re-runs, resumed jobs, and other engines make
+    the identical selection, and disjoint seeds give independent
+    samples. Map-only, filter pushes to the scan."""
+    return df.filter(hash_unit(key_col, seed) < fraction)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` with the same
+    reproducibility upgrade as ``hash_sample``): each stratum keeps its
+    own fraction; strata not listed keep ``default_fraction``. The
+    fraction lookup is a chained CASE — still one map-only projection,
+    no shuffle, no rng."""
+    frac = None
+    for k, f in fractions.items():
+        cond = F.col(strata_col) == k
+        frac = F.when(cond, float(f)) if frac is None else frac.when(cond, float(f))
+    frac = F.lit(float(default_fraction)) if frac is None else frac.otherwise(
+        float(default_fraction)
+    )
+    return df.filter(hash_unit(key_col, seed) < frac)

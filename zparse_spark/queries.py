@@ -494,6 +494,7 @@ _GATE_PRIORITY = [
     "jsonc_strip_documents",
     "doc_toml_yaml_serialize",
     "corpus_pack_token_budget",
+    "corpus_sample_stratified",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -515,6 +516,8 @@ _GATE_DEMOTED = [
     # simhash/embedding/clusters/chain
     "doc_langid_markers",
     "dedup_ngram_jaccard_documents",
+    # events family keeps events_sessionize in-window
+    "events_props_json",
 ]
 
 
@@ -1704,3 +1707,38 @@ def corpus_pack_token_budget(spark, sf_dir):
         F.col("quality"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (reproducible corpus subsets)
+# ---------------------------------------------------------------------------
+
+
+def _sample_oracle_sql(seed: int = 7) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang
+    FROM documents
+    WHERE {hv} / 4294967296.0 <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.25
+               ELSE 0.1 END
+    """
+
+
+@register("corpus_sample_stratified", _sample_oracle_sql())
+def corpus_sample_stratified(spark, sf_dir):
+    """Reproducible stratified sampling: the keep/drop decision is a
+    pure function of (doc_id, seed) — md5-nibble uniform over 2^32 —
+    so re-runs, resumed jobs, and DuckDB select the IDENTICAL subset
+    (df.sample/sampleBy are rng-per-task and change with partitioning
+    and retries). Map-only; the filter pushes into the scan."""
+    from zparse_spark.operators.filtering import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_hash_sample(
+        d, "lang", {"en": 0.5, "es": 0.25, "de": 0.25},
+        key_col="doc_id", seed=7, default_fraction=0.1,
+    )
+    return s.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
