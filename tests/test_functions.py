@@ -290,3 +290,23 @@ def test_hash_sample_is_deterministic_and_partition_invariant(spark):
     assert 0.4 < rates["0"] / n_per < 0.6
     assert 0.05 < rates["1"] / n_per < 0.16
     assert "2" not in rates
+
+
+def test_strip_boilerplate_order_and_full_strip(spark):
+    """Stripping preserves original line order, keeps unshared lines
+    untouched, and drops documents whose every line was boilerplate."""
+    from zparse_spark.operators.filtering import boilerplate_lines, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "unique a1\nshared X\nunique a2\nshared Y"),
+            ("b", "shared X\nunique b1\nshared Y"),
+            ("c", "shared X\nshared Y"),  # fully boilerplate -> drops out
+        ],
+        "doc_id string, text string",
+    )
+    bl = boilerplate_lines(docs, min_docs=2)
+    assert {r["line"] for r in bl.collect()} == {"shared X", "shared Y"}
+    out = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+           for r in strip_boilerplate(docs, bl).collect()}
+    assert out == {"a": ("unique a1\nunique a2", 2), "b": ("unique b1", 1)}

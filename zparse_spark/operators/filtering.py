@@ -172,3 +172,60 @@ def stratified_hash_sample(
         float(default_fraction)
     )
     return df.filter(hash_unit(key_col, seed) < frac)
+
+
+def doc_lines(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, line) rows — position kept so stripped documents can be
+    reassembled in original order."""
+    return docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    min_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines shared by ≥ ``min_docs`` distinct documents — the CCNet-
+    style web-corpus cleaning signal (nav bars, cookie banners, license
+    footers). One logical aggregate: count_distinct(doc) per line is
+    planned as the standard two-phase partial/final, so the hot shared
+    lines combine map-side instead of landing on one reducer raw."""
+    lines = doc_lines(docs, text_col, id_col).filter(
+        F.length(F.trim(F.col("line"))) >= min_chars
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    bl: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every boilerplate line and reassemble each document in
+    original line order → (id, text_clean, n_lines_kept). The anti-join
+    side is small by construction (only lines shared by many docs), so
+    AQE broadcasts it; reassembly is one shuffle on the doc id with a
+    per-doc bounded collect_list. Documents whose every line was
+    boilerplate drop out (no empty shells in the training set)."""
+    kept = doc_lines(docs, text_col, id_col).join(
+        bl.select("line"), "line", "left_anti"
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )

@@ -495,6 +495,7 @@ _GATE_PRIORITY = [
     "doc_toml_yaml_serialize",
     "corpus_pack_token_budget",
     "corpus_sample_stratified",
+    "corpus_strip_boilerplate",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -518,6 +519,9 @@ _GATE_DEMOTED = [
     "dedup_ngram_jaccard_documents",
     # events family keeps events_sessionize in-window
     "events_props_json",
+    # quality formula stays in-window via corpus_filter_report +
+    # corpus_pack_token_budget (identical SQL twin)
+    "doc_quality_components",
 ]
 
 
@@ -1742,3 +1746,64 @@ def corpus_sample_stratified(spark, sf_dir):
         key_col="doc_id", seed=7, default_fraction=0.1,
     )
     return s.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet-style corpus cleaning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_strip_boilerplate",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             text || chr(10) || 'banner ' || source || chr(10)
+                  || 'copyright footer 2026' AS t
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(t, chr(10)) AS arr FROM docs2
+    ), lines AS (
+      SELECT doc_id, unnest(arr) AS line,
+             unnest(generate_series(1, len(arr))) AS pos
+      FROM ls
+    ), bl AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM lines
+        WHERE length(trim(line)) >= 1 GROUP BY line
+      ) WHERE nd >= 20
+    ), kept AS (
+      SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bl)
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def corpus_strip_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal: detect lines shared by ≥20
+    distinct documents (a per-source banner ~50 docs each and a global
+    footer are planted on both sides — the fixture's texts are
+    single-line, so the multi-line shape is synthesized deterministically
+    like the JSONC/TOML envelope queries), strip them, and reassemble
+    each document in original line order. DuckDB's zip-unnest +
+    NOT IN + ordered string_agg is the semantic twin of explode →
+    count_distinct ≥ k → broadcast anti-join → sorted reassembly."""
+    from zparse_spark.operators.filtering import boilerplate_lines, strip_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    docs2 = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nbanner "), F.col("source"),
+            F.lit("\ncopyright footer 2026"),
+        ).alias("text"),
+    )
+    bl = boilerplate_lines(docs2, min_docs=20)
+    out = strip_boilerplate(docs2, bl)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text_clean",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+    )
