@@ -310,3 +310,21 @@ def test_strip_boilerplate_order_and_full_strip(spark):
     out = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
            for r in strip_boilerplate(docs, bl).collect()}
     assert out == {"a": ("unique a1\nunique a2", 2), "b": ("unique b1", 1)}
+
+
+def test_redact_pii_matrix(spark):
+    from zparse_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        ("a@b.io and c.d-e_f@mail.example.org", "<EMAIL> and <EMAIL>", (2, 0, 0)),
+        ("ip 192.168.0.1 end", "ip <IPV4> end", (0, 1, 0)),
+        ("call +44 20 7946-0958 now", "call <PHONE> now", (0, 0, 1)),
+        ("clean text, no identifiers", "clean text, no identifiers", (0, 0, 0)),
+        (None, "", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "t string")
+    got = df.select(
+        redact_pii(F.col("t")).alias("r"), pii_counts(F.col("t")).alias("c")
+    ).collect()
+    by_r = {(r["r"], (r["c"]["email"], r["c"]["ipv4"], r["c"]["phone"])) for r in got}
+    assert by_r == {(r, c) for _, r, c in rows}

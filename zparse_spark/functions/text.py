@@ -244,3 +244,41 @@ def span_start_positions(texts: Column) -> Column:
         return pd.Series(out)
 
     return _pos(texts)
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (training-data scrub). Patterns are deliberately
+# lookaround/backreference-free so the SAME strings run under Java regex
+# (Spark) and RE2 (DuckDB) — the cross-engine contract established by
+# the JSONC stripper.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # order is the contract: emails first (an address contains dots a
+    # later pattern must not see), then IPs, then phones
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "phone": "\\+[0-9][0-9 -]{6,14}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> Column:
+    """struct<email:int, ipv4:int, phone:int> match counts per doc —
+    the monitoring artifact (how much PII the scrub is removing)."""
+    t = F.coalesce(text, F.lit(""))
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))).alias(k)
+            for k, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII class with its typed placeholder (<EMAIL> /
+    <IPV4> / <PHONE>), applied in PII_PATTERNS order. Chained
+    regexp_replace — whole-stage codegen, map-only, no Python."""
+    out = F.coalesce(text, F.lit(""))
+    for k, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"<{k.upper()}>")
+    return out

@@ -496,6 +496,7 @@ _GATE_PRIORITY = [
     "corpus_pack_token_budget",
     "corpus_sample_stratified",
     "corpus_strip_boilerplate",
+    "corpus_redact_pii",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -522,6 +523,9 @@ _GATE_DEMOTED = [
     # quality formula stays in-window via corpus_filter_report +
     # corpus_pack_token_budget (identical SQL twin)
     "doc_quality_components",
+    # A1 filter/projection pushdown stays plan-asserted (test_plans) and
+    # agg/join flagships tpch_q1/q5 remain in-window
+    "tpch_q6_forecast_revenue",
 ]
 
 
@@ -1806,4 +1810,65 @@ def corpus_strip_boilerplate(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         "text_clean",
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction scrub
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle_sql() -> str:
+    from zparse_spark.functions.text import PII_PATTERNS
+
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@site'"
+        " || CAST(doc_id % 7 AS VARCHAR) || '.org or 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    red = "t"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    return (
+        "WITH src AS (SELECT doc_id, " + planted + " AS t FROM documents)\n"
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id,\n"
+        "           " + red + " AS redacted,\n"
+        "           " + counts + "\n"
+        "FROM src"
+    )
+
+
+@register("corpus_redact_pii", _pii_oracle_sql())
+def corpus_redact_pii(spark, sf_dir):
+    """PII scrub before training: email/IPv4/phone patterns (planted
+    deterministically — the fixture texts carry none) are replaced with
+    typed placeholders in documented order, with per-class match counts
+    as the monitoring artifact. The pattern strings are shared verbatim
+    between Java regex and RE2 (lookaround-free, the JSONC-stripper
+    contract), so DuckDB reproduces both the redacted text and the
+    counts byte-for-byte. Map-only, chained regexp_replace, no Python."""
+    from zparse_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    c = pii_counts(planted)
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        redact_pii(planted).alias("redacted"),
+        c["email"].alias("n_email"),
+        c["ipv4"].alias("n_ipv4"),
+        c["phone"].alias("n_phone"),
     )
