@@ -229,3 +229,34 @@ def strip_boilerplate(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    probes: DataFrame,
+    k_shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: flag documents sharing any word
+    k-shingle with a probe (benchmark/eval) corpus — the standard
+    pre-training contamination gate. Probe shingles are
+    distinct-exploded (a probe corpus is eval-set-sized, so AQE
+    broadcasts the join side); document shingles stream through an
+    equi-join — never an all-pairs comparison. Output: (id, n_hits =
+    distinct probe shingles found) for contaminated docs only; anti-join
+    the result against the corpus to drop them."""
+    from zparse_spark.operators.dedup import shingles
+
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k=k_shingle)).alias("s")
+    )
+    probe_sh = probes.select(
+        F.explode(shingles(F.col(probe_text_col), k=k_shingle)).alias("s")
+    ).distinct()
+    return (
+        doc_sh.join(probe_sh, "s")
+        .groupBy(id_col)
+        .agg(F.countDistinct("s").alias("n_hits"))
+    )

@@ -497,6 +497,7 @@ _GATE_PRIORITY = [
     "corpus_sample_stratified",
     "corpus_strip_boilerplate",
     "corpus_redact_pii",
+    "corpus_contamination_flags",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -526,6 +527,8 @@ _GATE_DEMOTED = [
     # A1 filter/projection pushdown stays plan-asserted (test_plans) and
     # agg/join flagships tpch_q1/q5 remain in-window
     "tpch_q6_forecast_revenue",
+    # top-k family keeps worst_offenders_report in-window
+    "topk_customer_revenue",
 ]
 
 
@@ -1872,3 +1875,40 @@ def corpus_redact_pii(spark, sf_dir):
         c["ipv4"].alias("n_ipv4"),
         c["phone"].alias("n_phone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination gate (test-set decontamination)
+# ---------------------------------------------------------------------------
+
+
+def _contamination_oracle_sql() -> str:
+    from zparse_spark.queries_lsh import _NORM_SH_TAIL
+
+    return (
+        "WITH input AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text"
+        " FROM documents)" + _NORM_SH_TAIL + """,
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    probe AS (SELECT DISTINCT s FROM ex WHERE CAST(doc_id AS BIGINT) % 97 = 0),
+    hits AS (SELECT e.doc_id, e.s FROM ex e JOIN probe p ON e.s = p.s)
+    SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_hits
+    FROM hits GROUP BY doc_id
+    """
+    )
+
+
+@register("corpus_contamination_flags", _contamination_oracle_sql())
+def corpus_contamination_flags(spark, sf_dir):
+    """Decontamination gate: every doc sharing a word-3-shingle with the
+    probe set (docs with doc_id % 97 = 0 stand in for an eval set) is
+    flagged with its distinct-hit count — probes flag themselves, their
+    near-duplicates flag with partial overlap. Explode + broadcast
+    semi-equi-join + count_distinct; the DuckDB twin reuses the shared
+    normalize/shingle SQL so both sides tokenize identically."""
+    from zparse_spark.operators.filtering import contamination_flags
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    probes = d.filter(F.col("doc_id").cast("long") % 97 == 0)
+    return contamination_flags(d, probes)
