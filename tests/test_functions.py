@@ -328,3 +328,45 @@ def test_redact_pii_matrix(spark):
     ).collect()
     by_r = {(r["r"], (r["c"]["email"], r["c"]["ipv4"], r["c"]["phone"])) for r in got}
     assert by_r == {(r, c) for _, r, c in rows}
+
+
+def test_corpus_pipeline_v2_composes_as_one_lazy_plan(spark):
+    """The round-4 corpus ops compose end to end without intermediate
+    actions: boilerplate strip → PII redaction → admission filter →
+    token-budget pack → deterministic sample, one lazy plan, one
+    collect. Verifies the pieces agree on schemas and the planted
+    artifacts flow through (boilerplate gone, PII masked, budget
+    respected)."""
+    from zparse_spark.functions.text import redact_pii
+    from zparse_spark.operators.filtering import (
+        boilerplate_lines,
+        corpus_filter,
+        hash_sample,
+        strip_boilerplate,
+        token_budget_pack,
+    )
+
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog and it is a fine day "
+                  "for training data in the sun "),
+            F.col("id").cast("string"),
+            F.lit(" mail me at u"), F.col("id").cast("string"),
+            F.lit("@x.org\nSHARED FOOTER LINE"),
+        ).alias("text"),
+    )
+    bl = boilerplate_lines(base, min_docs=50)
+    stripped = strip_boilerplate(base, bl).withColumnRenamed("text_clean", "text")
+    clean = stripped.select("doc_id", redact_pii(F.col("text")).alias("text"))
+    admitted = corpus_filter(clean).filter(F.col("kept"))
+    packed = token_budget_pack(
+        admitted.select("doc_id", "tokens", "quality"), budget=1500
+    )
+    sampled = hash_sample(packed, 0.5, key_col="doc_id", seed=3)
+    rows = sampled.collect()
+    assert 0 < len(rows) < 200
+    assert max(r["cum_tokens"] for r in rows) <= 1500
+    texts = {r["doc_id"]: r for r in clean.collect()}
+    assert all("SHARED FOOTER" not in t["text"] for t in texts.values())
+    assert all("<EMAIL>" in t["text"] for t in texts.values())
