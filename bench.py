@@ -165,6 +165,64 @@ def main() -> None:
         + extract_features(media).count(),
     )
 
+    # corpus-pipeline headliners (round 4) over a 100k-doc flat table:
+    # admission filter + token-budget pack, boilerplate strip (planted
+    # per-source banner + global footer), PII redaction (planted)
+    from zparse_spark.functions.text import redact_pii
+    from zparse_spark.operators.filtering import (
+        boilerplate_lines,
+        corpus_filter,
+        strip_boilerplate,
+        token_budget_pack,
+    )
+
+    cdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    cfactor = max(1, target // max(cdocs.count(), 1))
+    if cfactor > 1:
+        reps = spark.range(cfactor).select(F.col("id").alias("_rep"))
+        cdocs = (
+            cdocs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") * cfactor + F.col("_rep"))
+            .drop("_rep")
+        )
+    cdocs.write.mode("overwrite").parquet(f"{workdir}/corpus_docs")
+    cdocs = spark.read.parquet(f"{workdir}/corpus_docs")
+    corpus_filter(cdocs.limit(500)).count()  # warmup
+    timed(
+        "corpus_filter_and_pack",
+        lambda: token_budget_pack(
+            corpus_filter(cdocs).filter(F.col("kept")).select(
+                "doc_id", "tokens", "quality"
+            ),
+            budget=2_000_000,
+        ).count(),
+    )
+    ml = cdocs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nbanner "), F.col("source"),
+            F.lit("\ncopyright footer"),
+        ).alias("text"),
+    )
+    timed(
+        "corpus_strip_boilerplate",
+        lambda: strip_boilerplate(ml, boilerplate_lines(ml, min_docs=1000)).count(),
+    )
+    pii = cdocs.select(
+        F.concat(
+            F.col("text"), F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit("@x.org 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        ).alias("text")
+    )
+    timed(
+        "corpus_redact_pii",
+        lambda: pii.select(redact_pii(F.col("text")).alias("r"))
+        .agg(F.sum(F.length("r")))
+        .collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "validation_and_headline_queries_total",

@@ -163,3 +163,33 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     # results identical to the unindexed operator on the same codebook
     base = ivf_topk(emb, q, k=5, nprobe=2, nlist=16, centroids=cents)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_corpus_ops_plan_discipline(spark, docs_path):
+    """Round-4 corpus ops keep their scale shapes: hash_sample is a
+    map-only pushed-down filter (zero exchanges, pruned scan);
+    boilerplate strip and the contamination gate broadcast their small
+    sides (no sort-merge join); nothing drops to Python."""
+    from zparse_spark.operators.filtering import (
+        boilerplate_lines,
+        contamination_flags,
+        hash_sample,
+        strip_boilerplate,
+    )
+
+    d = spark.read.parquet(docs_path).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce(F.col("spans")[0]["text"], F.lit("")).alias("text"),
+    )
+    sample_plan = plan_of(hash_sample(d.select("doc_id"), 0.3))
+    assert "Exchange" not in sample_plan and "EvalPython" not in sample_plan
+
+    strip_plan = plan_of(strip_boilerplate(d, boilerplate_lines(d, min_docs=5)))
+    assert "SortMergeJoin" not in strip_plan and "EvalPython" not in strip_plan
+    assert "BroadcastHashJoin" in strip_plan
+
+    cont_plan = plan_of(
+        contamination_flags(d, d.filter(F.col("doc_id").cast("long") % 97 == 0))
+    )
+    assert "SortMergeJoin" not in cont_plan and "EvalPython" not in cont_plan
+    assert "BroadcastHashJoin" in cont_plan

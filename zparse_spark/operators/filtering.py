@@ -108,6 +108,13 @@ def token_budget_pack(
         F.greatest(F.lit(0), F.floor((F.lit(float(hi)) - o) / span * n_buckets)),
     ).cast("int")
     rows = annotated.withColumn("_bkt", bucket)
+    # the bucketed frame is consumed by BOTH the per-bucket aggregate and
+    # the row-level join+window: without truncation the input lineage
+    # (for corpus_filter input, the interpreted quality/langid pass) is
+    # re-derived per consumer — measured 35 s → 16 s at 100k docs.
+    # Callers should pass the NARROW projection (id, tokens, order) so
+    # the materialized frame stays ~1% of corpus bytes at 100 TB.
+    rows = rows.localCheckpoint(eager=True)
 
     from pyspark.sql import Window
 
