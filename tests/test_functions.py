@@ -370,3 +370,26 @@ def test_corpus_pipeline_v2_composes_as_one_lazy_plan(spark):
     texts = {r["doc_id"]: r for r in clean.collect()}
     assert all("SHARED FOOTER" not in t["text"] for t in texts.values())
     assert all("<EMAIL>" in t["text"] for t in texts.values())
+
+
+def test_word_occurrences_equals_hof_filter(spark):
+    """The codegen regexp form must count exactly what the interpreted
+    split+filter counted — adjacent hits, multi-space separators, tabs/
+    newlines, leading/trailing whitespace, repeats, empty/null."""
+    from zparse_spark.functions.text import _STOPWORDS, word_occurrences
+
+    cases = [
+        "of the of the", "  the   a  ", "x\tthe\ny is", "", None,
+        "theater is not the", "a a a a", "to in is it for on", "no hits here?",
+        "of", " of ", "A THE (case) the",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    lowered = F.lower(F.trim(F.coalesce(F.col("t"), F.lit(""))))
+    words = F.split(lowered, "\\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hof = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    out = df.select(
+        F.col("t"), hof.alias("old"), word_occurrences(lowered, _STOPWORDS).alias("new")
+    ).collect()
+    for r in out:
+        assert r["old"] == r["new"], (r["t"], r["old"], r["new"])

@@ -9,12 +9,15 @@ plans. The rejection BREAKDOWN (one tiny groupBy) is the monitoring
 artifact a data pipeline actually alerts on.
 
 Plan audit: ReadSchema prunes to ``text`` alone, zero Python, one
-Exchange (the per-reason count). The stopword/marker gates are
-interpreted HOF lambdas (they break whole-stage codegen), which is
-fine HERE because the arrays are short tokens-of-one-doc — measured
-859k docs/s on a single 8-core pass — unlike the per-hash signature
-math in dedup.py where the same pattern was a 1000× blowup and the
-explode+groupBy formulation is mandatory.
+Exchange (the per-reason count). Round-4 profiling (sf0.1 texts,
+~600 chars): the annotate pass is regex-bound, and the measured
+winners are counter-intuitive — char-class counts via ``translate``
+beat the regex class scan 10× (text.py::_char_class_count), the
+codegen ``word_occurrences`` regexp beats the interpreted HOF
+stopword filter ~3×, but one WIDE 16-word alternation loses to four
+narrow 4-word scans (Java per-position cost grows with alternation
+width). Steady state ≈14k docs/s/32 threads on 600-char docs, all
+whole-stage codegen.
 """
 
 from __future__ import annotations
