@@ -393,3 +393,37 @@ def test_word_occurrences_equals_hof_filter(spark):
     ).collect()
     for r in out:
         assert r["old"] == r["new"], (r["t"], r["old"], r["new"])
+
+
+def test_repetition_signals_matrix(spark):
+    """Gopher-style repetition signals: line duplication (all copies
+    counted, char mass weighted), top word/bigram shares, and the
+    degenerate empty/null/one-word rows — Spark UDF vs a hand model."""
+    from zparse_spark.functions.text import repetition_signals
+
+    cases = {
+        # 4 lines, 'dup' twice: dup_line_frac=2/4, chars 3*2/(3*2+1+2)
+        "dup\ndup\na\nbb": (0.5, 6 / 9, 0.5, 1 / 3),
+        # no repetition anywhere
+        "one two three": (0.0, 0.0, 1 / 3, 1 / 2),
+        # all-same word: top word 1.0, bigram 'x x' 1.0
+        "x x x x": (0.0, 0.0, 1.0, 1.0),
+        # empty lines and space-only lines are dropped before counting
+        "a\n\n   \na": (1.0, 1.0, 1.0, 1.0),
+        "": (0.0, 0.0, 0.0, 0.0),
+        "solo": (0.0, 0.0, 1.0, 0.0),
+        None: (0.0, 0.0, 0.0, 0.0),
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "t string")
+    got = {
+        r["t"]: (
+            r["s"]["dup_line_frac"],
+            r["s"]["dup_char_frac"],
+            r["s"]["top_word_frac"],
+            r["s"]["top_bigram_frac"],
+        )
+        for r in df.select("t", repetition_signals(F.col("t")).alias("s")).collect()
+    }
+    for text, want in cases.items():
+        for g, w in zip(got[text], want):
+            assert abs(g - w) < 1e-12, (text, got[text], want)

@@ -195,6 +195,43 @@ def test_d1_drift(spark):
     assert got[0]["rule_id"] == "D1" and got[0]["kind"] == "DriftExceeded"
 
 
+def test_d1_drift_kl_metric(spark):
+    import math
+
+    from zparse_spark.operators.rules import RuleParams, drift_scores
+
+    normal = [(f"n{i}", [T("a", 0), M(f"n{i}m", 1)], f"p{i % 3}") for i in range(30)]
+    drifted = [(f"d{i}", [M(f"m{i}", 0), M(f"m{i}x", 1)], "p_drift") for i in range(10)]
+    docs = make_docs(spark, normal + drifted)
+
+    # hand-compute KL for p_drift: p = (text 0/20+eps, image 20/20+eps,
+    # audio eps, video eps) vs global q = (30/80, 50/80, 0, 0)+eps —
+    # same eps floor and term order as the operator
+    eps = 1e-4
+    p = [0 / 20 + eps, 20 / 20 + eps, eps, eps]
+    q = [30 / 80 + eps, 50 / 80 + eps, eps, eps]
+    want = sum(pk * math.log(pk / qk) for pk, qk in zip(p, q))
+    scores = {r["partition"]: r for r in drift_scores(docs).collect()}
+    assert abs(scores["p_drift"]["kl"] - want) < 1e-9
+    # normal partitions sit far below the drifted one (their ~0.03 KL
+    # comes from the drifted docs shifting the GLOBAL mix, not from
+    # their own 50/50 composition)
+    assert all(r["kl"] < 0.05 for k, r in scores.items() if k != "p_drift")
+    assert scores["p_drift"]["kl"] > 0.3
+
+    # kl_threshold=None (default) never changes which rows fire; setting
+    # it fires KL alongside PSI and names both metrics in the message
+    got = drift_violations(docs, RuleParams(kl_threshold=0.3)).collect()
+    assert [r["partition"] for r in got] == ["p_drift"]
+    assert "PSI " in got[0]["message"] and "KL " in got[0]["message"]
+    # a KL-only firing: PSI threshold too high to fire, KL fires alone
+    got_kl = drift_violations(
+        docs, RuleParams(psi_threshold=1e9, kl_threshold=0.3)
+    ).collect()
+    assert [r["partition"] for r in got_kl] == ["p_drift"]
+    assert got_kl[0]["message"].startswith("KL ")
+
+
 def test_empty_and_null_spans_do_not_crash(spark):
     docs = make_docs(spark, [("empty", [], "p0"), ("none", None, "p0")])
     assert span_rule_violations(docs).count() == 0

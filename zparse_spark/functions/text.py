@@ -11,6 +11,8 @@ is tested.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -306,3 +308,85 @@ def redact_pii(text: Column) -> Column:
     for k, p in PII_PATTERNS.items():
         out = F.regexp_replace(out, p, f"<{k.upper()}>")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher/MassiveText-style quality rules): documents
+# dominated by repeated lines or a single n-gram are boilerplate/spam.
+# ---------------------------------------------------------------------------
+
+
+# ASCII-equivalent of DuckDB's regexp '\s+' (RE2) for the corpus contract
+_WS_RE = re.compile(r"\s+")
+
+
+def _repetition_row(text: str | None) -> tuple[float, float, float, float]:
+    from collections import Counter
+
+    if not text:
+        return (0.0, 0.0, 0.0, 0.0)
+    # lines: strip SPACES only (DuckDB trim() parity), drop empties
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    dup_line_frac = dup_char_frac = 0.0
+    if lines:
+        lc = Counter(lines)
+        n_lines = len(lines)
+        char_mass = sum(len(ln) * c for ln, c in lc.items())
+        dup_line_frac = sum(c for c in lc.values() if c > 1) / n_lines
+        if char_mass:
+            dup_char_frac = (
+                sum(len(ln) * c for ln, c in lc.items() if c > 1) / char_mass
+            )
+    words = [w for w in _WS_RE.split(text.lower()) if w]
+    top_word_frac = top_bigram_frac = 0.0
+    if words:
+        wc = Counter(words)
+        top_word_frac = max(wc.values()) / len(words)
+        if len(words) > 1:
+            bc = Counter(
+                words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+            )
+            top_bigram_frac = max(bc.values()) / (len(words) - 1)
+    return (dup_line_frac, dup_char_frac, top_word_frac, top_bigram_frac)
+
+
+_REP_SCHEMA = (
+    "struct<dup_line_frac:double,dup_char_frac:double,"
+    "top_word_frac:double,top_bigram_frac:double>"
+)
+
+
+def repetition_signals(text: Column) -> Column:
+    """Gopher-style repetition quality signals per document, as
+    ``struct<dup_line_frac, dup_char_frac, top_word_frac,
+    top_bigram_frac>`` (all in [0,1]):
+
+    - ``dup_line_frac``: fraction of non-empty lines whose content
+      occurs more than once in the doc (all copies counted);
+    - ``dup_char_frac``: fraction of line character mass in those
+      repeated lines;
+    - ``top_word_frac`` / ``top_bigram_frac``: share of the most
+      frequent word / adjacent word-bigram among all words / bigrams.
+
+    Arrow-batched pandas UDF: per-doc Counter folds are inherently
+    sequential and would be interpreted HOF lambdas in Catalyst (the
+    measured 2.4× trap — see span_start_positions). Map-only stage, no
+    shuffle; every fraction is a single integer-ratio division, so the
+    DuckDB oracle twin (group-by-count formulation) matches bitwise.
+    """
+
+    @pandas_udf(_REP_SCHEMA)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        rows = [_repetition_row(t) for t in texts]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "dup_line_frac",
+                "dup_char_frac",
+                "top_word_frac",
+                "top_bigram_frac",
+            ],
+        )
+
+    return _rep(text)

@@ -94,6 +94,10 @@ class RuleParams:
     # probability floor for PSI's zero buckets; 1e-4 keeps a kind that is
     # merely absent-by-chance in a small partition from exploding the score
     drift_epsilon: float = 1e-4
+    # optional second drift metric: KL(partition ‖ global) with the same
+    # eps floor. None = PSI-only (the historical D1); setting it changes
+    # rule semantics and therefore rules_hash (via RuleParams' repr)
+    kl_threshold: float | None = None
 
 
 # --------------------------------------------------------------------------
@@ -683,21 +687,45 @@ def drift_scores(docs: DataFrame, params: RuleParams | None = None) -> DataFrame
     )
     joined = per_part.crossJoin(F.broadcast(glob))
     psi_terms = []
+    kl_terms = []
     for k in kind_domain:
         pk = F.col(f"c_{k}") / F.col("_tot") + eps
         qk = F.col(f"g_{k}") / F.col("g_tot") + eps
         psi_terms.append((pk - qk) * F.log(pk / qk))
+        # KL(p‖q) with the same eps floor — asymmetric by design: it
+        # penalizes mass the partition has that the global lacks, the
+        # direction that flags an over-represented kind in one shard
+        kl_terms.append(pk * F.log(pk / qk))
     psi = sum(psi_terms[1:], psi_terms[0])
-    return joined.select("partition", psi.alias("psi"))
+    kl = sum(kl_terms[1:], kl_terms[0])
+    return joined.select("partition", psi.alias("psi"), kl.alias("kl"))
 
 
 def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataFrame:
     """D1: per-partition span-kind frequency must not drift from the
-    global distribution (PSI ≤ threshold) — thresholded ``drift_scores``
-    projected into violation rows."""
+    global distribution — thresholded ``drift_scores`` projected into
+    violation rows. PSI is always enforced (psi > psi_threshold); KL is
+    additionally enforced when ``params.kl_threshold`` is set (the
+    north-star names both metrics). One violation row per partition
+    regardless of which metric(s) fired; the message names each."""
     p = params or RuleParams()
     scored = drift_scores(docs, p)
-    return scored.filter(F.col("psi") > p.psi_threshold).select(
+    fired = F.col("psi") > p.psi_threshold
+    msg = F.concat(
+        F.lit("PSI "), F.round("psi", 6).cast("string"), F.lit(f" > {p.psi_threshold}")
+    )
+    if p.kl_threshold is not None:
+        kl_fired = F.col("kl") > p.kl_threshold
+        kl_msg = F.concat(
+            F.lit("KL "), F.round("kl", 6).cast("string"), F.lit(f" > {p.kl_threshold}")
+        )
+        msg = F.concat_ws(
+            "; ",
+            F.when(fired, msg),
+            F.when(kl_fired, kl_msg),
+        )
+        fired = fired | kl_fired
+    return scored.filter(fired).select(
         "partition",
         F.lit(None).cast("string").alias("doc_id"),
         F.lit("D1").alias("rule_id"),
@@ -706,7 +734,5 @@ def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataF
         F.lit(None).cast("long").alias("offset"),
         F.lit(None).cast("int").alias("line"),
         F.lit(None).cast("int").alias("col"),
-        F.concat(F.lit("PSI "), F.round("psi", 6).cast("string"), F.lit(f" > {p.psi_threshold}")).alias(
-            "message"
-        ),
+        msg.alias("message"),
     )

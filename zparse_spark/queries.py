@@ -529,6 +529,10 @@ _GATE_DEMOTED = [
     "tpch_q6_forecast_revenue",
     # top-k family keeps worst_offenders_report in-window
     "topk_customer_revenue",
+    # r4 late: doc_repetition_signals enters the window; multimodal
+    # keeps media_payload_report + span_pack_media_rule in-window and
+    # this one was driver-green in r3
+    "media_decode_verdicts",
 ]
 
 
@@ -650,6 +654,73 @@ def doc_fingerprint_stats(spark, sf_dir):
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+@register(
+    "doc_repetition_signals",
+    r"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    lines AS (
+      SELECT doc_id, trim(x) AS line
+      FROM base, unnest(string_split(text, chr(10))) AS t(x)
+      WHERE trim(x) <> ''
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+           FROM lines GROUP BY 1, 2),
+    lstat AS (
+      SELECT doc_id,
+             sum(c) AS n_lines,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             sum(len * c) AS char_mass,
+             sum(CASE WHEN c > 1 THEN len * c ELSE 0 END) AS dup_char_mass
+      FROM lc GROUP BY 1
+    ),
+    wl AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS ws
+           FROM base),
+    wc AS (SELECT doc_id, w, count(*) AS c
+           FROM wl, unnest(ws) AS t(w) GROUP BY 1, 2),
+    wstat AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word
+              FROM wc GROUP BY 1),
+    bl AS (SELECT doc_id,
+                  list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1]) AS bs
+           FROM wl),
+    bc AS (SELECT doc_id, b, count(*) AS c
+           FROM bl, unnest(bs) AS t(b) GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+              FROM bc GROUP BY 1)
+    SELECT d.doc_id,
+           round(coalesce(l.dup_lines / l.n_lines, 0), 6) AS dup_line_frac,
+           round(coalesce(l.dup_char_mass / l.char_mass, 0), 6) AS dup_char_frac,
+           round(coalesce(w.top_word / w.n_words, 0), 6) AS top_word_frac,
+           round(coalesce(b.top_bigram / b.n_bigrams, 0), 6) AS top_bigram_frac
+    FROM base d
+    LEFT JOIN lstat l USING (doc_id)
+    LEFT JOIN wstat w USING (doc_id)
+    LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc (dup-line
+    fraction / dup-line char mass / top word / top adjacent bigram
+    share) — Arrow pandas UDF, map-only, value-oracled per doc. The
+    DuckDB twin re-derives every fraction via group-by-count; each is
+    one integer-ratio division, so the hash comparison is exact."""
+    from zparse_spark.functions.text import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", repetition_signals(F.col("text")).alias("_s"))
+        .select(
+            "doc_id",
+            F.round(F.col("_s.dup_line_frac"), 6).alias("dup_line_frac"),
+            F.round(F.col("_s.dup_char_frac"), 6).alias("dup_char_frac"),
+            F.round(F.col("_s.top_word_frac"), 6).alias("top_word_frac"),
+            F.round(F.col("_s.top_bigram_frac"), 6).alias("top_bigram_frac"),
+        )
     )
 
 

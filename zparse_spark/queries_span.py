@@ -167,6 +167,13 @@ _psi_terms = " + ".join(
     f"ln((c_{k} / tot + {_EPS}) / (g_{k} / g_tot + {_EPS})))"
     for k in SPAN_KIND_DOMAIN
 )
+# KL(partition ‖ global), same eps floor and accumulation order as
+# drift_scores' kl_terms (rules.py)
+_kl_terms = " + ".join(
+    f"((c_{k} / tot + {_EPS}) * "
+    f"ln((c_{k} / tot + {_EPS}) / (g_{k} / g_tot + {_EPS})))"
+    for k in SPAN_KIND_DOMAIN
+)
 _PSI_CTE = f"""
 kc AS (
   SELECT partition,
@@ -176,7 +183,7 @@ kc AS (
 kct AS (SELECT *, ({_tot}) AS tot FROM kc),
 g AS (SELECT {_g_cols}, sum(tot) AS g_tot FROM kct),
 psi AS (
-  SELECT partition, ({_psi_terms}) AS psi
+  SELECT partition, ({_psi_terms}) AS psi, ({_kl_terms}) AS kl
   FROM kct, g
 )"""
 
@@ -226,14 +233,18 @@ def span_pack_verdicts(spark, sf_dir):
 @register(
     "span_pack_drift",
     f"""WITH{_SP_CTE},{_PSI_CTE}
-SELECT partition, round(psi, 4) AS psi, (psi <= {_PSI_THRESHOLD}) AS passed FROM psi""",
+SELECT partition, round(psi, 4) AS psi, round(kl, 4) AS kl,
+       (psi <= {_PSI_THRESHOLD}) AS passed FROM psi""",
 )
 def span_pack_drift(spark, sf_dir):
-    """D1's raw PSI scores per partition — value-level drift oracle."""
+    """D1's raw PSI and KL scores per partition — value-level drift
+    oracle for BOTH metrics the north-star names (KL/PSI), computed in
+    one pass over the same per-partition kind counts."""
     docs, _ = _pack_input(spark)
     return drift_scores(docs, _PARAMS).select(
         "partition",
         F.round("psi", 4).alias("psi"),
+        F.round("kl", 4).alias("kl"),
         (F.col("psi") <= _PSI_THRESHOLD).alias("passed"),
     )
 
