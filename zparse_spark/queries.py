@@ -529,10 +529,11 @@ _GATE_DEMOTED = [
     "tpch_q6_forecast_revenue",
     # top-k family keeps worst_offenders_report in-window
     "topk_customer_revenue",
-    # r4 late: doc_repetition_signals enters the window; multimodal
-    # keeps media_payload_report + span_pack_media_rule in-window and
-    # this one was driver-green in r3
+    # r4 late: doc_repetition_signals + similarity_lsh_recall enter the
+    # window; multimodal keeps span_pack_media_rule + media_video_frames
+    # in-window and these two were driver-green in r3
     "media_decode_verdicts",
+    "media_payload_report",
 ]
 
 
@@ -883,6 +884,69 @@ ranked AS (
 )
 SELECT query_id, corpus_id, round(c, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+_BF_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings c
+    ), ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_lsh_recall",
+    f"""WITH bf AS ({_BF_TOPK_SQL}),
+lsh AS (SELECT query_id, corpus_id FROM ({_lsh_ann_oracle_sql()})),
+hits AS (
+  SELECT bf.query_id, count(*) AS n
+  FROM bf JOIN lsh USING (query_id, corpus_id) GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)""",
+)
+def similarity_lsh_recall(spark, sf_dir):
+    """ANN quality monitoring: recall@5 of the LSH-bucketed top-k
+    against the exact brute-force top-k, per query — THE standard
+    ANN acceptance metric, here value-oracled end to end because both
+    retrieval paths (hyperplane literals, hamming-1 multiprobe, tie
+    ordering) are reproduced exactly by the DuckDB twin. Scale shape:
+    both sides are broadcast-query plans over one corpus scan each;
+    the recall join touches only 25 rows."""
+    from zparse_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = (
+        e.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    bf = brute_force_topk(e, queries, k=5)
+    lsh = lsh_topk(e, queries, k=5, n_planes=6)
+    hits = (
+        bf.join(lsh.select("query_id", "corpus_id"), ["query_id", "corpus_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
 
 
 @register("similarity_lsh_topk_embeddings", _lsh_ann_oracle_sql())
