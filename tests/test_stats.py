@@ -82,3 +82,36 @@ def test_tdigest_df_variant_is_lazy_and_composable(spark, sf_dir):
     rows = {r["prob"]: (r["value"], r["table"]) for r in labeled.collect()}
     assert set(rows) == {0.25, 0.5, 0.75}
     assert all(v > 0 and t == "lineitem" for v, t in rows.values())
+
+
+def test_ks_drift_scores_hand_case(spark):
+    """Two groups on a 10-bin [0,10) grid: A holds one value per bin,
+    B piles everything into bin 0. Hand KS for both groups is 9/20
+    (B's CDF is 1 everywhere vs global (11+b)/20; A's max gap is at
+    bin 0). Also: identical groups drift to ~0."""
+    from zparse_spark.operators.stats import ks_drift_scores
+
+    rows = [("A", float(v)) for v in range(10)] + [("B", 0.0) for _ in range(10)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: r["ks"]
+        for r in ks_drift_scores(df, "v", "grp", lo=0.0, hi=10.0, n_bins=10).collect()
+    }
+    assert abs(got["A"] - 9 / 20) < 1e-12
+    assert abs(got["B"] - 9 / 20) < 1e-12
+
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in ("X", "Y") for v in range(10)], "grp string, v double"
+    )
+    got2 = ks_drift_scores(same, "v", "grp", lo=0.0, hi=10.0, n_bins=10).collect()
+    assert all(abs(r["ks"]) < 1e-12 for r in got2)
+
+    # nulls are ignored, out-of-range values clamp into edge bins
+    clamp = spark.createDataFrame(
+        [("Z", -5.0), ("Z", 99.0), ("Z", None), ("W", 5.0)], "grp string, v double"
+    )
+    out = {
+        r["grp"]: r["ks"]
+        for r in ks_drift_scores(clamp, "v", "grp", lo=0.0, hi=10.0, n_bins=10).collect()
+    }
+    assert set(out) == {"Z", "W"} and 0.0 <= out["Z"] <= 1.0

@@ -213,3 +213,78 @@ def group_stats_grouping_sets(df: DataFrame, dims: list[str], value: str) -> Dat
             "avg_value",
         )
     )
+
+
+def ks_drift_scores(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Numeric distribution drift per group: the (binned) two-sample
+    Kolmogorov–Smirnov statistic between each group's distribution of
+    ``value_col`` and the global one — the numeric companion of the
+    span-kind KL/PSI drift rule (rules.py::drift_scores).
+
+    ``ks = max over bins |cdf_group(b) - cdf_global(b)|`` on a fixed
+    [lo, hi] grid (edges are caller-supplied constants — at 100 TB they
+    come from a prior stats pass, keeping this single-scan and
+    deterministic; out-of-range values clamp into the edge bins).
+
+    Scale shape: one groupBy(group, bin) over the scan (map-side
+    combine; |groups|×n_bins tiny rows), densified against a
+    ``spark.range(n_bins)`` grid so empty bins carry the running CDF,
+    cumulative windows partitioned BY GROUP (never a global sort), and
+    the global CDF broadcast-joined by bin. Every CDF value is one
+    integer-ratio division, so the DuckDB twin matches exactly.
+    """
+    step = (hi - lo) / n_bins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / step).cast("long"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    grid = counts.select("grp").distinct().crossJoin(F.broadcast(bins))
+    dense = grid.join(counts, ["grp", "bin"], "left").select(
+        "grp", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w_grp = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_grp = dense.select(
+        "grp",
+        "bin",
+        F.sum("n").over(w_grp).alias("cum"),
+        F.sum("n").over(Window.partitionBy("grp")).alias("tot"),
+    )
+    glob = (
+        dense.groupBy("bin")
+        .agg(F.sum("n").alias("gn"))
+        .select(
+            "bin",
+            F.sum("gn")
+            .over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("gcum"),
+            F.sum("gn").over(Window.partitionBy(F.lit(1))).alias("gtot"),
+        )
+    )
+    joined = per_grp.join(F.broadcast(glob), "bin")
+    diff = F.abs(F.col("cum") / F.col("tot") - F.col("gcum") / F.col("gtot"))
+    return joined.groupBy(F.col("grp").alias(group_col)).agg(
+        F.max(diff).alias("ks")
+    )

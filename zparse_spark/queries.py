@@ -364,6 +364,46 @@ def histogram_extendedprice(spark, sf_dir):
 
 
 @register(
+    "drift_numeric_totalprice",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS grp,
+             least(greatest(CAST(floor((o_totalprice - 0.0) / 18750.0) AS BIGINT), 0), 31) AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    counts AS (SELECT grp, bin, count(*) AS n FROM vals GROUP BY 1, 2),
+    grid AS (SELECT g.grp, b.bin
+             FROM (SELECT DISTINCT grp FROM counts) g, range(32) b(bin)),
+    dense AS (SELECT grid.grp, grid.bin, coalesce(c.n, 0) AS n
+              FROM grid LEFT JOIN counts c ON c.grp = grid.grp AND c.bin = grid.bin),
+    per AS (SELECT grp, bin,
+                   sum(n) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY grp) AS tot
+            FROM dense),
+    gl AS (SELECT bin,
+                  sum(gn) OVER (ORDER BY bin) AS gcum,
+                  sum(gn) OVER () AS gtot
+           FROM (SELECT bin, sum(n) AS gn FROM dense GROUP BY bin))
+    SELECT per.grp AS o_orderpriority,
+           round(max(abs(cum / tot - gcum / gtot)), 6) AS ks
+    FROM per JOIN gl USING (bin) GROUP BY 1
+    """,
+)
+def drift_numeric_totalprice(spark, sf_dir):
+    """Numeric-distribution drift: binned two-sample KS statistic of
+    each order-priority group's o_totalprice distribution vs the global
+    one — the numeric companion of the span-kind KL/PSI drift rule,
+    value-oracled (every CDF point is an integer-ratio division on a
+    fixed 32-bin grid, so the hashes match exactly)."""
+    from zparse_spark.operators.stats import ks_drift_scores
+
+    o = _t(spark, sf_dir, "orders")
+    return ks_drift_scores(
+        o, "o_totalprice", "o_orderpriority", lo=0.0, hi=600000.0, n_bins=32
+    ).select("o_orderpriority", F.round("ks", 6).alias("ks"))
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
@@ -534,6 +574,10 @@ _GATE_DEMOTED = [
     # in-window and these two were driver-green in r3
     "media_decode_verdicts",
     "media_payload_report",
+    # r4 late: drift_numeric_totalprice enters; cluster resolution keeps
+    # dedup_clusters_chain (the harder star-CC variant) in-window and
+    # this propagation twin was driver-green in r3
+    "dedup_clusters_documents",
 ]
 
 
