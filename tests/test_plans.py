@@ -193,3 +193,45 @@ def test_corpus_ops_plan_discipline(spark, docs_path):
     )
     assert "SortMergeJoin" not in cont_plan and "EvalPython" not in cont_plan
     assert "BroadcastHashJoin" in cont_plan
+
+
+def test_new_drift_and_repetition_plan_discipline(spark, docs_path):
+    """KS drift never sorts the data rows globally (windows partition by
+    group; the only unpartitioned window runs over the n_bins-row global
+    CDF) and broadcasts the bin grid + global side. repetition_signals
+    is exactly one Arrow batch eval, no shuffle. drift_scores (PSI+KL)
+    stays HOF/codegen — no Python eval anywhere."""
+    from zparse_spark.functions.text import repetition_signals
+    from zparse_spark.operators.rules import drift_scores
+    from zparse_spark.operators.stats import ks_drift_scores
+
+    docs = spark.read.parquet(docs_path)
+
+    ks = ks_drift_scores(
+        docs.select(
+            F.col("partition").alias("grp"),
+            F.size(F.coalesce(F.col("spans"), F.array())).cast("double").alias("v"),
+        ),
+        "v",
+        "grp",
+        lo=0.0,
+        hi=16.0,
+        n_bins=16,
+    )
+    ks_plan = plan_of(ks)
+    assert "EvalPython" not in ks_plan
+    assert "BroadcastExchange" in ks_plan
+    # every Sort with a global Exchange partner would show as
+    # 'Exchange rangepartitioning' — the global-sort shape KS must avoid
+    assert "rangepartitioning" not in ks_plan
+
+    rep = docs.select(
+        "doc_id",
+        repetition_signals(F.coalesce(F.col("spans")[0]["text"], F.lit(""))).alias("s"),
+    )
+    rep_plan = plan_of(rep)
+    assert rep_plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in rep_plan
+
+    drift_plan = plan_of(drift_scores(docs))
+    assert "EvalPython" not in drift_plan
