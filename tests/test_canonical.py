@@ -118,3 +118,22 @@ def test_violations_digest_distributed_at_1m_rows(spark):
     d1 = violations_digest(v, n_chunks=32)
     d2 = violations_digest(v.repartition(7), n_chunks=32)
     assert d1 == d2 and len(d1) == 64
+
+
+def test_snapshot_diff_classification(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.canonical import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], "doc_id string, text string"
+    )
+    new = spark.createDataFrame(
+        [("1", "a"), ("2", "B"), ("4", "d")], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old, new, fingerprint=F.md5("text")).collect()
+    }
+    # '1' unchanged -> absent; '2' changed; '3' removed; '4' added
+    assert got == {"2": "changed", "3": "removed", "4": "added"}

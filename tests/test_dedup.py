@@ -295,3 +295,29 @@ def test_star_cc_matches_propagation_and_beats_diameter(spark):
     got = resolve_duplicate_clusters_star(chain, max_iter=8).collect()
     assert len(got) == 41
     assert all(r["rep_id"] == "n00" for r in got)
+
+
+def test_select_representatives_quality_prior(spark):
+    from zparse_spark.operators.dedup import keep_representatives, select_representatives
+
+    # two components: {1,2,3} chain and {10,11}; quality argmax wins,
+    # ties break to min id
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("10", "11")], "id_a string, id_b string"
+    )
+    docs = spark.createDataFrame(
+        [("1", 5.0), ("2", 9.0), ("3", 9.0), ("10", 1.0), ("11", 2.0), ("99", 0.0)],
+        "doc_id string, q double",
+    )
+    reps = {
+        r["doc_id"]: r["rep_id"]
+        for r in select_representatives(docs, pairs, prefer_col="q").collect()
+    }
+    # component {1,2,3}: q ties at 9.0 between 2 and 3 -> min id '2'
+    assert reps == {"1": "2", "2": "2", "3": "2", "10": "11", "11": "11"}
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_representatives(docs, pairs, prefer_col="q").collect()
+    )
+    # unpaired '99' passes through; reps '2' and '11' survive
+    assert kept == ["11", "2", "99"]

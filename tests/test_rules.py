@@ -179,7 +179,7 @@ def test_r1_referential(spark):
         ],
     )
     cat = spark.createDataFrame([("known", "image", 10)], ["media_ref", "media_kind", "bytes"])
-    for strategy in ("auto", "broadcast", "smj"):
+    for strategy in ("auto", "broadcast", "smj", "distinct"):
         got = rows(referential_violations(docs, cat, strategy))
         assert got == [("bad", "R1", "DanglingMediaRef", 1, 1)], strategy
 

@@ -115,3 +115,47 @@ def test_ks_drift_scores_hand_case(spark):
         for r in ks_drift_scores(clamp, "v", "grp", lo=0.0, hi=10.0, n_bins=10).collect()
     }
     assert set(out) == {"Z", "W"} and 0.0 <= out["Z"] <= 1.0
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import heavy_hitters
+
+    # skewed domain: 'a' 60%, 'b' 25%, tail of 30 singletons + nulls
+    rows = [("a",)] * 60 + [("b",)] * 25 + [(f"t{i}",) for i in range(30)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    k = 4  # threshold n/(k+1) = 115/5 = 23 -> {a, b}
+    got = {r["v"]: r["freq"] for r in heavy_hitters(df, "v", k=k).collect()}
+    exact = {
+        r["v"]: r["n"]
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * (k + 1) > 115)
+        .collect()
+    }
+    assert got == exact == {"a": 60, "b": 25}
+
+
+def test_heavy_hitters_superset_guarantee_adversarial(spark):
+    """Uniform-ish domain right at the threshold boundary: output must
+    equal the exact HAVING set for several k (no false negatives — the
+    MG union-of-partitions superset guarantee)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import heavy_hitters
+
+    rows = [(f"v{i % 13}",) for i in range(997)]
+    df = spark.createDataFrame(rows, "v string").repartition(5)
+    n = 997
+    for k in (3, 8, 12, 20):
+        got = {r["v"]: r["freq"] for r in heavy_hitters(df, "v", k=k).collect()}
+        exact = {
+            r["v"]: r["n"]
+            for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") * (k + 1) > n)
+            .collect()
+        }
+        assert got == exact, f"k={k}"

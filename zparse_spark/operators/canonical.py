@@ -188,3 +188,41 @@ def sequence_equality(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint: Column | None = None,
+) -> DataFrame:
+    """Classify every id across two table snapshots as ``added`` /
+    ``removed`` / ``changed`` — the incremental-validation primitive:
+    at 10^12 docs a nightly full re-validation is off the table, so the
+    engine re-runs the rule pack ONLY on ``added ∪ changed`` (compose:
+    ``new.join(snapshot_diff(...).filter(change != 'removed'), id)``).
+
+    ``fingerprint`` is a Column evaluated against EACH side (default:
+    md5 of the span fingerprint — for flat tables pass e.g.
+    ``F.md5(F.concat_ws('\\x01', 'text', 'lang'))``); unchanged rows are
+    dropped pre-join is impossible (membership needs both sides), but
+    the join carries only (id, 16-byte hash) — never row payloads — so
+    the shuffle is O(ids), not O(bytes). Unchanged ids are filtered out
+    of the result.
+    """
+    fp = fingerprint if fingerprint is not None else F.md5(
+        span_fingerprint(F.col("spans")).cast("string")
+    )
+    a = old.select(F.col(id_col).alias("_id"), fp.alias("fp_old"))
+    b = new.select(F.col(id_col).alias("_id"), fp.alias("fp_new"))
+    return (
+        a.join(b, "_id", "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(F.col("_id").alias(id_col), "change")
+    )

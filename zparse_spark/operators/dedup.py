@@ -18,7 +18,7 @@ Operators:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from zparse_spark.functions.text import normalize_text
@@ -701,16 +701,62 @@ def keep_representatives(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    prefer_col: str | None = None,
     **resolve_kwargs,
 ) -> DataFrame:
     """The dedup ACTION: drop every document whose component
     representative is a different document; docs in no pair pass
-    through (left join against the small resolved-label table)."""
-    labels = resolve_duplicate_clusters(pairs, **resolve_kwargs).withColumnRenamed(
-        "doc_id", "_cc_node"
-    )
+    through (left join against the small resolved-label table).
+    ``prefer_col`` switches the representative from min-id to the
+    highest-scoring member (see ``select_representatives``)."""
+    if prefer_col is not None:
+        labels = select_representatives(
+            docs, pairs, prefer_col, id_col=id_col, **resolve_kwargs
+        ).withColumnRenamed("doc_id", "_cc_node")
+    else:
+        labels = resolve_duplicate_clusters(pairs, **resolve_kwargs).withColumnRenamed(
+            "doc_id", "_cc_node"
+        )
     return (
         docs.join(labels, docs[id_col] == F.col("_cc_node"), "left")
         .filter(F.col("rep_id").isNull() | (F.col("rep_id") == docs[id_col]))
         .select(*[docs[c] for c in docs.columns])
     )
+
+
+def select_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    prefer_col: str,
+    id_col: str = "doc_id",
+    **resolve_kwargs,
+) -> DataFrame:
+    """Quality-prior representative per duplicate cluster: instead of
+    the min-id convention, keep the member with the HIGHEST
+    ``prefer_col`` (quality score, token count, …), ties broken by min
+    id so the choice stays deterministic and engine-portable.
+
+    Returns (doc_id, rep_id) for every doc that appears in a pair —
+    same contract as ``resolve_duplicate_clusters``, different rep
+    choice. Scale shape: the label table is O(docs-in-pairs) — sparse
+    relative to the corpus — so the prefer-score join and the per-
+    component argmax window both run on the small side; the corpus is
+    touched only by the final broadcast lookup in
+    ``keep_representatives``.
+    """
+    labels = resolve_duplicate_clusters(pairs, **resolve_kwargs).withColumnRenamed(
+        "rep_id", "component"
+    )
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(prefer_col).alias("_score")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_score").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("component", F.col("doc_id").alias("rep_id"))
+    )
+    return scored.join(best, "component").select("doc_id", "rep_id")

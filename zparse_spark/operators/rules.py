@@ -542,6 +542,17 @@ def referential_violations(
     spans. The anti-join is broadcast when the catalog fits
     (``strategy='broadcast'`` forces it; 'auto' lets AQE decide; 'smj'
     hints shuffle merge for a catalog too big to broadcast).
+
+    ``strategy='distinct'`` is the shape for the BIG-catalog × BIG-docs
+    regime where the SMJ shuffles every ref *occurrence*: anti-join the
+    catalog against the DISTINCT ref values first (shuffle volume drops
+    from occurrences to distinct values — partial-distinct combines
+    map-side, and media refs repeat heavily in real corpora), producing
+    the dangling-ref SET, which is violation-sparse and therefore tiny;
+    broadcast-join that set back onto the occurrence stream (map-only).
+    Output is exactly the single-phase anti-join's — the rewrite is an
+    algebraic identity (anti-join distributes over the distinct because
+    membership depends only on the key).
     """
     # GetArrayStructFields projections (spans.media_ref / spans.offset)
     # are visible to nested-schema pruning, so the parquet scan reads ONLY
@@ -567,7 +578,13 @@ def referential_violations(
         cat = F.broadcast(cat)
     elif strategy == "smj":
         cat = cat.hint("merge")
-    dangling = refs.join(cat, "media_ref", "left_anti")
+    if strategy == "distinct":
+        dangling_set = refs.select("media_ref").distinct().join(
+            cat, "media_ref", "left_anti"
+        )
+        dangling = refs.join(F.broadcast(dangling_set), "media_ref", "left_semi")
+    else:
+        dangling = refs.join(cat, "media_ref", "left_anti")
     return dangling.select(
         "partition",
         "doc_id",

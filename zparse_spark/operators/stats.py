@@ -288,3 +288,68 @@ def ks_drift_scores(
     return joined.groupBy(F.col("grp").alias(group_col)).agg(
         F.max(diff).alias("ks")
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """Exact heavy hitters (frequency > n/(k+1)) without grouping the
+    full value domain — the two-pass Misra–Gries pattern.
+
+    At 100 TB a ``groupBy(col).count()`` over a high-cardinality column
+    shuffles one partial row per distinct value per task; when the
+    domain is huge (URLs, media_refs, shingles) that is the bottleneck
+    even with map-side combine. Misra–Gries bounds the shuffle by k:
+
+    - Pass 1 (map-only): each partition runs a k-counter Misra–Gries
+      sketch over its rows (``mapInPandas``, dict state carried across
+      Arrow batches). A partition emits at most k candidate values.
+      Guarantee: if freq(v) > n/(k+1) globally then freq_p(v) >
+      n_p/(k+1) in at least one partition (else summing the per-
+      partition bounds contradicts the global one), and MG retains
+      every value above its partition's n_p/(k+1) — so the union of
+      candidates is a SUPERSET of the true heavy hitters.
+    - Pass 2: exact recount restricted to the candidate set (broadcast
+      semi-join, then groupBy over ≤ tasks×k partial rows), filtered to
+      the true threshold. Output is therefore EXACT — same rows a full
+      groupBy+HAVING would produce — which is what makes it oracle-able
+      in plain SQL.
+
+    Returns (value, freq) for every value with freq > n/(k+1), ordered
+    nowhere (caller sorts). Null values are ignored (SQL GROUP BY
+    semantics for HAVING on count would include them; we match the
+    reference profile contract of skipping nulls like null_rate does).
+    """
+    import pandas as pd  # noqa: F811 — local to keep module import light
+
+    src = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    candidates = src.mapInPandas(mg_partition, "v string").distinct()
+    # total row count rides the same pass-2 scan as a scalar subquery-
+    # style crossJoin of a 1-row aggregate — no separate .count() action
+    total = src.agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        src.join(F.broadcast(candidates), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * (k + 1) > F.col("_n"))
+        .select(F.col("v").alias(col), "freq")
+    )
+    return exact

@@ -578,6 +578,17 @@ _GATE_DEMOTED = [
     # dedup_clusters_chain (the harder star-CC variant) in-window and
     # this propagation twin was driver-green in r3
     "dedup_clusters_documents",
+    # r4 final: dedup_reps_quality + span_pack_referential_distinct +
+    # delta/heavy-hitters enter the window; all four demotions below are
+    # r2+r3 double-green and their families keep in-gate reps (joins:
+    # referential_lineitem/tpch_q1/q4/q21; scalar fns:
+    # doc_toml_yaml_serialize + jsonc_strip_documents; similarity:
+    # similarity_topk + lsh_recall (composes both retrieval paths) +
+    # both IVF variants; dedup: exact/minhash/capped/embedding/chain)
+    "tpch_q5_region_revenue",
+    "doc_xml_escape_roundtrip",
+    "similarity_lsh_topk_embeddings",
+    "dedup_simhash_documents",
 ]
 
 
@@ -1179,6 +1190,78 @@ def approx_distinct_tolerance(spark, sf_dir):
             < 0.05
         ).alias("approx_within_5pct"),
     )
+
+
+@register(
+    "delta_documents_snapshot",
+    """
+    WITH old_snap AS (
+      SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS fp FROM documents
+    ),
+    new_snap AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(1),
+                 CASE WHEN doc_id % 31 = 5 THEN text || '!' ELSE text END,
+                 lang, source)) AS fp
+      FROM documents WHERE doc_id % 97 <> 3
+      UNION ALL
+      SELECT doc_id + 10000000, md5(concat_ws(chr(1), text, lang, source))
+      FROM documents WHERE doc_id % 101 = 7
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END AS change
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
+)
+def delta_documents_snapshot(spark, sf_dir):
+    """Snapshot diff for incremental re-validation: classify ids as
+    added/removed/changed between two corpus versions by joining 16-byte
+    row fingerprints (shuffle O(ids), never payload bytes) — the rule
+    pack then re-runs only on added ∪ changed. The 'new' snapshot is a
+    deterministic mutation of the same table (drop %97, edit %31, add
+    %101 under shifted ids) so both engines derive identical versions."""
+    from zparse_spark.operators.canonical import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    changed_text = F.when(
+        F.col("doc_id") % 31 == 5, F.concat(F.col("text"), F.lit("!"))
+    ).otherwise(F.col("text"))
+    new = (
+        d.filter(F.col("doc_id") % 97 != 3)
+        .withColumn("text", changed_text)
+        .unionByName(
+            d.filter(F.col("doc_id") % 101 == 7).withColumn(
+                "doc_id", F.col("doc_id") + 10000000
+            )
+        )
+    )
+    fp = F.md5(F.concat_ws("\x01", "text", "lang", "source"))
+    return snapshot_diff(d, new, fingerprint=fp)
+
+
+@register(
+    "stats_heavy_hitters_events",
+    """
+    SELECT event_type, count(*) AS freq
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    HAVING count(*) * 11 > (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+    """,
+)
+def stats_heavy_hitters_events(spark, sf_dir):
+    """Exact heavy hitters (freq > n/(k+1)) via two-pass Misra–Gries:
+    a map-only k-counter sketch per partition (≤k candidates each, a
+    provable superset of the true heavy hitters), then an exact recount
+    restricted to the broadcast candidate set. The shuffle is bounded
+    by tasks×k rows regardless of column cardinality — the shape that
+    replaces groupBy-the-whole-domain on URL/shingle-sized columns at
+    100 TB. Output is exact, hence SQL-oracle-able."""
+    from zparse_spark.operators.stats import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -562,6 +562,65 @@ def dedup_clusters_documents(spark, sf_dir):
     return resolve_duplicate_clusters(pairs)
 
 
+# --- Quality-prior representatives twin: closure + argmax window -------
+
+
+def _reps_quality_oracle_sql() -> str:
+    """Same recursive-CTE closure as the cluster twin, then the
+    representative is re-chosen per component by the portable md5
+    pseudo-score (argmax, ties to min id) — the quality-prior keep
+    policy with an engine-independent score."""
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    hv = _hv_sql("node")
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+pairs AS (
+  {pairs_select}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+scored AS (SELECT node, component, {hv} AS q FROM comp),
+best AS (
+  SELECT component, node AS rep_id,
+         row_number() OVER (PARTITION BY component ORDER BY q DESC, node ASC) AS rk
+  FROM scored
+)
+SELECT s.node AS doc_id, b.rep_id
+FROM scored s JOIN best b ON b.component = s.component AND b.rk = 1"""
+
+
+@register("dedup_reps_quality", _reps_quality_oracle_sql())
+def dedup_reps_quality(spark, sf_dir):
+    """Quality-prior cluster representatives: min-label components, but
+    the kept doc is the component's argmax of a per-doc score (here the
+    portable md5 pseudo-score so both engines derive the identical
+    value; in production this is a quality/token-count column). Ties
+    break to min id — fully deterministic either way."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup, select_representatives
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED)
+    scored = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("q"),
+    )
+    return select_representatives(scored, pairs, prefer_col="q")
+
+
 # --- Trained-codebook IVF twin: Lloyd-trained centroids, table-fed -----
 
 _IVF_W = "/root/repo/spark-warehouse/oracle"

@@ -204,6 +204,28 @@ def span_pack_violations(spark, sf_dir):
 
 
 @register(
+    "span_pack_referential_distinct",
+    f"""WITH{_SP_CTE}
+SELECT partition, doc_id, 'R1' AS rule_id, 'DanglingMediaRef' AS kind,
+       span_pos, off AS "offset", {_NULL_LC},
+       'dangling media_ref: ' || media_ref AS message
+FROM sp
+WHERE media_ref IS NOT NULL AND media_ref NOT IN (SELECT media_ref FROM cat)""",
+)
+def span_pack_referential_distinct(spark, sf_dir):
+    """R1 via the two-phase distinct-ref rewrite (anti-join on DISTINCT
+    ref values → broadcast the sparse dangling SET back onto the
+    occurrence stream) — the shape for the big-catalog × big-docs
+    regime where the single-phase SMJ would shuffle every occurrence.
+    The rewrite is an algebraic identity, so the SAME R1 oracle branch
+    must match row-for-row."""
+    from zparse_spark.operators.rules import referential_violations
+
+    docs, cat = _pack_input(spark)
+    return referential_violations(docs, cat, strategy="distinct")
+
+
+@register(
     "span_pack_verdicts",
     f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
 grid AS (
