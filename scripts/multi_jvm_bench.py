@@ -140,11 +140,15 @@ def main() -> None:
             "flat = load_documents(spark, sf_dir)\n"
             "n = flat.count()\n"
             "factor = max(1, target // n)\n"
+            "# repartition BEFORE the x100 crossJoin expansion + span generation:\n"
+            "# documents.parquet is one split, so without this the whole 16M-row\n"
+            "# interleave ran in a single task (measured: >17 min single-threaded)\n"
+            "flat = flat.repartition(256)\n"
             "if factor > 1:\n"
             "    reps = spark.range(factor).select(F.col('id').alias('_rep'))\n"
             "    flat = (flat.crossJoin(F.broadcast(reps))\n"
             "            .withColumn('doc_id', F.col('doc_id') * factor + F.col('_rep')).drop('_rep'))\n"
-            "interleave_documents(flat).repartition(256).write.mode('overwrite').parquet(out)\n"
+            "interleave_documents(flat).write.mode('overwrite').parquet(out)\n"
             "spark.stop()\n"
         )
         subprocess.run([sys.executable, "-c", prep, args.sf_dir,
@@ -160,7 +164,17 @@ def main() -> None:
         lo = i * args.cores
         return f"{lo}-{lo + args.cores - 1}"
 
-    # solo: one executor-sized JVM on shard 0, pinned to its core set
+    # solo: one executor-sized JVM on shard 0, pinned to its core set.
+    # Bracketed protocol: the solo baseline runs BEFORE and AFTER the
+    # concurrent phase and the efficiency denominator uses the mean of
+    # the two solo medians. Rationale (measured, r4): this host's
+    # throughput drifts 2-3x within minutes; a solo-then-concurrent
+    # ordering aliases that drift INTO the efficiency figure (solo lands
+    # in the fast window, concurrent in the slow one -> 0.44 on a run
+    # whose per-phase shapes were identical to a 0.97 run). Sampling the
+    # solo cost on both sides of the concurrent phase cancels linear
+    # drift to first order; both solos are reported so the drift itself
+    # stays visible.
     solo = collect(
         launch(args.cores, args.heap_gb, f"{workdir}/solo", shards[0], cpuset(0))
     )
@@ -172,25 +186,33 @@ def main() -> None:
     ]
     concs = [collect(p) for p in procs]
 
+    solo_post = collect(
+        launch(args.cores, args.heap_gb, f"{workdir}/solo2", shards[0], cpuset(0))
+    )
+
     t_conc = max(c["sec"] for c in concs)
     total_docs = sum(c["n_docs"] for c in concs)
-    agg_solo = solo["n_docs"] / solo["sec"]
+    t_solo = (solo["sec"] + solo_post["sec"]) / 2
+    agg_solo = solo["n_docs"] / t_solo
     agg_conc = total_docs / t_conc
     result = {
         "metric": "scale_out_efficiency",
         "protocol": f"1x vs {args.jvms}x concurrent local[{args.cores}] JVMs, "
                     f"{args.heap_gb}g heap each, disjoint shards"
-                    + (", taskset-pinned executor core sets" if args.pin else ""),
+                    + (", taskset-pinned executor core sets" if args.pin else "")
+                    + ", drift-bracketed solo (pre+post mean)",
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_docs_total": total_docs,
         "n_docs_per_shard": solo["n_docs"],
-        "sec_solo": solo["sec"],
-        "times_solo": solo["times"],
+        "sec_solo": round(t_solo, 3),
+        "sec_solo_pre": solo["sec"],
+        "sec_solo_post": solo_post["sec"],
+        "times_solo": solo["times"] + solo_post["times"],
         "sec_concurrent_max": t_conc,
         "sec_concurrent_each": [c["sec"] for c in concs],
         "docs_per_sec_1jvm": round(agg_solo, 1),
         "docs_per_sec_kjvm": round(agg_conc, 1),
-        "efficiency": round(solo["sec"] / t_conc, 3),
+        "efficiency": round(t_solo / t_conc, 3),
     }
     print(json.dumps(result))
     # persist as the per-round artifact bench.py quotes (ADVICE: never
