@@ -283,3 +283,26 @@ def test_line_col_positions(spark):
     # the opt-out keeps the schema but nulls the derivation
     off = span_rule_violations(docs, RuleParams(emit_line_col=False))
     assert {r["line"] for r in off.collect()} == {None}
+
+
+def test_functional_dependency_violations(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.rules import functional_dependency_violations
+
+    rows = (
+        [("cat1", "image"), ("cat1", "video"), ("cat2", "audio"), ("cat2", "audio")]
+        + [("hot", f"k{i:02d}") for i in range(20)]      # 20 variants
+        + [(None, "x"), ("cat3", None)]                   # skipped groups
+    )
+    df = spark.createDataFrame(rows, "ref string, kind string").repartition(5)
+    got = {
+        r["ref"]: (r["n_variants"], r["variants"])
+        for r in functional_dependency_violations(df, "ref", "kind", max_examples=3).collect()
+    }
+    # cat2 consistent -> absent; null determinant/dependent skipped;
+    # hot key: exact count 20 but examples bounded at max_examples=3
+    assert got == {
+        "cat1": (2, "image,video"),
+        "hot": (20, "k00,k01,k02"),
+    }

@@ -753,3 +753,63 @@ def drift_violations(docs: DataFrame, params: RuleParams | None = None) -> DataF
         F.lit(None).cast("int").alias("col"),
         msg.alias("message"),
     )
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant: str | list[str],
+    dependent: str,
+    max_examples: int = 8,
+) -> DataFrame:
+    """F1: functional-dependency check X → Y — every determinant value
+    must map to exactly ONE dependent value (catalog consistency: the
+    same ``media_ref`` must always carry the same ``media_kind``; the
+    same source the same license tag, …). Generalizes the reference's
+    duplicate-key rule (a TOML/YAML table is the degenerate case where
+    X is the key path and Y its value — ``map.rs`` keeps last-write and
+    zParse flags the re-assignment) from one document's key space to a
+    whole table's column space.
+
+    Returns one row per violating determinant value: the determinant
+    column(s), ``n_variants`` (exact distinct-Y count) and ``variants``
+    (the first ``max_examples`` distinct Y values, sorted, joined with
+    ','). Null Y values are ignored (profile contract, like null_rate);
+    null X groups are skipped (SQL GROUP BY would keep them, but a null
+    determinant cannot "determine" anything — documented divergence).
+
+    Scale shape (100 TB): NO unbounded per-key state anywhere —
+    1. distinct (X, Y) pairs: the only full-data shuffle, map-side
+       partial distinct, volume = distinct pairs not rows;
+    2. exact variant counts: groupBy(X) over the distinct-pair table;
+    3. example values: row_number window over the pairs SEMI-JOINED to
+       the violating keys first — the window input is violation-sparse,
+       and the collect_list after ``rk <= max_examples`` holds at most
+       ``max_examples`` elements per key regardless of how pathological
+       a key is (a collect_set in the count pass would buffer ALL
+       variants of a hot key — the OOM this shape exists to avoid).
+    """
+    xs = [determinant] if isinstance(determinant, str) else list(determinant)
+    pairs = (
+        df.select(*[F.col(c) for c in xs], F.col(dependent).alias("_y"))
+        .filter(F.col("_y").isNotNull())
+        .na.drop(subset=xs)
+        .distinct()
+    )
+    counts = (
+        pairs.groupBy(*xs)
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .filter(F.col("n_variants") > 1)
+    )
+    from pyspark.sql import Window
+
+    sparse = pairs.join(counts.select(*xs), xs, "left_semi")
+    w = Window.partitionBy(*xs).orderBy(F.col("_y").asc())
+    examples = (
+        sparse.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_examples)
+        .groupBy(*xs)
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("_y")), ",").alias("variants")
+        )
+    )
+    return counts.join(examples, xs).select(*xs, "n_variants", "variants")

@@ -538,6 +538,7 @@ _GATE_PRIORITY = [
     "corpus_strip_boilerplate",
     "corpus_redact_pii",
     "corpus_contamination_flags",
+    "fd_documents_source_lang",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -589,6 +590,10 @@ _GATE_DEMOTED = [
     "doc_xml_escape_roundtrip",
     "similarity_lsh_topk_embeddings",
     "dedup_simhash_documents",
+    # r4 final: fd_documents_source_lang enters; similarity keeps
+    # lsh_recall (which composes the brute-force twin) + both IVF
+    # variants in-window
+    "similarity_topk_embeddings",
 ]
 
 
@@ -1262,6 +1267,43 @@ def stats_heavy_hitters_events(spark, sf_dir):
     from zparse_spark.operators.stats import heavy_hitters
 
     return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", k=10)
+
+
+@register(
+    "fd_documents_source_lang",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT source, lang FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, count(*) AS n_variants FROM pairs
+      GROUP BY source HAVING count(*) > 1
+    ),
+    ranked AS (
+      SELECT source, lang,
+             row_number() OVER (PARTITION BY source ORDER BY lang) AS rk
+      FROM pairs
+    )
+    SELECT c.source, c.n_variants,
+           string_agg(r.lang, ',' ORDER BY r.lang) AS variants
+    FROM counts c JOIN ranked r ON r.source = c.source AND r.rk <= 8
+    GROUP BY c.source, c.n_variants
+    """,
+)
+def fd_documents_source_lang(spark, sf_dir):
+    """Functional-dependency check source → lang over documents: every
+    violating determinant with its exact variant count and the first 8
+    sorted variants. Scale shape: distinct (X,Y) pairs are the only
+    full-data shuffle; the example window runs on the violation-sparse
+    semi-joined pair set, so per-key state is bounded by max_examples
+    even for pathological hot keys (see
+    operators/rules.py::functional_dependency_violations)."""
+    from zparse_spark.operators.rules import functional_dependency_violations
+
+    return functional_dependency_violations(
+        _t(spark, sf_dir, "documents"), "source", "lang", max_examples=8
+    )
 
 
 # ---------------------------------------------------------------------------
