@@ -104,10 +104,17 @@ def launch(cores: int, heap_gb: int, out_path: str, files: list[str],
     )
 
 
-def collect(proc) -> dict:
+def collect(proc) -> dict | None:
+    """None if the JVM died without emitting its JSON line (e.g. host
+    pressure killed it) — the caller reports the casualty and keeps the
+    survivors instead of throwing away a half-hour run."""
     out, _ = proc.communicate(timeout=3600)
-    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        print(f"WARN: JVM exited rc={proc.returncode} with no result line",
+              file=sys.stderr)
+        return None
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -185,11 +192,20 @@ def main() -> None:
         for i in range(args.jvms)
     ]
     concs = [collect(p) for p in procs]
+    n_dead = concs.count(None)
+    concs = [c for c in concs if c is not None]
+    if not concs:
+        sys.exit("all concurrent JVMs died — no efficiency to report")
 
     solo_post = collect(
         launch(args.cores, args.heap_gb, f"{workdir}/solo2", shards[0], cpuset(0))
     )
+    if solo is None or solo_post is None:
+        sys.exit("solo JVM died — no efficiency to report")
 
+    # a dead JVM means the k-way result is PARTIAL: efficiency is still
+    # solo/max(survivors) over the survivors' shards, flagged in the
+    # artifact so it is never quoted as a clean k-way number
     t_conc = max(c["sec"] for c in concs)
     total_docs = sum(c["n_docs"] for c in concs)
     t_solo = (solo["sec"] + solo_post["sec"]) / 2
@@ -213,6 +229,7 @@ def main() -> None:
         "docs_per_sec_1jvm": round(agg_solo, 1),
         "docs_per_sec_kjvm": round(agg_conc, 1),
         "efficiency": round(t_solo / t_conc, 3),
+        "n_jvms_dead": n_dead,
     }
     print(json.dumps(result))
     # persist as the per-round artifact bench.py quotes (ADVICE: never
