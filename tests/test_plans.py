@@ -235,3 +235,37 @@ def test_new_drift_and_repetition_plan_discipline(spark, docs_path):
 
     drift_plan = plan_of(drift_scores(docs))
     assert "EvalPython" not in drift_plan
+
+
+def test_round4_final_ops_plan_discipline(spark, docs_path):
+    """FD check: pure-JVM (no Python eval), no global sort (the example
+    window partitions by the determinant), and the violating-key semi
+    join broadcasts the small counts side. snapshot_diff: the full-outer
+    join carries only (id, fingerprint) — the plan must not reference
+    payload columns after the scans. heavy_hitters: exactly one
+    MapInPandas (the per-partition MG sketch); the recount side joins
+    the candidate set as a broadcast."""
+    from zparse_spark.operators.canonical import snapshot_diff
+    from zparse_spark.operators.rules import functional_dependency_violations
+    from zparse_spark.operators.stats import heavy_hitters
+
+    docs = spark.read.parquet(docs_path)
+
+    fd = functional_dependency_violations(
+        docs.select("partition", F.col("doc_id").alias("y")), "partition", "y"
+    )
+    fd_plan = plan_of(fd)
+    assert "EvalPython" not in fd_plan
+    assert "rangepartitioning" not in fd_plan
+
+    diff = snapshot_diff(docs, docs)
+    diff_plan = plan_of(diff)
+    assert "EvalPython" not in diff_plan
+    # the join shuffles on the bare id (the md5 fingerprint is computed
+    # below the Exchange, so only (id, 16-byte hash) rides the wire)
+    assert "hashpartitioning(_id" in diff_plan
+
+    hh = heavy_hitters(docs.select(F.col("partition").alias("v")), "v", k=4)
+    hh_plan = plan_of(hh)
+    assert hh_plan.count("MapInPandas") == 1
+    assert "BroadcastExchange" in hh_plan
