@@ -306,3 +306,29 @@ def test_functional_dependency_violations(spark):
         "cat1": (2, "image,video"),
         "hot": (20, "k00,k01,k02"),
     }
+
+
+def test_media_kind_consistency_f1(spark):
+    from zparse_spark.operators.rules import media_kind_consistency_violations
+
+    docs = spark.createDataFrame(
+        [
+            ("p0", "a", [("image", None, "m1", 0), ("text", "x", None, 5)]),
+            ("p0", "b", [("audio", None, "m1", 0)]),   # m1 also image -> F1
+            ("p1", "c", [("video", None, "m2", 0)]),   # m2 consistent
+            ("p1", "d", [("video", None, "m2", 0)]),
+        ],
+        "partition string, doc_id string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    got = sorted(
+        (r["partition"], r["doc_id"], r["rule_id"], r["kind"], r["span_pos"], r["message"])
+        for r in media_kind_consistency_violations(docs).collect()
+    )
+    # every occurrence of m1 is flagged, with the sorted variant list
+    assert got == [
+        ("p0", "a", "F1", "InconsistentMediaKind", 0,
+         "inconsistent media kind: m1 -> audio,image"),
+        ("p0", "b", "F1", "InconsistentMediaKind", 0,
+         "inconsistent media kind: m1 -> audio,image"),
+    ]

@@ -813,3 +813,60 @@ def functional_dependency_violations(
         )
     )
     return counts.join(examples, xs).select(*xs, "n_variants", "variants")
+
+
+def media_kind_consistency_violations(
+    docs: DataFrame, max_examples: int = 4
+) -> DataFrame:
+    """F1: the same ``media_ref`` must be referenced with the same span
+    kind everywhere in the table — a ref that one document embeds as
+    ``image`` and another as ``audio`` means the catalog entry and at
+    least one referent disagree about what the asset IS. The span-level
+    application of ``functional_dependency_violations`` (X31), attributed
+    back to every offending occurrence so the output keys by
+    (partition, doc_id, rule_id) like every other rule.
+
+    Scale shape mirrors R1's 'distinct' strategy: nested-pruned
+    projection of (media_ref, kind, offset) only — no text bytes through
+    the scan — then the FD core runs on distinct (ref, kind) pairs and
+    the violating-ref set (violation-sparse, carries the preformatted
+    variant list) broadcasts back onto the occurrence stream map-only.
+    line/col are null by design: deriving them would drag every text
+    byte through this branch's scan (same trade as R1).
+    """
+    zipped = F.arrays_zip(
+        F.col("spans.media_ref").alias("media_ref"),
+        F.col("spans.kind").alias("kind"),
+        F.col("spans.offset").alias("offset"),
+    )
+    occ = (
+        docs.select("partition", "doc_id", F.posexplode(zipped).alias("span_pos", "x"))
+        .filter(F.col("x.media_ref").isNotNull())
+        .select(
+            "partition",
+            "doc_id",
+            F.col("span_pos").cast("int").alias("span_pos"),
+            F.col("x.offset").cast("long").alias("offset"),
+            F.col("x.media_ref").alias("media_ref"),
+            F.col("x.kind").alias("kind"),
+        )
+    )
+    bad = functional_dependency_violations(
+        occ, "media_ref", "kind", max_examples=max_examples
+    )
+    return occ.join(F.broadcast(bad), "media_ref").select(
+        "partition",
+        "doc_id",
+        F.lit("F1").alias("rule_id"),
+        F.lit(ErrorKind.INCONSISTENT_MEDIA_KIND).alias("kind"),
+        "span_pos",
+        "offset",
+        F.lit(None).cast("int").alias("line"),
+        F.lit(None).cast("int").alias("col"),
+        F.concat(
+            F.lit("inconsistent media kind: "),
+            F.col("media_ref"),
+            F.lit(" -> "),
+            F.col("variants"),
+        ).alias("message"),
+    )

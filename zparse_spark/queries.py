@@ -594,6 +594,9 @@ _GATE_DEMOTED = [
     # lsh_recall (which composes the brute-force twin) + both IVF
     # variants in-window
     "similarity_topk_embeddings",
+    # r4 final: span_pack_media_kind_fd (F1) enters; the as-of/range
+    # family keeps range_join_value_bands in-window
+    "asof_events_purchase",
 ]
 
 

@@ -226,6 +226,44 @@ def span_pack_referential_distinct(spark, sf_dir):
 
 
 @register(
+    "span_pack_media_kind_fd",
+    f"""WITH{_SP_CTE},
+fdpairs AS (
+  SELECT DISTINCT media_ref, kind FROM sp
+  WHERE media_ref IS NOT NULL AND kind IS NOT NULL
+),
+fdviol AS (
+  SELECT media_ref, count(*) AS n_variants FROM fdpairs
+  GROUP BY media_ref HAVING count(*) > 1
+),
+fdex AS (
+  SELECT media_ref, kind,
+         row_number() OVER (PARTITION BY media_ref ORDER BY kind) AS rk
+  FROM fdpairs
+),
+fdmsg AS (
+  SELECT v.media_ref, string_agg(e.kind, ',' ORDER BY e.kind) AS variants
+  FROM fdviol v JOIN fdex e ON e.media_ref = v.media_ref AND e.rk <= 4
+  GROUP BY v.media_ref
+)
+SELECT partition, doc_id, 'F1' AS rule_id, 'InconsistentMediaKind' AS kind,
+       span_pos, off AS "offset", {_NULL_LC},
+       'inconsistent media kind: ' || sp.media_ref || ' -> ' || m.variants AS message
+FROM sp JOIN fdmsg m ON m.media_ref = sp.media_ref""",
+)
+def span_pack_media_kind_fd(spark, sf_dir):
+    """F1: every media_ref must carry ONE span kind table-wide — the
+    span-level application of the X31 FD core, attributed back to each
+    offending occurrence (same nested-pruned projection + broadcast-
+    back shape as R1 'distinct'). The fixture corpus violates this
+    naturally (~310 of 512 refs, ~1k occurrence rows)."""
+    from zparse_spark.operators.rules import media_kind_consistency_violations
+
+    docs, _cat = _pack_input(spark)
+    return media_kind_consistency_violations(docs)
+
+
+@register(
     "span_pack_verdicts",
     f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
 grid AS (

@@ -40,6 +40,7 @@ class ErrorKind:
     DANGLING_MEDIA_REF = "DanglingMediaRef"
     DRIFT_EXCEEDED = "DriftExceeded"
     MEDIA_DECODE_FAILED = "MediaDecodeFailed"
+    INCONSISTENT_MEDIA_KIND = "InconsistentMediaKind"
 
     ALL = frozenset(
         {
@@ -61,6 +62,7 @@ class ErrorKind:
             DANGLING_MEDIA_REF,
             DRIFT_EXCEEDED,
             MEDIA_DECODE_FAILED,
+            INCONSISTENT_MEDIA_KIND,
         }
     )
 
