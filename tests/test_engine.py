@@ -230,3 +230,33 @@ def test_media_decode_rule_in_engine(spark):
     assert verd[("p0", "M1")] is False
     # hash changes with the flag (resume must re-validate)
     assert eng.config.rules_hash() != ValidationEngine().config.rules_hash()
+
+
+def test_f1_media_kind_fd_in_engine(spark):
+    from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+
+    docs = spark.createDataFrame(
+        [
+            ("p0", "a", [("image", None, "m1", 0)]),
+            ("p0", "b", [("audio", None, "m1", 0)]),   # m1 inconsistent
+            ("p1", "c", [("video", None, "m2", 0)]),
+        ],
+        "partition string, doc_id string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    eng = ValidationEngine(
+        ValidationConfig(
+            enable_uniqueness=False, enable_referential=False, enable_drift=False,
+            enable_media_kind_fd=True,
+        )
+    )
+    viol = eng.violations(docs)
+    f1 = sorted(r["doc_id"] for r in viol.filter("rule_id='F1'").collect())
+    assert f1 == ["a", "b"]
+    verd = {(r["partition"], r["rule_id"]): r["passed"] for r in eng.verdicts(docs, viol).collect()}
+    assert verd[("p0", "F1")] is False and verd[("p1", "F1")] is True
+    # table-wide on resume: include_table_rules=False must NOT run F1
+    assert eng.violations(docs, include_table_rules=False).filter("rule_id='F1'").count() == 0
+    assert eng.table_violations(docs).filter("rule_id='F1'").count() == 2
+    # hash changes with the flag (resume must re-validate)
+    assert eng.config.rules_hash() != ValidationEngine().config.rules_hash()

@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lenient-offsets", action="store_true",
                     help="allow equal offsets in S1 (non-decreasing instead of strictly increasing)")
     ap.add_argument("--referential-strategy", choices=["auto", "broadcast", "smj"], default="auto")
+    ap.add_argument("--media-kind-fd", action="store_true",
+                    help="enable F1: the same media_ref must carry the same span kind "
+                         "table-wide (catalog/referent agreement; changes rules_hash)")
     ap.add_argument("--media-no-check-missing", action="store_true",
                     help="skip M1's referenced-but-absent anti-join (use when the payload "
                          "table is ingest-guaranteed complete; changes rules_hash)")
@@ -52,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
             enable_referential=args.catalog is not None,
             enable_media_decode=args.media is not None,
             media_check_missing=not args.media_no_check_missing,
+            enable_media_kind_fd=args.media_kind_fd,
         )
     )
     docs = spark.read.parquet(args.documents)

@@ -198,6 +198,15 @@ MEDIA_RULES = [
          "referenced media payload present and decodes"),
 ]
 
+# Opt-in (ValidationConfig.enable_media_kind_fd): the same media_ref must
+# carry the same span kind table-wide. Out of ALL_RULES for the same
+# reason as M1 — the default verdict grid must not grow a rule existing
+# manifests never evaluated.
+FD_RULES = [
+    Rule("F1", ErrorKind.INCONSISTENT_MEDIA_KIND, "table",
+         "media_ref kind consistent table-wide"),
+]
+
 ALL_RULES = SPAN_RULES + TABLE_RULES
 
 

@@ -26,6 +26,7 @@ from zparse_spark.operators.rules import (
     ALL_RULES,
     RuleParams,
     drift_violations,
+    media_kind_consistency_violations,
     media_payload_violations,
     referential_violations,
     span_rule_violations,
@@ -48,6 +49,10 @@ class ValidationConfig:
     # payload, set False to keep M1 broadcast-only. Part of rules_hash —
     # two runs with different M1 semantics must never share a resume.
     media_check_missing: bool = True
+    # opt-in F1: the same media_ref must carry the same span kind
+    # table-wide (catalog/referent agreement). Table-level like U1/D1 —
+    # re-runs table-wide on resume, never per-partition.
+    enable_media_kind_fd: bool = False
     # 'auto' fuses R1 into the span explode only when the catalog key set
     # is provably under this row count (cheap count probe here; table
     # metadata on a real Iceberg catalog) — an unconditionally forced
@@ -61,6 +66,7 @@ class ValidationConfig:
         payload = repr((self.params, self.referential_strategy, self.enable_uniqueness,
                         self.enable_referential, self.enable_drift,
                         self.enable_media_decode, self.media_check_missing,
+                        self.enable_media_kind_fd,
                         sorted(r.rule_id for r in ALL_RULES))).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
@@ -134,6 +140,8 @@ class ValidationEngine:
                     docs, media_verdicts, check_missing=c.media_check_missing
                 )
             )
+        if c.enable_media_kind_fd and include_table_rules:
+            parts.append(media_kind_consistency_violations(docs))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -151,6 +159,8 @@ class ValidationEngine:
             parts.append(uniqueness_violations(docs))
         if c.enable_drift:
             parts.append(drift_violations(docs, c.params))
+        if c.enable_media_kind_fd:
+            parts.append(media_kind_consistency_violations(docs))
         if not parts:
             return docs.sparkSession.createDataFrame([], VIOLATION_SCHEMA)
         out = parts[0]
@@ -173,6 +183,8 @@ class ValidationEngine:
             active.remove("D1")
         if c.enable_media_decode:
             active.append("M1")
+        if c.enable_media_kind_fd:
+            active.append("F1")
         # in-plan literal array, not createDataFrame: the rule list is
         # tiny but per-call driver→executor parallelize is pure overhead
         # when the ids can live inside the plan itself
