@@ -427,3 +427,26 @@ def test_repetition_signals_matrix(spark):
     for text, want in cases.items():
         for g, w in zip(got[text], want):
             assert abs(g - w) < 1e-12, (text, got[text], want)
+
+
+def test_build_vocabulary(spark):
+    from zparse_spark.functions.text import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the mat"),
+            ("b", "the dog sat"),
+            ("c", "  The   CAT  "),     # case-fold + multi-space
+            ("d", ""),                   # empty -> skipped
+            ("e", None),                 # null -> skipped
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["token"]: (r["tf"], r["df"])
+        for r in build_vocabulary(docs, min_df=2).collect()
+    }
+    # 'the': tf 4 (2+1+1... a has 2, b 1, c 1) df 3; 'cat' tf 2 df 2; 'sat' tf 2 df 2
+    assert got == {"the": (4, 3), "cat": (2, 2), "sat": (2, 2)}
+    top1 = build_vocabulary(docs, min_df=2, top_n=1).collect()
+    assert [(r["token"], r["tf"], r["df"]) for r in top1] == [("the", 4, 3)]

@@ -390,3 +390,51 @@ def repetition_signals(text: Column) -> Column:
         )
 
     return _rep(text)
+
+
+def build_vocabulary(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    top_n: int | None = None,
+):
+    """Corpus vocabulary with exact term frequency (total occurrences)
+    and document frequency (docs containing) per whitespace token — the
+    precursor every tokenizer/IDF/stopword-induction step needs.
+
+    Scale shape (100 TB): the explode shuffles one row per token
+    OCCURRENCE — that is the problem's lower bound, not an
+    implementation artifact (tf needs every occurrence counted).
+    tf+df ride ONE groupBy: count(*) plus count(DISTINCT doc) — Spark
+    plans the distinct via the two-phase expand (partial per-token
+    doc-distinct map-side, merge reduce-side), so per-task state is
+    bounded by the partition's distinct (token, doc) pairs, not the
+    corpus's. ``min_df`` prunes the singleton tail AFTER the aggregate
+    (at web scale most of the token DOMAIN is hapax junk — typos,
+    ids, binary spill — so the filter drops most output rows but no
+    shuffle: the agg already reduced occurrences to one row per
+    token). ``top_n`` (deterministic total order: df desc, tf desc,
+    token asc) turns the result into a TakeOrdered — no global sort of
+    the full vocabulary.
+    """
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("_doc").alias("df"),
+    )
+    out = agg.filter(F.col("df") >= min_df)
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("df").desc(), F.col("tf").desc(), F.col("token").asc()
+        ).limit(top_n)
+    return out.select("token", "tf", "df")

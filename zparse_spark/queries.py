@@ -597,6 +597,10 @@ _GATE_DEMOTED = [
     # r4 final: span_pack_media_kind_fd (F1) enters; the as-of/range
     # family keeps range_join_value_bands in-window
     "asof_events_purchase",
+    # r4 final: corpus_vocabulary enters — its whitespace-split oracle
+    # re-verifies token parity, and doc_repetition_signals keeps the
+    # text family in-window
+    "doc_token_stats",
 ]
 
 
@@ -1270,6 +1274,37 @@ def stats_heavy_hitters_events(spark, sf_dir):
     from zparse_spark.operators.stats import heavy_hitters
 
     return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", k=10)
+
+
+@register(
+    "corpus_vocabulary",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    agg AS (
+      SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, tf, df FROM agg WHERE df >= 2
+    ORDER BY df DESC, tf DESC, token ASC LIMIT 200
+    """,
+)
+def corpus_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: exact term frequency + document frequency per
+    whitespace token, min_df-pruned, top-200 under a deterministic
+    total order (df desc, tf desc, token asc — token is unique, so the
+    LIMIT selects a well-defined SET). tf+df ride one groupBy with
+    Spark's two-phase distinct expand; min_df drops the hapax tail
+    post-agg; top_n is TakeOrdered, never a global sort of the full
+    vocabulary (see functions/text.py::build_vocabulary)."""
+    from zparse_spark.functions.text import build_vocabulary
+
+    return build_vocabulary(
+        _t(spark, sf_dir, "documents"), min_df=2, top_n=200
+    )
 
 
 @register(
