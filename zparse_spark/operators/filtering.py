@@ -270,3 +270,39 @@ def contamination_flags(
         .groupBy(id_col)
         .agg(F.countDistinct("s").alias("n_hits"))
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly
+    one split label, chosen by where hash_unit(key) falls in the
+    cumulative weight intervals (insertion order; weights must sum to
+    ~1, the last split absorbs rounding). The same key ALWAYS lands in
+    the same split — across re-runs, resumes, engines, and (critically)
+    across corpus versions: adding documents never moves an existing
+    document between splits, so eval sets stay frozen while the corpus
+    grows. Map-only projection, no shuffle, no rng state; downstream
+    per-split writes become one partitionBy(split) sink.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_unit(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        # round the cumulative boundary so it equals the double a human
+        # (or a SQL twin) would write literally — raw float accumulation
+        # yields 0.9+0.05 = 0.9500000000000001, a different double than
+        # the literal 0.95, and a key hashing into that 1e-16 sliver
+        # would split differently across engines
+        acc = round(acc + float(weights[name]), 12)
+        expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)

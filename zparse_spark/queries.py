@@ -601,6 +601,9 @@ _GATE_DEMOTED = [
     # re-verifies token parity, and doc_repetition_signals keeps the
     # text family in-window
     "doc_token_stats",
+    # r4 final: corpus_assign_splits enters; dedup keeps
+    # exact/minhash/capped/hot-bucket/chain/reps in-window
+    "dedup_embedding_documents",
 ]
 
 
@@ -2095,6 +2098,40 @@ def corpus_sample_stratified(spark, sf_dir):
         key_col="doc_id", seed=7, default_fraction=0.1,
     )
     return s.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+
+
+def _splits_oracle_sql(seed: int = 11) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH u AS (
+      SELECT lang, {hv} / 4294967296.0 AS uv FROM documents
+    )
+    SELECT CASE WHEN uv < 0.9 THEN 'train'
+                WHEN uv < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM u GROUP BY 1, 2
+    """
+
+
+@register("corpus_assign_splits", _splits_oracle_sql())
+def corpus_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment: the split is a pure
+    function of (doc_id, seed) via the portable md5-nibble uniform, so
+    the same document lands in the same split across re-runs, engines,
+    and corpus versions — adding documents never moves an existing one
+    between splits (frozen eval sets under corpus growth). Map-only;
+    checked here as per-(split, lang) counts so the oracle verifies the
+    full assignment without hashing 500 one-row labels."""
+    from zparse_spark.operators.filtering import assign_splits
+
+    d = _t(spark, sf_dir, "documents")
+    out = assign_splits(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id", seed=11
+    )
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
 
 
 # ---------------------------------------------------------------------------
