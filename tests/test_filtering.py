@@ -27,3 +27,36 @@ def test_assign_splits_deterministic_and_stable(spark):
 
     with pytest.raises(ValueError):
         assign_splits(docs, {"train": 0.5, "val": 0.2})
+
+
+def test_rebalance_mixture(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import rebalance_mixture
+
+    # 800 en / 100 de / 100 other; target 50/50 en/de -> de is the
+    # bottleneck (keeps all 100), en keeps ~100, other dropped
+    rows = (
+        [(f"e{i}", "en") for i in range(800)]
+        + [(f"d{i}", "de") for i in range(100)]
+        + [(f"x{i}", "xx") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = rebalance_mixture(df, "lang", {"en": 0.5, "de": 0.5}, seed=1)
+    c = Counter(r["lang"] for r in out.collect())
+    assert c["de"] == 100          # bottleneck keeps everything
+    assert "xx" not in c           # non-target dropped
+    assert 70 < c["en"] < 130      # ~100 in expectation (hash variance)
+    # deterministic: same seed, same set, any partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in rebalance_mixture(
+            df.repartition(7), "lang", {"en": 0.5, "de": 0.5}, seed=1
+        ).collect()
+    )
+    assert a == b
+    # empty target intersection -> empty result
+    assert rebalance_mixture(df, "lang", {"fr": 1.0}).count() == 0

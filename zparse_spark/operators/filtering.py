@@ -306,3 +306,44 @@ def assign_splits(
         expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    strata_col: str,
+    target: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Reshape the corpus toward a target mixture (e.g. 60% en / 30%
+    code / 10% other) by downsampling only: the output is the LARGEST
+    corpus achievable under the target shares given per-stratum
+    availability — the bottleneck stratum (smallest count/share ratio)
+    keeps 100%, every other stratum keeps ``n_out·share/count`` via the
+    deterministic hash filter. Strata not in ``target`` are dropped.
+
+    Two passes: a tiny groupBy(strata) count whose n_strata-row result
+    is collected to the driver (same pattern as the IVF codebook — the
+    mixture spec is driver-sized by definition) and folded into CASE
+    literals, then ONE map-only filtered scan. The keep decision is a
+    pure function of (key, seed, counts), so re-runs and engines agree
+    bit-for-bit as long as the fraction arithmetic is the same IEEE
+    ops — keep = min(count/share)·share/count, in that order.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] in target
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_out = min(counts[s] / target[s] for s in counts)
+    u = hash_unit(key_col, seed)
+    frac = None
+    for s, c in counts.items():
+        keep = n_out * target[s] / c
+        cond = F.col(strata_col) == s
+        frac = F.when(cond, keep) if frac is None else frac.when(cond, keep)
+    return df.filter(u < frac.otherwise(F.lit(0.0)))

@@ -604,6 +604,9 @@ _GATE_DEMOTED = [
     # r4 final: corpus_assign_splits enters; dedup keeps
     # exact/minhash/capped/hot-bucket/chain/reps in-window
     "dedup_embedding_documents",
+    # r4 final: corpus_rebalance_mixture enters; the window family keeps
+    # events_sessionize (session windows) in-window
+    "window_running_rank",
 ]
 
 
@@ -2098,6 +2101,46 @@ def corpus_sample_stratified(spark, sf_dir):
         key_col="doc_id", seed=7, default_fraction=0.1,
     )
     return s.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+
+
+def _mixture_oracle_sql(seed: int = 5) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH cnt AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE lang IN ('en', 'de', 'es') GROUP BY lang
+    ),
+    tgt(lang, share) AS (VALUES ('en', 0.6), ('de', 0.2), ('es', 0.2)),
+    nout AS (SELECT min(n / share) AS n_out FROM cnt JOIN tgt USING (lang)),
+    keepf AS (
+      SELECT c.lang, (SELECT n_out FROM nout) * t.share / c.n AS keep
+      FROM cnt c JOIN tgt t USING (lang)
+    )
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN keepf k ON k.lang = d.lang
+    WHERE {hv} / 4294967296.0 < k.keep
+    GROUP BY d.lang
+    """
+
+
+@register("corpus_rebalance_mixture", _mixture_oracle_sql())
+def corpus_rebalance_mixture(spark, sf_dir):
+    """Mixture rebalancing toward 60/20/20 en/de/es by downsampling
+    only: the bottleneck stratum keeps 100%, everything else keeps
+    n_out*share/count via the portable hash filter, non-target langs
+    drop. The per-stratum fractions derive from counts with the SAME
+    IEEE operation order on both engines (min(n/share), then
+    n_out*share/n), so the kept SET is identical bit-for-bit. Output is
+    the per-lang kept counts — the mixture the run actually achieved."""
+    from zparse_spark.operators.filtering import rebalance_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    out = rebalance_mixture(
+        d, "lang", {"en": 0.6, "de": 0.2, "es": 0.2}, key_col="doc_id", seed=5
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
 def _splits_oracle_sql(seed: int = 11) -> str:
