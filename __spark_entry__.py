@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: validate the interleaved sf0.001 documents table —
     the FULL interleaved text+media contract: span rules, uniqueness,
-    referential (fused broadcast), drift, AND M1 (every referenced
-    media payload decodes — real BMP/WAV/ZVID codecs classify the
-    synthesized payload table covering the catalog keyspace)."""
+    referential (fused broadcast), drift, M1 (every referenced media
+    payload decodes — real BMP/WAV/ZVID codecs classify the synthesized
+    payload table covering the catalog keyspace), AND F1 (every
+    media_ref carries one consistent span kind table-wide)."""
     from zparse_spark.multimodal import decode_verdicts, synthesize_codec_payloads
     from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
     from zparse_spark.sources.interleave import derive_media_catalog, interleave_documents
@@ -39,7 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
     catalog = derive_media_catalog(spark)
     # payloads for the same media_NNNNN keyspace the interleaver draws from
     payloads = synthesize_codec_payloads(spark, n_media=4096)
-    engine = ValidationEngine(ValidationConfig(enable_media_decode=True))
+    engine = ValidationEngine(
+        ValidationConfig(enable_media_decode=True, enable_media_kind_fd=True)
+    )
     result = engine.validate(docs, catalog, media_verdicts=decode_verdicts(payloads))
     return result.verdicts
 
