@@ -60,3 +60,15 @@ def test_rebalance_mixture(spark):
     assert a == b
     # empty target intersection -> empty result
     assert rebalance_mixture(df, "lang", {"fr": 1.0}).count() == 0
+
+
+def test_rebalance_mixture_zero_share_drops(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import rebalance_mixture
+
+    df = spark.createDataFrame(
+        [("a", "en"), ("b", "en"), ("c", "de")], "doc_id string, lang string"
+    )
+    out = rebalance_mixture(df, "lang", {"en": 1.0, "de": 0.0}, seed=2)
+    assert sorted(r["doc_id"] for r in out.collect()) == ["a", "b"]

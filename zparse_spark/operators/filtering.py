@@ -335,7 +335,9 @@ def rebalance_mixture(
         for r in df.groupBy(F.col(strata_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-        if r["s"] in target
+        # a zero/negative share means "drop this stratum", same as not
+        # listing it — and must not reach the count/share division
+        if r["s"] in target and target[r["s"]] > 0
     }
     if not counts:
         return df.filter(F.lit(False))
