@@ -269,3 +269,21 @@ def test_round4_final_ops_plan_discipline(spark, docs_path):
     hh_plan = plan_of(hh)
     assert hh_plan.count("MapInPandas") == 1
     assert "BroadcastExchange" in hh_plan
+
+
+def test_vocabulary_plan_discipline(spark, docs_path):
+    """top_n compiles to TakeOrderedAndProject (never a global Sort of
+    the vocabulary); the tf+count-distinct aggregate stays multi-phase
+    JVM aggregation; no Python eval anywhere."""
+    from zparse_spark.functions.text import build_vocabulary
+
+    docs = spark.read.parquet(docs_path).select(
+        "doc_id", F.coalesce(F.col("spans")[0]["text"], F.lit("")).alias("text")
+    )
+    vocab = build_vocabulary(docs, min_df=2, top_n=50)
+    plan = plan_of(vocab)
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan
+    # no global sort: rangepartitioning would betray a full-vocabulary sort
+    assert "rangepartitioning" not in plan
