@@ -1,0 +1,100 @@
+"""User CHECK constraints (K-rules): ANSI semantics, engine wiring,
+verdict grid, rules_hash, and plan discipline (map-only, no Python)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import make_docs
+from zparse_spark.operators.rules import CheckConstraint, check_constraint_violations
+from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+
+
+def _fixture(spark):
+    return make_docs(
+        spark,
+        [
+            ("d1", [("text", "hello", None, 0), ("image", None, "m1", 5)], "p0"),
+            ("d2", [("text", "", None, 0)], "p0"),          # empty text span
+            ("d3", [], "p1"),                                # empty spans array
+            ("d4", None, "p1"),                              # NULL spans
+            ("d5", [("text", "x" * 40, None, -3)], "p1"),    # negative offset
+        ],
+    )
+
+
+K_NONEMPTY = CheckConstraint(
+    "K1", "doc", "spans IS NOT NULL AND size(spans) >= 1", "document must have spans"
+)
+K_TEXT = CheckConstraint(
+    "K2", "span", "NOT (kind = 'text' AND length(text) = 0)", "no empty text spans"
+)
+K_OFFSET = CheckConstraint("K3", "span", "offset >= 0")
+
+
+def test_doc_level_check(spark):
+    v = check_constraint_violations(_fixture(spark), [K_NONEMPTY])
+    rows = {(r.doc_id, r.rule_id) for r in v.collect()}
+    # d3 (empty array) and d4 (NULL spans: IS NOT NULL is definite FALSE)
+    assert rows == {("d3", "K1"), ("d4", "K1")}
+
+
+def test_span_level_checks_share_one_explode(spark):
+    v = check_constraint_violations(_fixture(spark), [K_TEXT, K_OFFSET])
+    rows = {(r.doc_id, r.rule_id, r.span_pos, r.offset) for r in v.collect()}
+    assert rows == {("d2", "K2", 0, 0), ("d5", "K3", 0, -3)}
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "check constraints must be map-only"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_predicate_passes(spark):
+    # ANSI CHECK: NULL result is NOT a violation — length(NULL text) is
+    # NULL, so kind='image' spans never trip K2's length comparison, and
+    # a predicate that is pure NULL passes outright
+    v = check_constraint_violations(_fixture(spark), [CheckConstraint("K9", "span", "length(text) > 0")])
+    rows = {(r.doc_id, r.span_pos) for r in v.collect()}
+    assert ("d1", 1) not in rows  # image span: NULL text -> NULL -> pass
+    assert ("d2", 0) in rows      # empty text -> FALSE -> violation
+
+
+def test_engine_wiring_and_verdict_grid(spark):
+    cfg = ValidationConfig(check_constraints=(K_NONEMPTY, K_OFFSET), enable_drift=False)
+    eng = ValidationEngine(cfg)
+    docs = _fixture(spark)
+    viol = eng.violations(docs)
+    verd = eng.verdicts(docs, viol)
+    cells = {(r.partition, r.rule_id): (r.passed, r.violation_count) for r in verd.collect()}
+    assert cells[("p1", "K1")] == (False, 2)
+    assert cells[("p0", "K1")] == (True, 0)
+    assert cells[("p1", "K3")] == (False, 1)
+    kinds = {r.kind for r in viol.filter("rule_id like 'K%'").collect()}
+    assert kinds == {"CheckFailed"}
+
+
+def test_rules_hash_covers_checks(spark):
+    base = ValidationConfig()
+    with_k = ValidationConfig(check_constraints=(K_OFFSET,))
+    edited = ValidationConfig(check_constraints=(CheckConstraint("K3", "span", "offset >= 1"),))
+    assert base.rules_hash() != with_k.rules_hash()
+    assert with_k.rules_hash() != edited.rules_hash()
+
+
+def test_invalid_checks_rejected(spark):
+    with pytest.raises(ValueError, match="level"):
+        ValidationEngine(ValidationConfig(check_constraints=(CheckConstraint("K1", "row", "true"),)))
+    with pytest.raises(ValueError, match="collides"):
+        ValidationEngine(ValidationConfig(check_constraints=(CheckConstraint("U1", "doc", "true"),)))
+    with pytest.raises(ValueError, match="duplicate"):
+        ValidationEngine(
+            ValidationConfig(check_constraints=(K_OFFSET, CheckConstraint("K3", "doc", "true")))
+        )
+
+
+def test_doc_scope_derived_columns(spark):
+    # total_text_bytes and n_spans are in scope for doc-level predicates
+    v = check_constraint_violations(
+        _fixture(spark),
+        [CheckConstraint("K5", "doc", "total_text_bytes <= 16 AND coalesce(n_spans, 0) <= 8")],
+    )
+    assert {r.doc_id for r in v.collect()} == {"d5"}  # 40 bytes of text

@@ -159,3 +159,31 @@ def test_heavy_hitters_superset_guarantee_adversarial(spark):
             .collect()
         }
         assert got == exact, f"k={k}"
+
+
+def test_iqr_outliers_hand_case(spark):
+    """Quartiles of 1..11 are exact (Q1=3.5, Q3=8.5, IQR=5); with k=1
+    the fences are [-1.5, 13.5] so planted 100/-50 are the only
+    outliers — and an all-inlier group reports nulls, not rows lost."""
+    from zparse_spark.operators.stats import iqr_outliers
+
+    rows = [("a", float(v)) for v in range(1, 12)] + [("a", 100.0), ("a", -50.0)]
+    rows += [("b", float(v)) for v in range(1, 12)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    out = {r["g"]: r for r in iqr_outliers(df, "v", ["g"], k=1.0).collect()}
+    a = out["a"]
+    # 13 values in group a: Q1 = v[3] = 3 (pos 0.25*12=3), Q3 = v[9] = 9
+    assert (a["q1"], a["q3"]) == (3.0, 9.0)
+    assert (a["lo_fence"], a["hi_fence"]) == (-3.0, 15.0)
+    assert a["n_outliers"] == 2 and a["min_outlier"] == -50.0 and a["max_outlier"] == 100.0
+    b = out["b"]
+    assert b["n_outliers"] == 0 and b["min_outlier"] is None and b["max_outlier"] is None
+    assert (b["q1"], b["q3"]) == (3.5, 8.5)
+
+
+def test_iqr_outliers_ungrouped(spark):
+    from zparse_spark.operators.stats import iqr_outliers
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)] + [(1000.0,)], "v double")
+    r = iqr_outliers(df, "v").collect()[0]
+    assert r["n_outliers"] == 1 and r["max_outlier"] == 1000.0

@@ -34,9 +34,15 @@ def main(argv: list[str] | None = None) -> int:
                          "table is ingest-guaranteed complete; changes rules_hash)")
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and revalidate everything")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit supplies it)")
+    ap.add_argument(
+        "--check", action="append", default=[], metavar="ID:LEVEL:PREDICATE",
+        help="user CHECK constraint, e.g. K1:span:'offset >= 0' — repeatable; "
+             "LEVEL is doc|span; predicate is Spark SQL, NULL passes (ANSI CHECK). "
+             "Part of rules_hash, so adding/editing one invalidates resume state.",
+    )
     args = ap.parse_args(argv)
 
-    from zparse_spark.operators.rules import RuleParams
+    from zparse_spark.operators.rules import CheckConstraint, RuleParams
     from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
     from zparse_spark.plans.manifest import Manifest, run_with_manifest
     from zparse_spark.session import get_spark
@@ -48,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
         psi_threshold=args.psi_threshold,
         allow_equal_offsets=args.lenient_offsets,
     )
+    checks = []
+    for spec in args.check:
+        bits = spec.split(":", 2)
+        if len(bits) != 3:
+            ap.error(f"--check {spec!r}: expected ID:LEVEL:PREDICATE")
+        checks.append(CheckConstraint(rule_id=bits[0], level=bits[1], predicate=bits[2]))
     engine = ValidationEngine(
         ValidationConfig(
             params=params,
@@ -56,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             enable_media_decode=args.media is not None,
             media_check_missing=not args.media_no_check_missing,
             enable_media_kind_fd=args.media_kind_fd,
+            check_constraints=tuple(checks),
         )
     )
     docs = spark.read.parquet(args.documents)

@@ -879,3 +879,135 @@ def media_kind_consistency_violations(
             F.col("variants"),
         ).alias("message"),
     )
+
+
+# --------------------------------------------------------------------------
+# declarative CHECK constraints (K-rules) — user-supplied SQL predicates
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CheckConstraint:
+    """A user-declared CHECK constraint: a boolean Spark-SQL expression a
+    row must satisfy, SQL-standard semantics (NULL result PASSES — only a
+    definite FALSE is a violation, exactly like ``CHECK`` in ANSI SQL).
+
+    This is the open end of the rule pack: the built-in S/U/R/D/M/F rules
+    are the reference's closed error enum (error.rs:48-64) lifted to
+    tables, while CheckConstraints let a user bolt domain rules onto the
+    same engine — same violation schema, same verdict grid, same
+    rules_hash/resume discipline — without touching engine code. The
+    predicate compiles via ``F.expr`` into the same whole-stage-codegen
+    map stage as the built-in rules: declarative in, Catalyst out, no
+    Python anywhere.
+
+    ``level``:
+      'doc'  — predicate over one document row; columns in scope:
+               ``doc_id, partition, spans, n_spans, total_text_bytes``
+               (the latter two derived, so common limits need no lambdas).
+      'span' — predicate over one exploded span occurrence; in scope:
+               ``doc_id, partition, span_pos, kind, text, media_ref,
+               offset, n_spans``.
+    """
+
+    rule_id: str
+    level: str  # 'doc' | 'span'
+    predicate: str
+    description: str = ""
+
+
+_RESERVED_RULE_IDS = frozenset(
+    {"S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8", "U1", "R1", "D1", "M1", "F1"}
+)
+
+
+def _validate_checks(checks: tuple[CheckConstraint, ...] | list[CheckConstraint]) -> None:
+    seen: set[str] = set()
+    for c in checks:
+        if c.level not in ("doc", "span"):
+            raise ValueError(f"CheckConstraint {c.rule_id!r}: level must be 'doc' or 'span', got {c.level!r}")
+        if c.rule_id in _RESERVED_RULE_IDS:
+            raise ValueError(f"CheckConstraint rule_id {c.rule_id!r} collides with a built-in rule")
+        if c.rule_id in seen:
+            raise ValueError(f"duplicate CheckConstraint rule_id {c.rule_id!r}")
+        seen.add(c.rule_id)
+
+
+def check_constraint_violations(
+    docs: DataFrame, checks: tuple[CheckConstraint, ...] | list[CheckConstraint]
+) -> DataFrame:
+    """Evaluate user CHECK constraints → violation rows.
+
+    Scale shape: both levels are pure map stages — no Exchange, no
+    Python. Doc-level checks evaluate on the document row with derived
+    ``n_spans``/``total_text_bytes`` scalars; span-level checks share ONE
+    posexplode across all span constraints (k constraints = k codegen
+    predicates over the same Generate, not k scans). A FALSE predicate
+    emits a violation row; NULL passes (ANSI CHECK), so authors write
+    ``x IS NOT NULL AND <cond>`` when null itself should violate.
+
+    line/col are null by design: a user predicate has no single text
+    position; span-level rows carry (span_pos, offset) like R1/F1.
+    """
+    _validate_checks(checks)
+    doc_checks = [c for c in checks if c.level == "doc"]
+    span_checks = [c for c in checks if c.level == "span"]
+    parts: list[DataFrame] = []
+
+    def _viol(base: DataFrame, c: CheckConstraint, span_pos, offset) -> DataFrame:
+        pred = F.expr(c.predicate)
+        return base.filter(~F.coalesce(pred, F.lit(True))).select(
+            "partition",
+            "doc_id",
+            F.lit(c.rule_id).alias("rule_id"),
+            F.lit(ErrorKind.CHECK_FAILED).alias("kind"),
+            span_pos.cast("int").alias("span_pos"),
+            offset.cast("long").alias("offset"),
+            F.lit(None).cast("int").alias("line"),
+            F.lit(None).cast("int").alias("col"),
+            F.lit(f"check failed: {c.description or c.predicate}").alias("message"),
+        )
+
+    if doc_checks:
+        spans = F.coalesce(F.col("spans"), F.array())
+        base = docs.select(
+            "partition",
+            "doc_id",
+            "spans",
+            F.size(F.col("spans")).alias("n_spans"),  # null spans -> null (predicate sees SQL null)
+            F.aggregate(
+                spans,
+                F.lit(0).cast("long"),
+                lambda a, s: a + F.coalesce(F.octet_length(s["text"]), F.lit(0)),
+            ).alias("total_text_bytes"),
+        )
+        for c in doc_checks:
+            parts.append(_viol(base, c, F.lit(None), F.lit(None)))
+
+    if span_checks:
+        ex = docs.select(
+            "partition",
+            "doc_id",
+            F.size(F.col("spans")).alias("n_spans"),
+            F.posexplode(F.col("spans")).alias("span_pos", "s"),
+        ).select(
+            "partition",
+            "doc_id",
+            "n_spans",
+            F.col("span_pos").cast("int").alias("span_pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("long").alias("offset"),
+        )
+        for c in span_checks:
+            parts.append(_viol(ex, c, F.col("span_pos"), F.col("offset")))
+
+    if not parts:
+        from zparse_spark.schema import VIOLATION_SCHEMA
+
+        return docs.sparkSession.createDataFrame([], VIOLATION_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

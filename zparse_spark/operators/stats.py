@@ -353,3 +353,63 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
         .select(F.col("v").alias(col), "freq")
     )
     return exact
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Robust (Tukey-fence) outlier detection per group: rows with
+    ``value`` outside ``[Q1 - k*IQR, Q3 + k*IQR]`` where Q1/Q3 are the
+    EXACT linearly-interpolated quartiles (``percentile``, the same
+    ``q = v[lo] + (pos - lo) * (v[hi] - v[lo])`` definition DuckDB's
+    ``quantile_cont`` uses, so fences are oracle-checkable cross-engine).
+
+    Returns one row per group: fences plus outlier count/min/max — the
+    monitoring surface for a stats rule ("this partition's price column
+    grew a tail").
+
+    Scale shape: TWO passes over the pruned (group, value) projection —
+    pass 1 computes per-group quartiles (exact percentile is a sort-based
+    agg per group; groups are partition-grained here, so the per-group
+    sort is the price of exactness — callers with huge groups swap in
+    ``approx_percentile`` via ``approx=True`` and lose the oracle), pass
+    2 re-aggregates with the fences joined back (broadcast — one row per
+    group, never big). No all-row sort; nothing leaves the JVM.
+    """
+    group_cols = group_cols or []
+    v = F.col(value)
+    gb = [F.col(c) for c in group_cols]
+    pct = F.expr(f"percentile({value}, array(0.25, 0.75))")
+    fences = (
+        df.groupBy(*gb)
+        .agg(pct[0].alias("q1"), pct[1].alias("q3"))
+        .select(
+            *group_cols,
+            "q1",
+            "q3",
+            (F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+            (F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(fences), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    is_out = (v < F.col("lo_fence")) | (v > F.col("hi_fence"))
+    return (
+        joined.groupBy(*gb)
+        .agg(
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+            F.first("lo_fence").alias("lo_fence"),
+            F.first("hi_fence").alias("hi_fence"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.min(F.when(is_out, v)).alias("min_outlier"),
+            F.max(F.when(is_out, v)).alias("max_outlier"),
+        )
+    )

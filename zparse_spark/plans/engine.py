@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from zparse_spark.operators.rules import (
     ALL_RULES,
+    CheckConstraint,
     RuleParams,
+    _validate_checks,
+    check_constraint_violations,
     drift_violations,
     media_kind_consistency_violations,
     media_payload_violations,
@@ -53,6 +56,12 @@ class ValidationConfig:
     # table-wide (catalog/referent agreement). Table-level like U1/D1 —
     # re-runs table-wide on resume, never per-partition.
     enable_media_kind_fd: bool = False
+    # user-declared CHECK constraints (K-rules): boolean SQL predicates
+    # at doc or span level, ANSI CHECK semantics (NULL passes). Map-only
+    # and partition-decomposable, so the resumable runner treats them
+    # like span rules (evaluated on pending partitions only). Predicates
+    # are part of rules_hash — editing a check invalidates resume state.
+    check_constraints: tuple[CheckConstraint, ...] = ()
     # 'auto' fuses R1 into the span explode only when the catalog key set
     # is provably under this row count (cheap count probe here; table
     # metadata on a real Iceberg catalog) — an unconditionally forced
@@ -66,7 +75,7 @@ class ValidationConfig:
         payload = repr((self.params, self.referential_strategy, self.enable_uniqueness,
                         self.enable_referential, self.enable_drift,
                         self.enable_media_decode, self.media_check_missing,
-                        self.enable_media_kind_fd,
+                        self.enable_media_kind_fd, self.check_constraints,
                         sorted(r.rule_id for r in ALL_RULES))).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
@@ -81,6 +90,9 @@ class ValidationResult:
 class ValidationEngine:
     def __init__(self, config: ValidationConfig | None = None):
         self.config = config or ValidationConfig()
+        # fail at construction, not mid-job: bad level / duplicate or
+        # reserved rule_id in a user check is a config error
+        _validate_checks(self.config.check_constraints)
 
     # -- plan builders ------------------------------------------------
 
@@ -142,6 +154,10 @@ class ValidationEngine:
             )
         if c.enable_media_kind_fd and include_table_rules:
             parts.append(media_kind_consistency_violations(docs))
+        if c.check_constraints:
+            # partition-decomposable (pure map) — evaluated on pending
+            # partitions in resumed runs, like the span rules
+            parts.append(check_constraint_violations(docs, c.check_constraints))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -185,6 +201,7 @@ class ValidationEngine:
             active.append("M1")
         if c.enable_media_kind_fd:
             active.append("F1")
+        active.extend(sorted(k.rule_id for k in c.check_constraints))
         # in-plan literal array, not createDataFrame: the rule list is
         # tiny but per-call driver→executor parallelize is pure overhead
         # when the ids can live inside the plan itself

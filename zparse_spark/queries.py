@@ -425,6 +425,49 @@ def quantiles_quantity(spark, sf_dir):
     )
 
 
+@register(
+    "outliers_quantity_iqr",
+    """
+    WITH f AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    fe AS (
+      SELECT l_returnflag, q1, q3,
+             q1 - 0.25 * (q3 - q1) AS lo_fence,
+             q3 + 0.25 * (q3 - q1) AS hi_fence
+      FROM f
+    )
+    SELECT li.l_returnflag, any_value(fe.q1) AS q1, any_value(fe.q3) AS q3,
+           any_value(fe.lo_fence) AS lo_fence, any_value(fe.hi_fence) AS hi_fence,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN li.l_quantity < fe.lo_fence
+                           OR li.l_quantity > fe.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           min(CASE WHEN li.l_quantity < fe.lo_fence OR li.l_quantity > fe.hi_fence
+                    THEN li.l_quantity END) AS min_outlier,
+           max(CASE WHEN li.l_quantity < fe.lo_fence OR li.l_quantity > fe.hi_fence
+                    THEN li.l_quantity END) AS max_outlier
+    FROM lineitem li JOIN fe USING (l_returnflag)
+    GROUP BY li.l_returnflag
+    """,
+)
+def outliers_quantity_iqr(spark, sf_dir):
+    """Tukey-fence outlier rule per group — EXACT interpolated quartiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``: q = v[lo] +
+    frac*(v[hi]-v[lo])); with integer-valued l_quantity every quartile,
+    IQR product, and fence is a dyadic rational, so both engines compute
+    bit-identical doubles and the outlier comparisons cannot flip.
+    k=0.25 tightens the fences so the uniform 1..50 quantity actually
+    has tails to flag (the classic 1.5 leaves none)."""
+    from zparse_spark.operators.stats import iqr_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    return iqr_outliers(li, "l_quantity", ["l_returnflag"], k=0.25)
+
+
 # ---------------------------------------------------------------------------
 # Set ops (header-union analog, convert.rs:160-175)
 # ---------------------------------------------------------------------------
@@ -539,6 +582,9 @@ _GATE_PRIORITY = [
     "corpus_redact_pii",
     "corpus_contamination_flags",
     "fd_documents_source_lang",
+    # r4 continuation: user CHECK constraints + IQR outlier rule
+    "span_pack_check_constraints",
+    "outliers_quantity_iqr",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -607,6 +653,13 @@ _GATE_DEMOTED = [
     # r4 final: corpus_rebalance_mixture enters; the window family keeps
     # events_sessionize (session windows) in-window
     "window_running_rank",
+    # r4 continuation: span_pack_check_constraints + outliers_quantity_iqr
+    # enter; the span pack keeps violations/verdicts/drift/diff/check/
+    # distinct-R1/F1 in-window (metrics is also pytest-covered), and the
+    # minhash family keeps capped + hot-bucket-stats + pipeline_training_set
+    # (which composes the same signature pipeline) in-window
+    "span_pack_metrics",
+    "dedup_minhash_documents",
 ]
 
 

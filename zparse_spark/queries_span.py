@@ -24,6 +24,7 @@ from zparse_spark.operators.rules import (
     _CONTROL_CHARS,
     _VALID_ESCAPES,
     _VALID_UNICODE,
+    CheckConstraint,
     RuleParams,
     drift_scores,
 )
@@ -397,6 +398,68 @@ def span_pack_metrics(spark, sf_dir):
         F.round("avg_spans_per_doc", 4).alias("avg_spans_per_doc"),
         "max_spans_per_doc",
     )
+
+
+# the K-pack under oracle: four user CHECK constraints (two doc-level,
+# two span-level) with ANSI NULL-passes semantics — thresholds chosen to
+# fire on the fixture corpus (max doc 647 text bytes, offsets up to 609)
+_K_CHECKS = (
+    CheckConstraint("K1", "doc", "total_text_bytes <= 300", "doc text budget 300 bytes"),
+    CheckConstraint(
+        "K2", "doc",
+        "size(filter(spans, s -> s.media_ref IS NOT NULL)) <= 4",
+        "at most 4 media spans per doc",
+    ),
+    CheckConstraint("K3", "span", "NOT (kind = 'text' AND length(text) > 80)", "text span cap 80 chars"),
+    CheckConstraint("K4", "span", "offset < 512", "offset domain"),
+)
+
+
+@register(
+    "span_pack_check_constraints",
+    f"""WITH{_SP_CTE},
+dchk AS (
+  SELECT partition, doc_id,
+         coalesce(list_sum(list_transform(spans, x -> strlen(coalesce(x.text, '')))), 0) AS total_bytes,
+         len(list_filter(spans, x -> x.media_ref IS NOT NULL)) AS n_media
+  FROM docs
+)
+SELECT partition, doc_id, 'K1' AS rule_id, 'CheckFailed' AS kind,
+       CAST(NULL AS INT) AS span_pos, CAST(NULL AS BIGINT) AS "offset", {_NULL_LC},
+       'check failed: doc text budget 300 bytes' AS message
+FROM dchk WHERE NOT coalesce(total_bytes <= 300, TRUE)
+UNION ALL
+SELECT partition, doc_id, 'K2', 'CheckFailed', CAST(NULL AS INT), CAST(NULL AS BIGINT), {_NULL_LC},
+       'check failed: at most 4 media spans per doc'
+FROM dchk WHERE NOT coalesce(n_media <= 4, TRUE)
+UNION ALL
+SELECT partition, doc_id, 'K3', 'CheckFailed', span_pos, off, {_NULL_LC},
+       'check failed: text span cap 80 chars'
+FROM sp WHERE NOT coalesce(NOT (kind = 'text' AND length(text) > 80), TRUE)
+UNION ALL
+SELECT partition, doc_id, 'K4', 'CheckFailed', span_pos, off, {_NULL_LC},
+       'check failed: offset domain'
+FROM sp WHERE NOT coalesce(off < 512, TRUE)""",
+)
+def span_pack_check_constraints(spark, sf_dir):
+    """User-declared CHECK constraints (K-rules) through the REAL engine
+    — the open end of the rule pack: arbitrary boolean SQL predicates at
+    doc/span level compiled via F.expr into the same map-only plan as the
+    built-in rules, ANSI CHECK semantics (NULL passes), full violation
+    rows vs a DuckDB twin that re-derives every predicate with
+    ``NOT coalesce(pred, TRUE)``."""
+    docs, _cat = _pack_input(spark)
+    eng = ValidationEngine(
+        ValidationConfig(
+            check_constraints=_K_CHECKS,
+            enable_drift=False,
+            enable_uniqueness=False,
+            enable_referential=False,
+        )
+    )
+    # restrict to the K rows: span rules S1-S8 are oracled separately in
+    # span_pack_violations; this query isolates the user-check surface
+    return eng.violations(docs).filter(F.col("rule_id").startswith("K"))
 
 
 @register(

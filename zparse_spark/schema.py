@@ -41,6 +41,7 @@ class ErrorKind:
     DRIFT_EXCEEDED = "DriftExceeded"
     MEDIA_DECODE_FAILED = "MediaDecodeFailed"
     INCONSISTENT_MEDIA_KIND = "InconsistentMediaKind"
+    CHECK_FAILED = "CheckFailed"
 
     ALL = frozenset(
         {
@@ -63,6 +64,7 @@ class ErrorKind:
             DRIFT_EXCEEDED,
             MEDIA_DECODE_FAILED,
             INCONSISTENT_MEDIA_KIND,
+            CHECK_FAILED,
         }
     )
 
