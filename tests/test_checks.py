@@ -98,3 +98,69 @@ def test_doc_scope_derived_columns(spark):
         [CheckConstraint("K5", "doc", "total_text_bytes <= 16 AND coalesce(n_spans, 0) <= 8")],
     )
     assert {r.doc_id for r in v.collect()} == {"d5"}  # 40 bytes of text
+
+
+def test_checks_resume_through_manifest(spark, tmp_path):
+    """K-rules are partition-decomposable: a resumed run evaluates them
+    on pending partitions only, and editing a predicate invalidates the
+    manifest (new rules_hash -> full revalidation)."""
+    from zparse_spark.plans.manifest import Manifest, run_with_manifest
+
+    out = str(tmp_path / "krun")
+    docs = _fixture(spark)
+    eng = ValidationEngine(
+        ValidationConfig(check_constraints=(K_NONEMPTY, K_OFFSET), enable_drift=False)
+    )
+    done = run_with_manifest(eng, docs, None, out)
+    assert sorted(done) == ["p0", "p1"]
+    viol = Manifest(out).read_violations(spark, eng.config.rules_hash())
+    k_rows = {(r.doc_id, r.rule_id) for r in viol.filter("rule_id like 'K%'").collect()}
+    assert k_rows == {("d3", "K1"), ("d4", "K1"), ("d5", "K3")}
+    assert run_with_manifest(eng, docs, None, out) == []  # nothing pending
+
+    # editing the predicate changes rules_hash -> everything pending again
+    eng2 = ValidationEngine(
+        ValidationConfig(
+            check_constraints=(K_NONEMPTY, CheckConstraint("K3", "span", "offset >= 1")),
+            enable_drift=False,
+        )
+    )
+    assert sorted(run_with_manifest(eng2, docs, None, out)) == ["p0", "p1"]
+    viol2 = Manifest(out).read_violations(spark, eng2.config.rules_hash())
+    k2 = {(r.doc_id, r.rule_id, r.span_pos) for r in viol2.filter("rule_id = 'K3'").collect()}
+    # stricter predicate now also flags the offset-0 first spans
+    assert ("d5", "K3", 0) in k2 and ("d1", "K3", 0) in k2
+
+
+def test_cli_check_flag(tmp_path, spark):
+    """validate.py --check parses ID:LEVEL:PREDICATE (predicate may
+    contain colons) and the run emits K violations + verdict rows.
+    Runs as a real subprocess — the CLI owns (and stops) its own
+    SparkSession — and the parquet output is read back with DuckDB."""
+    import subprocess
+    import sys as _sys
+
+    docs = _fixture(spark)
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            _sys.executable, "/root/repo/validate.py",
+            "--documents", dpath,
+            "--out", out,
+            "--check", "K1:span:offset >= 0",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]  # violations exist
+    import duckdb
+
+    cells = {
+        (p, r): ok
+        for p, r, ok in duckdb.sql(
+            f"SELECT partition, rule_id, passed FROM '{out}/verdicts/*.parquet'"
+        ).fetchall()
+    }
+    assert cells[("p1", "K1")] is False and cells[("p0", "K1")] is True
