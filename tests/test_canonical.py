@@ -137,3 +137,28 @@ def test_snapshot_diff_classification(spark):
     }
     # '1' unchanged -> absent; '2' changed; '3' removed; '4' added
     assert got == {"2": "changed", "3": "removed", "4": "added"}
+
+
+def test_render_training_text(spark):
+    from tests.conftest import make_docs
+    from zparse_spark.operators.canonical import render_training_text
+
+    docs = make_docs(
+        spark,
+        [
+            # out-of-order offsets: render must follow canonical order
+            ("d1", [("image", None, "m1", 5), ("text", "ab", None, 0), ("audio", None, "a1", 9)], "p0"),
+            ("d2", [("text", "xy", None, 0)], "p0"),
+            ("d3", [], "p1"),
+            ("d4", None, "p1"),
+        ],
+    )
+    out = {r.doc_id: r for r in render_training_text(docs).collect()}
+    assert out["d1"].training_text == "ab<|image|><|audio|>"
+    assert (out["d1"].n_chars, out["d1"].n_media_slots) == (20, 2)
+    assert out["d2"].training_text == "xy" and out["d2"].n_media_slots == 0
+    assert out["d3"].training_text == "" and out["d3"].n_chars == 0
+    assert out["d4"].training_text == "" and out["d4"].n_media_slots == 0
+    # map-only plan: no Exchange, no Python
+    plan = render_training_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

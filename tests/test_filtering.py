@@ -72,3 +72,26 @@ def test_rebalance_mixture_zero_share_drops(spark):
     )
     out = rebalance_mixture(df, "lang", {"en": 1.0, "de": 0.0}, seed=2)
     assert sorted(r["doc_id"] for r in out.collect()) == ["a", "b"]
+
+
+def test_cap_per_group_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import cap_per_group
+
+    rows = [(i, f"s{i % 3}", float(100 - i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double").repartition(5)
+    kept = cap_per_group(df, "source", 4, "q")
+    assert kept.groupBy("source").count().agg(F.max("count")).collect()[0][0] == 4
+    # deterministic: same set on re-run and after repartition
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in cap_per_group(df.repartition(11), "source", 4, "q").collect()}
+    assert a == b
+    # within each group the kept docs are the max-q ones, doc_id-asc ties
+    for s in ("s0", "s1", "s2"):
+        grp = sorted(
+            [(r.q, r.doc_id) for r in df.filter(F.col("source") == s).collect()],
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = {d for _, d in grp[:4]}
+        assert {r.doc_id for r in kept.filter(F.col("source") == s).collect()} == expect

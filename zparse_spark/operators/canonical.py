@@ -226,3 +226,43 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(F.col("_id").alias(id_col), "change")
     )
+
+
+def render_training_text(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Render an interleaved document into the flat training-text form a
+    tokenizer consumes: spans in canonical offset order, text spans
+    contributing their text verbatim and media spans a typed placeholder
+    token ``<|kind|>`` (the slot a downstream embedder fills). This is
+    the materialization step between validated interleaved storage and a
+    packed training batch — run the rule pack first (S1 guarantees
+    offset order is meaningful; R1/M1 that every slot resolves).
+
+    Map-only: canonical sort + transform + array_join are all array
+    expressions inside codegen — no explode, no shuffle, no Python. At
+    10^12 docs this is a pure map stage that pipelines into whatever
+    sink or pack step follows.
+
+    Output: (partition?, doc_id, training_text, n_chars, n_media_slots)
+    — n_chars of the RENDERED text (placeholders included), media slots
+    counted per span occurrence.
+    """
+    rendered = F.array_join(
+        F.transform(
+            _sorted_spans(F.coalesce(F.col(spans_col), F.array())),
+            lambda s: F.when(s["kind"] == "text", F.coalesce(s["text"], F.lit("")))
+            .otherwise(F.concat(F.lit("<|"), F.coalesce(s["kind"], F.lit("unknown")), F.lit("|>"))),
+        ),
+        "",
+    )
+    keep = [c for c in ("partition", "doc_id") if c in docs.columns]
+    return docs.select(
+        *keep,
+        rendered.alias("training_text"),
+        F.length(rendered).alias("n_chars"),
+        F.size(
+            F.filter(
+                F.coalesce(F.col(spans_col), F.array()),
+                lambda s: s["kind"] != "text",
+            )
+        ).alias("n_media_slots"),
+    )

@@ -353,3 +353,42 @@ def rebalance_mixture(
         cond = F.col(strata_col) == s
         frac = F.when(cond, keep) if frac is None else frac.when(cond, keep)
     return df.filter(u < frac.otherwise(F.lit(0.0)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap — the web-corpus curation rule "keep at
+    most n docs per domain, preferring the best": deterministic total
+    order (order_col, then id_col ascending as tiebreak) and row_number
+    <= n within each group.
+
+    Scale shape: ONE hash-partition shuffle on group_col + per-group
+    sort (rank, not global sort). A pathological group (one domain with
+    10^8 docs) makes one hot sort task; AQE skew handling splits the
+    partition but row_number still needs the group on one logical
+    stream — for truly degenerate domains, pre-thin with a per-group
+    ORDER-STATISTIC filter first (approx_percentile of order_col at
+    n/count(group)) so only ~n+slack candidates reach the window. The
+    threshold pre-filter is exposed separately as the composition is
+    measurement-driven; default path is the plain window, correct at
+    any skew and optimal when groups are bounded (real domain
+    distributions are heavy-tailed but bounded by crawl policy).
+    """
+    ordering = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

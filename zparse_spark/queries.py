@@ -426,6 +426,28 @@ def quantiles_quantity(spark, sf_dir):
 
 
 @register(
+    "corpus_cap_per_source",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def corpus_cap_per_source(spark, sf_dir):
+    """Per-source document cap (the web-corpus "max N docs per domain"
+    curation rule): deterministic total order (n_chars desc, doc_id asc
+    tiebreak), row_number <= N inside one hash-partitioned window —
+    rank-per-key, never a global sort."""
+    from zparse_spark.operators.filtering import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, "source", 10, "n_chars").select("doc_id", "source", "n_chars")
+
+
+@register(
     "outliers_quantity_iqr",
     """
     WITH f AS (
@@ -585,6 +607,9 @@ _GATE_PRIORITY = [
     # r4 continuation: user CHECK constraints + IQR outlier rule
     "span_pack_check_constraints",
     "outliers_quantity_iqr",
+    # r4 continuation: per-source cap + interleaved training-text render
+    "corpus_cap_per_source",
+    "span_pack_render_text",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -660,6 +685,12 @@ _GATE_DEMOTED = [
     # (which composes the same signature pipeline) in-window
     "span_pack_metrics",
     "dedup_minhash_documents",
+    # r4 continuation: corpus_cap_per_source + span_pack_render_text enter;
+    # the agg family keeps tpch_q1/cube/outliers_quantity_iqr in-window and
+    # the flat-table rule proxy is superseded in-window by the full span
+    # pack (violations/verdicts/check) it was a round-1 stand-in for
+    "stats_lineitem",
+    "validate_documents_flat",
 ]
 
 

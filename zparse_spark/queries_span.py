@@ -463,6 +463,47 @@ def span_pack_check_constraints(spark, sf_dir):
 
 
 @register(
+    "span_pack_render_text",
+    f"""WITH{_SP_CTE},
+rend AS (
+  -- correlated per-ROW aggregation (not GROUP BY doc_id): the fixture
+  -- plants duplicate doc_ids (U1), and each physical row renders
+  -- independently — grouping by key would merge the copies
+  SELECT partition, doc_id,
+         coalesce((SELECT string_agg(
+             CASE WHEN s.kind = 'text' THEN coalesce(s.text, '')
+                  ELSE '<|' || coalesce(s.kind, 'unknown') || '|>' END,
+             '' ORDER BY s."offset", s.kind,
+                coalesce(s.media_ref, ''), coalesce(s.text, '')
+           ) FROM unnest(d.spans) AS t(s)), '') AS training_text,
+         coalesce((SELECT CAST(sum(CASE WHEN s.kind IS NOT NULL AND s.kind <> 'text'
+                            THEN 1 ELSE 0 END) AS INT)
+           FROM unnest(d.spans) AS t(s)), 0) AS n_media_slots
+  FROM docs d
+)
+SELECT partition, doc_id, training_text,
+       CAST(length(training_text) AS INT) AS n_chars, n_media_slots
+FROM rend""",
+)
+def span_pack_render_text(spark, sf_dir):
+    """Interleaved-to-training-text rendering: canonical offset order,
+    text spans verbatim, media spans as typed ``<|kind|>`` placeholder
+    slots — the map-only materialization step between validated storage
+    and a packed training batch, value-matched against a DuckDB
+    sort-then-string_agg twin (identical (offset, kind, media_ref,
+    text) tie-break order)."""
+    from zparse_spark.operators.canonical import render_training_text
+
+    docs, _cat = _pack_input(spark)
+    r = render_training_text(docs)
+    return r.select(
+        "partition", "doc_id", "training_text",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_media_slots").cast("int").alias("n_media_slots"),
+    )
+
+
+@register(
     "worst_offenders_report",
     f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
 allviol AS (
