@@ -260,3 +260,40 @@ def test_f1_media_kind_fd_in_engine(spark):
     assert eng.table_violations(docs).filter("rule_id='F1'").count() == 2
     # hash changes with the flag (resume must re-validate)
     assert eng.config.rules_hash() != ValidationEngine().config.rules_hash()
+
+
+def test_quarantine_split(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import make_docs
+    from zparse_spark.plans.engine import quarantine_split
+    from zparse_spark.schema import VIOLATION_SCHEMA
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "ok", None, 0)], "p0"),
+            ("d2", [("text", "ok", None, 0)], "p0"),
+            ("d2", [("text", "ok", None, 0)], "p1"),  # same id, other partition
+            ("d3", [("text", "ok", None, 0)], "p1"),
+        ],
+    )
+    viol = spark.createDataFrame(
+        [
+            ("p0", "d2", "S5", "InvalidToken", None, None, None, None, "m"),
+            ("p1", "d3", "D1", "DriftExceeded", None, None, None, None, "m"),
+            (None, None, "U1", "DuplicateKey", None, None, None, None, "table-level"),
+        ],
+        VIOLATION_SCHEMA,
+    )
+    clean, quarantined = quarantine_split(docs, viol, rule_ids=["S5", "U1"])
+    # attribution is (partition, doc_id): p1's d2 copy stays clean, and
+    # d3's D1 row is outside rule_ids; null doc_id rows never quarantine
+    assert {(r.partition, r.doc_id) for r in quarantined.collect()} == {("p0", "d2")}
+    assert {(r.partition, r.doc_id) for r in clean.collect()} == {
+        ("p0", "d1"), ("p1", "d2"), ("p1", "d3")
+    }
+    # default rule set: every doc-attributable rule quarantines
+    c2, q2 = quarantine_split(docs, viol)
+    assert {(r.partition, r.doc_id) for r in q2.collect()} == {("p0", "d2"), ("p1", "d3")}
+    assert c2.count() + q2.count() == docs.count()

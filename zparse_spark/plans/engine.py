@@ -288,6 +288,40 @@ class ValidationEngine:
         )
 
 
+def quarantine_split(
+    docs: DataFrame,
+    violations: DataFrame,
+    rule_ids: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Route documents by verdict: ``(clean, quarantined)`` — the
+    ingestion gate between validation and the downstream pipeline
+    (training-set build, conversion, indexing). A document is
+    quarantined when it carries ANY violation row from ``rule_ids``
+    (default: every doc-attributable rule); table-level rows with a null
+    doc_id (drift, missing-payload aggregates) never quarantine a
+    specific document.
+
+    Scale shape: the offending-key set is ``violations`` pruned to
+    (doc_id) distinct — violation-sparse by construction, so the
+    semi/anti joins broadcast it back onto the doc stream in the common
+    case (AQE decides; a systemic rule firing on every doc degrades to a
+    shuffled semi-join, which is still one shuffle of keys, never of
+    span payloads). Both outputs share the one scan of ``docs`` and the
+    one distinct of keys — materialize violations first (the engine's
+    sink already does) rather than recomputing the rule pack twice.
+    """
+    v = violations.filter(F.col("doc_id").isNotNull())
+    if rule_ids is not None:
+        v = v.filter(F.col("rule_id").isin(list(rule_ids)))
+    # keyed (partition, doc_id) — the violation attribution grain; a bare
+    # doc_id key would let one partition's bad copy quarantine an
+    # unrelated partition's clean doc under U1-style id collisions
+    bad_keys = v.select("partition", "doc_id").distinct()
+    clean = docs.join(bad_keys, ["partition", "doc_id"], "left_anti")
+    quarantined = docs.join(bad_keys, ["partition", "doc_id"], "left_semi")
+    return clean, quarantined
+
+
 def verdict_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Cell-level diff of two verdict matrices — the monitoring surface
     of a recurring validation job: which (partition, rule) cells

@@ -610,6 +610,8 @@ _GATE_PRIORITY = [
     # r4 continuation: per-source cap + interleaved training-text render
     "corpus_cap_per_source",
     "span_pack_render_text",
+    # r4 continuation: quarantine ingestion gate
+    "span_pack_quarantine",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -691,6 +693,10 @@ _GATE_DEMOTED = [
     # pack (violations/verdicts/check) it was a round-1 stand-in for
     "stats_lineitem",
     "validate_documents_flat",
+    # r4 continuation: span_pack_quarantine enters; R1 keeps the fused
+    # span_pack_violations branch + span_pack_referential_distinct
+    # in-window (this was the flat-table R1 proxy)
+    "referential_lineitem",
 ]
 
 

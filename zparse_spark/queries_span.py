@@ -504,6 +504,38 @@ def span_pack_render_text(spark, sf_dir):
 
 
 @register(
+    "span_pack_quarantine",
+    f"""WITH{_SP_CTE},{_VIOL_CTE},
+bad AS (
+  SELECT DISTINCT partition, doc_id FROM viol
+  WHERE doc_id IS NOT NULL AND rule_id IN ('S1','S2','S5','S6','S7','S8','U1')
+)
+SELECT d.partition, d.doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'clean' ELSE 'quarantined' END AS status
+FROM docs d LEFT JOIN bad b
+  ON b.partition = d.partition AND b.doc_id = d.doc_id""",
+)
+def span_pack_quarantine(spark, sf_dir):
+    """The ingestion gate: quarantine_split routes every document to
+    clean or quarantined on its (partition, doc_id) violation
+    attribution, restricted to the structural+uniqueness rules (S-pack
+    + U1 — limits S3/S4 and catalog R1 stay advisory here). Both
+    streams re-unioned with a status tag so the oracle checks the exact
+    split, not just counts."""
+    from zparse_spark.plans.engine import quarantine_split
+
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
+    viol = eng.violations(docs, cat)
+    clean, quarantined = quarantine_split(
+        docs, viol, rule_ids=["S1", "S2", "S5", "S6", "S7", "S8", "U1"]
+    )
+    return clean.select("partition", "doc_id", F.lit("clean").alias("status")).unionByName(
+        quarantined.select("partition", "doc_id", F.lit("quarantined").alias("status"))
+    )
+
+
+@register(
     "worst_offenders_report",
     f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
 allviol AS (
