@@ -297,3 +297,26 @@ def test_quarantine_split(spark):
     c2, q2 = quarantine_split(docs, viol)
     assert {(r.partition, r.doc_id) for r in q2.collect()} == {("p0", "d2"), ("p1", "d3")}
     assert c2.count() + q2.count() == docs.count()
+
+
+def test_partition_verdicts_severity_policy(spark):
+    from zparse_spark.plans.engine import partition_verdicts
+
+    verd = spark.createDataFrame(
+        [
+            ("p0", "S1", False, 3), ("p0", "S4", False, 2), ("p0", "U1", True, 0),
+            ("p1", "S1", True, 0), ("p1", "D1", False, 1),
+            ("p2", "S1", True, 0), ("p2", "D1", True, 0),
+        ],
+        "partition string, rule_id string, passed boolean, violation_count long",
+    )
+    out = {r.partition: r for r in partition_verdicts(verd, warn_rules=["S4", "D1"]).collect()}
+    # p0 fails on S1 (error), its S4 cell is a warning
+    assert out["p0"].passed is False
+    assert (out["p0"].n_error_cells, out["p0"].n_warn_cells) == (1, 1)
+    # p1's only failing cell is warn-severity -> partition passes
+    assert out["p1"].passed is True and out["p1"].n_warn_cells == 1
+    assert out["p2"].passed is True and out["p2"].n_violations == 0
+    # no policy: every failing cell is an error
+    strict = {r.partition: r for r in partition_verdicts(verd).collect()}
+    assert strict["p1"].passed is False and strict["p1"].n_error_cells == 1

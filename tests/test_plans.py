@@ -287,3 +287,48 @@ def test_vocabulary_plan_discipline(spark, docs_path):
     assert "EvalPython" not in plan
     # no global sort: rangepartitioning would betray a full-vocabulary sort
     assert "rangepartitioning" not in plan
+
+
+def test_continuation_ops_plan_discipline(spark, docs_path):
+    """K-rules: map-only (no Exchange) and Python-free even with several
+    doc+span checks stacked. cap_per_group: exactly one hash-partition
+    Exchange, no rangepartitioning (rank, not global sort).
+    quarantine_split: both outputs JVM-only; the violation-key side
+    joins back without a range sort. iqr_outliers: two aggregation
+    passes, fences via BroadcastExchange, no Python."""
+    from zparse_spark.operators.filtering import cap_per_group
+    from zparse_spark.operators.rules import CheckConstraint, check_constraint_violations
+    from zparse_spark.operators.stats import iqr_outliers
+    from zparse_spark.plans.engine import quarantine_split
+
+    docs = spark.read.parquet(docs_path)
+
+    checks = check_constraint_violations(
+        docs,
+        [
+            CheckConstraint("K1", "doc", "total_text_bytes <= 1000"),
+            CheckConstraint("K2", "span", "offset >= 0"),
+            CheckConstraint("K3", "span", "kind IS NOT NULL"),
+        ],
+    )
+    kp = plan_of(checks)
+    assert "Exchange" not in kp and "EvalPython" not in kp
+
+    cap = cap_per_group(
+        docs.select("doc_id", "partition", F.size("spans").alias("q")), "partition", 3, "q"
+    )
+    cp = plan_of(cap)
+    assert cp.count("Exchange") == 1
+    assert "rangepartitioning" not in cp and "EvalPython" not in cp
+
+    viol = check_constraint_violations(docs, [CheckConstraint("K2", "span", "offset >= 0")])
+    clean, quar = quarantine_split(docs, viol)
+    for df in (clean, quar):
+        p = plan_of(df)
+        assert "EvalPython" not in p and "rangepartitioning" not in p
+
+    iqr = iqr_outliers(
+        docs.select("partition", F.size("spans").cast("double").alias("v")), "v", ["partition"]
+    )
+    ip = plan_of(iqr)
+    assert "BroadcastExchange" in ip and "EvalPython" not in ip

@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and revalidate everything")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit supplies it)")
     ap.add_argument(
+        "--warn-rules", default="", metavar="R1,D1,...",
+        help="comma-separated rule ids demoted to WARN severity: their "
+             "violations are written and reported but never fail a partition "
+             "or the exit code",
+    )
+    ap.add_argument(
         "--check", action="append", default=[], metavar="ID:LEVEL:PREDICATE",
         help="user CHECK constraint, e.g. K1:span:'offset >= 0' — repeatable; "
              "LEVEL is doc|span; predicate is Spark SQL, NULL passes (ANSI CHECK). "
@@ -93,12 +99,24 @@ def main(argv: list[str] | None = None) -> int:
     verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
     engine.metrics(docs).write.mode("overwrite").parquet(f"{args.out}/metrics")
 
+    from pyspark.sql import functions as F
+
+    from zparse_spark.plans.engine import partition_verdicts
+
+    warn_rules = [r for r in args.warn_rules.split(",") if r]
+    rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
+    rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
+
     n_viol = viol.count()
     n_fail = verdicts.filter("NOT passed").count()
+    # exit code keys on ERROR-severity cells only: warn-rule violations
+    # are written and reported but never page anyone
+    n_error_cells = rollup.agg(F.sum("n_error_cells")).collect()[0][0] or 0
     print(f"validated partitions: {len(done)} (resumed past {Manifest(args.out)._read_rows().__len__() - len(done)})")
-    print(f"violations: {n_viol}; failing (partition, rule) cells: {n_fail}")
+    print(f"violations: {n_viol}; failing (partition, rule) cells: {n_fail}"
+          f" ({n_error_cells} error-severity)")
     spark.stop()
-    return 0 if n_viol == 0 else 1
+    return 0 if n_error_cells == 0 else 1
 
 
 if __name__ == "__main__":

@@ -288,6 +288,33 @@ class ValidationEngine:
         )
 
 
+def partition_verdicts(
+    verdicts: DataFrame, warn_rules: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-partition roll-up of the dense verdict grid under a severity
+    policy: rules in ``warn_rules`` are advisory — their failing cells
+    are REPORTED (n_warn_cells) but never fail the partition. This is
+    the operational gate a recurring job keys its exit code / paging on:
+    a partition ``passed`` iff every error-severity rule passed.
+
+    One aggregate over the (tiny) verdict table — grid cells number
+    |partitions| × |rules|, so this never touches document data.
+
+    Output: (partition, passed, n_error_cells, n_warn_cells,
+    n_violations).
+    """
+    is_warn = (
+        F.col("rule_id").isin(list(warn_rules)) if warn_rules else F.lit(False)
+    )
+    failed = ~F.col("passed")
+    return verdicts.groupBy("partition").agg(
+        F.min(F.when(~is_warn, F.col("passed")).otherwise(F.lit(True))).alias("passed"),
+        F.sum((failed & ~is_warn).cast("long")).alias("n_error_cells"),
+        F.sum((failed & is_warn).cast("long")).alias("n_warn_cells"),
+        F.sum("violation_count").alias("n_violations"),
+    )
+
+
 def quarantine_split(
     docs: DataFrame,
     violations: DataFrame,

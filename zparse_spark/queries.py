@@ -610,8 +610,9 @@ _GATE_PRIORITY = [
     # r4 continuation: per-source cap + interleaved training-text render
     "corpus_cap_per_source",
     "span_pack_render_text",
-    # r4 continuation: quarantine ingestion gate
+    # r4 continuation: quarantine ingestion gate + severity roll-up
     "span_pack_quarantine",
+    "span_pack_partition_verdicts",
 ]
 _GATE_DEMOTED = [
     # driver-green in r2 AND r3; each operator family keeps at least one
@@ -697,6 +698,10 @@ _GATE_DEMOTED = [
     # span_pack_violations branch + span_pack_referential_distinct
     # in-window (this was the flat-table R1 proxy)
     "referential_lineitem",
+    # r4 continuation: span_pack_partition_verdicts enters; set-ops is
+    # r2+r3 double-green and its union/anti/semi shapes stay exercised
+    # in-window by delta_documents_snapshot and span_pack_quarantine
+    "setops_customers",
 ]
 
 

@@ -504,6 +504,47 @@ def span_pack_render_text(spark, sf_dir):
 
 
 @register(
+    "span_pack_partition_verdicts",
+    f"""WITH{_SP_CTE},{_VIOL_CTE},{_PSI_CTE},
+grid AS (
+  SELECT p.partition, r.rule_id
+  FROM (SELECT DISTINCT partition FROM docs) p
+  CROSS JOIN (VALUES {_RULES_VALUES}) r(rule_id)
+),
+counts AS (
+  SELECT partition, rule_id, count(*) AS violation_count FROM viol GROUP BY 1, 2
+  UNION ALL
+  SELECT partition, 'D1', 1 FROM psi WHERE psi > {_PSI_THRESHOLD}
+),
+cells AS (
+  SELECT g.partition, g.rule_id,
+         (c.violation_count IS NULL) AS passed,
+         coalesce(c.violation_count, 0) AS violation_count,
+         g.rule_id IN ('S4', 'D1') AS is_warn
+  FROM grid g LEFT JOIN counts c USING (partition, rule_id)
+)
+SELECT partition,
+       CAST(min(CASE WHEN is_warn THEN TRUE ELSE passed END) AS BOOLEAN) AS passed,
+       CAST(sum(CASE WHEN NOT passed AND NOT is_warn THEN 1 ELSE 0 END) AS BIGINT) AS n_error_cells,
+       CAST(sum(CASE WHEN NOT passed AND is_warn THEN 1 ELSE 0 END) AS BIGINT) AS n_warn_cells,
+       CAST(sum(violation_count) AS BIGINT) AS n_violations
+FROM cells GROUP BY partition""",
+)
+def span_pack_partition_verdicts(spark, sf_dir):
+    """Severity-policied per-partition roll-up: S4 (size budget) and D1
+    (drift) demoted to WARN — reported in n_warn_cells but never
+    failing the partition — the operational gate a recurring job keys
+    its exit code on, value-matched cell-for-cell by DuckDB over the
+    identical grid."""
+    from zparse_spark.plans.engine import partition_verdicts
+
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS))
+    verd = eng.verdicts(docs, eng.violations(docs, cat))
+    return partition_verdicts(verd, warn_rules=["S4", "D1"])
+
+
+@register(
     "span_pack_quarantine",
     f"""WITH{_SP_CTE},{_VIOL_CTE},
 bad AS (
