@@ -162,3 +162,24 @@ def test_render_training_text(spark):
     # map-only plan: no Exchange, no Python
     plan = render_training_text(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_render_training_text_degenerate_nulls(spark):
+    """NULL offsets/kinds: total deterministic order (NULL offset sorts
+    last via the coalesced key) and NULL-kind spans count as slots."""
+    from tests.conftest import make_docs
+    from zparse_spark.operators.canonical import render_training_text
+
+    docs = make_docs(
+        spark,
+        [("d1", [(None, None, "m1", None), ("text", "a", None, 0)], "p0")],
+    )
+    r = render_training_text(docs).collect()[0]
+    assert r.training_text == "a<|unknown|>"
+    assert r.n_media_slots == 1
+    # layout independence: reversed input array renders identically
+    docs2 = make_docs(
+        spark,
+        [("d1", [("text", "a", None, 0), (None, None, "m1", None)], "p0")],
+    )
+    assert render_training_text(docs2).collect()[0].training_text == "a<|unknown|>"

@@ -95,3 +95,15 @@ def test_cap_per_group_deterministic(spark):
         )
         expect = {d for _, d in grp[:4]}
         assert {r.doc_id for r in kept.filter(F.col("source") == s).collect()} == expect
+
+
+def test_cap_per_group_preserves_caller_rk_column(spark):
+    from zparse_spark.operators.filtering import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, 99), (2, "a", 4.0, 98), (3, "a", 3.0, 97)],
+        "doc_id long, source string, q double, _rk long",
+    )
+    out = cap_per_group(df, "source", 2, "q")
+    assert "_rk" in out.columns
+    assert {(r.doc_id, r._rk) for r in out.collect()} == {(1, 99), (2, 98)}

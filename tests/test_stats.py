@@ -187,3 +187,13 @@ def test_iqr_outliers_ungrouped(spark):
     df = spark.createDataFrame([(float(v),) for v in range(1, 101)] + [(1000.0,)], "v double")
     r = iqr_outliers(df, "v").collect()[0]
     assert r["n_outliers"] == 1 and r["max_outlier"] == 1000.0
+
+
+def test_iqr_outliers_null_group_key(spark):
+    from zparse_spark.operators.stats import iqr_outliers
+
+    rows = [(None, float(v)) for v in range(1, 12)] + [(None, 500.0), ("a", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in iqr_outliers(df, "v", ["g"], k=1.0).collect()}
+    assert None in out and out[None].n_outliers == 1 and out[None].max_outlier == 500.0
+    assert out["a"].n_rows == 1

@@ -103,15 +103,25 @@ def main(argv: list[str] | None = None) -> int:
 
     from zparse_spark.plans.engine import partition_verdicts
 
-    warn_rules = [r for r in args.warn_rules.split(",") if r]
+    warn_rules = [r.strip() for r in args.warn_rules.split(",") if r.strip()]
+    from zparse_spark.operators.rules import ALL_RULES
+
+    known = {r.rule_id for r in ALL_RULES} | {"M1", "F1"} | {c.rule_id for c in checks}
+    for r in warn_rules:
+        if r not in known:
+            print(f"warning: --warn-rules entry {r!r} matches no active rule "
+                  f"(active: {sorted(known)}) — it will have no effect")
     rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
     rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
 
     n_viol = viol.count()
     n_fail = verdicts.filter("NOT passed").count()
     # exit code keys on ERROR-severity cells only: warn-rule violations
-    # are written and reported but never page anyone
-    n_error_cells = rollup.agg(F.sum("n_error_cells")).collect()[0][0] or 0
+    # are written and reported but never page anyone. Read the roll-up
+    # BACK from its sink — aggregating the lazy plan would re-execute
+    # the whole verdict grid (docs scan included) a third time
+    rollup_back = spark.read.parquet(f"{args.out}/partition_verdicts")
+    n_error_cells = rollup_back.agg(F.sum("n_error_cells")).collect()[0][0] or 0
     print(f"validated partitions: {len(done)} (resumed past {Manifest(args.out)._read_rows().__len__() - len(done)})")
     print(f"violations: {n_viol}; failing (partition, rule) cells: {n_fail}"
           f" ({n_error_cells} error-severity)")

@@ -244,11 +244,39 @@ def render_training_text(docs: DataFrame, spans_col: str = "spans") -> DataFrame
 
     Output: (partition?, doc_id, training_text, n_chars, n_media_slots)
     — n_chars of the RENDERED text (placeholders included), media slots
-    counted per span occurrence.
+    counted per span occurrence (a NULL-kind span renders ``<|unknown|>``
+    and counts as a slot — whatever is in the rendered text is what a
+    downstream embedder must fill).
+
+    Ordering is TOTAL even on degenerate data: the sort key coalesces
+    every field (offset→2^31-1, strings→''), so NULL offsets/kinds get a
+    deterministic layout-independent position and the order matches a
+    SQL ``ORDER BY`` over the same coalesced keys exactly (the generic
+    ``_sorted_spans`` comparator skips NULL comparisons, which is
+    intransitive under NULL kinds — fine for fingerprints of valid data,
+    wrong for a byte-stable render).
     """
+    spans = F.coalesce(F.col(spans_col), F.array())
+    big = F.lit(2147483647)
+
+    def _cmp_key(s, field, null_sub):
+        return F.coalesce(s[field], null_sub)
+
+    ordered = F.array_sort(
+        spans,
+        lambda a, b: F.when(_cmp_key(a, "offset", big) < _cmp_key(b, "offset", big), -1)
+        .when(_cmp_key(a, "offset", big) > _cmp_key(b, "offset", big), 1)
+        .when(_cmp_key(a, "kind", F.lit("")) < _cmp_key(b, "kind", F.lit("")), -1)
+        .when(_cmp_key(a, "kind", F.lit("")) > _cmp_key(b, "kind", F.lit("")), 1)
+        .when(_cmp_key(a, "media_ref", F.lit("")) < _cmp_key(b, "media_ref", F.lit("")), -1)
+        .when(_cmp_key(a, "media_ref", F.lit("")) > _cmp_key(b, "media_ref", F.lit("")), 1)
+        .when(_cmp_key(a, "text", F.lit("")) < _cmp_key(b, "text", F.lit("")), -1)
+        .when(_cmp_key(a, "text", F.lit("")) > _cmp_key(b, "text", F.lit("")), 1)
+        .otherwise(0),
+    )
     rendered = F.array_join(
         F.transform(
-            _sorted_spans(F.coalesce(F.col(spans_col), F.array())),
+            ordered,
             lambda s: F.when(s["kind"] == "text", F.coalesce(s["text"], F.lit("")))
             .otherwise(F.concat(F.lit("<|"), F.coalesce(s["kind"], F.lit("unknown")), F.lit("|>"))),
         ),
@@ -260,9 +288,7 @@ def render_training_text(docs: DataFrame, spans_col: str = "spans") -> DataFrame
         rendered.alias("training_text"),
         F.length(rendered).alias("n_chars"),
         F.size(
-            F.filter(
-                F.coalesce(F.col(spans_col), F.array()),
-                lambda s: s["kind"] != "text",
-            )
+            # null-safe: NULL kind renders a placeholder, so it IS a slot
+            F.filter(spans, lambda s: s["kind"].isNull() | (s["kind"] != "text"))
         ).alias("n_media_slots"),
     )

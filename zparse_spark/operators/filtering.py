@@ -386,9 +386,14 @@ def cap_per_group(
     ]
     from pyspark.sql import Window
 
+    # collision-proof temp name: a caller's own '_rk' (a common ranking
+    # column name) must survive the round trip
+    rk = "__cap_rk"
+    while rk in df.columns:
+        rk += "_"
     w = Window.partitionBy(group_col).orderBy(*ordering)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= n)
+        .drop(rk)
     )

@@ -938,13 +938,19 @@ def check_constraint_violations(
 ) -> DataFrame:
     """Evaluate user CHECK constraints → violation rows.
 
-    Scale shape: both levels are pure map stages — no Exchange, no
-    Python. Doc-level checks evaluate on the document row with derived
-    ``n_spans``/``total_text_bytes`` scalars; span-level checks share ONE
-    posexplode across all span constraints (k constraints = k codegen
-    predicates over the same Generate, not k scans). A FALSE predicate
-    emits a violation row; NULL passes (ANSI CHECK), so authors write
-    ``x IS NOT NULL AND <cond>`` when null itself should violate.
+    Scale shape: pure map stages — no Exchange, no Python — and ONE
+    scan per level, not one per constraint: all k predicates of a level
+    are evaluated as a per-row array of failing rule indices which is
+    then exploded (the same project-array-then-explode shape the S-pack
+    uses), so k span checks share one posexplode + one Generate and k
+    doc checks share one derived-scalar projection (``total_text_bytes``
+    computed once, not k times). A union of k filtered branches was the
+    first implementation — each branch re-ran its own scan/explode,
+    which is exactly the k-scan cost this formulation avoids.
+
+    A FALSE predicate emits a violation row; NULL passes (ANSI CHECK),
+    so authors write ``x IS NOT NULL AND <cond>`` when null itself
+    should violate.
 
     line/col are null by design: a user predicate has no single text
     position; span-level rows carry (span_pos, offset) like R1/F1.
@@ -954,18 +960,45 @@ def check_constraint_violations(
     span_checks = [c for c in checks if c.level == "span"]
     parts: list[DataFrame] = []
 
-    def _viol(base: DataFrame, c: CheckConstraint, span_pos, offset) -> DataFrame:
-        pred = F.expr(c.predicate)
-        return base.filter(~F.coalesce(pred, F.lit(True))).select(
+    def _fails(cs: list[CheckConstraint]):
+        # per-row array of the indices whose predicate is definite FALSE
+        return F.filter(
+            F.array(*[
+                F.when(~F.coalesce(F.expr(c.predicate), F.lit(True)), F.lit(i)).otherwise(
+                    F.lit(None).cast("int")
+                )
+                for i, c in enumerate(cs)
+            ]),
+            lambda x: x.isNotNull(),
+        )
+
+    def _attrs(cs: list[CheckConstraint], idx: Column):
+        # rule_id / message literals selected by the failing index —
+        # element_at is 1-based
+        rid = F.element_at(F.array(*[F.lit(c.rule_id) for c in cs]), idx + 1)
+        msg = F.element_at(
+            F.array(*[F.lit(f"check failed: {c.description or c.predicate}") for c in cs]),
+            idx + 1,
+        )
+        return rid, msg
+
+    def _rows(base: DataFrame, cs: list[CheckConstraint], span_pos, offset) -> DataFrame:
+        ex = base.select(
+            "partition", "doc_id",
+            *( [span_pos.cast("int").alias("_sp"), offset.cast("long").alias("_off")] ),
+            F.explode(_fails(cs)).alias("_ci"),
+        )
+        rid, msg = _attrs(cs, F.col("_ci"))
+        return ex.select(
             "partition",
             "doc_id",
-            F.lit(c.rule_id).alias("rule_id"),
+            rid.alias("rule_id"),
             F.lit(ErrorKind.CHECK_FAILED).alias("kind"),
-            span_pos.cast("int").alias("span_pos"),
-            offset.cast("long").alias("offset"),
+            F.col("_sp").alias("span_pos"),
+            F.col("_off").alias("offset"),
             F.lit(None).cast("int").alias("line"),
             F.lit(None).cast("int").alias("col"),
-            F.lit(f"check failed: {c.description or c.predicate}").alias("message"),
+            msg.alias("message"),
         )
 
     if doc_checks:
@@ -981,8 +1014,7 @@ def check_constraint_violations(
                 lambda a, s: a + F.coalesce(F.octet_length(s["text"]), F.lit(0)),
             ).alias("total_text_bytes"),
         )
-        for c in doc_checks:
-            parts.append(_viol(base, c, F.lit(None), F.lit(None)))
+        parts.append(_rows(base, doc_checks, F.lit(None).cast("int"), F.lit(None).cast("long")))
 
     if span_checks:
         ex = docs.select(
@@ -1000,8 +1032,7 @@ def check_constraint_violations(
             F.col("s.media_ref").alias("media_ref"),
             F.col("s.offset").cast("long").alias("offset"),
         )
-        for c in span_checks:
-            parts.append(_viol(ex, c, F.col("span_pos"), F.col("offset")))
+        parts.append(_rows(ex, span_checks, F.col("span_pos"), F.col("offset")))
 
     if not parts:
         from zparse_spark.schema import VIOLATION_SCHEMA

@@ -374,10 +374,15 @@ def iqr_outliers(
     Scale shape: TWO passes over the pruned (group, value) projection —
     pass 1 computes per-group quartiles (exact percentile is a sort-based
     agg per group; groups are partition-grained here, so the per-group
-    sort is the price of exactness — callers with huge groups swap in
-    ``approx_percentile`` via ``approx=True`` and lose the oracle), pass
+    sort is the price of exactness — callers with huge groups should
+    substitute ``percentile_approx`` in the fences aggregate, trading
+    the cross-engine oracle for a t-digest-style mergeable sketch), pass
     2 re-aggregates with the fences joined back (broadcast — one row per
     group, never big). No all-row sort; nothing leaves the JVM.
+
+    NULL group keys form their own group (null-safe join back), matching
+    SQL GROUP BY semantics — a monitoring rule watching per-group tails
+    must not silently lose the unattributed rows.
     """
     group_cols = group_cols or []
     v = F.col(value)
@@ -394,11 +399,23 @@ def iqr_outliers(
             (F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
         )
     )
-    joined = (
-        df.join(F.broadcast(fences), group_cols)
-        if group_cols
-        else df.crossJoin(F.broadcast(fences))
-    )
+    if group_cols:
+        # eqNullSafe: GROUP BY puts null keys in their own group, so the
+        # join back must match them too — a plain equi-join would drop
+        # every null-keyed row from the output
+        fr = F.broadcast(
+            fences.select(
+                *[F.col(c).alias(f"_f_{c}") for c in group_cols],
+                "q1", "q3", "lo_fence", "hi_fence",
+            )
+        )
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"_f_{c}"))
+            cond = e if cond is None else (cond & e)
+        joined = df.join(fr, cond).drop(*[f"_f_{c}" for c in group_cols])
+    else:
+        joined = df.crossJoin(F.broadcast(fences))
     is_out = (v < F.col("lo_fence")) | (v > F.col("hi_fence"))
     return (
         joined.groupBy(*gb)

@@ -473,10 +473,10 @@ rend AS (
          coalesce((SELECT string_agg(
              CASE WHEN s.kind = 'text' THEN coalesce(s.text, '')
                   ELSE '<|' || coalesce(s.kind, 'unknown') || '|>' END,
-             '' ORDER BY s."offset", s.kind,
+             '' ORDER BY coalesce(s."offset", 2147483647), coalesce(s.kind, ''),
                 coalesce(s.media_ref, ''), coalesce(s.text, '')
            ) FROM unnest(d.spans) AS t(s)), '') AS training_text,
-         coalesce((SELECT CAST(sum(CASE WHEN s.kind IS NOT NULL AND s.kind <> 'text'
+         coalesce((SELECT CAST(sum(CASE WHEN s.kind IS NULL OR s.kind <> 'text'
                             THEN 1 ELSE 0 END) AS INT)
            FROM unnest(d.spans) AS t(s)), 0) AS n_media_slots
   FROM docs d
