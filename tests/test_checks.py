@@ -164,3 +164,52 @@ def test_cli_check_flag(tmp_path, spark):
         ).fetchall()
     }
     assert cells[("p1", "K1")] is False and cells[("p0", "K1")] is True
+
+
+def test_spark_submit_py_files_deployment(tmp_path, spark):
+    """The north rule's literal shipping mode, end to end: build
+    zparse_spark.zip, copy validate.py AWAY from the repo (so the
+    package can only resolve from --py-files), spark-submit with a
+    user check, and read the verdict sinks back. Proves the engine has
+    no hidden dependency on running from the repo checkout."""
+    import shutil
+    import subprocess
+
+    from scripts.package import build
+
+    zip_path = str(tmp_path / "zparse_spark.zip")
+    build(zip_path)
+    driver = str(tmp_path / "validate.py")
+    shutil.copy("/root/repo/validate.py", driver)
+
+    docs = _fixture(spark)
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--py-files", zip_path,
+            driver,
+            "--documents", dpath,
+            "--out", out,
+            "--check", "K1:span:offset >= 0",
+            "--warn-rules", "D1",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),  # NOT the repo — imports must come from the zip
+    )
+    assert proc.returncode == 1, proc.stderr[-3000:]  # d5's K1 violation is error-severity
+    import duckdb
+
+    rollup = {
+        p: (ok, ne, nw)
+        for p, ok, ne, nw in duckdb.sql(
+            f"SELECT partition, passed, n_error_cells, n_warn_cells "
+            f"FROM '{out}/partition_verdicts/*.parquet'"
+        ).fetchall()
+    }
+    assert rollup["p1"][0] is False and rollup["p1"][1] >= 1
