@@ -75,14 +75,22 @@ def _le32hex(e: str) -> str:
     )
 
 
+_MEDIA_READY = False
+
+
 def _media_input(spark):
     """Persist the deterministic codec-payload table; read it back so
-    Spark and DuckDB see byte-identical blobs (the _pack_input pattern)."""
-    from zparse_spark.multimodal import synthesize_codec_payloads
+    Spark and DuckDB see byte-identical blobs (the _pack_input pattern,
+    including its write-once-per-process memo — the payload table is a
+    pure function of _N_MEDIA)."""
+    global _MEDIA_READY
+    if not _MEDIA_READY:
+        from zparse_spark.multimodal import synthesize_codec_payloads
 
-    synthesize_codec_payloads(spark, n_media=_N_MEDIA).write.mode("overwrite").parquet(
-        f"{_W}/media_payloads"
-    )
+        synthesize_codec_payloads(spark, n_media=_N_MEDIA).write.mode("overwrite").parquet(
+            f"{_W}/media_payloads"
+        )
+        _MEDIA_READY = True
     return spark.read.parquet(f"{_W}/media_payloads")
 
 

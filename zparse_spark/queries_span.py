@@ -43,24 +43,35 @@ _EPS = 1e-4
 _PARAMS = RuleParams(max_spans=_MAX_SPANS, max_text_bytes=_MAX_BYTES)
 
 
+_PACK_READY = False
+
+
 def _pack_input(spark):
     """Persist the fixture corpus + media catalog; read both back from
     parquet so the engine runs on exactly the bytes the oracle reads.
 
     The extra ``pdrift`` partition holds media-stripped copies of every
-    8th doc — an all-text kind distribution that D1 must flag."""
-    from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+    8th doc — an all-text kind distribution that D1 must flag.
 
-    docs = generate_documents(spark, n_docs=2000, seed=42, n_partitions=8, n_media_refs=512)
-    drift = docs.filter(F.col("doc_id").cast("long") % 8 == 0).select(
-        F.concat(F.lit("drift_"), F.col("doc_id")).alias("doc_id"),
-        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")).alias("spans"),
-        F.lit("pdrift").alias("partition"),
-        F.col("_fixture_class"),
-    )
-    cat = generate_media_catalog(spark, 512)
-    docs.unionByName(drift).write.mode("overwrite").parquet(f"{_W}/span_docs")
-    cat.write.mode("overwrite").parquet(f"{_W}/span_catalog")
+    Generated ONCE per process: 13 span-pack queries share this fixture,
+    and the dataset is a pure function of its pinned seed, so the 2nd..
+    13th gate entries skip the ~8 s datagen+persist and just read the
+    bytes the 1st one wrote (measured: ~90 s off the 85-query gate)."""
+    global _PACK_READY
+    if not _PACK_READY:
+        from zparse_spark.sources.datagen import generate_documents, generate_media_catalog
+
+        docs = generate_documents(spark, n_docs=2000, seed=42, n_partitions=8, n_media_refs=512)
+        drift = docs.filter(F.col("doc_id").cast("long") % 8 == 0).select(
+            F.concat(F.lit("drift_"), F.col("doc_id")).alias("doc_id"),
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")).alias("spans"),
+            F.lit("pdrift").alias("partition"),
+            F.col("_fixture_class"),
+        )
+        cat = generate_media_catalog(spark, 512)
+        docs.unionByName(drift).write.mode("overwrite").parquet(f"{_W}/span_docs")
+        cat.write.mode("overwrite").parquet(f"{_W}/span_catalog")
+        _PACK_READY = True
     docs2 = spark.read.parquet(f"{_W}/span_docs").drop("_fixture_class")
     cat2 = spark.read.parquet(f"{_W}/span_catalog")
     return docs2, cat2
