@@ -233,28 +233,111 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,
     }
-    # scaling efficiency is quoted from the recorded multi-JVM artifact
-    # (scripts/multi_jvm_bench.py writes it; needs a quiet box + ~5 min,
-    # so it is not re-measured inside every bench run) — never a literal
-    # baked into this file, which would silently go stale
-    artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "scripts", "multi_jvm_result.json"
-    )
-    try:
-        with open(artifact) as f:
-            mj = json.load(f)
-        out["scaling_efficiency_n_to_4n_executors"] = mj["efficiency"]
-        out["scaling_efficiency_quoted_from"] = (
-            f"scripts/multi_jvm_result.json measured_at={mj.get('measured_at')} "
-            f"({mj.get('protocol')})"
-        )
-    except (OSError, KeyError, ValueError):
-        out["scaling_efficiency_n_to_4n_executors"] = None
-        out["scaling_efficiency_quoted_from"] = (
-            "missing scripts/multi_jvm_result.json — run scripts/multi_jvm_bench.py"
-        )
+    out.update(scaling_summary())
+    out["host_probe"] = host_probe()
     print(json.dumps(out))
     spark.stop()
+
+
+def scaling_summary() -> dict:
+    """Aggregate EVERY recorded multi-JVM criterion artifact instead of
+    quoting one file: the quoted figure per k is the MEDIAN across all
+    runs at that k, with the band and run count alongside, so a single
+    outlier run (fast or slow) can never become the headline.
+    ``criterion_met_at_k`` applies BASELINE.json's >=0.8 rule to each
+    median. Runs are produced by scripts/multi_jvm_bench.py (needs a
+    quiet box + ~10 min, so they are recorded artifacts, not re-measured
+    inside every bench invocation)."""
+    import glob
+    import re
+    import statistics
+
+    scripts_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    runs: list[dict] = []
+    for p in sorted(glob.glob(os.path.join(scripts_dir, "multi_jvm_result*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            eff = d["efficiency"]
+            k = d.get("k")
+            if k is None:
+                m = re.search(r"1x vs (\d+)x", d.get("protocol", ""))
+                k = int(m.group(1)) if m else None
+            if k is None or not isinstance(eff, (int, float)):
+                continue
+            runs.append({"file": os.path.basename(p), "k": int(k), "efficiency": eff})
+        except (OSError, KeyError, ValueError):
+            continue
+    by_k: dict[int, list[float]] = {}
+    for r in runs:
+        by_k.setdefault(r["k"], []).append(r["efficiency"])
+    summary = {
+        str(k): {
+            "median_efficiency": round(statistics.median(effs), 3),
+            "n_runs": len(effs),
+            "band": [min(effs), max(effs)],
+        }
+        for k, effs in sorted(by_k.items())
+    }
+    med4 = summary.get("4", {}).get("median_efficiency")
+    return {
+        "scaling_efficiency_n_to_4n_executors": med4,
+        "scaling_efficiency_by_k": summary,
+        "criterion_met_at_k": {
+            k: s["median_efficiency"] >= 0.8 for k, s in summary.items()
+        },
+        "scaling_efficiency_quoted_from": (
+            f"median across {len(runs)} scripts/multi_jvm_result*.json artifacts "
+            "(all recorded runs per k — never a selected file); protocol: "
+            "k concurrent local[8] executor-sized JVMs on disjoint shards "
+            "vs 1 (scripts/multi_jvm_bench.py)"
+        ),
+    }
+
+
+def host_probe(seconds: float = 1.5) -> dict:
+    """Spark-free 8-process memory-bandwidth + compute probe (compact
+    box_ceilings.py) stamped into the BENCH artifact so a cross-round
+    docs/sec swing is interpretable: this host's measured bandwidth
+    drifts 0.35-0.91x between back-to-back runs (BASELINE.md §6a), and
+    without the probe a bench regression is indistinguishable from a
+    slow-host window."""
+    import hashlib
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def mem_worker(q, sec):
+        # random fill (not zeros): np.zeros maps CoW zero pages, which
+        # would measure cache, not DRAM — same protocol as box_ceilings.py
+        a = np.random.default_rng(0).integers(0, 255, size=64_000_000, dtype=np.uint8)
+        t_end = time.perf_counter() + sec
+        n = 0
+        while time.perf_counter() < t_end:
+            a.sum()
+            n += 1
+        q.put(n * a.nbytes)
+
+    def cpu_worker(q, sec):
+        buf = b"x" * 65536
+        t_end = time.perf_counter() + sec
+        n = 0
+        while time.perf_counter() < t_end:
+            hashlib.sha256(buf).digest()
+            n += 1
+        q.put(n * len(buf))
+
+    probe = {}
+    for name, worker in [("membw_8proc_gbs", mem_worker), ("sha256_8proc_gbs", cpu_worker)]:
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q, seconds)) for _ in range(8)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        probe[name] = round(total / seconds / 1e9, 1)
+    return probe
 
 
 if __name__ == "__main__":
