@@ -139,6 +139,33 @@ def test_snapshot_diff_classification(spark):
     assert got == {"2": "changed", "3": "removed", "4": "added"}
 
 
+def test_snapshot_diff_null_fingerprint(spark):
+    """Presence is decided by per-side markers, not fingerprint nullness:
+    a user fingerprint that evaluates to NULL (md5 of a NULL text) must
+    classify by membership — NULL vs NULL is unchanged, NULL vs value is
+    changed — never as added/removed (which would silently drop the row
+    from the added ∪ changed re-validation set)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.canonical import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("1", None), ("2", None), ("3", "c"), ("5", None)],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [("1", None), ("2", "b"), ("3", None), ("4", None)],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old, new, fingerprint=F.md5("text")).collect()
+    }
+    # '1' NULL==NULL unchanged; '2' NULL->value changed; '3' value->NULL
+    # changed; '4' added with NULL fp; '5' removed with NULL fp
+    assert got == {"2": "changed", "3": "changed", "4": "added", "5": "removed"}
+
+
 def test_render_training_text(spark):
     from tests.conftest import make_docs
     from zparse_spark.operators.canonical import render_training_text

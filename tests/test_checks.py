@@ -150,11 +150,16 @@ def test_cli_check_flag(tmp_path, spark):
             "--documents", dpath,
             "--out", out,
             "--check", "K1:span:offset >= 0",
+            "--warn-rules", "R1",
             "--master", "local[2]",
         ],
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert proc.returncode == 1, proc.stderr[-2000:]  # violations exist
+    # R1 is INACTIVE for this run (no --catalog): the warn-rule silently
+    # demotes nothing, so the CLI must say so — keyed off the engine's
+    # actual active list, not the full built-in rule set
+    assert "matches no active rule" in proc.stdout and "'R1'" in proc.stdout
     import duckdb
 
     cells = {

@@ -320,3 +320,26 @@ def test_partition_verdicts_severity_policy(spark):
     # no policy: every failing cell is an error
     strict = {r.partition: r for r in partition_verdicts(verd).collect()}
     assert strict["p1"].passed is False and strict["p1"].n_error_cells == 1
+
+
+def test_active_rule_ids_reflect_config():
+    """active_rule_ids is the single source of truth for which rules a
+    config evaluates — the verdict grid and the CLI's --warn-rules
+    unknown-rule warning both key off it (a warn-rule naming a rule
+    disabled for this run must warn, not silently no-op)."""
+    from zparse_spark.operators.rules import ALL_RULES, CheckConstraint
+    from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+
+    base = set(ValidationEngine().active_rule_ids())
+    assert base == {r.rule_id for r in ALL_RULES}
+    assert "M1" not in base and "F1" not in base  # opt-in rules inactive
+
+    cfg = ValidationConfig(
+        enable_uniqueness=False,
+        enable_media_decode=True,
+        enable_media_kind_fd=True,
+        check_constraints=(CheckConstraint("K1", "span", "offset >= 0"),),
+    )
+    active = ValidationEngine(cfg).active_rule_ids()
+    assert "U1" not in active
+    assert {"M1", "F1", "K1"} <= set(active)

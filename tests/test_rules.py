@@ -182,6 +182,12 @@ def test_r1_referential(spark):
     for strategy in ("auto", "broadcast", "smj", "distinct"):
         got = rows(referential_violations(docs, cat, strategy))
         assert got == [("bad", "R1", "DanglingMediaRef", 1, 1)], strategy
+    # distinct-strategy broadcast guard: when the dangling set exceeds
+    # the budget (forced here with max=0 — the wrong/empty-catalog regime
+    # where most refs dangle) the op falls back to the plain anti-join
+    # instead of force-broadcasting an unbounded set; output identical
+    got = rows(referential_violations(docs, cat, "distinct", distinct_broadcast_max=0))
+    assert got == [("bad", "R1", "DanglingMediaRef", 1, 1)]
 
 
 def test_d1_drift(spark):
@@ -306,6 +312,23 @@ def test_functional_dependency_violations(spark):
         "cat1": (2, "image,video"),
         "hot": (20, "k00,k01,k02"),
     }
+
+
+def test_functional_dependency_non_string_dependent(spark):
+    """Y is advertised as any atomic type — an int dependent must work
+    (the variants reassembly needs array<string>, so the op casts in the
+    initial projection; pre-fix this failed at analysis time)."""
+    from zparse_spark.operators.rules import functional_dependency_violations
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 7), ("b", 7), ("c", None)],
+        "src string, code int",
+    )
+    got = {
+        r["src"]: (r["n_variants"], r["variants"])
+        for r in functional_dependency_violations(df, "src", "code").collect()
+    }
+    assert got == {"a": (2, "1,2")}
 
 
 def test_media_kind_consistency_f1(spark):

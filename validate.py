@@ -104,13 +104,14 @@ def main(argv: list[str] | None = None) -> int:
     from zparse_spark.plans.engine import partition_verdicts
 
     warn_rules = [r.strip() for r in args.warn_rules.split(",") if r.strip()]
-    from zparse_spark.operators.rules import ALL_RULES
-
-    known = {r.rule_id for r in ALL_RULES} | {"M1", "F1"} | {c.rule_id for c in checks}
+    # known = the rules ACTIVE under this run's config (engine is the
+    # single source of truth), not the full built-in set: --warn-rules M1
+    # with no --media silently demotes nothing — that deserves the warning
+    known = set(engine.active_rule_ids())
     for r in warn_rules:
         if r not in known:
             print(f"warning: --warn-rules entry {r!r} matches no active rule "
-                  f"(active: {sorted(known)}) — it will have no effect")
+                  f"for this run (active: {sorted(known)}) — it will have no effect")
     rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
     rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
 

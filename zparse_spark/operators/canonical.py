@@ -213,15 +213,25 @@ def snapshot_diff(
     fp = fingerprint if fingerprint is not None else F.md5(
         span_fingerprint(F.col("spans")).cast("string")
     )
-    a = old.select(F.col(id_col).alias("_id"), fp.alias("fp_old"))
-    b = new.select(F.col(id_col).alias("_id"), fp.alias("fp_new"))
+    # presence is decided by an explicit per-side marker, never by
+    # fingerprint nullness: a user-supplied fingerprint that evaluates to
+    # NULL (e.g. F.md5(F.col('text')) with NULL text) must not make an
+    # existing row classify as added/removed — that would silently drop
+    # it from the added ∪ changed re-validation set. Fingerprints are
+    # compared null-safely: NULL vs NULL is "same", NULL vs value differs.
+    a = old.select(
+        F.col(id_col).alias("_id"), fp.alias("fp_old"), F.lit(True).alias("_in_old")
+    )
+    b = new.select(
+        F.col(id_col).alias("_id"), fp.alias("fp_new"), F.lit(True).alias("_in_new")
+    )
     return (
         a.join(b, "_id", "full_outer")
         .withColumn(
             "change",
-            F.when(F.col("fp_old").isNull(), F.lit("added"))
-            .when(F.col("fp_new").isNull(), F.lit("removed"))
-            .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed")),
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(~F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit("changed")),
         )
         .filter(F.col("change").isNotNull())
         .select(F.col("_id").alias(id_col), "change")

@@ -541,7 +541,10 @@ def uniqueness_violations(docs: DataFrame) -> DataFrame:
 
 
 def referential_violations(
-    docs: DataFrame, media_catalog: DataFrame, strategy: str = "auto"
+    docs: DataFrame,
+    media_catalog: DataFrame,
+    strategy: str = "auto",
+    distinct_broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """R1: every non-null spans.media_ref must exist in the catalog
     (referential pairing generalizing xml/parser.rs:125-134).
@@ -591,7 +594,22 @@ def referential_violations(
         dangling_set = refs.select("media_ref").distinct().join(
             cat, "media_ref", "left_anti"
         )
-        dangling = refs.join(F.broadcast(dangling_set), "media_ref", "left_semi")
+        # the forced broadcast rides on the sparsity ASSUMPTION that
+        # dangling refs are rare; when it fails (wrong/empty catalog →
+        # most refs dangling) a forced broadcast OOMs the driver at the
+        # scale this path targets, turning a data problem into a job
+        # failure. Probe with limit(max+1).count() — bounded either way,
+        # the scan stops after max+1 rows — and fall back to the plain
+        # occurrence anti-join when the set exceeds the broadcast budget
+        # (in the catastrophic regime the two-phase rewrite saves
+        # nothing anyway: the dangling set ≈ the distinct refs).
+        if (
+            dangling_set.limit(distinct_broadcast_max + 1).count()
+            <= distinct_broadcast_max
+        ):
+            dangling = refs.join(F.broadcast(dangling_set), "media_ref", "left_semi")
+        else:
+            dangling = refs.join(cat, "media_ref", "left_anti")
     else:
         dangling = refs.join(cat, "media_ref", "left_anti")
     return dangling.select(
@@ -798,8 +816,14 @@ def functional_dependency_violations(
        variants of a hot key — the OOM this shape exists to avoid).
     """
     xs = [determinant] if isinstance(determinant, str) else list(determinant)
+    # dependent cast to string in the initial projection: the variants
+    # reassembly (array_join over array_sort(collect_list)) requires
+    # array<string>, and Y is advertised as any atomic type (license
+    # tags, int codes, …) — without the cast a non-string Y fails at
+    # analysis time. Null check runs BEFORE the cast semantics matter:
+    # cast preserves nullness for atomic types.
     pairs = (
-        df.select(*[F.col(c) for c in xs], F.col(dependent).alias("_y"))
+        df.select(*[F.col(c) for c in xs], F.col(dependent).cast("string").alias("_y"))
         .filter(F.col("_y").isNotNull())
         .na.drop(subset=xs)
         .distinct()

@@ -184,11 +184,13 @@ class ValidationEngine:
             out = out.unionByName(p)
         return out
 
-    def verdicts(self, docs: DataFrame, violations: DataFrame) -> DataFrame:
-        """Dense (partition × rule) pass/fail grid, including all-pass
-        cells — built from a cross join of the (tiny) rule list with the
-        distinct partitions, left-joined to violation counts."""
-        spark = docs.sparkSession
+    def active_rule_ids(self) -> list[str]:
+        """Rule ids this configuration actually evaluates — the single
+        source of truth for the dense verdict grid AND for CLI
+        diagnostics (an unknown --warn-rules warning must reflect the
+        rules active for THIS run, not the full built-in set: a warn-
+        rule naming a disabled rule silently has no effect, which is
+        exactly what the warning exists to catch)."""
         c = self.config
         active = [r.rule_id for r in ALL_RULES]
         if not c.enable_uniqueness:
@@ -202,6 +204,14 @@ class ValidationEngine:
         if c.enable_media_kind_fd:
             active.append("F1")
         active.extend(sorted(k.rule_id for k in c.check_constraints))
+        return active
+
+    def verdicts(self, docs: DataFrame, violations: DataFrame) -> DataFrame:
+        """Dense (partition × rule) pass/fail grid, including all-pass
+        cells — built from a cross join of the (tiny) rule list with the
+        distinct partitions, left-joined to violation counts."""
+        spark = docs.sparkSession
+        active = self.active_rule_ids()
         # in-plan literal array, not createDataFrame: the rule list is
         # tiny but per-call driver→executor parallelize is pure overhead
         # when the ids can live inside the plan itself
