@@ -197,3 +197,36 @@ def test_iqr_outliers_null_group_key(spark):
     out = {r["g"]: r for r in iqr_outliers(df, "v", ["g"], k=1.0).collect()}
     assert None in out and out[None].n_outliers == 1 and out[None].max_outlier == 500.0
     assert out["a"].n_rows == 1
+
+
+def test_heavy_hitters_batch_boundary_merge(spark):
+    """Multi-batch pass 1 (arrow batch size forced tiny): the per-batch
+    merge + truncate must preserve the superset guarantee when the heavy
+    value's occurrences are concentrated in LATE batches (an early
+    truncation that over-decremented would evict it for good). Output
+    still equals the exact HAVING set."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import heavy_hitters
+
+    # one partition -> one MG sketch crossing ~16 batches of 64 rows;
+    # 'hot' is absent from the first half, then dominates
+    rows = [(f"noise{i}",) for i in range(500)] + [("hot",)] * 400 + [("warm",)] * 124
+    df = spark.createDataFrame(rows, "v string").coalesce(1)
+    n = len(rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        for k in (2, 5):
+            got = {r["v"]: r["freq"] for r in heavy_hitters(df, "v", k=k).collect()}
+            exact = {
+                r["v"]: r["n"]
+                for r in df.groupBy("v")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") * (k + 1) > n)
+                .collect()
+            }
+            assert got == exact, f"k={k}"
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
