@@ -510,3 +510,38 @@ def test_toml_yaml_roundtrip_closure(spark):
     got_y = sorted(from_yaml_lines(to_yaml_lines(df), schema).drop("_corrupt").collect())
     assert got_t == want
     assert got_y == want
+
+
+def test_xml_duplicate_attr_detection(spark):
+    """Duplicate-attribute matrix (xml/parser.rs:175-177): the detector
+    flags dups within one tag (first duplicated name), across quote
+    styles, and stays silent for unique attrs, repeated attrs on
+    DIFFERENT tags, and attr-less documents; from_xml_lines surfaces it
+    as _dup_attr alongside the last-wins parse."""
+    from zparse_spark.functions.convert import from_xml_lines
+
+    rows = [
+        (1, '<r a="1" b="2" a="3"><v>x</v></r>'),          # dup a
+        (2, '<r a="1" b="2"><v>x</v></r>'),                 # clean
+        (3, "<r a='1' a='2'/>"),                            # single quotes
+        (4, '<r a="1"><c a="2"/></r>'),                     # same name, different tags
+        (5, '<r><v>no attrs</v></r>'),                      # attr-less
+        (6, '<r b="1" b="2" c="3" c="4"/>'),                # first dup reported
+    ]
+    df = spark.createDataFrame(rows, "i int, xml string")
+    got = {
+        r["i"]: r["_dup_attr"]
+        for r in from_xml_lines(
+            df, "_a string, v string", flag_duplicate_attrs=True
+        ).collect()
+    }
+    assert got == {1: "a", 2: None, 3: "a", 4: None, 5: None, 6: "b"}
+    # pass-through column survived; from_xml itself REJECTS the dup-attr
+    # rows (all-NULL parse) — _dup_attr is what attributes that rejection
+    parsed = from_xml_lines(df, "_a string, v string", flag_duplicate_attrs=True)
+    assert set(parsed.columns) == {"i", "_a", "v", "_dup_attr"}
+    vals = {r["i"]: (r["_a"], r["v"]) for r in parsed.collect()}
+    assert vals[1] == (None, None) and vals[2] == ("1", "x")
+    # no Python in the plan: detection is regexp/HOF expressions
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -192,3 +192,67 @@ def test_stream_media_rule(spark, tmp_path):
     viol = spark.read.parquet(f"{out}/violations")
     rows = [(r["doc_id"], r["rule_id"]) for r in viol.collect()]
     assert ("d2", "M1") in rows and all(d != "d1" for d, _ in rows)
+
+
+def test_compaction_ingest_order_precedence(spark, tmp_path):
+    """The stronger keep rule for arrival-order consumers: the stream
+    stamps ``_ingest_batch`` per micro-batch; compaction with
+    ``order_cols=('_ingest_batch',)`` keeps the FIRST ARRIVAL even when
+    a later-arriving copy carries an EARLIER event time. Within ONE
+    stream that inversion cannot occur — the watermark that expired the
+    id's dedup state also floors any re-delivery's event time above the
+    first copy's — so the scenario is a multi-writer sink: a backfill
+    job appends a recovered copy of A (stamping its own, higher, ingest
+    order) whose event time predates the stream's copy. The default
+    min-event-time rule resurrects the backfill copy; ingest-order
+    precedence keeps the stream's."""
+    from zparse_spark.streaming.validate_stream import compact_dedup_sink, dedup_stream
+
+    src = str(tmp_path / "isrc")
+    out = str(tmp_path / "iout")
+    t0 = 1_700_000_000
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            [(i, v, ts) for i, v, ts in rows], ["doc_id", "val", "_ts"]
+        ).select(
+            "doc_id", "val", F.timestamp_seconds(F.col("_ts")).alias("ts")
+        ).write.mode("append").parquet(src)
+        schema = "doc_id string, val string, ts timestamp"
+        q = dedup_stream(
+            spark.readStream.schema(schema).parquet(src), out, delay="1 hour",
+            stamp_ingest_order=True,
+        )
+        q.awaitTermination(120)
+
+    # stream: A and B arrive at t0+2h, then C at t0+6h (watermark moves on)
+    run_batch([("A", "first", t0 + 2 * 3600), ("B", "first", t0 + 2 * 3600)])
+    run_batch([("C", "first", t0 + 6 * 3600)])
+    sink = spark.read.parquet(f"{out}/deduped")
+    # stamped, monotonically increasing across runs (exact ids are a
+    # checkpoint detail — availableNow may commit bookkeeping batches)
+    stamps = {r["_ingest_batch"] for r in sink.collect()}
+    assert len(stamps) == 2 and min(stamps) == 0 and max(stamps) > 0
+
+    # backfill writer: re-delivers A with an EARLIER event time, stamping
+    # its own ingest order AFTER every stream batch (batch 1000)
+    spark.createDataFrame(
+        [("A", "backfill-copy", t0)], ["doc_id", "val", "_ts"]
+    ).select(
+        "doc_id", "val", F.timestamp_seconds(F.col("_ts")).alias("ts"),
+        F.lit(1000).alias("_ingest_batch"),
+    ).write.mode("append").partitionBy("_ingest_batch").parquet(f"{out}/deduped")
+
+    sink = spark.read.parquet(f"{out}/deduped")
+    assert sink.filter("doc_id = 'A'").count() == 2  # the duplicate is real
+    # default event-time rule: the backfill copy (earlier ts) wins
+    ev = compact_dedup_sink(spark, out).filter("doc_id = 'A'").collect()
+    assert len(ev) == 1 and ev[0]["val"] == "backfill-copy"
+    # ingest-order precedence: the first arrival wins
+    io = (
+        compact_dedup_sink(spark, out, order_cols=("_ingest_batch",))
+        .filter("doc_id = 'A'")
+        .collect()
+    )
+    assert len(io) == 1 and io[0]["val"] == "first"
+    assert int(io[0]["ts"].timestamp()) == t0 + 2 * 3600

@@ -249,13 +249,60 @@ def to_xml_lines(df: DataFrame) -> DataFrame:
     )
 
 
-def from_xml_lines(df: DataFrame, schema: str, col: str = "xml") -> DataFrame:
+_XML_TAG_PATTERN = "<[A-Za-z_][^<>]*>"
+_XML_ATTR_PATTERN = "([A-Za-z_][\\w.:-]*)\\s*=\\s*(?:\"[^\"]*\"|'[^']*')"
+
+
+def xml_duplicate_attr(col: Column) -> Column:
+    """First duplicated attribute name across the document's start tags,
+    or NULL when every tag's attributes are unique — the reference
+    REJECTS duplicated attributes (xml/parser.rs:175-177, kind
+    DuplicateKey); Spark's from_xml also fails the parse but silently
+    (an all-NULL row with no reason), so this column is the attribution.
+    Pure JVM expression (regexp_extract_all + HOFs, no Python): extract
+    start tags, extract each tag's attribute-name list, keep names whose
+    first occurrence index differs from their own (i.e. later
+    duplicates). Scan-level heuristic: a literal ``>`` inside a quoted
+    attribute value truncates that tag's scan window (the reference's
+    full lexer tracks quote state; this advisory detector trades that
+    corner for staying inside codegen)."""
+    tags = F.regexp_extract_all(col, F.lit(_XML_TAG_PATTERN), F.lit(0))
+    attr_lists = F.transform(
+        tags, lambda t: F.regexp_extract_all(t, F.lit(_XML_ATTR_PATTERN), F.lit(1))
+    )
+    dup_names = F.flatten(
+        F.transform(
+            attr_lists,
+            lambda a: F.filter(a, lambda x, i: F.array_position(a, x) - 1 != i),
+        )
+    )
+    return F.get(dup_names, 0)
+
+
+def from_xml_lines(
+    df: DataFrame, schema: str, col: str = "xml", flag_duplicate_attrs: bool = False
+) -> DataFrame:
     """XML element strings → typed columns (C9 direction XML→table,
     convert.rs:341-430). Repeated child elements fold into arrays when
     the schema says ARRAY — the reference's repeated-element→array rule
     (element_to_value, convert.rs:562-588); entities are decoded by the
-    built-in parser (xml/parser.rs:341-390 analog)."""
-    return df.select(F.from_xml(F.col(col), schema).alias("_r")).select("_r.*")
+    built-in parser (xml/parser.rs:341-390 analog).
+
+    ``flag_duplicate_attrs=True`` appends a ``_dup_attr`` column (the
+    first duplicated attribute name, NULL when clean): the reference
+    rejects duplicate attributes as DuplicateKey (xml/parser.rs:175-177)
+    and from_xml rejects them too — but anonymously, as an all-NULL
+    row indistinguishable from missing fields; the flag lets ingest
+    emit an attributed violation row instead. Non-XML columns of ``df``
+    pass through unchanged (provenance/id columns survive the parse)."""
+    passthrough = [c for c in df.columns if c != col]
+    out = df.select(
+        *passthrough, F.col(col).alias("_src"), F.from_xml(F.col(col), schema).alias("_r")
+    )
+    cols = [*passthrough, F.col("_r.*")]
+    if flag_duplicate_attrs:
+        cols.append(xml_duplicate_attr(F.col("_src")).alias("_dup_attr"))
+    return out.select(*cols)
 
 
 def normalize_for_target(df: DataFrame, target: str) -> DataFrame:

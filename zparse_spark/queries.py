@@ -1525,6 +1525,58 @@ def doc_xml_escape_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "doc_xml_dup_attrs",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'a' END AS dup_attr,
+           CASE WHEN doc_id % 5 = 0 THEN 'DuplicateKey' END AS kind,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE '1' END AS a_val,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE trim(substr(text, 1, 8)) END AS t
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def doc_xml_dup_attrs(spark, sf_dir):
+    """XML ingest duplicate-attribute rejection (xml/parser.rs:175-177:
+    the reference errors with DuplicateKey; Spark's from_xml ALSO
+    rejects — the whole row parses to NULLs — but silently and without
+    attribution). Every 5th document's XML is planted with a duplicated
+    ``a`` attribute; ``from_xml_lines(flag_duplicate_attrs=True)`` must
+    flag exactly those rows (kind DuplicateKey) so the anonymous
+    all-NULL parse becomes an attributed violation row — the
+    collect-don't-abort table analog of the reference's hard error.
+    Detection is pure JVM regexp/HOF expressions; the DuckDB twin
+    recomputes the planted truth directly (with trim(): from_xml's
+    ignoreSurroundingSpaces default strips element-text edge
+    whitespace; parsed fields are NULL on the flagged rows)."""
+    from zparse_spark.functions.convert import from_xml_lines, xml_escape
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    esc = xml_escape(F.substring("text", 1, 8))
+    dup = F.col("doc_id") % 5 == 0
+    xml = F.concat(
+        F.lit('<r a="1" b="'),
+        F.col("lang"),
+        F.when(dup, F.lit('" a="2')).otherwise(F.lit("")),
+        F.lit('"><t>'),
+        esc,
+        F.lit("</t></r>"),
+    )
+    parsed = from_xml_lines(
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), xml.alias("xml")),
+        "_a string, _b string, t string",
+        flag_duplicate_attrs=True,
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("_dup_attr").alias("dup_attr"),
+        F.when(F.col("_dup_attr").isNotNull(), F.lit("DuplicateKey")).alias("kind"),
+        F.col("_a").alias("a_val"),
+        "t",
+    )
+
+
 # span-pack oracle queries register themselves on import (kept in a
 # separate module: the SQL twins of the engine rules are sizeable)
 from zparse_spark import queries_span  # noqa: E402,F401  (registration side effect)
@@ -1676,7 +1728,21 @@ def _pipe_sql() -> str:
         "md5(coalesce(string_agg(doc_id, ',' ORDER BY doc_id), '')) AS ids_md5 FROM {src}"
     )
     return f"""WITH RECURSIVE base AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, coalesce(text, '') AS t FROM documents
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS part, text AS rawtext,
+         n_chars, coalesce(text, '') AS t
+  FROM documents
+),
+badkeys AS (
+  SELECT DISTINCT part, doc_id FROM base
+  WHERE n_chars <> length(rawtext)
+     OR regexp_matches(rawtext, '[\\x00-\\x1f]')
+     OR rawtext IS NULL OR length(rawtext) = 0
+     OR n_chars > 500
+),
+clean AS (
+  SELECT b.doc_id, b.t FROM base b
+  LEFT JOIN badkeys k ON k.part = b.part AND k.doc_id = b.doc_id
+  WHERE k.doc_id IS NULL
 ),
 ann AS (
   SELECT doc_id, t,
@@ -1691,7 +1757,7 @@ ann AS (
             w -> w IN ('der','die','und','das'))) AS s_de,
         len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
             w -> w IN ('le','les','des','est'))) AS s_fr
-  FROM base
+  FROM clean
 ),
 decided AS (
   SELECT doc_id, t, CASE
@@ -1759,6 +1825,8 @@ final AS (
 )
 {stage_row.format(name='input', src='base')}
 UNION ALL
+{stage_row.format(name='clean', src='clean')}
+UNION ALL
 {stage_row.format(name='admitted', src='admitted')}
 UNION ALL
 {stage_row.format(name='after_exact', src='after_exact')}
@@ -1768,11 +1836,20 @@ UNION ALL
 
 @register("pipeline_training_set", _pipe_sql())
 def pipeline_training_set(spark, sf_dir):
-    """Corpus → training set in one composed lazy plan: admission filter
-    (map-only), exact dedup (content-hash min-keep), md5-MinHash near-dup
-    pairs, cluster resolution, keep-representatives — with per-stage doc
-    counts AND an md5 fingerprint over the sorted surviving ids, all
-    re-derived stage-for-stage by DuckDB."""
+    """Corpus → training set in one composed lazy plan: VALIDATION
+    QUARANTINE GATE (error-severity rules route offending docs out of
+    the pipeline; advisory rules are reported but never gate — the
+    warn/error policy of partition_verdicts applied at ingestion),
+    then admission filter (map-only), exact dedup (content-hash
+    min-keep), md5-MinHash near-dup pairs, cluster resolution,
+    keep-representatives — with per-stage doc counts AND an md5
+    fingerprint over the sorted surviving ids, all re-derived
+    stage-for-stage by DuckDB. The gate uses quarantine_split over the
+    flat V-rule violations (partition = source, the violation
+    attribution grain): V1/V2/V4/V5 (structural + the reference's hard
+    MaxSizeExceeded, json/parser.rs:127-136) are error-severity and
+    quarantine; V3 (lang whitelist) stays WARN — evaluated, never
+    gating."""
     from zparse_spark.functions.text import normalize_text
     from zparse_spark.operators.dedup import (
         exact_duplicates,
@@ -1780,12 +1857,42 @@ def pipeline_training_set(spark, sf_dir):
         minhash_dedup,
     )
     from zparse_spark.operators.filtering import corpus_filter
+    from zparse_spark.plans.engine import quarantine_split
 
-    d = _t(spark, sf_dir, "documents").select(
+    dsrc = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("source").alias("partition"),
+        F.col("text").alias("rawtext"),
+        F.col("n_chars"),
         F.coalesce("text", F.lit("")).alias("text"),
     )
-    admitted = corpus_filter(d).filter("kept").select("doc_id", "text")
+    d = dsrc.select("doc_id", "text")
+    # flat V-rule violations at the (partition, doc_id) grain; V3 is
+    # built too (warn severity) but deliberately excluded from the gate
+    viol = (
+        dsrc.filter(F.col("n_chars") != F.length("rawtext"))
+        .select("partition", "doc_id", F.lit("V1").alias("rule_id"))
+        .unionByName(
+            dsrc.filter(F.col("rawtext").rlike("[\\x00-\\x1f]")).select(
+                "partition", "doc_id", F.lit("V2").alias("rule_id")
+            )
+        )
+        .unionByName(
+            dsrc.filter(
+                F.col("rawtext").isNull() | (F.length("rawtext") == 0)
+            ).select("partition", "doc_id", F.lit("V4").alias("rule_id"))
+        )
+        .unionByName(
+            dsrc.filter(F.col("n_chars") > 500).select(
+                "partition", "doc_id", F.lit("V5").alias("rule_id")
+            )
+        )
+    )
+    clean_docs, _quarantined = quarantine_split(
+        dsrc, viol, rule_ids=["V1", "V2", "V4", "V5"]
+    )
+    clean = clean_docs.select("doc_id", "text")
+    admitted = corpus_filter(clean).filter("kept").select("doc_id", "text")
     groups = exact_duplicates(admitted).select(
         F.col("content_hash").alias("_ch"), "keep_id"
     )
@@ -1810,6 +1917,7 @@ def pipeline_training_set(spark, sf_dir):
 
     return (
         stage(d, "input")
+        .unionByName(stage(clean, "clean"))
         .unionByName(stage(admitted, "admitted"))
         .unionByName(stage(after_exact, "after_exact"))
         .unionByName(stage(final, "final"))

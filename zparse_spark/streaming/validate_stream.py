@@ -151,6 +151,7 @@ def dedup_stream(
     event_time_col: str = "ts",
     delay: str = "10 minutes",
     trigger_once: bool = True,
+    stamp_ingest_order: bool = False,
 ):
     """Streaming exact dedup — the ingest-side guard of the dedup family
     (operators/dedup.py) as a genuinely incremental operator.
@@ -168,12 +169,37 @@ def dedup_stream(
     deduped = stream_docs.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
-    writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", f"{out_dir}/deduped")
-        .option("checkpointLocation", f"{out_dir}/_dedup_checkpoint")
-        .outputMode("append")
-    )
+    if stamp_ingest_order:
+        # stamp the micro-batch id as ``_ingest_batch`` so the offline
+        # compaction can recover ARRIVAL order (pass
+        # ``order_cols=('_ingest_batch',)`` to compact_dedup_sink — it
+        # then takes precedence over event time in the keep rule, so a
+        # post-watermark re-delivery carrying an EARLIER event time
+        # still loses to the first arrival). batch ids are monotonic
+        # across restarts of the same checkpoint; the sink partitions
+        # by batch with dynamic overwrite, making a retried batch
+        # idempotent (plain append would duplicate it).
+        def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("_ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_ingest_batch")
+                .parquet(f"{out_dir}/deduped")
+            )
+
+        writer = (
+            deduped.writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", f"{out_dir}/_dedup_checkpoint")
+            .outputMode("append")
+        )
+    else:
+        writer = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{out_dir}/deduped")
+            .option("checkpointLocation", f"{out_dir}/_dedup_checkpoint")
+            .outputMode("append")
+        )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
