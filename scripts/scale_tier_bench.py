@@ -179,6 +179,80 @@ def main() -> None:
         "vecs_per_sec_10x": round(m10 / s10, 1),
         "wall_growth_vs_10x_linear": round(s10 / (args.factor * s1), 3),
     }
+
+    # ---- corpus ops (round-5: the X19/X21/X33 family gets the same
+    # 10x-wall-growth artifact dedup/ANN already had). They reuse the
+    # interleaved tiers: these ops have no pair/bucket structure the
+    # interleave could distort — pack input rows and token/line
+    # OCCURRENCES scale exactly 10x (the linear yardstick), while the
+    # replica tokens keep the distinct-line domain growing with the
+    # corpus the way a real 10x crawl's would.
+    from zparse_spark.functions.text import build_vocabulary
+    from zparse_spark.operators.filtering import (
+        boilerplate_lines,
+        corpus_filter,
+        strip_boilerplate,
+        token_budget_pack,
+    )
+
+    # pack input: materialized (doc_id, tokens, quality) — the shape the
+    # pipeline hands the packer (annotations only; admission selectivity
+    # on the interleaved synthetic text is not the variable under test)
+    for tier, src in (("1x", d1), ("10x", d10)):
+        corpus_filter(src).select(
+            "doc_id", "tokens", "quality"
+        ).write.mode("overwrite").parquet(f"{wd}/pack_{tier}")
+    p1 = spark.read.parquet(f"{wd}/pack_1x")
+    p10 = spark.read.parquet(f"{wd}/pack_10x")
+    k1, k10 = p1.count(), p10.count()
+    # budget scales WITH the tier (half the admitted tokens) so the pack
+    # does 10x the selection work — a fixed budget would prune 10x
+    # earlier and trivially look sublinear
+    b1 = int(p1.agg(F.sum("tokens")).collect()[0][0] * 0.5)
+    b10 = int(p10.agg(F.sum("tokens")).collect()[0][0] * 0.5)
+    g1 = timed(lambda: token_budget_pack(p1, budget=b1).count())
+    g10 = timed(lambda: token_budget_pack(p10, budget=b10).count())
+    out["token_budget_pack"] = {
+        "n_docs_1x": k1, "n_docs_10x": k10, "sec_1x": g1, "sec_10x": g10,
+        "docs_per_sec_1x": round(k1 / g1, 1),
+        "docs_per_sec_10x": round(k10 / g10, 1),
+        "wall_growth_vs_10x_linear": round(g10 / (args.factor * g1), 3),
+    }
+
+    # boilerplate: plant a per-source banner + global footer like the
+    # driver bench; min_docs is a corpus FRACTION (same selectivity at
+    # both tiers — an absolute threshold would select different line
+    # sets and change the anti-join side's size nonlinearly)
+    for tier, src in (("1x", d1), ("10x", d10)):
+        src.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("\nbanner "),
+                F.substring("doc_id", 1, 2), F.lit("\ncopyright footer"),
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(f"{wd}/bl_{tier}")
+    l1 = spark.read.parquet(f"{wd}/bl_1x")
+    l10 = spark.read.parquet(f"{wd}/bl_10x")
+    w1 = timed(lambda: strip_boilerplate(l1, boilerplate_lines(l1, min_docs=max(2, n1 // 100))).count())
+    w10 = timed(lambda: strip_boilerplate(l10, boilerplate_lines(l10, min_docs=max(2, n10 // 100))).count())
+    out["strip_boilerplate"] = {
+        "n_docs_1x": n1, "n_docs_10x": n10, "sec_1x": w1, "sec_10x": w10,
+        "docs_per_sec_1x": round(n1 / w1, 1),
+        "docs_per_sec_10x": round(n10 / w10, 1),
+        "wall_growth_vs_10x_linear": round(w10 / (args.factor * w1), 3),
+    }
+
+    # vocabulary: min_df likewise fractional; output row count is the
+    # token DOMAIN (identical at both tiers — the replica adds
+    # occurrences, not new types), so occurrences/sec is the rate
+    v1 = timed(lambda: build_vocabulary(d1, min_df=max(2, n1 // 100)).count())
+    v10 = timed(lambda: build_vocabulary(d10, min_df=max(2, n10 // 100)).count())
+    out["build_vocabulary"] = {
+        "n_docs_1x": n1, "n_docs_10x": n10, "sec_1x": v1, "sec_10x": v10,
+        "docs_per_sec_1x": round(n1 / v1, 1),
+        "docs_per_sec_10x": round(n10 / v10, 1),
+        "wall_growth_vs_10x_linear": round(v10 / (args.factor * v1), 3),
+    }
     print(json.dumps(out))
 
 
