@@ -321,3 +321,47 @@ def test_select_representatives_quality_prior(spark):
     )
     # unpaired '99' passes through; reps '2' and '11' survive
     assert kept == ["11", "2", "99"]
+
+
+def test_chunk_dedup_first_occurrence_and_reassembly(spark):
+    import hashlib
+
+    from zparse_spark.operators.dedup import chunk_dedup
+
+    # chunk size 3: doc 0 = two full chunks + a short tail; doc 1
+    # repeats doc 0's first chunk at an aligned offset (dropped) then
+    # adds a unique chunk; doc 2 is entirely doc 0's chunks (drops to
+    # the md5('') empty-reassembly path); doc 3 is whitespace-only and
+    # must not appear at all
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),
+            (1, "a b c x y z"),
+            (2, "a b c d e f"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=3).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_chunks_total"], rows[0]["n_chunks_kept"]) == (3, 3)
+    assert rows[0]["dedup_hash"] == hashlib.md5(b"a b c d e f g").hexdigest()
+    assert (rows[1]["n_chunks_total"], rows[1]["n_chunks_kept"]) == (2, 1)
+    assert rows[1]["dedup_hash"] == hashlib.md5(b"x y z").hexdigest()
+    # doc 2's "a b c" and "d e f" both first occurred in doc 0
+    assert (rows[2]["n_chunks_total"], rows[2]["n_chunks_kept"]) == (2, 0)
+    assert rows[2]["dedup_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_dedup_position_order_within_doc(spark):
+    # first occurrence is ordered by (doc_id, pos): a chunk repeated
+    # WITHIN one doc keeps only its earliest position
+    from zparse_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "p q r p q r s")], "doc_id long, text string"
+    )
+    r = chunk_dedup(docs, chunk_words=3).collect()[0]
+    assert (r["n_chunks_total"], r["n_chunks_kept"]) == (3, 2)

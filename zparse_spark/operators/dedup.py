@@ -760,3 +760,77 @@ def select_representatives(
         .select("component", F.col("doc_id").alias("rep_id"))
     )
     return scored.join(best, "component").select("doc_id", "rep_id")
+
+
+# ---------------------------------------------------------------------------
+# chunk-level global dedup (fixed word-window substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global first-occurrence dedup at sub-document granularity: split
+    each document into fixed ``chunk_words``-word windows, keep every
+    chunk only at its FIRST occurrence across the whole corpus (order
+    = (doc_id, position)), and reassemble what survives. This is the
+    C4/RefinedWeb-style repeated-substring removal that document-level
+    dedup misses — boilerplate paragraphs pasted into otherwise-unique
+    pages — generalizing the reference's duplicate-key rejection
+    (zParse rejects duplicates within one document,
+    src/toml/parser.rs:199-214; this rejects duplicated content across
+    10^12 documents).
+
+    Returns (doc_id, n_chunks_total, n_chunks_kept, dedup_hash) — the
+    hash is md5 of the reassembled kept text so oracles can value-match
+    the full reassembly without shipping the text.
+
+    Scale shape (100 TB): chunking is map-only higher-order functions
+    (split → sequence → slice), no Python. The only wide exchanges are
+    (1) the first-occurrence window, partitioned by the 128-bit chunk
+    hash — same width as a groupBy over chunk content but shuffles a
+    16-byte key + (id, pos) instead of the chunk text, and (2) the
+    per-document reassembly groupBy, bounded per key by chunks-per-doc.
+    Hot identical chunks land on one reducer only as (id, pos) pairs;
+    the window computes row_number and discards rank>1 immediately,
+    so state per key is O(1) streaming over a sorted run. First-
+    occurrence is keyed on md5(chunk) (collision-free in practice at
+    any corpus size); the DuckDB oracle keys on the raw chunk text, so
+    a collision would surface as a hash mismatch rather than hide.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    ranked = exploded.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks_total"),
+        F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_chunks_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rk") == 1, F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("dedup_hash"),
+    )

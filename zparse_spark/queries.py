@@ -880,6 +880,70 @@ def dedup_ngram_jaccard_documents(spark, sf_dir):
     return ngram_jaccard_pairs(d, cands, k_shingle=3, mode="char", threshold=0.4)
 
 
+# fixed boilerplate paragraphs planted for chunk-level dedup: B60 is 3
+# exact 20-word chunks; B40 is its 40-word prefix (2 chunks), so the
+# planted docs share chunk content at aligned offsets in BOTH engines
+_B60 = " ".join(f"b{i:02d}" for i in range(1, 61))
+_B40 = " ".join(f"b{i:02d}" for i in range(1, 41))
+
+
+def _chunk_dedup_oracle_sql() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN '{_B60}'
+                  WHEN doc_id % 10 = 5 THEN '{_B40}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM planted WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(words, i*20 + 1, i*20 + 20), ' ') AS chunk
+      FROM base, UNNEST(generate_series(0, CAST(ceil(len(words) / 20.0) AS INT) - 1)) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks_total,
+           count(*) FILTER (WHERE rk = 1) AS n_chunks_kept,
+           md5(coalesce(
+             string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rk = 1), ''
+           )) AS dedup_hash
+    FROM ranked GROUP BY doc_id
+    """
+
+
+@register("dedup_chunks_global", _chunk_dedup_oracle_sql())
+def dedup_chunks_global(spark, sf_dir):
+    """Sub-document global dedup: every 20-word chunk kept only at its
+    first corpus occurrence (C4/RefinedWeb repeated-substring removal —
+    what document-level dedup misses). Fixture plants a 60-word
+    boilerplate paragraph as every 10th doc's text and its 40-word
+    prefix as every (10k+5)th doc's, so the oracle sees cross-doc full
+    AND partial chunk duplication at aligned offsets: doc 0 keeps all
+    3 planted chunks, every other planted doc keeps 0 (md5('') path).
+    The value-matched dedup_hash pins the full reassembly, not just
+    counts (see operators/dedup.py::chunk_dedup for the 100 TB shape).
+    """
+    from zparse_spark.operators.dedup import chunk_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_B60))
+        .when(F.col("doc_id") % 10 == 5, F.lit(_B40))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return chunk_dedup(d, chunk_words=20)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
