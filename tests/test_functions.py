@@ -450,3 +450,35 @@ def test_build_vocabulary(spark):
     assert got == {"the": (4, 3), "cat": (2, 2), "sat": (2, 2)}
     top1 = build_vocabulary(docs, min_df=2, top_n=1).collect()
     assert [(r["token"], r["tf"], r["df"]) for r in top1] == [("the", 4, 3)]
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from zparse_spark.functions.text import tfidf_top_terms
+
+    # 3 docs: 'x' appears in all (idf = ln(4/4) = 0 -> score 0),
+    # 'y' in doc 0 only (tf=2), 'z' in docs 1 and 2
+    docs = spark.createDataFrame(
+        [(0, "x y y"), (1, "x z"), (2, "x z z z"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, top_k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"], r["score"]) for r in rows}
+    idf1 = round(2 * math.log(4.0 / 2.0), 6)  # y: tf=2, df=1, N=3
+    idf2 = round(1 * math.log(4.0 / 3.0), 6)  # z in doc 1: tf=1, df=2
+    assert got[(0, 1)] == ("y", 2, 1, idf1)
+    assert got[(0, 2)] == ("x", 1, 3, 0.0)
+    assert got[(1, 1)] == ("z", 1, 2, idf2)
+    # null/blank docs contribute nothing anywhere
+    assert {k[0] for k in got} == {0, 1, 2}
+
+
+def test_tfidf_min_df_prunes_rare_terms(spark):
+    from zparse_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "common rare"), (1, "common")], "doc_id long, text string"
+    )
+    rows = tfidf_top_terms(docs, top_k=5, min_df=2).collect()
+    assert {r["token"] for r in rows} == {"common"}

@@ -441,3 +441,75 @@ def build_vocabulary(
             F.col("df").desc(), F.col("tf").desc(), F.col("token").asc()
         ).limit(top_n)
     return out.select("token", "tf", "df")
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    min_df: int = 1,
+):
+    """Top-``top_k`` TF-IDF terms per document — the classic keyword /
+    topical-signature extractor (salient-term indexing, near-dup
+    explanation, per-source drift inspection). Smoothed idf:
+    ``ln((1 + N) / (1 + df))`` with N = docs carrying at least one
+    token; ``score = tf * idf`` rounded to 6 decimals, and the rounded
+    value drives the rank so the per-doc top-k is a deterministic,
+    engine-portable set (ties broken token asc).
+
+    Scale shape (100 TB): two aggregates over the exploded token
+    stream — tf on (doc, token), df on token — both with map-side
+    partial combine; N rides the df pass as a one-row aggregate
+    cross-joined back (Catalyst broadcasts the single row). The
+    tf→df join is an equi-join on token: both sides are ALREADY
+    aggregates (one row per (doc,token) / per token), so the join
+    input is the reduced domain, not the occurrence stream; AQE
+    broadcasts the df side when ``min_df`` prunes it small enough.
+    The per-doc top-k window partitions on the document id —
+    thousands of rows per key at most (a doc's distinct tokens), no
+    global sort anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("_doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = toks.groupBy("token").agg(F.countDistinct("_doc").alias("df"))
+    if min_df > 1:
+        docfreq = docfreq.filter(F.col("df") >= min_df)
+    n_docs = toks.agg(F.countDistinct("_doc").alias("_n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("df"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_rk").alias("rank"),
+            "token",
+            "tf",
+            "df",
+            "score",
+        )
+    )

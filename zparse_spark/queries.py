@@ -1393,6 +1393,45 @@ def corpus_vocabulary(spark, sf_dir):
 
 
 @register(
+    "corpus_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM clean GROUP BY 1, 2),
+    docfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM clean GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM clean),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+             round(tf.tf * ln((1.0 + n.n) / (1.0 + docfreq.df)), 6) AS score
+      FROM tf JOIN docfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, df, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, token ASC
+             ) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, term_rank, token, tf, df, score
+    FROM ranked WHERE term_rank <= 3
+    """,
+)
+def corpus_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf, rounded score
+    drives a deterministic rank). Two aggregates over the token stream
+    + a reduced-domain equi-join + a per-doc bounded window — see
+    functions/text.py::tfidf_top_terms for the 100 TB shape."""
+    from zparse_spark.functions.text import tfidf_top_terms
+
+    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
+    return out.withColumnRenamed("rank", "term_rank")
+
+
+@register(
     "fd_documents_source_lang",
     """
     WITH pairs AS (
