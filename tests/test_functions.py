@@ -482,3 +482,27 @@ def test_tfidf_min_df_prunes_rare_terms(spark):
     )
     rows = tfidf_top_terms(docs, top_k=5, min_df=2).collect()
     assert {r["token"] for r in rows} == {"common"}
+
+
+def test_unicode_signals_hand_built(spark):
+    from zparse_spark.functions.text import unicode_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain ascii"),
+            (1, "bad �� transcode"),
+            (2, "ctrl\x07 and tab\t newline\n cr\r kept"),
+            (3, "caf\u00e9 composed"),  # precomposed: non-ascii, NFC-stable
+            (4, "cafe\u0301 decomposed"),  # combining acute: NFC recomposes
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unicode_signals(docs).collect()}
+    assert (rows[0]["n_replacement"], rows[0]["n_control"], rows[0]["n_non_ascii"], rows[0]["nfc_changed"]) == (0, 0, 0, 0)
+    assert rows[1]["n_replacement"] == 2 and rows[1]["n_non_ascii"] == 2
+    # \t \n \r are NOT control signals; \x07 is
+    assert rows[2]["n_control"] == 1
+    assert (rows[3]["n_non_ascii"], rows[3]["nfc_changed"]) == (1, 0)
+    assert (rows[4]["n_non_ascii"], rows[4]["nfc_changed"]) == (1, 1)
+    assert all(rows[5][c] is None for c in ("n_replacement", "n_control", "n_non_ascii", "nfc_changed"))

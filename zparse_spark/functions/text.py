@@ -513,3 +513,51 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+def unicode_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Encoding-health signals per document — the corpus-ingest
+    counterpart of the reference's UTF-8 enforcement (zParse rejects
+    invalid UTF-8 at the lexer, src/lexer/cursor.rs; a table engine
+    ingests already-decoded strings, so the damage shows up as
+    REPLACEMENT CHARACTERs, stray C0 controls, and un-normalized
+    composition instead of hard errors):
+
+    - ``n_replacement``  U+FFFD count (lossy transcode happened upstream)
+    - ``n_control``      C0 controls except tab/LF/CR, plus DEL
+    - ``n_non_ascii``    code points above 0x7F (mojibake spike signal)
+    - ``nfc_changed``    1 if NFC normalization alters the string
+
+    Counts are pure JVM expressions (length deltas under
+    regexp_replace — map-only, codegen). NFC has no JVM builtin, so it
+    is the one Arrow pandas UDF: pandas ``Series.str.normalize`` (the
+    ICU path CPython ships) against the original, returning a boolean
+    — the 100 TB shape stays map-only with one scalar boolean crossing
+    Arrow per doc. NULL text yields NULL signals (passthrough, not 0 —
+    absent is not healthy).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+
+    def _count_removed(pattern: str) -> Column:
+        return (F.length(t) - F.length(F.regexp_replace(t, pattern, ""))).cast("long")
+
+    @pandas_udf("boolean")
+    def _nfc_changed(texts: pd.Series) -> pd.Series:
+        mask = texts.notna()
+        out = pd.Series([None] * len(texts), dtype="object")
+        out[mask] = texts[mask].str.normalize("NFC") != texts[mask]
+        return out
+
+    return df.select(
+        F.col(id_col),
+        _count_removed("\uFFFD").alias("n_replacement"),
+        _count_removed("[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]").alias("n_control"),
+        _count_removed("[^\x00-\x7F]").alias("n_non_ascii"),
+        _nfc_changed(t).cast("int").alias("nfc_changed"),
+    )

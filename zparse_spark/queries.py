@@ -1393,6 +1393,61 @@ def corpus_vocabulary(spark, sf_dir):
 
 
 @register(
+    "doc_unicode_signals",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL ELSE
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' caf' || chr(233) || ' ' || chr(65533) ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' e' || chr(769) ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+             AS n_replacement,
+           length(text) - length(regexp_replace(
+             text, '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+             AS n_control,
+           length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+             AS n_non_ascii,
+           CAST(nfc_normalize(text) <> text AS INT) AS nfc_changed
+    FROM planted
+    """,
+)
+def doc_unicode_signals(spark, sf_dir):
+    """Encoding-health signals with planted damage (every 5th doc gets
+    a lossy-transcode marker + non-ASCII, every 7th a decomposed
+    combining sequence NFC recomposes, every 11th a C0 control). The
+    NFC path runs through pandas' normalizer on Spark and DuckDB's
+    nfc_normalize on the oracle — two independent Unicode
+    implementations agreeing is the check. See
+    functions/text.py::unicode_signals for the map-only shape."""
+    from zparse_spark.functions.text import unicode_signals
+
+    t = F.col("text")
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                t,
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" caf\u00e9 \ufffd")).otherwise(
+                    F.lit("")
+                ),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" e\u0301")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    return unicode_signals(planted)
+
+
+@register(
     "corpus_tfidf_top_terms",
     """
     WITH toks AS (
