@@ -230,3 +230,67 @@ def test_heavy_hitters_batch_boundary_merge(spark):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_correlation_matrix_hand_case(spark):
+    """y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1;
+    covariances match the numpy sample covariance."""
+    import numpy as np
+
+    from zparse_spark.operators.stats import correlation_matrix
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(x, 2 * x, 10 - x) for x in xs]
+    df = spark.createDataFrame(rows, "x double, y double, z double").repartition(3)
+    out = {(r["col_x"], r["col_y"]): r for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert out[("x", "y")]["corr"] == 1.0
+    assert out[("x", "z")]["corr"] == -1.0
+    assert out[("y", "z")]["corr"] == -1.0
+    assert out[("x", "y")]["cov"] == round(float(np.cov(xs, [2 * x for x in xs], ddof=1)[0][1]), 6)
+    assert out[("x", "z")]["cov"] == -2.5
+
+
+def test_correlation_matrix_single_plan_no_python(spark):
+    """All pairs ride one aggregate: exactly one scan, no BatchEvalPython."""
+    from zparse_spark.operators.stats import correlation_matrix
+
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 1.0)], "a double, b double")
+    plan = correlation_matrix(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robust_group_anomalies_planted_outlier(spark):
+    """19 groups with means in [99, 117] + one planted at 5000: only the
+    planted group flags; z is the Iglewicz-Hoaglin modified z-score."""
+    from zparse_spark.operators.stats import robust_group_anomalies
+
+    rows = []
+    for g in range(19):
+        for v in (g + 90.0, g + 100.0, g + 110.0):  # mean = g + 100
+            rows.append((f"g{g:02d}", v))
+    rows += [("planted", 5000.0)] * 3
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(4)
+    out = {r["grp"]: r for r in robust_group_anomalies(df, "grp", "v").collect()}
+    assert len(out) == 20
+    assert out["planted"]["is_anomaly"] == 1 and out["planted"]["robust_z"] > 3.5
+    assert all(out[f"g{g:02d}"]["is_anomaly"] == 0 for g in range(19))
+    # interpolated median of the 20 means (100..118, 5000) = 109.5; MAD
+    # interpolates the sorted |diff|s (planted's 4890.5 is the max) at 9.5
+    med = 109.5
+    diffs = sorted(abs(m - med) for m in [g + 100.0 for g in range(19)] + [5000.0])
+    mad_val = (diffs[9] + diffs[10]) / 2.0
+    assert mad_val == 5.0
+    expect_z = round((5000.0 - med) / (1.4826 * mad_val), 6)
+    assert out["planted"]["robust_z"] == expect_z
+
+
+def test_robust_group_anomalies_zero_mad(spark):
+    """All group means identical -> MAD 0 -> robust_z and is_anomaly NULL
+    (no scale to judge against), never a divide-by-zero."""
+    from zparse_spark.operators.stats import robust_group_anomalies
+
+    rows = [("a", 5.0), ("a", 15.0), ("b", 10.0), ("c", 8.0), ("c", 12.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust_group_anomalies(df, "grp", "v").collect()
+    assert all(r["robust_z"] is None and r["is_anomaly"] is None for r in out)

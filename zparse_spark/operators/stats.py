@@ -445,3 +445,80 @@ def iqr_outliers(
             F.max(F.when(is_out, v)).alias("max_outlier"),
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the given
+    numeric columns, long format (col_x, col_y, corr, cov) for the
+    i<j upper triangle — the column-profiling companion to
+    ``column_profile``: a corpus-stats rule watching "discount suddenly
+    decorrelated from price" needs the joint moments, not just the
+    marginals.
+
+    Scale shape (100 TB): ONE aggregate pass — every pair's co-moments
+    are streaming partial aggregates (Spark's corr/covar_samp maintain
+    Welford-style merged states), all riding a single scan of the
+    pruned projection; the wide one-row result is unpivoted with
+    ``stack`` (no shuffle, no Python). O(k^2) agg states for k columns
+    — profile column SETS, not the whole table, at web scale.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(F.round(F.corr(a, b), 6).alias(f"_corr_{a}_{b}"))
+        aggs.append(F.round(F.covar_samp(a, b), 6).alias(f"_cov_{a}_{b}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _corr_{a}_{b}, _cov_{a}_{b}" for a, b in pairs
+    )
+    return row.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr, cov)")
+    )
+
+
+def robust_group_anomalies(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust z-score per group over the group MEANS of
+    ``value_col`` — the partition-anomaly detector: "which source's
+    average document length sits implausibly far from the fleet's?"
+    Mean/stddev screening breaks exactly when it matters (the anomaly
+    inflates the stddev it is judged against); median + MAD with the
+    1.4826 normal-consistency constant is the standard robust fix
+    (Iglewicz–Hoaglin modified z-score, |z| > 3.5 default).
+
+    Returns (grp, n, x, robust_z, is_anomaly). ``robust_z`` is NULL
+    when MAD = 0 (all groups identical — no scale to judge against);
+    ``is_anomaly`` follows it.
+
+    Scale shape: the full-data pass is the per-group mean (one shuffle
+    with map-side combine); everything after runs on the GROUP table —
+    one row per partition/source, thousands at most — so the two exact
+    medians (same interpolated ``percentile`` = DuckDB quantile_cont
+    contract as iqr_outliers) and the broadcast joins back are
+    driver-scale, not data-scale.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("x")
+    )
+    med = g.agg(F.expr("percentile(x, 0.5)").alias("_med"))
+    with_med = g.crossJoin(F.broadcast(med))
+    mad = with_med.agg(F.expr("percentile(abs(x - _med), 0.5)").alias("_mad"))
+    z = (F.col("x") - F.col("_med")) / F.nullif(
+        F.lit(1.4826) * F.col("_mad"), F.lit(0.0)
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "grp",
+            "n",
+            F.round("x", 6).alias("x"),
+            F.round(z, 6).alias("robust_z"),
+            F.when(z.isNull(), F.lit(None).cast("int"))
+            .otherwise((F.abs(z) > threshold).cast("int"))
+            .alias("is_anomaly"),
+        )
+    )

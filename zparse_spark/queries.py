@@ -490,6 +490,91 @@ def outliers_quantity_iqr(spark, sf_dir):
     return iqr_outliers(li, "l_quantity", ["l_returnflag"], k=0.25)
 
 
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+
+def _corr_oracle_sql() -> str:
+    aggs = ",\n           ".join(
+        f"round(corr({a}, {b}), 6) AS c_{i}, round(covar_samp({a}, {b}), 6) AS v_{i}"
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, c_{i} AS corr, v_{i} AS cov FROM m"
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return f"WITH m AS (SELECT {aggs} FROM lineitem)\n    {arms}"
+
+
+@register("stats_correlation_lineitem", _corr_oracle_sql())
+def stats_correlation_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation + sample covariance over the four
+    lineitem measures, long format — the joint-moment companion to
+    stats_lineitem's marginals (a drift rule watching "discount stopped
+    tracking price" needs these). ONE aggregate pass: all 12 co-moment
+    states ride a single scan of the 4-column pruned projection, then a
+    shuffle-free stack() unpivot (operators/stats.py::correlation_matrix
+    for the 100 TB shape). corr is O(1)-normalized and cov's Welford
+    merge error is ~1e-14 relative, so round-6 is stable cross-engine.
+    """
+    from zparse_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "stats_robust_source_anomaly",
+    """
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 20 = 7 THEN 'src_planted' ELSE source END AS grp,
+             CASE WHEN doc_id % 20 = 7 THEN n_chars + 5000 ELSE n_chars END AS v
+      FROM documents
+    ),
+    g AS (SELECT grp, count(*) AS n, avg(v) AS x FROM d GROUP BY grp),
+    m AS (SELECT quantile_cont(x, 0.5) AS med FROM g),
+    md AS (SELECT quantile_cont(abs(g.x - m.med), 0.5) AS mad FROM g, m)
+    SELECT grp, n, round(x, 6) AS x,
+           round((x - med) / nullif(1.4826 * mad, 0), 6) AS robust_z,
+           CASE WHEN nullif(1.4826 * mad, 0) IS NULL THEN NULL
+                ELSE CAST(abs((x - med) / (1.4826 * mad)) > 3.5 AS INT)
+           END AS is_anomaly
+    FROM g, m, md
+    """,
+)
+def stats_robust_source_anomaly(spark, sf_dir):
+    """Median/MAD modified z-score over per-source mean doc length — the
+    partition-anomaly screen (mean/stddev screening breaks exactly when
+    the anomaly inflates the stddev it is judged against). Fixture
+    plants a 21st source whose docs carry n_chars+5000, guaranteeing one
+    |z|>3.5 hit against 20 organic sources. Exact cross-engine: BIGINT
+    sums make every group mean deterministic, and the two medians use
+    the interpolated percentile ≡ quantile_cont contract established by
+    outliers_quantity_iqr. 100 TB shape: one shuffled group-avg pass;
+    medians/MAD/joins all run on the one-row-per-source table
+    (operators/stats.py::robust_group_anomalies).
+    """
+    from zparse_spark.operators.stats import robust_group_anomalies
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 20 == 7, F.lit("src_planted"))
+        .otherwise(F.col("source"))
+        .alias("grp_src"),
+        F.when(F.col("doc_id") % 20 == 7, F.col("n_chars") + 5000)
+        .otherwise(F.col("n_chars"))
+        .alias("v"),
+    )
+    return robust_group_anomalies(d, "grp_src", "v", threshold=3.5)
+
+
 # ---------------------------------------------------------------------------
 # Set ops (header-union analog, convert.rs:160-175)
 # ---------------------------------------------------------------------------
