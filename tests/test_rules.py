@@ -355,3 +355,40 @@ def test_media_kind_consistency_f1(spark):
         ("p0", "b", "F1", "InconsistentMediaKind", 0,
          "inconsistent media kind: m1 -> audio,image"),
     ]
+
+
+def test_aggregate_reconciliation_hand_case(spark):
+    """Tolerance math: key 1 exact (pass), key 2 off by 10% (fails
+    rel_tol=0.05), key 3 off by 0.5 absolute (passes abs_tol=1.0),
+    key 4 only in child and key 5 only in parent (both dropped — R1's
+    job, not a tolerance violation)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.rules import aggregate_reconciliation
+
+    child = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 110.0), (3, 10.5), (4, 7.0)], "k long, v double"
+    ).repartition(3)
+    parent = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 10.0), (5, 1.0)], "k long, p double"
+    )
+    out = aggregate_reconciliation(
+        child, parent, "k", "k", F.sum("v"), "p", rel_tol=0.05, abs_tol=1.0
+    ).collect()
+    assert [(r["key"], r["child_value"], r["parent_value"]) for r in out] == [
+        (2, 110.0, 100.0)
+    ]
+    assert out[0]["abs_err"] == 10.0 and out[0]["rel_err"] == 0.1
+
+
+def test_aggregate_reconciliation_zero_parent(spark):
+    """parent_value 0 with nonzero child violates any rel_tol (abs_err >
+    0); rel_err is NULL (no scale), never a divide-by-zero."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.rules import aggregate_reconciliation
+
+    child = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    parent = spark.createDataFrame([(1, 0.0)], "k long, p double")
+    r = aggregate_reconciliation(child, parent, "k", "k", F.sum("v"), "p", rel_tol=0.5).collect()
+    assert len(r) == 1 and r[0]["abs_err"] == 2.0 and r[0]["rel_err"] is None

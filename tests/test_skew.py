@@ -59,3 +59,42 @@ def test_broadcast_threshold_probe_bounded(spark):
     out = broadcast_threshold_join(big, huge, "k", broadcast_max_rows=50)
     assert time.perf_counter() - t0 < 30
     assert "_salt" not in out.columns  # salted path taken, salt dropped
+
+
+def test_key_skew_profile_hand_case(spark):
+    """10×a + 5×b + 5×NULL: max_key 'a' (count 10), top_share 0.5,
+    entropy = ln(20) − (10·ln10 + 2·5·ln5)/20, salt 4 at target 3."""
+    import math
+
+    from zparse_spark.operators.skew import key_skew_profile
+
+    rows = [("a",)] * 10 + [("b",)] * 5 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    r = key_skew_profile(df, "k", target_rows_per_task=3).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key"], r["max_count"]) == (20, 3, "a", 10)
+    assert r["top_share"] == 0.5
+    expect_h = math.log(20) - (10 * math.log(10) + 2 * (5 * math.log(5))) / 20
+    assert r["entropy_nats"] == round(expect_h, 6)
+    assert r["salt_factor"] == 4
+
+
+def test_key_skew_profile_tie_breaks_min_key(spark):
+    from zparse_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([("z",), ("z",), ("a",), ("a",)], "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["max_key"] == "a" and r["salt_factor"] == 1
+    assert r["top_share"] == 0.5
+
+
+def test_key_skew_profile_uniform_entropy(spark):
+    """All-distinct keys: entropy = ln(n_keys) exactly (n·ln(n) = 0 per
+    key), salt 1 — 'no salting needed' is the common-case answer."""
+    import math
+
+    from zparse_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([(str(i),) for i in range(64)], "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["entropy_nats"] == round(math.log(64), 6)
+    assert r["max_count"] == 1 and r["salt_factor"] == 1

@@ -294,3 +294,48 @@ def test_robust_group_anomalies_zero_mad(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     out = robust_group_anomalies(df, "grp", "v").collect()
     assert all(r["robust_z"] is None and r["is_anomaly"] is None for r in out)
+
+
+def test_drift_timeline_hand_case(spark):
+    """Day 1: 3a+1b. Day 2: identical mix (psi ~ 0). Day 3: all b, and
+    category a VANISHES — the dense grid keeps a at n=0 so its lost mass
+    contributes drift instead of dropping out of the sum."""
+    import math
+
+    from zparse_spark.operators.stats import drift_timeline
+
+    rows = (
+        [("2024-01-01 05:00:00", "a")] * 3 + [("2024-01-01 06:00:00", "b")]
+        + [("2024-01-02 05:00:00", "a")] * 3 + [("2024-01-02 23:00:00", "b")]
+        + [("2024-01-03 01:00:00", "b")] * 4
+    )
+    df = spark.createDataFrame(rows, "ts string, cat string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "cat"
+    )
+    out = {str(r["bucket"]): r for r in drift_timeline(df, "ts", "cat").collect()}
+    assert len(out) == 2  # first day has no predecessor
+    d2 = out["2024-01-02 00:00:00"]
+    assert (d2["n_rows"], d2["n_rows_prev"]) == (4, 4) and d2["psi"] == 0.0
+    d3 = out["2024-01-03 00:00:00"]
+    eps = 1e-6
+    expect = 0.0
+    for pc, pp in ((0.0 + eps, 0.75 + eps), (1.0 + eps, 0.25 + eps)):
+        expect += (pc - pp) * math.log(pc / pp)
+    assert d3["psi"] == round(expect, 6) and d3["psi"] > 1.0
+    assert str(d3["prev_bucket"]) == "2024-01-02 00:00:00"
+
+
+def test_drift_timeline_skips_missing_days(spark):
+    """Comparison is vs the previous PRESENT bucket (monitoring
+    semantics: vs the last snapshot), not calendar-adjacent days."""
+    from zparse_spark.operators.stats import drift_timeline
+
+    rows = [("2024-01-01 01:00:00", "a"), ("2024-01-09 01:00:00", "a")]
+    df = spark.createDataFrame(rows, "ts string, cat string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "cat"
+    )
+    out = drift_timeline(df, "ts", "cat").collect()
+    assert len(out) == 1
+    assert str(out[0]["bucket"]) == "2024-01-09 00:00:00"
+    assert str(out[0]["prev_bucket"]) == "2024-01-01 00:00:00"
+    assert out[0]["psi"] == 0.0

@@ -1066,3 +1066,69 @@ def check_constraint_violations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def aggregate_reconciliation(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    child_value,
+    parent_value: str,
+    rel_tol: float = 0.0,
+    abs_tol: float = 0.0,
+) -> DataFrame:
+    """Parent↔child aggregate reconciliation (K-rule family member the
+    CHECK predicates can't express — it needs a cross-table aggregate):
+    does the parent's stored summary column equal the aggregate of its
+    child rows within tolerance?  The classic instance is a fact/summary
+    ledger check: ``orders.o_totalprice`` vs
+    ``sum(l_extendedprice·(1−l_discount)·(1+l_tax))`` of the order's
+    lineitems.  The reference validates one document's internal
+    consistency (e.g. declared sizes vs actual, json/parser.rs:127-136);
+    this is the table-level generalization where "declared" lives in a
+    different table than "actual".
+
+    ``child_value`` is a Column aggregate expression evaluated under
+    ``child.groupBy(child_key)``.  Returns ONLY violating keys:
+    (key, child_value, parent_value, abs_err, rel_err) with
+    |child−parent| > abs_tol + rel_tol·|parent|.  Keys missing from
+    either side are R1's job (referential), not a tolerance violation —
+    the inner join drops them by design.
+
+    Cross-engine determinism contract: child_value is rounded to 2
+    decimals BEFORE the error/threshold math, so the keep-set and every
+    emitted value derive from the identical rounded double in Spark and
+    the SQL twin (raw float-sum last-ulp drift cannot flip the verdict
+    unless the true value sits within ~1e-13 of a rounding boundary).
+
+    Scale shape (100 TB): the child aggregate is ONE shuffle with
+    map-side combine (partial sums), reducing the child to parent
+    cardinality; the join is then key-to-key SMJ (or broadcast under
+    AQE when the violating side is small) — never a row-level child ×
+    parent join.  Output is violation-sparse.  No Python anywhere.
+    """
+    agg = child.groupBy(F.col(child_key).alias("key")).agg(
+        F.round(child_value, 2).alias("child_value")
+    )
+    par = parent.select(
+        F.col(parent_key).alias("key"),
+        F.col(parent_value).cast("double").alias("parent_value"),
+    )
+    j = agg.join(par, "key", "inner")
+    abs_err = F.abs(F.col("child_value") - F.col("parent_value"))
+    return (
+        j.filter(
+            abs_err
+            > F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.col("parent_value"))
+        )
+        .select(
+            "key",
+            "child_value",
+            F.round("parent_value", 2).alias("parent_value"),
+            F.round(abs_err, 2).alias("abs_err"),
+            F.round(
+                abs_err / F.nullif(F.abs(F.col("parent_value")), F.lit(0.0)), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -57,3 +57,61 @@ def broadcast_threshold_join(
     if small.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows:
         return big.join(F.broadcast(small), key, how)
     return salted_join(big, small, key, n_salts=n_salts, how=how)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Profile a join/groupBy key's distribution BEFORE shuffling on it —
+    the measurement step behind every salting decision in this package
+    (``salted_join``'s ``n_salts``, the engine's R1 strategy pick, AQE's
+    skew thresholds). One row: total rows, distinct keys, the hottest
+    key (ties → min key string, deterministic), its absolute count and
+    share, Shannon entropy of the key distribution in nats (ln n_keys =
+    perfectly uniform; → 0 = one key owns the table), and
+    ``salt_factor`` = ceil(max_count / target_rows_per_task) — the
+    ``n_salts`` that caps the hottest key's per-task rows at the target
+    (1 = no salting needed).
+
+    NULL keys count as a real (and often the hottest) key — profiled as
+    the string 'NULL' rather than silently dropped, since a shuffle
+    hashes them to one partition like any other value.
+
+    Scale shape (100 TB): pass 1 is the same map-side-combined
+    groupBy(key) any join would pay; everything after runs on the
+    counts table (one row per DISTINCT key). Entropy needs no second
+    data pass: H = ln(N) − Σ n·ln(n) / N, so Σ n·ln(n) rides the same
+    single aggregate as N/n_keys/max_count; the hottest key is a
+    broadcast-filtered min() on counts, never a global sort.
+    """
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_count"),
+        F.sum(F.col("n") * F.log(F.col("n"))).alias("_s"),
+    )
+    hot = (
+        counts.join(F.broadcast(agg.select("max_count")), counts["n"] == F.col("max_count"))
+        .agg(F.min("key").alias("max_key"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(hot))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_key",
+            "max_count",
+            F.round(F.col("max_count") / F.col("n_rows"), 6).alias("top_share"),
+            F.round(F.log(F.col("n_rows")) - F.col("_s") / F.col("n_rows"), 6).alias(
+                "entropy_nats"
+            ),
+            F.ceil(F.col("max_count") / F.lit(float(target_rows_per_task)))
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -520,5 +520,65 @@ def robust_group_anomalies(
             F.when(z.isNull(), F.lit(None).cast("int"))
             .otherwise((F.abs(z) > threshold).cast("int"))
             .alias("is_anomaly"),
+        )
+    )
+
+
+def drift_timeline(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    bucket: str = "day",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """D1 drift, sliced along time instead of along partitions: PSI and
+    KL of a categorical column's distribution in each time bucket vs the
+    PREVIOUS present bucket — the monitoring surface that answers "did
+    yesterday's ingest change the event mix?" while partition-drift
+    (rules.py::drift_scores, same epsilon-floored shares) answers "is
+    one shard unlike the fleet?".  Missing (bucket, category) cells
+    count as 0 via a dense bucket×category grid, so a category that
+    vanishes contributes drift instead of silently dropping out.
+
+    Returns (bucket, prev_bucket, n_rows, n_rows_prev, psi, kl), one
+    row per bucket that has a predecessor, ordered by nothing (sort at
+    the sink).
+
+    Scale shape (100 TB): the only full-data pass is the
+    groupBy(bucket, cat) count with map-side combine; the grid, the
+    per-bucket totals, the lag windows, and the PSI fold all run on the
+    buckets×categories table (thousands of rows for years×hundreds of
+    types).  The cross join is post-aggregate tiny×tiny, broadcast on
+    the category side.
+    """
+    counts = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    buckets = counts.select("bucket").distinct()
+    cats = counts.select("cat").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(cats))
+        .join(counts, ["bucket", "cat"], "left")
+        .select("bucket", "cat", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    w_tot = Window.partitionBy("bucket")
+    w_lag = Window.partitionBy("cat").orderBy("bucket")
+    g = (
+        grid.withColumn("tot", F.sum("n").over(w_tot))
+        .withColumn("n_prev", F.lag("n").over(w_lag))
+        .withColumn("tot_prev", F.lag("tot").over(w_lag))
+        .withColumn("prev_bucket", F.lag("bucket").over(w_lag))
+    )
+    pc = F.col("n") / F.col("tot") + F.lit(epsilon)
+    pp = F.col("n_prev") / F.col("tot_prev") + F.lit(epsilon)
+    return (
+        g.filter(F.col("n_prev").isNotNull())
+        .groupBy("bucket", "prev_bucket")
+        .agg(
+            F.max("tot").alias("n_rows"),
+            F.max("tot_prev").alias("n_rows_prev"),
+            F.round(F.sum((pc - pp) * F.log(pc / pp)), 6).alias("psi"),
+            F.round(F.sum(pc * F.log(pc / pp)), 6).alias("kl"),
         )
     )

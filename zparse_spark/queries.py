@@ -575,6 +575,150 @@ def stats_robust_source_anomaly(spark, sf_dir):
     return robust_group_anomalies(d, "grp_src", "v", threshold=3.5)
 
 
+@register(
+    "reconcile_orders_lineitem",
+    """
+    WITH a AS (
+      SELECT l_orderkey AS key,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS cv
+      FROM lineitem GROUP BY 1
+    ),
+    parent AS (
+      SELECT key,
+             CASE WHEN key % 37 = 0 THEN round(cv * 1.2, 2) ELSE cv END AS stored_total
+      FROM a
+    )
+    SELECT a.key, a.cv AS child_value,
+           round(p.stored_total, 2) AS parent_value,
+           round(abs(a.cv - p.stored_total), 2) AS abs_err,
+           round(abs(a.cv - p.stored_total) / nullif(abs(p.stored_total), 0), 6)
+             AS rel_err
+    FROM a JOIN parent p USING (key)
+    WHERE abs(a.cv - p.stored_total) > 0.0 + 0.05 * abs(p.stored_total)
+    """,
+)
+def reconcile_orders_lineitem(spark, sf_dir):
+    """Parent↔child aggregate reconciliation: orders' stored total vs the
+    sum of its lineitems' net charge. Fixture derives the parent from the
+    true sums and corrupts every 37th orderkey by +20%, so exactly the
+    planted keys violate at rel_tol=0.05 (rel_err ≈ 0.1667) and the inner
+    join keeps the check orthogonal to R1. See
+    operators/rules.py::aggregate_reconciliation for the 100 TB shape
+    (one map-side-combined child shuffle to parent cardinality, SMJ,
+    violation-sparse output, round-before-compare determinism contract).
+    """
+    from zparse_spark.operators.rules import aggregate_reconciliation
+
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    sums = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.round(net, 2).alias("cv")
+    )
+    parent = sums.select(
+        "key",
+        F.when(F.col("key") % 37 == 0, F.round(F.col("cv") * 1.2, 2))
+        .otherwise(F.col("cv"))
+        .alias("stored_total"),
+    )
+    return aggregate_reconciliation(
+        li, parent, "l_orderkey", "key", net, "stored_total", rel_tol=0.05
+    )
+
+
+@register(
+    "skew_profile_events_user",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 'hot_user'
+                  ELSE coalesce(CAST(user_id AS VARCHAR), 'NULL') END AS key
+      FROM events
+    ),
+    counts AS (SELECT key, count(*) AS n FROM keyed GROUP BY key),
+    agg AS (
+      SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS max_count,
+             sum(n * ln(n)) AS s
+      FROM counts
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows, n_keys,
+           (SELECT min(key) FROM counts, agg WHERE counts.n = agg.max_count)
+             AS max_key,
+           max_count,
+           round(max_count / n_rows, 6) AS top_share,
+           round(ln(n_rows) - s / n_rows, 6) AS entropy_nats,
+           CAST(ceil(max_count / 1000.0) AS BIGINT) AS salt_factor
+    FROM agg
+    """,
+)
+def skew_profile_events_user(spark, sf_dir):
+    """Key-distribution profiler — the measurement behind every salting
+    decision (salted_join's n_salts, R1 strategy, AQE thresholds).
+    Fixture funnels every 3rd event onto one hot user so the profile has
+    real skew to report: top_share ≈ 1/3, salt_factor =
+    ceil(max_count/1000) > 1. See operators/skew.py::key_skew_profile
+    for the 100 TB shape (one map-side-combined groupBy; entropy rides
+    the same aggregate via H = ln N − Σ n·ln n / N; hottest key is a
+    broadcast filter, never a global sort).
+    """
+    from zparse_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("hot_user"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("user_key")
+    )
+    return key_skew_profile(ev, "user_key", target_rows_per_task=1000)
+
+
+@register(
+    "drift_timeline_events",
+    """
+    WITH counts AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type AS cat, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT b.bucket, c.cat, coalesce(counts.n, 0) AS n
+      FROM (SELECT DISTINCT bucket FROM counts) b
+      CROSS JOIN (SELECT DISTINCT cat FROM counts) c
+      LEFT JOIN counts ON counts.bucket = b.bucket AND counts.cat = c.cat
+    ),
+    g1 AS (
+      SELECT bucket, cat, n, sum(n) OVER (PARTITION BY bucket) AS tot FROM grid
+    ),
+    g2 AS (
+      SELECT bucket, cat, n, tot,
+             lag(n) OVER (PARTITION BY cat ORDER BY bucket) AS n_prev,
+             lag(tot) OVER (PARTITION BY cat ORDER BY bucket) AS tot_prev,
+             lag(bucket) OVER (PARTITION BY cat ORDER BY bucket) AS prev_bucket
+      FROM g1
+    )
+    SELECT bucket, prev_bucket,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           CAST(max(tot_prev) AS BIGINT) AS n_rows_prev,
+           round(sum((n / tot + 1e-6 - (n_prev / tot_prev + 1e-6))
+                     * ln((n / tot + 1e-6) / (n_prev / tot_prev + 1e-6))), 6) AS psi,
+           round(sum((n / tot + 1e-6)
+                     * ln((n / tot + 1e-6) / (n_prev / tot_prev + 1e-6))), 6) AS kl
+    FROM g2 WHERE n_prev IS NOT NULL
+    GROUP BY bucket, prev_bucket
+    """,
+)
+def drift_timeline_events(spark, sf_dir):
+    """Day-over-day PSI/KL of the event-type mix — D1 drift sliced along
+    time instead of along partitions (the "did yesterday's ingest change
+    the distribution?" monitor). Dense bucket×category grid so vanished
+    categories contribute drift; epsilon-floored shares match
+    rules.py::drift_scores. See operators/stats.py::drift_timeline —
+    one map-side-combined count pass, everything else on the tiny grid.
+    """
+    from zparse_spark.operators.stats import drift_timeline
+
+    return drift_timeline(_t(spark, sf_dir, "events"), "ts", "event_type", "day")
+
+
 # ---------------------------------------------------------------------------
 # Set ops (header-union analog, convert.rs:160-175)
 # ---------------------------------------------------------------------------
