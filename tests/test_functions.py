@@ -506,3 +506,40 @@ def test_unicode_signals_hand_built(spark):
     assert (rows[3]["n_non_ascii"], rows[3]["nfc_changed"]) == (1, 0)
     assert (rows[4]["n_non_ascii"], rows[4]["nfc_changed"]) == (1, 1)
     assert all(rows[5][c] is None for c in ("n_replacement", "n_control", "n_non_ascii", "nfc_changed"))
+
+
+def test_pmi_collocations_hand_case(spark):
+    """Corpus engineered so 'new york' is a perfect collocation (every
+    'new' is followed by 'york') while 'the cat' pairs two independent
+    frequent words: PMI(new york) >> PMI(the cat), and counts are
+    exact. min_count prunes pairs below threshold."""
+    import math
+
+    from zparse_spark.functions.text import pmi_collocations
+
+    docs = [(i, "new york " + "the cat " * 3) for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    out = {(r["w1"], r["w2"]): r for r in pmi_collocations(df, min_count=4, top_n=None).collect()}
+    # tokens per doc: new york the cat the cat the cat -> 8 tokens, 7 bigrams
+    # unigrams: new 4, york 4, the 12, cat 12 (N1=32); bigrams N2=28
+    ny = out[("new", "york")]
+    assert ny["c_xy"] == 4
+    assert ny["pmi"] == round(math.log((4 / 28) / ((4 / 32) * (4 / 32))), 6)
+    tc = out[("the", "cat")]
+    assert tc["c_xy"] == 12
+    assert tc["pmi"] == round(math.log((12 / 28) / ((12 / 32) * (12 / 32))), 6)
+    assert ny["pmi"] > tc["pmi"]
+    # 'york the' occurs once per doc = 4 times -> present; 'cat the' 8; 'cat new' 0
+    assert ("cat", "new") not in out and out[("york", "the")]["c_xy"] == 4
+
+
+def test_pmi_collocations_single_token_docs(spark):
+    """One-token docs produce zero bigrams (slice length 0, never a
+    negative-length error) and don't crash the totals."""
+    from zparse_spark.functions.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "alpha beta"), (3, "alpha beta")], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_count=2, top_n=None).collect()
+    assert [(r["w1"], r["w2"], r["c_xy"]) for r in out] == [("alpha", "beta", 2)]

@@ -392,3 +392,26 @@ def test_aggregate_reconciliation_zero_parent(spark):
     parent = spark.createDataFrame([(1, 0.0)], "k long, p double")
     r = aggregate_reconciliation(child, parent, "k", "k", F.sum("v"), "p", rel_tol=0.5).collect()
     assert len(r) == 1 and r[0]["abs_err"] == 2.0 and r[0]["rel_err"] is None
+
+
+def test_fd_confidence_majority_and_ties(spark):
+    """x1: 3×a + 1×b -> confidence 0.75, majority a. x2: 2-2 tie ->
+    majority breaks to MIN dependent. x3: perfect FD -> filtered out at
+    min_confidence. NULL determinant skipped; NULL dependent is a real
+    variant."""
+    from zparse_spark.operators.rules import fd_confidence
+
+    rows = (
+        [("x1", "a")] * 3 + [("x1", "b")]
+        + [("x2", "zz")] * 2 + [("x2", "aa")] * 2
+        + [("x3", "c")] * 5
+        + [(None, "q")]
+        + [("x4", None), ("x4", None), ("x4", "d")]
+    )
+    df = spark.createDataFrame(rows, "x string, y string").repartition(4)
+    out = {r["determinant"]: r for r in fd_confidence(df, "x", "y", 0.99).collect()}
+    assert set(out) == {"x1", "x2", "x4"}  # x3 perfect, None skipped
+    assert out["x1"]["majority_value"] == "a" and out["x1"]["confidence"] == 0.75
+    assert out["x1"]["n_variants"] == 2 and out["x1"]["group_count"] == 4
+    assert out["x2"]["majority_value"] == "aa" and out["x2"]["confidence"] == 0.5
+    assert out["x4"]["majority_value"] == "NULL" and out["x4"]["majority_count"] == 2

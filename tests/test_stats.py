@@ -339,3 +339,34 @@ def test_drift_timeline_skips_missing_days(spark):
     assert str(out[0]["bucket"]) == "2024-01-09 00:00:00"
     assert str(out[0]["prev_bucket"]) == "2024-01-01 00:00:00"
     assert out[0]["psi"] == 0.0
+
+
+def test_benford_deviation_conforming_and_degenerate(spark):
+    """A log-uniform sample follows Benford closely (chi2 small); a
+    constant column concentrates all mass on one digit (chi2 huge).
+    Digit extraction is string-based: exact powers of ten classify
+    correctly, |v|<1 and NULL rows are excluded, negatives use |v|."""
+    import math
+
+    from zparse_spark.operators.stats import benford_deviation
+
+    # deterministic log-uniform: v = 10^(i/997 * 3) for i in 0..996
+    rows = [(10.0 ** (3.0 * i / 997.0),) for i in range(997)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert sum(r["n"] for r in out.values()) == 997
+    for d in range(1, 10):
+        assert abs(out[d]["p_obs"] - math.log10(1 + 1 / d)) < 0.01
+        assert out[d]["p_benford"] == round(math.log10(1 + 1 / d), 6)
+    assert out[1]["chi2_total"] < 20.0
+
+    const = spark.createDataFrame([(900.0,)] * 50 + [(-0.5,), (None,)], "v double")
+    out2 = {r["digit"]: r for r in benford_deviation(const, "v").collect()}
+    assert out2[9]["n"] == 50 and out2[1]["n"] == 0  # |v|<1 and NULL excluded
+    assert out2[9]["chi2_total"] > 500.0
+
+    # exact powers of ten: 1000.0 must be digit 1, never digit 9/10 garbage
+    pw = spark.createDataFrame([(1000.0,), (10.0,), (1.0,)], "v double")
+    out3 = {r["digit"]: r["n"] for r in benford_deviation(pw, "v").collect()}
+    assert out3[1] == 3

@@ -561,3 +561,75 @@ def unicode_signals(
         _count_removed("[^\x00-\x7F]").alias("n_non_ascii"),
         _nfc_changed(t).cast("int").alias("nfc_changed"),
     )
+
+
+def pmi_collocations(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int | None = 50,
+):
+    """Top bigram collocations by pointwise mutual information — the
+    classic corpus-analysis companion to ``build_vocabulary`` (phrase
+    induction, tokenizer-merge candidates, boilerplate phrase mining).
+    PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with unigram probabilities
+    over token occurrences (N1) and bigram probabilities over adjacent
+    pairs (N2).  Same whitespace tokenization as build_vocabulary.
+
+    Rank determinism: the 6-decimal ROUNDED pmi drives the ordering
+    (ties → w1, w2 asc; the pair is unique) so the top-n SET is
+    engine-portable, the same contract as tfidf_top_terms.
+
+    Scale shape (100 TB): bigrams are map-side arrays_zip over two
+    slices of the token array — ONE explode per doc for bigrams, one
+    for unigrams, each followed by a map-side-combined count.
+    ``min_count`` prunes the bigram tail BEFORE the two unigram joins
+    (at web scale almost all distinct bigrams are rare junk), so the
+    joins run on the frequent-pair set against the vocabulary table;
+    the N1/N2 totals are broadcast one-row aggregates.  top_n is a
+    TakeOrdered, never a global sort.
+    """
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("t"))
+    )
+    uni = toks.select(F.explode("t").alias("w")).filter(F.col("w") != "")
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uc.agg(F.sum("c").alias("n1"))
+
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    n2 = pairs.agg(F.count(F.lit(1)).alias("n2"))
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    j = (
+        bc.join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") / F.col("n2"))
+            / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+        ),
+        6,
+    )
+    out = j.select("w1", "w2", "c_xy", pmi.alias("pmi"))
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(top_n)
+    return out

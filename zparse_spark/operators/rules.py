@@ -1132,3 +1132,61 @@ def aggregate_reconciliation(
             ).alias("rel_err"),
         )
     )
+
+
+def fd_confidence(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    min_confidence: float = 0.99,
+) -> DataFrame:
+    """Approximate functional dependency X → Y: for each determinant
+    value, confidence = count of the MAJORITY dependent value / group
+    size (TANE's g3-style measure).  ``functional_dependency_violations``
+    enumerates every violating pair for an FD that must hold exactly;
+    this is the profiling companion for FDs that mostly hold ("same
+    source ⇒ same lang, 99% of the time") — it returns the determinant
+    groups BELOW ``min_confidence`` with their majority value, so the
+    output names what the exception looks like, not just that one
+    exists.
+
+    Ties for majority break to the MIN dependent string (deterministic
+    cross-engine).  NULL determinants are skipped (no identity to
+    check); NULL dependents count as the string 'NULL' — a determinant
+    that maps to null half the time is a real inconsistency.
+
+    Scale shape (100 TB): groupBy(X, Y) with map-side combine reduces
+    to the distinct-pair table; the majority pick and confidence are a
+    window + filter on that reduced table (bounded by distinct pairs,
+    not rows); output is violation-sparse.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.filter(F.col(determinant).isNotNull())
+        .select(
+            F.col(determinant).cast("string").alias("x"),
+            F.coalesce(F.col(dependent).cast("string"), F.lit("NULL")).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    w = Window.partitionBy("x")
+    wr = Window.partitionBy("x").orderBy(F.col("n_xy").desc(), F.col("y").asc())
+    g = (
+        pairs.withColumn("n_x", F.sum("n_xy").over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w))
+        .withColumn("_rk", F.row_number().over(wr))
+    )
+    return (
+        g.filter(F.col("_rk") == 1)
+        .select(
+            F.col("x").alias("determinant"),
+            F.col("y").alias("majority_value"),
+            F.col("n_xy").alias("majority_count"),
+            F.col("n_x").alias("group_count"),
+            F.col("n_variants").alias("n_variants"),
+            F.round(F.col("n_xy") / F.col("n_x"), 6).alias("confidence"),
+        )
+        .filter(F.col("confidence") < F.lit(min_confidence))
+    )

@@ -582,3 +582,57 @@ def drift_timeline(
             F.round(F.sum(pc * F.log(pc / pp)), 6).alias("kl"),
         )
     )
+
+
+import math as _math
+
+_BENFORD_P = [0.0] + [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    standard forensic screen for fabricated or truncated numeric
+    columns (real multiplicative quantities follow log10(1+1/d);
+    uniform synthetics, capped fields, and copy-paste corruption
+    don't).  A drift in this profile between snapshots is a data-entry
+    or pipeline bug long before any range check fires.
+
+    Rows with |value| < 1 or NULL are excluded (no stable leading
+    digit).  The leading digit is extracted from the DECIMAL STRING of
+    floor(|value|) — never from floor(log10(x)), whose last-ulp libm
+    differences across engines can misclassify exact powers of ten.
+    ``p_benford`` is a Python-side literal, identical in every engine.
+
+    Returns 9 rows (digit, n, p_obs, p_benford, abs_dev, chi2_total)
+    — chi2_total = Σ (n_d − N·p_d)²/(N·p_d) repeated on each row so a
+    threshold rule can read any row.  Scale shape: one map-only digit
+    projection + one 9-group aggregate with map-side combine; the chi2
+    fold runs on the 9-row table via a broadcast total.
+    """
+    digits = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.floor(F.abs(F.col(value_col))).cast("bigint").alias("_i"))
+        .filter(F.col("_i") >= 1)
+        .select(F.substring(F.col("_i").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # dense 1..9 grid: a digit that never occurs still contributes to chi2
+    grid = digits.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = grid.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    pb = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P[1:]]), F.col("digit"))
+    g = counts.crossJoin(F.broadcast(total))
+    chi_term = F.pow(F.col("n") - F.col("n_total") * pb, 2) / (F.col("n_total") * pb)
+    g = g.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("n_total"), 6).alias("p_obs"),
+        F.round(pb, 6).alias("p_benford"),
+        F.round(F.abs(F.col("n") / F.col("n_total") - pb), 6).alias("abs_dev"),
+        chi_term.alias("_chi"),
+    )
+    return g.withColumn(
+        "chi2_total", F.round(F.sum("_chi").over(Window.partitionBy()), 4)
+    ).drop("_chi")

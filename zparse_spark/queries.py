@@ -719,6 +719,124 @@ def drift_timeline_events(spark, sf_dir):
     return drift_timeline(_t(spark, sf_dir, "events"), "ts", "event_type", "day")
 
 
+@register(
+    "corpus_pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+    n1 AS (SELECT sum(c) AS n FROM uc),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    n2 AS (SELECT count(*) AS n FROM big),
+    bc AS (
+      SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2
+      HAVING count(*) >= 3
+    )
+    SELECT bc.w1, bc.w2, bc.c_xy,
+           round(ln((bc.c_xy / n2.n) / ((u1.c / n1.n) * (u2.c / n1.n))), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON u1.w = bc.w1
+    JOIN uc u2 ON u2.w = bc.w2
+    CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 40
+    """,
+)
+def corpus_pmi_collocations(spark, sf_dir):
+    """Top-40 bigram collocations by PMI — phrase induction /
+    tokenizer-merge candidates over the documents corpus. The rounded
+    score drives the rank (ties w1,w2 asc) so the top-n set is
+    engine-portable, the tfidf_top_terms contract. See
+    functions/text.py::pmi_collocations for the 100 TB shape (map-side
+    arrays_zip bigrams, min_count pruning before the vocabulary joins,
+    broadcast totals, TakeOrdered)."""
+    from zparse_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=3, top_n=40
+    )
+
+
+@register(
+    "stats_benford_totalprice",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND floor(abs(o_totalprice)) >= 1
+    ),
+    counts AS (
+      SELECT g.digit, count(d.digit) AS n
+      FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+      LEFT JOIN d ON d.digit = g.digit GROUP BY g.digit
+    ),
+    tot AS (SELECT sum(n) AS total_n FROM counts)
+    SELECT digit, n,
+           round(n / total_n, 6) AS p_obs,
+           round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+           round(abs(n / total_n - log10(1.0 + 1.0 / digit)), 6) AS abs_dev,
+           round(sum(pow(n - total_n * log10(1.0 + 1.0 / digit), 2)
+                     / (total_n * log10(1.0 + 1.0 / digit))) OVER (), 4) AS chi2_total
+    FROM counts, tot
+    """,
+)
+def stats_benford_totalprice(spark, sf_dir):
+    """Benford first-digit screen on order totals — the forensic check
+    for fabricated/truncated numerics (real multiplicative quantities
+    follow log10(1+1/d); capped or synthetic fields don't). Leading
+    digit comes from the decimal STRING of floor(|v|), never
+    floor(log10(v)) whose libm last-ulp can misclassify exact powers of
+    ten cross-engine. See operators/stats.py::benford_deviation — one
+    map-only projection + one 9-group aggregate; chi2 folds on the
+    9-row table."""
+    from zparse_spark.operators.stats import benford_deviation
+
+    return benford_deviation(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register(
+    "fd_confidence_source_lang",
+    """
+    WITH pairs AS (
+      SELECT source AS x, coalesce(lang, 'NULL') AS y, count(*) AS n_xy
+      FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT x, y, n_xy,
+             sum(n_xy) OVER (PARTITION BY x) AS n_x,
+             count(*) OVER (PARTITION BY x) AS n_variants,
+             row_number() OVER (PARTITION BY x ORDER BY n_xy DESC, y ASC) AS rk
+      FROM pairs
+    )
+    SELECT x AS determinant, y AS majority_value, n_xy AS majority_count,
+           CAST(n_x AS BIGINT) AS group_count,
+           CAST(n_variants AS BIGINT) AS n_variants,
+           round(n_xy / n_x, 6) AS confidence
+    FROM g WHERE rk = 1 AND round(n_xy / n_x, 6) < 0.99
+    """,
+)
+def fd_confidence_source_lang(spark, sf_dir):
+    """Approximate FD source → lang: per-source majority-language
+    confidence (TANE g3-style) — the profiling companion to the exact
+    fd_documents_source_lang violation enumeration ("mostly holds" vs
+    "must hold"). Every multi-lingual source lands below the 0.99
+    threshold with its majority language named. See
+    operators/rules.py::fd_confidence — groupBy(X,Y) map-side combine
+    to the distinct-pair table, window + filter on that reduced table.
+    """
+    from zparse_spark.operators.rules import fd_confidence
+
+    return fd_confidence(
+        _t(spark, sf_dir, "documents"), "source", "lang", min_confidence=0.99
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops (header-union analog, convert.rs:160-175)
 # ---------------------------------------------------------------------------
