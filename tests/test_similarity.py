@@ -259,3 +259,50 @@ def test_lsh_index_pruning_and_equivalence(spark, sf_dir, tmp_path):
 
     base = lsh_topk(emb, queries, k=5, n_planes=8)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_embedding_validation_rules_matrix(spark):
+    """Each damage class fires exactly its own rule: NULL fires only E1
+    (no cascade), wrong dim reports the dim, one NaN or one Inf fires
+    E3 with the count, zero vector fires E4 only (finiteness-guarded),
+    norm range fires E5 only for finite nonzero vectors, and a healthy
+    vector emits nothing."""
+    from zparse_spark.operators.similarity import embedding_validation
+
+    rows = [
+        (0, None),
+        (1, [1.0, 0.0]),              # healthy (dim 2)
+        (2, [1.0, 0.0, 0.0]),         # wrong dim
+        (3, [float("nan"), 1.0]),     # one NaN
+        (4, [float("inf"), 1.0]),     # one Inf
+        (5, [0.0, 0.0]),              # zero norm
+        (6, [300.0, 400.0]),          # norm 500 > hi
+        (7, [0.001, 0.0]),            # norm below lo
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(3)
+    out = embedding_validation(df, expected_dim=2, norm_lo=0.5, norm_hi=50.0)
+    got = sorted((r["vec_id"], r["rule_id"], r["detail"]) for r in out.collect())
+    assert got == [
+        (0, "E1_NULL_VECTOR", "vector is NULL"),
+        (2, "E2_WRONG_DIM", "dim=3"),
+        (3, "E3_NON_FINITE", "n_nonfinite=1"),
+        (4, "E3_NON_FINITE", "n_nonfinite=1"),
+        (5, "E4_ZERO_NORM", "zero vector"),
+        (6, "E5_NORM_RANGE", "norm out of [0.5, 50.0]"),
+        (7, "E5_NORM_RANGE", "norm out of [0.5, 50.0]"),
+    ]
+
+
+def test_embedding_validation_plan_no_python_no_shuffle(spark):
+    """The whole gate is one map-only array-expression projection."""
+    from zparse_spark.operators.similarity import embedding_validation
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    plan = (
+        embedding_validation(df, expected_dim=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

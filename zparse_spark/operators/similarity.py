@@ -595,3 +595,92 @@ def _assign_arrow_udf(centroids: list[list[float]]):
         return pandas.Series(np.argmax(m @ cents, axis=1) + 1)
 
     return assign
+
+
+def embedding_validation(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+    norm_lo: float | None = None,
+    norm_hi: float | None = None,
+):
+    """ANN-ingest gate: violation rows for malformed embedding vectors —
+    the similarity pipeline's analog of the span-pack structural rules
+    (a NaN that reaches the dot-product stage poisons every similarity
+    it touches; a wrong-dim vector crashes the Arrow matmul batch).
+
+    Rules (id, fired when):
+      E1_NULL_VECTOR  vector IS NULL
+      E2_WRONG_DIM    size != expected_dim               (detail: dim=N)
+      E3_NON_FINITE   any NaN/±Inf element            (detail: count)
+      E4_ZERO_NORM    all elements 0 (finite vectors only)
+      E5_NORM_RANGE   L2 norm outside [norm_lo, norm_hi] (finite,
+                      nonzero vectors only)
+    A NULL vector fires ONLY E1; E4/E5 are guarded on finiteness so one
+    bad element doesn't cascade into three rows for the same cause.
+
+    Scale shape (100 TB): everything is array expressions in ONE
+    map-only projection over the (id, vec) pruned columns — the fold
+    for sum-of-squares and the exists() probe run inside codegen, no
+    explode of the vector, no shuffle, no Python; the k checks share
+    the project-array-then-explode shape of check_constraint_violations
+    so one scan serves all rules. Output is violation-sparse.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col)
+    vd = F.transform(v, lambda x: x.cast("double"))
+    sumsq = F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
+    norm = F.sqrt(sumsq)
+    n_nonfinite = F.size(
+        F.filter(vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    )
+    finite = v.isNotNull() & (n_nonfinite == 0)
+
+    checks: list[tuple[str, object, object]] = [
+        ("E1_NULL_VECTOR", v.isNull(), F.lit("vector is NULL")),
+    ]
+    if expected_dim is not None:
+        checks.append(
+            (
+                "E2_WRONG_DIM",
+                v.isNotNull() & (F.size(v) != F.lit(expected_dim)),
+                F.concat(F.lit("dim="), F.size(v).cast("string")),
+            )
+        )
+    checks.append(
+        (
+            "E3_NON_FINITE",
+            v.isNotNull() & (n_nonfinite > 0),
+            F.concat(F.lit("n_nonfinite="), n_nonfinite.cast("string")),
+        )
+    )
+    checks.append(("E4_ZERO_NORM", finite & (sumsq == 0.0), F.lit("zero vector")))
+    if norm_lo is not None or norm_hi is not None:
+        lo = 0.0 if norm_lo is None else norm_lo
+        out_of_range = (norm > F.lit(norm_hi)) if norm_hi is not None else F.lit(False)
+        out_of_range = out_of_range | (norm < F.lit(lo))
+        checks.append(
+            (
+                "E5_NORM_RANGE",
+                finite & (sumsq > 0.0) & out_of_range,
+                F.lit(f"norm out of [{lo}, {norm_hi}]"),
+            )
+        )
+
+    fails = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(i)).otherwise(F.lit(None).cast("int"))
+                for i, (_, cond, _) in enumerate(checks)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    rid = F.element_at(F.array(*[F.lit(r) for r, _, _ in checks]), F.col("_i") + 1)
+    detail = F.element_at(F.array(*[d for _, _, d in checks]), F.col("_i") + 1)
+    return (
+        df.select(F.col(id_col).alias("vec_id"), v.alias(vec_col), F.explode(fails).alias("_i"))
+        .select("vec_id", rid.alias("rule_id"), detail.alias("detail"))
+    )

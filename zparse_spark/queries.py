@@ -837,6 +837,74 @@ def fd_confidence_source_lang(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_validation_rules",
+    """
+    WITH planted AS (
+      SELECT vec_id,
+        CASE WHEN vec_id % 41 = 0 THEN NULL
+             WHEN vec_id % 41 = 1 THEN embedding[1:10]
+             WHEN vec_id % 41 = 2 THEN list_transform(embedding, x -> 'nan'::FLOAT)
+             WHEN vec_id % 41 = 3 THEN list_transform(embedding, x -> 0.0::FLOAT)
+             WHEN vec_id % 41 = 4 THEN list_transform(embedding, x -> x * 100.0::FLOAT)
+             ELSE embedding END AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v, len(v) AS dim,
+             coalesce(len(list_filter(v, x -> isnan(x::DOUBLE)
+                                           OR abs(x::DOUBLE) = 'infinity'::DOUBLE)), 0)
+               AS nnf,
+             list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE)) AS sumsq
+      FROM planted
+    )
+    SELECT vec_id, 'E1_NULL_VECTOR' AS rule_id, 'vector is NULL' AS detail
+    FROM m WHERE v IS NULL
+    UNION ALL
+    SELECT vec_id, 'E2_WRONG_DIM', 'dim=' || dim FROM m
+    WHERE v IS NOT NULL AND dim <> 64
+    UNION ALL
+    SELECT vec_id, 'E3_NON_FINITE', 'n_nonfinite=' || nnf FROM m
+    WHERE v IS NOT NULL AND nnf > 0
+    UNION ALL
+    SELECT vec_id, 'E4_ZERO_NORM', 'zero vector' FROM m
+    WHERE v IS NOT NULL AND nnf = 0 AND sumsq = 0
+    UNION ALL
+    SELECT vec_id, 'E5_NORM_RANGE', 'norm out of [0.5, 50.0]' FROM m
+    WHERE v IS NOT NULL AND nnf = 0 AND sumsq > 0
+      AND (sqrt(sumsq) > 50.0 OR sqrt(sumsq) < 0.5)
+    """,
+)
+def embedding_validation_rules(spark, sf_dir):
+    """ANN-ingest gate over the embeddings table: one violation row per
+    malformed vector (NULL / wrong dim / NaN / zero norm / norm range),
+    with every damage class planted by vec_id mod 41 so all five rules
+    fire. Null fires only E1; E4/E5 are finiteness-guarded so one bad
+    element doesn't cascade. See
+    operators/similarity.py::embedding_validation — one map-only
+    array-expression projection, no explode of the vector, no Python,
+    violation-sparse output."""
+    from zparse_spark.operators.similarity import embedding_validation
+
+    em = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    k = F.col("vec_id") % 41
+    f100 = F.lit(100.0).cast("float")
+    planted = em.select(
+        "vec_id",
+        F.when(k == 0, F.lit(None).cast("array<float>"))
+        .when(k == 1, F.slice(v, 1, 10))
+        .when(k == 2, F.transform(v, lambda x: F.lit(float("nan")).cast("float")))
+        .when(k == 3, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(k == 4, F.transform(v, lambda x: x * f100))
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    return embedding_validation(
+        planted, expected_dim=64, norm_lo=0.5, norm_hi=50.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops (header-union analog, convert.rs:160-175)
 # ---------------------------------------------------------------------------
