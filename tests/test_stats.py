@@ -370,3 +370,48 @@ def test_benford_deviation_conforming_and_degenerate(spark):
     pw = spark.createDataFrame([(1000.0,), (10.0,), (1.0,)], "v double")
     out3 = {r["digit"]: r["n"] for r in benford_deviation(pw, "v").collect()}
     assert out3[1] == 3
+
+
+def test_mutual_information_hand_cases(spark):
+    """Perfect dependency: y = f(x) -> MI = H(Y), U(Y|X) = 1.
+    Independence: balanced grid -> MI = 0. Degenerate marginal
+    (single x) -> U(X|Y) NULL, never divide-by-zero."""
+    import math
+
+    from zparse_spark.operators.stats import mutual_information
+
+    # perfect: x in {a,b} each 4x, y = upper(x)
+    perfect = spark.createDataFrame(
+        [("a", "A")] * 4 + [("b", "B")] * 4, "x string, y string"
+    ).repartition(3)
+    r = mutual_information(perfect, "x", "y").collect()[0]
+    assert r["n_rows"] == 8 and r["n_x"] == 2 and r["n_y"] == 2
+    assert r["mi"] == round(math.log(2), 6) == r["h_x"] == r["h_y"]
+    assert r["u_x_given_y"] == 1.0 and r["u_y_given_x"] == 1.0
+
+    # independent: every (x, y) combination equally likely
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)], "x string, y string"
+    )
+    r2 = mutual_information(indep, "x", "y").collect()[0]
+    assert r2["mi"] == 0.0 and r2["u_x_given_y"] == 0.0
+
+    # degenerate: one x category, two y
+    degen = spark.createDataFrame([("k", "p"), ("k", "q")], "x string, y string")
+    r3 = mutual_information(degen, "x", "y").collect()[0]
+    assert r3["h_x"] == 0.0 and r3["u_x_given_y"] is None
+    assert r3["mi"] == 0.0 and r3["u_y_given_x"] == 0.0
+
+
+def test_mutual_information_null_category(spark):
+    """NULL x is a real category: y null exactly when x='m' gives the
+    same MI as any perfect two-category dependency."""
+    import math
+
+    from zparse_spark.operators.stats import mutual_information
+
+    df = spark.createDataFrame(
+        [("m", None)] * 3 + [("n", "v")] * 3, "x string, y string"
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["mi"] == round(math.log(2), 6) and r["u_y_given_x"] == 1.0

@@ -636,3 +636,64 @@ def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
     return g.withColumn(
         "chi2_total", F.round(F.sum("_chi").over(Window.partitionBy()), 4)
     ).drop("_chi")
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (nats) + entropies + Theil's uncertainty
+    coefficients between two categorical columns — the categorical
+    analog of ``correlation_matrix`` (does lang depend on source?  does
+    span kind depend on partition?).  U(X|Y) = MI/H(X) is the fraction
+    of X's uncertainty explained by Y (asymmetric, 0 = independent,
+    1 = Y determines X) — the dependency direction a validation rule
+    actually wants, where symmetric MI alone can't say which column
+    drives which.
+
+    NULLs count as the category 'NULL' (a column that is null exactly
+    when another column takes some value IS a dependency worth
+    flagging).  Returns ONE row: (n_rows, n_x, n_y, mi, h_x, h_y,
+    u_x_given_y, u_y_given_x).  Degenerate marginals (H = 0, single
+    category) yield NULL for that U, never a divide-by-zero.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy(x, y) reduces
+    the data to the distinct-pair table; marginals are window sums on
+    that table and every entropy/MI term folds in a single aggregate
+    over it — H(X) = −Σ_pairs (n_xy/N)·ln(n_x/N) needs no second
+    grouping because Σ_y n_xy = n_x.  No second data pass, no Python.
+    """
+    pairs = df.select(
+        F.coalesce(F.col(col_x).cast("string"), F.lit("NULL")).alias("x"),
+        F.coalesce(F.col(col_y).cast("string"), F.lit("NULL")).alias("y"),
+    ).groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    g = (
+        pairs.withColumn("n_x", F.sum("n_xy").over(Window.partitionBy("x")))
+        .withColumn("n_y", F.sum("n_xy").over(Window.partitionBy("y")))
+        .withColumn("n", F.sum("n_xy").over(Window.partitionBy()))
+    )
+    p_xy = F.col("n_xy") / F.col("n")
+    mi_term = p_xy * F.log(
+        (F.col("n_xy") * F.col("n")) / (F.col("n_x") * F.col("n_y"))
+    )
+    hx_term = -p_xy * F.log(F.col("n_x") / F.col("n"))
+    hy_term = -p_xy * F.log(F.col("n_y") / F.col("n"))
+    agg = g.agg(
+        F.max("n").alias("n_rows"),
+        F.countDistinct("x").alias("n_x"),
+        F.countDistinct("y").alias("n_y"),
+        F.sum(mi_term).alias("_mi"),
+        F.sum(hx_term).alias("_hx"),
+        F.sum(hy_term).alias("_hy"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        F.round("_mi", 6).alias("mi"),
+        F.round("_hx", 6).alias("h_x"),
+        F.round("_hy", 6).alias("h_y"),
+        F.round(F.col("_mi") / F.nullif(F.round("_hx", 12), F.lit(0.0)), 6).alias(
+            "u_x_given_y"
+        ),
+        F.round(F.col("_mi") / F.nullif(F.round("_hy", 12), F.lit(0.0)), 6).alias(
+            "u_y_given_x"
+        ),
+    )

@@ -905,6 +905,54 @@ def embedding_validation_rules(spark, sf_dir):
     )
 
 
+@register(
+    "stats_mi_lang_source",
+    """
+    WITH pairs AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), 'NULL') AS x,
+             coalesce(CAST(source AS VARCHAR), 'NULL') AS y,
+             count(*) AS n_xy
+      FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT n_xy,
+             CAST(sum(n_xy) OVER (PARTITION BY x) AS DOUBLE) AS n_x,
+             CAST(sum(n_xy) OVER (PARTITION BY y) AS DOUBLE) AS n_y,
+             CAST(sum(n_xy) OVER () AS DOUBLE) AS n,
+             x, y
+      FROM pairs
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_rows,
+             count(DISTINCT x) AS n_x_card,
+             count(DISTINCT y) AS n_y_card,
+             sum((n_xy / n) * ln((n_xy * n) / (n_x * n_y))) AS mi_raw,
+             sum(-(n_xy / n) * ln(n_x / n)) AS hx_raw,
+             sum(-(n_xy / n) * ln(n_y / n)) AS hy_raw
+      FROM g
+    )
+    SELECT n_rows, n_x_card AS n_x, n_y_card AS n_y,
+           round(mi_raw, 6) AS mi,
+           round(hx_raw, 6) AS h_x,
+           round(hy_raw, 6) AS h_y,
+           round(mi_raw / nullif(round(hx_raw, 12), 0), 6) AS u_x_given_y,
+           round(mi_raw / nullif(round(hy_raw, 12), 0), 6) AS u_y_given_x
+    FROM agg
+    """,
+)
+def stats_mi_lang_source(spark, sf_dir):
+    """Mutual information + Theil's U between lang and source — the
+    categorical dependency metric (is the language mix independent of
+    the source?), complementing correlation_matrix's numeric joint
+    moments and fd_confidence's per-group view. One
+    groupBy(x,y) to the distinct-pair table; marginals are window sums
+    there and every entropy/MI term folds in a single aggregate (see
+    operators/stats.py::mutual_information)."""
+    from zparse_spark.operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Set ops (header-union analog, convert.rs:160-175)
 # ---------------------------------------------------------------------------
