@@ -243,6 +243,65 @@ def test_empty_and_null_spans_do_not_crash(spark):
     assert span_rule_violations(docs).count() == 0
 
 
+def test_s9_span_overlap(spark):
+    """Opt-in extent-overlap rule: offsets strictly increase (S1 clean)
+    but a span starts before the previous one's extent (offset +
+    char-length of text) ends — the class S1 cannot see. Boundary
+    touch (offset == prev_end) is legal; empty/NULL previous text never
+    overlaps; char (not byte) length is the extent measure."""
+    p = RuleParams(check_span_overlap=True)
+    docs = make_docs(
+        spark,
+        [
+            # "abcde" spans [0,5); next at 3 overlaps, at 5 touches (ok)
+            ("ov", [T("abcde", 0), T("x", 3)], "p0"),
+            ("touch", [T("abcde", 0), T("x", 5)], "p0"),
+            # empty prev text: extent is a point, never overlaps
+            ("emptyprev", [T("", 0), T("x", 1)], "p0"),
+            # NULL prev text coalesces to '' — no overlap, no crash
+            ("nullprev", [("text", None, None, 0), T("x", 1)], "p0"),
+            # multibyte: "éé" is 2 CHARS (4 utf-8 bytes) → extent [0,2);
+            # offset 2 touches — byte semantics would flag it
+            ("mb", [T("éé", 0), T("x", 2)], "p0"),
+            # regression ALSO overlaps: S1 and S9 both fire at pos 1
+            ("regr", [T("abc", 5), T("x", 2)], "p0"),
+        ],
+    )
+    got = rows(span_rule_violations(docs, p).filter(F.col("rule_id") == "S9"))
+    assert got == [
+        ("ov", "S9", "InvalidArray", 1, 3),
+        ("regr", "S9", "InvalidArray", 1, 2),
+    ]
+    msg = {
+        r["doc_id"]: r["message"]
+        for r in span_rule_violations(docs, p).filter("rule_id = 'S9'").collect()
+    }
+    assert msg["ov"] == "span overlap: offset 3 < prev end 5"
+    # S1 still fires only on the true regression
+    s1 = rows(span_rule_violations(docs, p).filter(F.col("rule_id") == "S1"))
+    assert s1 == [("regr", "S1", "InvalidArray", 1, 2)]
+    # line/col ride along like any span rule (prev texts: "abcde" → col 6)
+    lc = span_rule_violations(docs, p).filter("rule_id = 'S9' and doc_id = 'ov'").first()
+    assert (lc["line"], lc["col"]) == (1, 6)
+    # default params: rule off, zero S9 rows, schema unchanged
+    off = span_rule_violations(docs)
+    assert off.filter("rule_id = 'S9'").count() == 0
+    assert off.columns == span_rule_violations(docs, p).columns
+
+
+def test_s9_active_rule_ids_and_hash(spark):
+    """Engine wiring: S9 joins the verdict grid only when opted in, and
+    flipping the flag changes rules_hash so resume never mixes runs."""
+    from zparse_spark.plans.engine import ValidationConfig, ValidationEngine
+
+    base = ValidationConfig()
+    ov = ValidationConfig(params=RuleParams(check_span_overlap=True))
+    assert "S9" not in ValidationEngine(base).active_rule_ids()
+    ids = ValidationEngine(ov).active_rule_ids()
+    assert ids.index("S9") == ids.index("S1") + 1
+    assert base.rules_hash() != ov.rules_hash()
+
+
 def test_line_col_positions(spark):
     """Pos contract (error.rs:8-18 prints offset:line:col) over the
     canonical reconstruction: each span-level violation reports the

@@ -78,6 +78,13 @@ class RuleParams:
     # (json/parser.rs:20-23): strict mode demands strictly increasing
     # offsets; lenient tolerates ties (the JSONC-style relaxation)
     allow_equal_offsets: bool = False
+    # opt-in S9: span EXTENTS must not overlap — offset must be >= the
+    # previous span's offset + char length of its text. Strictly
+    # stronger than S1's start-order check; off by default because
+    # extent semantics only bind when offsets are character positions
+    # in the canonical reconstruction (the input_hint leaves offset an
+    # opaque ordering key). Part of rules_hash via RuleParams' repr.
+    check_span_overlap: bool = False
     # derive the reference's Pos line/col (error.rs:8-18) for span-level
     # violations: the 1-based start of the violating span in the doc's
     # canonical text reconstruction. One extra O(text) pass per doc in
@@ -145,7 +152,18 @@ def _span_checks(p: RuleParams) -> list[tuple[str, str, Column]]:
     kind, text, media_ref = F.col("kind"), F.col("text"), F.col("media_ref")
     offset, prev_offset = F.col("offset"), F.col("prev_offset")
     regressed = offset < prev_offset if p.allow_equal_offsets else offset <= prev_offset
-    return [
+    overlap = (
+        [
+            (
+                "S9",
+                ErrorKind.INVALID_ARRAY,
+                (F.col("span_pos") >= 1) & (offset < F.col("prev_end")),
+            )
+        ]
+        if p.check_span_overlap
+        else []
+    )
+    return overlap + [
         ("S1", ErrorKind.INVALID_ARRAY, (F.col("span_pos") >= 1) & regressed),
         ("S2", ErrorKind.INVALID_TOKEN, kind.isNull() | ~F.array_contains(domain, kind)),
         ("S5", ErrorKind.INVALID_TOKEN, text.rlike(_CONTROL_CHARS)),
@@ -188,6 +206,16 @@ TABLE_RULES = [
     Rule("U1", ErrorKind.DUPLICATE_KEY, "table", "doc_id unique table-wide"),
     Rule("R1", ErrorKind.DANGLING_MEDIA_REF, "table", "media_ref exists in catalog"),
     Rule("D1", ErrorKind.DRIFT_EXCEEDED, "table", "span-kind PSI under threshold per partition"),
+]
+
+# Opt-in (RuleParams.check_span_overlap): span EXTENTS must not overlap —
+# strictly stronger than S1's start-order check. Out of ALL_RULES because
+# extent semantics only bind when offsets are character positions in the
+# canonical reconstruction; the input_hint leaves offset an opaque
+# ordering key, so existing manifests never evaluated S9.
+OVERLAP_RULES = [
+    Rule("S9", ErrorKind.INVALID_ARRAY, "span",
+         "span extent (offset + text length) must not overlap the next span"),
 ]
 
 # Opt-in (ValidationConfig.enable_media_decode): referenced payloads must
@@ -306,11 +334,28 @@ def span_rule_violations(
             F.coalesce(spans, F.array()),
             lambda s: F.lit(None).cast("struct<line:int,col:int>"),
         )
-    zipped = F.arrays_zip(
+    zip_cols = [
         spans.alias("s"),
         prev_offsets.alias("prev_offset"),
         pos_arr.alias("p"),
-    )
+    ]
+    if p.check_span_overlap:
+        # shifted extent ends (prev offset + char length of prev text) —
+        # same shape as prev_offsets, so S9 needs no window/shuffle either
+        ends = F.transform(
+            spans,
+            lambda s: s["offset"].cast("long")
+            + F.length(F.coalesce(s["text"], F.lit(""))).cast("long"),
+        )
+        prev_ends = F.when(
+            F.coalesce(F.size(spans), F.lit(0)) > 0,
+            F.concat(
+                F.array(F.lit(None).cast("long")),
+                F.slice(ends, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        zip_cols.append(prev_ends.alias("prev_end"))
+    zipped = F.arrays_zip(*zip_cols)
     # doc-level scalars (S3/S4 inputs) ride along the explode so the whole
     # pack needs exactly ONE scan and ONE Generate
     n_spans = F.coalesce(F.size(spans), F.lit(0))
@@ -336,6 +381,9 @@ def span_rule_violations(
         F.col("z.s.media_ref").alias("media_ref"),
         F.col("z.s.offset").alias("offset"),
         F.col("z.prev_offset").alias("prev_offset"),
+        (
+            F.col("z.prev_end") if p.check_span_overlap else F.lit(None).cast("long")
+        ).alias("prev_end"),
         F.col("z.p.line").alias("line"),
         F.col("z.p.col").alias("col"),
     )
@@ -427,6 +475,7 @@ def span_rule_violations(
         "media_ref",
         "offset",
         "prev_offset",
+        "prev_end",
         "_n_spans",
         "_total_bytes",
         F.explode(viol_arr).alias("v"),
@@ -440,6 +489,15 @@ def span_rule_violations(
                 F.col("offset").cast("string"),
                 F.lit(" <= prev "),
                 F.col("prev_offset").cast("string"),
+            ),
+        )
+        .when(
+            F.col("v.rule_id") == "S9",
+            F.concat(
+                F.lit("span overlap: offset "),
+                F.col("offset").cast("string"),
+                F.lit(" < prev end "),
+                F.col("prev_end").cast("string"),
             ),
         )
         .when(F.col("v.rule_id") == "S2", F.concat(F.lit("kind not in domain: "), kind_str))

@@ -193,6 +193,10 @@ class ValidationEngine:
         exactly what the warning exists to catch)."""
         c = self.config
         active = [r.rule_id for r in ALL_RULES]
+        if c.params.check_span_overlap:
+            # opt-in extent-overlap rule rides the span stage; insert next
+            # to its S siblings so grid ordering stays stable
+            active.insert(active.index("S1") + 1, "S9")
         if not c.enable_uniqueness:
             active.remove("U1")
         if not c.enable_referential:

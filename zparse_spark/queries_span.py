@@ -84,9 +84,11 @@ def _pack_input(spark):
 _DOMAIN_SQL = ", ".join(f"'{k}'" for k in SPAN_KIND_DOMAIN)
 
 # exploded span frame with doc-level scalars riding along — the SQL twin
-# of span_rule_violations' posexplode formulation
-_SP_CTE = f"""
-docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')),
+# of span_rule_violations' posexplode formulation. Parameterized by table
+# dir so variant corpora (the S9 overlap plant) reuse the same prologue.
+def _sp_cte(table: str = "span_docs") -> str:
+    return f"""
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/{table}/*.parquet')),
 cat AS (SELECT DISTINCT media_ref FROM read_parquet('{_W}/span_catalog/*.parquet')),
 ex0 AS (
   SELECT partition, doc_id, spans,
@@ -102,6 +104,12 @@ sp0 AS (
          s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
          CAST(s."offset" AS BIGINT) AS off,
          CAST(CASE WHEN pos > 1 THEN spans[pos - 1]."offset" END AS BIGINT) AS prev_off,
+         -- previous span's extent end (offset + CHAR length of its text),
+         -- the S9 overlap bound; length() is character count in DuckDB,
+         -- matching Spark's F.length
+         CAST(CASE WHEN pos > 1
+                   THEN spans[pos - 1]."offset" + length(coalesce(spans[pos - 1].text, ''))
+              END AS BIGINT) AS prev_end,
          -- canonical text before this span (concat of prior span texts);
          -- the [1:0] slice for the first span is NULL, hence the coalesce
          coalesce(
@@ -117,6 +125,9 @@ sp AS (
                    ELSE length(prefix) END + 1 AS INT) AS "col"
   FROM sp0
 )"""
+
+
+_SP_CTE = _sp_cte()
 
 _NULL_LC = 'CAST(NULL AS INT) AS line, CAST(NULL AS INT) AS "col"'
 _VIOL_CTE = f"""
@@ -614,3 +625,81 @@ def worst_offenders_report(spark, sf_dir):
     docs, cat = _pack_input(spark)
     eng = ValidationEngine(ValidationConfig(params=_PARAMS))
     return eng.worst_offenders(eng.violations(docs, cat), k=5)
+
+
+# ---------------------------------------------------------------------------
+# S9 extent-overlap pack — separate corpus with monotonic-but-overlapping
+# plants (S1 clean, S9 dirty), so the rule's independence from the
+# start-order check is what the oracle certifies
+# ---------------------------------------------------------------------------
+
+_S9_BRANCH = """
+  UNION ALL
+  SELECT partition, doc_id, 'S9', 'InvalidArray', span_pos, off, line, "col",
+         'span overlap: offset ' || off || ' < prev end ' || prev_end
+  FROM sp WHERE span_pos >= 1 AND off < prev_end
+"""
+# the full rule-pack twin plus the S9 branch, over the overlap corpus
+_cut = _VIOL_CTE.rfind(")")
+_VIOL_CTE_S9 = _VIOL_CTE[:_cut] + _S9_BRANCH + ")"
+
+_OV_READY = False
+
+
+def _overlap_input(spark):
+    """Fixture corpus + planted monotonic-but-overlapping documents.
+
+    Every 16th base doc is re-offset to its span POSITION index
+    (0, 1, 2, …): strictly increasing, so S1 stays silent, but any span
+    following a non-empty text overlaps its predecessor's extent
+    (offset < prev_offset + len(prev_text)) — exactly the class S9
+    exists to catch and S1 cannot. Persisted once per process like
+    ``_pack_input`` so Spark and DuckDB read identical bytes."""
+    global _OV_READY
+    docs, cat = _pack_input(spark)
+    if not _OV_READY:
+        base_id = F.col("doc_id")
+        planted = (
+            docs.filter(~base_id.startswith("drift_"))
+            .filter(F.pmod(base_id.cast("long"), F.lit(16)) == 3)
+            .select(
+                F.concat(F.lit("overlap_"), base_id).alias("doc_id"),
+                F.transform(
+                    F.col("spans"),
+                    lambda s, i: F.struct(
+                        s["kind"].alias("kind"),
+                        s["text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                        i.cast("int").alias("offset"),
+                    ),
+                ).alias("spans"),
+                F.lit("pov").alias("partition"),
+            )
+        )
+        docs.unionByName(planted).write.mode("overwrite").parquet(f"{_W}/span_docs_overlap")
+        _OV_READY = True
+    return spark.read.parquet(f"{_W}/span_docs_overlap"), cat
+
+
+@register(
+    "span_pack_overlap",
+    f"WITH{_sp_cte('span_docs_overlap')},{_VIOL_CTE_S9}\nSELECT * FROM viol",
+)
+def span_pack_overlap(spark, sf_dir):
+    """S9 span-extent overlap (opt-in ``RuleParams.check_span_overlap``)
+    riding the full S-pack over a corpus with planted monotonic-but-
+    overlapping docs — full violation rows vs the DuckDB twin. S9 reuses
+    the pack's shifted-array zip (prev extent end = prev offset + char
+    length of prev text precomputed per array, no window/shuffle), so
+    enabling it adds zero stages; strictly stronger than S1 and only
+    meaningful when offsets are character positions — the reference's
+    lexer advances its cursor by consumed length per token
+    (crates/zparse/src/lexer/json.rs), making 'next token starts before
+    the previous one ended' a structural impossibility the table-scale
+    rule pack otherwise could not express."""
+    docs, cat = _overlap_input(spark)
+    params = RuleParams(
+        max_spans=_MAX_SPANS, max_text_bytes=_MAX_BYTES, check_span_overlap=True
+    )
+    eng = ValidationEngine(ValidationConfig(params=params, enable_drift=False))
+    return eng.violations(docs, cat)
