@@ -218,3 +218,58 @@ def test_spark_submit_py_files_deployment(tmp_path, spark):
         ).fetchall()
     }
     assert rollup["p1"][0] is False and rollup["p1"][1] >= 1
+
+
+def test_cli_waivers_and_overlap_flag(tmp_path, spark):
+    """--waivers suppresses matched violations from the verdict grid and
+    the exit code while writing them to waived_violations/; expired
+    waivers don't apply. --check-span-overlap adds S9 to the grid."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = _fixture(spark)
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    wpath = str(tmp_path / "waivers")
+    spark.createDataFrame(
+        [
+            ("w1", "K1", None, None, "spanless docs acknowledged", "2027-01-01"),
+            ("w2", "K3", None, None, "expired", "2026-01-01"),
+        ],
+        "waiver_id string, rule_id string, partition string, doc_id string, "
+        "reason string, expires_at string",
+    ).write.parquet(wpath)
+    out = str(tmp_path / "out")
+    args = [
+        _sys.executable, "/root/repo/validate.py",
+        "--documents", dpath, "--out", out,
+        "--check", "K1:doc:spans IS NOT NULL AND size(spans) >= 1",
+        "--check", "K3:span:offset >= 0",
+        "--waivers", wpath, "--as-of", "2026-08-18",
+        "--check-span-overlap",
+        "--master", "local[2]",
+    ]
+    proc = subprocess.run(args, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    # K1 is fully waived but K3 (expired waiver) still fails d5's cell
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    assert "waived: 2" in proc.stdout
+    waived = duckdb.sql(
+        f"SELECT doc_id, rule_id, waiver_id, reason FROM '{out}/waived_violations/*.parquet' ORDER BY doc_id"
+    ).fetchall()
+    assert waived == [
+        ("d3", "K1", "w1", "spanless docs acknowledged"),
+        ("d4", "K1", "w1", "spanless docs acknowledged"),
+    ]
+    cells = {
+        (p, r): ok
+        for p, r, ok in duckdb.sql(
+            f"SELECT partition, rule_id, passed FROM '{out}/verdicts/*.parquet'"
+        ).fetchall()
+    }
+    # the waived rule's cells PASS; the unwaived K3 cell fails; S9 is in
+    # the grid (flag respected) and passes on this corpus
+    assert cells[("p1", "K1")] is True
+    assert cells[("p1", "K3")] is False
+    assert cells[("p0", "S9")] is True and cells[("p1", "S9")] is True

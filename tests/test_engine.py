@@ -343,3 +343,59 @@ def test_active_rule_ids_reflect_config():
     active = ValidationEngine(cfg).active_rule_ids()
     assert "U1" not in active
     assert {"M1", "F1", "K1"} <= set(active)
+
+
+def test_apply_waivers(spark):
+    """Waiver matching: rule_id equality + NULL-as-wildcard scopes,
+    expiry against as_of, deterministic min-waiver_id attribution when
+    several waivers match, and identical duplicate violations each
+    emitting their own waived row."""
+    from zparse_spark.plans.engine import apply_waivers
+
+    vrow = lambda part, doc, rule: (part, doc, rule, "K", None, None, None, None, "m")  # noqa: E731
+    violations = spark.createDataFrame(
+        [
+            vrow("p0", "d1", "S8"),   # waived by rule-wide w1
+            vrow("p1", "d2", "S8"),   # waived by w1 (and w4: min id wins)
+            vrow("p1", "d2", "S8"),   # identical duplicate row — also waived
+            vrow("p0", "d3", "S2"),   # kept: w2 scopes S2 to p1
+            vrow("p1", "d4", "S2"),   # waived by partition-scoped w2
+            vrow("p0", "d5", "S5"),   # kept: w3 expired before as_of
+            vrow("p0", None, "D1"),   # table-level NULL doc: wildcard-only match
+        ],
+        "partition string, doc_id string, rule_id string, kind string, "
+        "span_pos int, offset long, line int, col int, message string",
+    )
+    waivers = spark.createDataFrame(
+        [
+            ("w1", "S8", None, None, "known media-stripped batch", None),
+            ("w2", "S2", "p1", None, "vendor kind backlog", "2026-12-31"),
+            ("w3", "S5", None, None, "expired amnesty", "2026-01-01"),
+            ("w4", "S8", "p1", "d2", "narrower duplicate waiver", None),
+            ("w5", "D1", None, "dX", "doc-scoped never matches NULL doc", None),
+        ],
+        "waiver_id string, rule_id string, partition string, doc_id string, "
+        "reason string, expires_at string",
+    )
+    kept, waived = apply_waivers(violations, waivers, as_of="2026-08-18")
+    assert kept.columns == violations.columns
+    assert sorted(
+        ((r["partition"], r["doc_id"] or "", r["rule_id"]) for r in kept.collect())
+    ) == [
+        ("p0", "", "D1"),  # w5 is doc-scoped, NULL doc never equals it
+        ("p0", "d3", "S2"),
+        ("p0", "d5", "S5"),
+    ]
+    got = sorted(
+        (r["partition"], r["doc_id"], r["rule_id"], r["waiver_id"]) for r in waived.collect()
+    )
+    assert got == [
+        ("p0", "d1", "S8", "w1"),
+        ("p1", "d2", "S8", "w1"),  # w1 < w4 — deterministic attribution
+        ("p1", "d2", "S8", "w1"),  # the duplicate row survives as its own row
+        ("p1", "d4", "S2", "w2"),
+    ]
+    reasons = {r["waiver_id"]: r["reason"] for r in waived.collect()}
+    assert reasons == {"w1": "known media-stripped batch", "w2": "vendor kind backlog"}
+    # kept ∪ waived partitions the violation set
+    assert kept.count() + waived.count() == violations.count()

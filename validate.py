@@ -25,6 +25,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--psi-threshold", type=float, default=0.25)
     ap.add_argument("--lenient-offsets", action="store_true",
                     help="allow equal offsets in S1 (non-decreasing instead of strictly increasing)")
+    ap.add_argument("--check-span-overlap", action="store_true",
+                    help="enable S9: span extents (offset + char length of text) must not "
+                         "overlap — only meaningful when offsets are character positions "
+                         "(changes rules_hash)")
+    ap.add_argument("--waivers", help="parquet path of a curated waiver table "
+                                      "(waiver_id, rule_id, partition, doc_id, reason, expires_at); "
+                                      "matching violations are reported under waived_violations/ "
+                                      "but never fail a cell or the exit code")
+    ap.add_argument("--as-of", default=None, metavar="ISO",
+                    help="reference instant for waiver expiry (default: now); pass a "
+                         "literal for reproducible runs")
     ap.add_argument("--referential-strategy", choices=["auto", "broadcast", "smj"], default="auto")
     ap.add_argument("--media-kind-fd", action="store_true",
                     help="enable F1: the same media_ref must carry the same span kind "
@@ -59,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         max_text_bytes=args.max_text_bytes,
         psi_threshold=args.psi_threshold,
         allow_equal_offsets=args.lenient_offsets,
+        check_span_overlap=args.check_span_overlap,
     )
     checks = []
     for spec in args.check:
@@ -95,6 +107,16 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     viol = manifest.read_violations(spark, engine.config.rules_hash())
+    n_waived = 0
+    if args.waivers:
+        from zparse_spark.plans.engine import apply_waivers
+
+        # waived rows stay on disk for the report; only KEPT violations
+        # reach the verdict grid and the exit code — a waiver is the
+        # "acknowledged, don't page" valve, never data deletion
+        viol, waived = apply_waivers(viol, spark.read.parquet(args.waivers), as_of=args.as_of)
+        waived.write.mode("overwrite").parquet(f"{args.out}/waived_violations")
+        n_waived = spark.read.parquet(f"{args.out}/waived_violations").count()
     verdicts = engine.verdicts(docs, viol)
     verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
     engine.metrics(docs).write.mode("overwrite").parquet(f"{args.out}/metrics")
@@ -125,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     n_error_cells = rollup_back.agg(F.sum("n_error_cells")).collect()[0][0] or 0
     print(f"validated partitions: {len(done)} (resumed past {Manifest(args.out)._read_rows().__len__() - len(done)})")
     print(f"violations: {n_viol}; failing (partition, rule) cells: {n_fail}"
-          f" ({n_error_cells} error-severity)")
+          f" ({n_error_cells} error-severity)"
+          + (f"; waived: {n_waived}" if args.waivers else ""))
     spark.stop()
     return 0 if n_error_cells == 0 else 1
 

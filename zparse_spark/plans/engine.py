@@ -367,6 +367,71 @@ def quarantine_split(
     return clean, quarantined
 
 
+def apply_waivers(
+    violations: DataFrame,
+    waivers: DataFrame,
+    as_of: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split violations into ``(kept, waived)`` under a curated
+    suppression list — the operational valve between "the rule is right"
+    and "this known breach is accepted for now" (tracked-exception
+    reporting; the reference has no analog because a single-document
+    parser aborts, while a fleet gate must keep running with
+    acknowledged debt).
+
+    ``waivers`` schema: (waiver_id UNIQUE, rule_id, partition, doc_id,
+    reason, expires_at). NULL partition / doc_id are wildcards; a waiver
+    matches a violation iff rule_id is equal and every non-NULL scope
+    column is equal. ``expires_at`` is orderable (date/timestamp/ISO
+    string); a waiver is active iff expires_at IS NULL or
+    ``expires_at > as_of`` (``as_of`` defaults to current timestamp —
+    pass a literal for reproducible runs/oracles).
+
+    ``waived`` carries the MATCHING waiver attribution: the minimum
+    waiver_id among matches (deterministic under the unique-id contract)
+    plus its reason. ``kept`` is everything else, violation schema
+    unchanged — feed it to ``ValidationEngine.verdicts`` /
+    ``partition_verdicts`` so suppressed cells pass the gate while
+    staying visible in the waived report.
+
+    Scale shape: the waiver list is human-curated (10s-1000s of rows) →
+    broadcast on both passes; ``kept`` is one anti-join over the
+    violation stream (equi on rule_id, wildcard scopes as join filters),
+    ``waived`` is an inner join whose output is bounded by the waived
+    subset, grouped on an internal row id so a violation matched by
+    several waivers emits exactly once. No document data is touched —
+    this runs on the (sparse) violation table.
+    """
+    active = F.col("expires_at").isNull() | (
+        F.col("expires_at") > (F.lit(as_of) if as_of is not None else F.current_timestamp())
+    )
+    w = waivers.filter(active).select(
+        "waiver_id",
+        F.col("rule_id").alias("_w_rule"),
+        F.col("partition").alias("_w_partition"),
+        F.col("doc_id").alias("_w_doc"),
+        "reason",
+    )
+    cond = (
+        (F.col("rule_id") == F.col("_w_rule"))
+        & (F.col("_w_partition").isNull() | (F.col("_w_partition") == F.col("partition")))
+        & (F.col("_w_doc").isNull() | (F.col("_w_doc") == F.col("doc_id")))
+    )
+    kept = violations.join(F.broadcast(w), cond, "left_anti")
+    # internal row id: violation rows have no natural key (two identical
+    # breaches are two rows) — never leaves this function
+    vcols = violations.columns
+    vid = violations.withColumn("_vrow", F.monotonically_increasing_id())
+    waived = (
+        vid.join(F.broadcast(w), cond, "inner")
+        .groupBy("_vrow", *vcols)
+        .agg(F.min("waiver_id").alias("waiver_id"))
+        .join(F.broadcast(w.select("waiver_id", "reason")), "waiver_id")
+        .select(*vcols, "waiver_id", "reason")
+    )
+    return kept, waived
+
+
 def verdict_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Cell-level diff of two verdict matrices — the monitoring surface
     of a recurring validation job: which (partition, rule) cells

@@ -681,6 +681,88 @@ def _overlap_input(spark):
     return spark.read.parquet(f"{_W}/span_docs_overlap"), cat
 
 
+# ---------------------------------------------------------------------------
+# waiver suppression — curated exceptions over the violation stream
+# ---------------------------------------------------------------------------
+
+_AS_OF = "2026-08-18"
+_WAIVERS = [
+    # (waiver_id, rule_id, partition, doc_id, reason, expires_at) —
+    # NULL scope = wildcard; expires_at is an ISO date STRING so the
+    # activity comparison is the same lexicographic > in both engines
+    ("w1", "S8", None, None, "known media-stripped batch", "2027-01-01"),
+    ("w2", "S2", "p3", None, "vendor kind backlog", None),
+    ("w3", "S1", None, None, "expired amnesty", "2026-01-01"),  # inactive
+    ("w4", "R1", "p1", None, "catalog refresh pending", "2027-06-30"),
+    ("w5", "U1", None, None, "replayed ingest window", None),
+]
+_WAIVERS_READY = False
+
+
+def _waiver_input(spark):
+    global _WAIVERS_READY
+    if not _WAIVERS_READY:
+        spark.createDataFrame(
+            _WAIVERS,
+            "waiver_id string, rule_id string, partition string, doc_id string, "
+            "reason string, expires_at string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{_W}/span_waivers")
+        _WAIVERS_READY = True
+    return spark.read.parquet(f"{_W}/span_waivers")
+
+
+@register(
+    "span_pack_waivers",
+    f"""WITH{_SP_CTE},{_VIOL_CTE},
+w AS (
+  SELECT * FROM read_parquet('{_W}/span_waivers/*.parquet')
+  WHERE expires_at IS NULL OR expires_at > '{_AS_OF}'
+),
+-- MATERIALIZED: DuckDB inlines CTEs, so an unmaterialized vt would
+-- assign vrow independently (and differently) at each reference
+vt AS MATERIALIZED (
+  SELECT *, row_number() OVER (
+    ORDER BY partition, doc_id, rule_id, span_pos, "offset", message
+  ) AS vrow FROM viol
+),
+m AS (
+  SELECT vrow, min(w.waiver_id) AS waiver_id
+  FROM vt v JOIN w
+    ON v.rule_id = w.rule_id
+   AND (w.partition IS NULL OR w.partition = v.partition)
+   AND (w.doc_id IS NULL OR w.doc_id = v.doc_id)
+  GROUP BY vrow
+)
+SELECT v.partition, v.doc_id, v.rule_id, v.kind, v.span_pos, v."offset",
+       v.line, v."col", v.message,
+       CASE WHEN m.vrow IS NULL THEN 'kept' ELSE 'waived' END AS status,
+       m.waiver_id, w2.reason
+FROM vt v
+LEFT JOIN m ON m.vrow = v.vrow
+LEFT JOIN w w2 ON w2.waiver_id = m.waiver_id""",
+)
+def span_pack_waivers(spark, sf_dir):
+    """Curated-exception suppression over the full violation stream:
+    rule-wide, partition-scoped and expired waivers split the pack's
+    violations into kept (still gate the job) and waived (reported with
+    the waiver attribution) — min-waiver_id pick when several match.
+    One broadcast anti-join for kept plus one bounded inner join for
+    waived; no document data touched (see ``apply_waivers``)."""
+    from zparse_spark.plans.engine import apply_waivers
+
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
+    viol = eng.violations(docs, cat)
+    kept, waived = apply_waivers(viol, _waiver_input(spark), as_of=_AS_OF)
+    null_s = F.lit(None).cast("string")
+    return kept.select(
+        "*",
+        F.lit("kept").alias("status"),
+        null_s.alias("waiver_id"),
+        null_s.alias("reason"),
+    ).unionByName(waived.select("*", F.lit("waived").alias("status")).select(kept.columns + ["status", "waiver_id", "reason"]))
+
+
 @register(
     "span_pack_overlap",
     f"WITH{_sp_cte('span_docs_overlap')},{_VIOL_CTE_S9}\nSELECT * FROM viol",
