@@ -399,3 +399,45 @@ def test_apply_waivers(spark):
     assert reasons == {"w1": "known media-stripped batch", "w2": "vendor kind backlog"}
     # kept ∪ waived partitions the violation set
     assert kept.count() + waived.count() == violations.count()
+
+
+def test_sampled_validation(spark):
+    """Rate estimation contract: fraction=1.0 degenerates to exact
+    counts (p_hat = k/n, Wilson bounds match the closed form), table
+    rules are excluded from the grid, and an empty sample yields NULL
+    estimates instead of a fabricated rate."""
+    import math
+
+    from tests.conftest import make_docs
+    from zparse_spark.plans.engine import sampled_validation
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "\x01", None, 0)], "p0"),   # S5
+            ("d2", [("text", "ok", None, 0)], "p0"),
+            ("d3", [("text", "ok", None, 0)], "p0"),
+            ("d4", [("text", "ok", None, 0)], "p0"),
+        ],
+    )
+    eng = ValidationEngine(ValidationConfig(enable_drift=False, enable_referential=False))
+    out = sampled_validation(docs, eng, fraction=1.0, seed=3).collect()
+    rules = {r["rule_id"] for r in out}
+    assert "U1" not in rules and "D1" not in rules and "S5" in rules
+    cell = {r["rule_id"]: r for r in out}["S5"]
+    assert (cell["n_total_docs"], cell["n_sampled"], cell["n_violating"]) == (4, 4, 1)
+    z, n, k = 1.96, 4.0, 1.0
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+    assert cell["p_hat"] == round(p, 6)
+    assert cell["ci_lo"] == round(max(0.0, center - half), 6)
+    assert cell["ci_hi"] == round(min(1.0, center + half), 6)
+    assert cell["est_violating_docs"] == round(p * 4.0, 6)
+    # clean rule: k=0 still yields a defined (0, upper>0) interval
+    s2 = {r["rule_id"]: r for r in out}["S2"]
+    assert s2["p_hat"] == 0.0 and s2["ci_lo"] == 0.0 and s2["ci_hi"] > 0.0
+    # empty sample: counts are zero, estimates NULL
+    none = sampled_validation(docs, eng, fraction=0.0, seed=3).collect()
+    assert all(r["n_sampled"] == 0 and r["p_hat"] is None and r["ci_lo"] is None for r in none)

@@ -367,6 +367,98 @@ def quarantine_split(
     return clean, quarantined
 
 
+def sampled_validation(
+    docs: DataFrame,
+    engine: ValidationEngine,
+    fraction: float,
+    seed: int = 0,
+    media_catalog: DataFrame | None = None,
+    z: float = 1.96,
+) -> DataFrame:
+    """Estimate per-(partition, rule) violation-rate with confidence
+    bounds from a deterministic document sample — the cheap screening
+    tier before a full validation pass (the benchmark's "sampled SF
+    tiers" discipline applied to the gate itself: at 10^12 docs a 0.1%
+    sample bounds every rule's breach rate long before the full job
+    lands).
+
+    Only per-document rules are estimable this way (span/doc/R1/M1/K):
+    duplicate-rate (U1) is famously biased under sampling (a pair
+    survives only if BOTH copies are drawn, deflating p by ~fraction)
+    and drift (D1) needs the full kind distribution — both excluded.
+
+    The sample is a pure function of (partition, doc_id, seed) — the
+    md5-nibble uniform shared with ``hash_sample`` — so re-runs and
+    other engines draw the identical subset; the filter is map-only and
+    rides the scan. Violating DOCS (not rows) per cell are the Bernoulli
+    trials; the interval is Wilson-score at confidence ``z`` (default
+    1.96 ≈ 95%), whose coverage holds at k=0/k=n where the Wald interval
+    collapses. Estimates are rounded to 6 decimals so cross-engine
+    comparisons are exact; cells with an empty sample report NULL
+    estimates rather than fabricating a rate.
+
+    Output: (partition, rule_id, n_total_docs, n_sampled, n_violating,
+    p_hat, ci_lo, ci_hi, est_violating_docs).
+    """
+    from zparse_spark.operators.filtering import hash_unit
+
+    key = F.concat_ws("|", F.col("partition"), F.col("doc_id"))
+    sample = docs.filter(hash_unit(key, seed) < fraction)
+    viol = engine.violations(sample, media_catalog, include_table_rules=False)
+    table_only = {"U1", "D1", "F1"}
+    rules = [r for r in engine.active_rule_ids() if r not in table_only]
+    spark = docs.sparkSession
+    rules_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(r) for r in rules])).alias("rule_id")
+    )
+    totals = docs.groupBy("partition").agg(F.count(F.lit(1)).alias("n_total_docs"))
+    sampled = sample.groupBy("partition").agg(F.count(F.lit(1)).alias("n_sampled"))
+    viols = (
+        viol.filter(F.col("doc_id").isNotNull())
+        .select("partition", "rule_id", "doc_id")
+        .distinct()
+        .groupBy("partition", "rule_id")
+        .agg(F.count(F.lit(1)).alias("n_violating"))
+    )
+    grid = (
+        totals.join(sampled, "partition", "left")
+        .crossJoin(F.broadcast(rules_df))
+        .join(viols, ["partition", "rule_id"], "left")
+        .select(
+            "partition",
+            "rule_id",
+            "n_total_docs",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("n_violating", F.lit(0)).cast("long").alias("n_violating"),
+        )
+    )
+    # Wilson score — expression structure mirrored verbatim in the SQL
+    # oracle twin so every double is bit-identical before the rounding
+    n = F.col("n_sampled").cast("double")
+    k = F.col("n_violating").cast("double")
+    z2 = z * z  # python-float literal, embedded identically both sides
+    p = k / n
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * n * n))
+        / denom
+    )
+    guarded = lambda c: F.round(F.when(F.col("n_sampled") > 0, c), 6)  # noqa: E731
+    return grid.select(
+        "partition",
+        "rule_id",
+        "n_total_docs",
+        "n_sampled",
+        "n_violating",
+        guarded(p).alias("p_hat"),
+        guarded(F.greatest(F.lit(0.0), center - half)).alias("ci_lo"),
+        guarded(F.least(F.lit(1.0), center + half)).alias("ci_hi"),
+        guarded(p * F.col("n_total_docs").cast("double")).alias("est_violating_docs"),
+    )
+
+
 def apply_waivers(
     violations: DataFrame,
     waivers: DataFrame,

@@ -86,9 +86,9 @@ _DOMAIN_SQL = ", ".join(f"'{k}'" for k in SPAN_KIND_DOMAIN)
 # exploded span frame with doc-level scalars riding along — the SQL twin
 # of span_rule_violations' posexplode formulation. Parameterized by table
 # dir so variant corpora (the S9 overlap plant) reuse the same prologue.
-def _sp_cte(table: str = "span_docs") -> str:
+def _sp_cte(table: str = "span_docs", docs_where: str = "") -> str:
     return f"""
-docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/{table}/*.parquet')),
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/{table}/*.parquet') {docs_where}),
 cat AS (SELECT DISTINCT media_ref FROM read_parquet('{_W}/span_catalog/*.parquet')),
 ex0 AS (
   SELECT partition, doc_id, spans,
@@ -679,6 +679,78 @@ def _overlap_input(spark):
         docs.unionByName(planted).write.mode("overwrite").parquet(f"{_W}/span_docs_overlap")
         _OV_READY = True
     return spark.read.parquet(f"{_W}/span_docs_overlap"), cat
+
+
+# ---------------------------------------------------------------------------
+# sampled-tier validation — violation-rate estimation with Wilson bounds
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRACTION = 0.35
+_SAMPLE_SEED = 11
+_Z = 1.96
+_Z2 = _Z * _Z  # python float, repr-embedded so both engines share the bits
+
+
+def _sampled_oracle_sql() -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"partition || '|' || doc_id || ':{_SAMPLE_SEED}'")
+    rules = ", ".join(f"('{r}')" for r in ["S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8", "R1"])
+    return f"""WITH{_sp_cte(docs_where=f"WHERE {hv} / 4294967296.0 < {_SAMPLE_FRACTION}")},{_VIOL_CTE},
+fulldocs AS (SELECT partition, doc_id FROM read_parquet('{_W}/span_docs/*.parquet')),
+totals AS (SELECT partition, count(*) AS n_total_docs FROM fulldocs GROUP BY 1),
+sampled AS (SELECT partition, count(*) AS n_sampled FROM docs GROUP BY 1),
+viols AS (
+  SELECT partition, rule_id, count(*) AS n_violating
+  FROM (SELECT DISTINCT partition, rule_id, doc_id FROM viol WHERE doc_id IS NOT NULL)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.partition, r.rule_id, t.n_total_docs,
+         coalesce(s.n_sampled, 0) AS n_sampled
+  FROM totals t LEFT JOIN sampled s USING (partition)
+  CROSS JOIN (VALUES {rules}) r(rule_id)
+),
+cells AS (
+  SELECT g.*, coalesce(v.n_violating, 0) AS n_violating
+  FROM grid g LEFT JOIN viols v ON v.partition = g.partition AND v.rule_id = g.rule_id
+),
+-- Wilson score, expression structure identical to sampled_validation's
+-- column tree (plans/engine.py) so the doubles agree bit-for-bit
+w1 AS (SELECT *, CAST(n_sampled AS DOUBLE) AS n, CAST(n_violating AS DOUBLE) AS k FROM cells),
+w2 AS (SELECT *, k / n AS p, 1.0 + {_Z2!r} / n AS denom FROM w1 WHERE n > 0),
+w3 AS (
+  SELECT *,
+         (p + {_Z2!r} / (2.0 * n)) / denom AS center,
+         {_Z!r} * sqrt(p * (1.0 - p) / n + {_Z2!r} / (4.0 * n * n)) / denom AS half
+  FROM w2
+)
+SELECT c.partition, c.rule_id, c.n_total_docs, c.n_sampled, c.n_violating,
+       round(w.p, 6) AS p_hat,
+       round(greatest(0.0, w.center - w.half), 6) AS ci_lo,
+       round(least(1.0, w.center + w.half), 6) AS ci_hi,
+       round(w.p * CAST(c.n_total_docs AS DOUBLE), 6) AS est_violating_docs
+FROM cells c
+LEFT JOIN w3 w ON w.partition = c.partition AND w.rule_id = c.rule_id"""
+
+
+@register("span_pack_sampled_rates", _sampled_oracle_sql())
+def span_pack_sampled_rates(spark, sf_dir):
+    """Sampled-tier validation: per-(partition, rule) violation-RATE
+    estimates with Wilson 95% bounds from a deterministic 35% document
+    sample — the screening pass that bounds every rule's breach rate at
+    a fraction of the full job's cost (U1/D1 excluded: duplicate rates
+    are biased under sampling, drift needs the full distribution). The
+    md5-nibble sample is a pure function of (partition, doc_id, seed),
+    so DuckDB draws the identical subset and the Wilson arithmetic is
+    mirrored term-for-term."""
+    from zparse_spark.plans.engine import sampled_validation
+
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
+    return sampled_validation(
+        docs, eng, fraction=_SAMPLE_FRACTION, seed=_SAMPLE_SEED, media_catalog=cat, z=_Z
+    )
 
 
 # ---------------------------------------------------------------------------
