@@ -365,3 +365,139 @@ def test_chunk_dedup_position_order_within_doc(spark):
     )
     r = chunk_dedup(docs, chunk_words=3).collect()[0]
     assert (r["n_chunks_total"], r["n_chunks_kept"]) == (3, 2)
+
+
+def test_incremental_exact_dedup_hand_case(spark):
+    from zparse_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [("c1", "alpha beta"), ("c2", "gamma delta"), ("c0", "ALPHA   beta")],
+        "doc_id string, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("n1", "alpha beta"),      # in corpus (c0 < c1 after normalize)
+            ("n2", "Alpha Beta"),      # same normalized hash → also corpus dup
+            ("n3", "epsilon"),         # new, repeated in delta
+            ("n4", "epsilon"),
+            ("n5", "zeta"),            # new, unique
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_exact_dedup(corpus, delta).collect()
+    }
+    assert got == {
+        "n1": ("dup_of_corpus", "c0"),
+        "n2": ("dup_of_corpus", "c0"),
+        "n3": ("admitted", None),
+        "n4": ("dup_in_delta", "n3"),
+        "n5": ("admitted", None),
+    }
+
+
+def test_incremental_exact_matches_batch(spark):
+    """Admitting a delta incrementally must leave the corpus in exactly
+    the state a batch dedup of corpus ∪ delta (min-id keep) produces —
+    the invariant that lets a pipeline switch to incremental admission
+    without changing its corpus."""
+    from zparse_spark.operators.dedup import exact_duplicates, incremental_exact_dedup
+    from zparse_spark.sources.datagen import _base_flat
+
+    flat = _base_flat(spark, 300, seed=9).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        # fold texts into a small hash space so cross-batch dups exist
+        F.substring("text", 1, 30).alias("text"),
+    )
+    corpus_all = flat.filter(F.col("doc_id").cast("long") % 3 != 0)
+    delta = flat.filter(F.col("doc_id").cast("long") % 3 == 0)
+    # corpus must itself be deduped first (the function's precondition)
+    dup_groups = exact_duplicates(corpus_all)
+    keep = dup_groups.select(F.col("keep_id").alias("doc_id"))
+    losers = (
+        corpus_all.select("doc_id", F.md5(
+            __import__("zparse_spark.functions.text", fromlist=["normalize_text"]).normalize_text(F.col("text"))
+        ).alias("h"))
+        .join(dup_groups.withColumnRenamed("content_hash", "h"), "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    corpus = corpus_all.join(losers, "doc_id", "left_anti")
+
+    inc = incremental_exact_dedup(corpus, delta)
+    admitted = {r["doc_id"] for r in inc.filter("status = 'admitted'").collect()}
+    new_corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()} | admitted
+
+    batch = exact_duplicates(corpus.unionByName(delta))
+    batch_losers = set()
+    from zparse_spark.functions.text import normalize_text
+    hashed = corpus.unionByName(delta).select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+    )
+    for r in hashed.join(batch, "content_hash").filter("doc_id != keep_id").collect():
+        batch_losers.add(r["doc_id"])
+    batch_ids = {r["doc_id"] for r in corpus.unionByName(delta).select("doc_id").collect()} - batch_losers
+    assert new_corpus_ids == batch_ids
+    assert inc.count() == delta.count()
+
+
+def test_incremental_minhash_matches_batch_candidates(spark):
+    """Probing a materialized corpus band index with a delta batch must
+    surface exactly the batch pipeline's candidate pairs that involve a
+    delta doc (cap disabled on both sides so recall is exhaustive)."""
+    from zparse_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_banded,
+        minhash_lsh_candidates,
+    )
+    from zparse_spark.sources.datagen import _base_flat
+
+    flat = _base_flat(spark, 160, seed=4).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    # plant near-dups across the corpus/delta split: every 10th delta doc
+    # is a corpus doc with one word appended
+    corpus = flat.filter(F.col("doc_id").cast("long") % 4 != 0)
+    near = corpus.limit(12).select(
+        F.concat(F.lit("nd_"), "doc_id").alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    delta = flat.filter(F.col("doc_id").cast("long") % 4 == 0).unionByName(near)
+
+    kw = dict(n_hashes=32, n_bands=8, k_shingle=3, seed=7)
+    index = minhash_banded(corpus, **kw)
+    inc = incremental_minhash_candidates(index, delta, **kw)
+    inc_pairs = {
+        frozenset((r["delta_id"], r["other_id"])): r["n_shared_bands"]
+        for r in inc.collect()
+    }
+
+    batch = minhash_lsh_candidates(corpus.unionByName(delta), max_bucket=0, **kw)
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    batch_pairs = {
+        frozenset((r["id_a"], r["id_b"])): r["n_shared_bands"]
+        for r in batch.collect()
+        if r["id_a"] in delta_ids or r["id_b"] in delta_ids
+    }
+    assert inc_pairs == batch_pairs and len(inc_pairs) >= 12
+
+
+def test_incremental_exact_plan_discipline(spark):
+    """The corpus side must STREAM: its only joins are broadcast (the
+    delta-hash probe and the collision map) — no sort-merge join, no
+    corpus-wide Exchange beyond the collision-bounded aggregate."""
+    from zparse_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.range(1000).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "concat('text ', id % 200) AS text"
+    )
+    delta = spark.range(50).selectExpr(
+        "concat('n', id) AS doc_id", "concat('text ', id) AS text"
+    )
+    plan = (
+        incremental_exact_dedup(corpus, delta)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi probe + hits map

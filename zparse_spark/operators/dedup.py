@@ -313,6 +313,123 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup — admit a delta batch against an already-deduped corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admission decisions for a DELTA batch against an already-deduped
+    CORPUS — the operational dedup shape at 10^12 docs: a daily ingest of
+    10^7 documents must never re-pair the corpus against itself (the
+    batch `exact_duplicates` over corpus ∪ delta shuffles every corpus
+    content hash per run).
+
+    One row per delta doc: (id, content_hash, status, dup_of) with
+    status ∈ admitted | dup_of_corpus | dup_in_delta. A hash already in
+    the corpus rejects EVERY delta copy (dup_of = the min corpus id);
+    a hash new to the corpus but repeated within the delta admits the
+    min-id copy and rejects the rest against it.
+
+    Scale shape: the delta's distinct hashes BROADCAST into a semi-join
+    probe over the corpus — the corpus streams through one scan, never
+    shuffles, and only COLLIDING corpus rows (≤ |delta| groups) reach
+    the min-id aggregate; that result is delta-bounded, so it broadcasts
+    back. The only window runs within the delta batch. Corpus cost is
+    one scan per batch; on a real lakehouse table the probe prunes
+    further via a bucketed/Z-ordered content_hash column.
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    d = delta.select(F.col(id_col).alias("_id"), h.alias("content_hash"))
+    probe = d.select("content_hash").distinct()
+    corpus_hits = (
+        corpus.select(F.col(id_col).alias("_cid"), h.alias("content_hash"))
+        .join(F.broadcast(probe), "content_hash", "left_semi")
+        .groupBy("content_hash")
+        .agg(F.min("_cid").alias("_corpus_dup"))
+    )
+    delta_keep = F.min("_id").over(Window.partitionBy("content_hash"))
+    return (
+        d.join(F.broadcast(corpus_hits), "content_hash", "left")
+        .withColumn("_delta_keep", delta_keep)
+        .select(
+            F.col("_id").alias(id_col),
+            "content_hash",
+            F.when(F.col("_corpus_dup").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_id") != F.col("_delta_keep"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("admitted"))
+            .alias("status"),
+            F.when(F.col("_corpus_dup").isNotNull(), F.col("_corpus_dup"))
+            .when(F.col("_id") != F.col("_delta_keep"), F.col("_delta_keep"))
+            .alias("dup_of"),
+        )
+    )
+
+
+def incremental_minhash_candidates(
+    corpus_banded: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k_shingle: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidates of a DELTA batch against a MATERIALIZED corpus
+    band index (``minhash_banded`` output persisted partitioned by
+    ``band``) plus within-delta candidates — the incremental analog of
+    ``minhash_lsh_candidates``: the corpus is probed, never re-banded
+    and never self-joined.
+
+    Returns (delta_id, other_id, n_shared_bands, other_side ∈
+    corpus|delta). Band parameters MUST match the ones the index was
+    built with — same n_hashes/n_bands/k_shingle/seed/hash_fn, or the
+    bucket spaces are disjoint and recall silently drops to zero (pin
+    them in the index's manifest exactly like rules_hash pins resume).
+
+    Scale shape: delta banding is map-only over the (small) batch; the
+    corpus probe is an equi-join on (band, bucket) where the delta side
+    broadcasts, so the index streams through one pruned scan — with the
+    index partitioned by band, non-matching files never open. The
+    within-delta self-join is batch²-bounded and capped upstream by the
+    caller's batch size.
+    """
+    dband = minhash_banded(
+        delta, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        n_bands=n_bands, k_shingle=k_shingle, seed=seed, hash_fn=hash_fn,
+    )
+    vs_corpus = (
+        corpus_banded.alias("c")
+        .join(
+            F.broadcast(dband.alias("d")),
+            (F.col("c.band") == F.col("d.band")) & (F.col("c.bucket") == F.col("d.bucket")),
+        )
+        .groupBy(F.col("d._id").alias("delta_id"), F.col("c._id").alias("other_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .withColumn("other_side", F.lit("corpus"))
+    )
+    l, r = dband.alias("l"), dband.alias("r")
+    vs_delta = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(F.col("l._id").alias("delta_id"), F.col("r._id").alias("other_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .withColumn("other_side", F.lit("delta"))
+    )
+    return vs_corpus.unionByName(vs_delta)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

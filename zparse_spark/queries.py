@@ -1308,6 +1308,72 @@ def dedup_exact_documents(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_admission",
+    """
+    WITH corpus AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM documents
+    ),
+    delta0 AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' uniq' FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' uniq' FROM documents WHERE doc_id % 14 = 0
+    ),
+    delta AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS content_hash
+      FROM delta0
+    ),
+    hits AS (
+      SELECT content_hash, min(doc_id) AS corpus_dup FROM corpus
+      WHERE content_hash IN (SELECT content_hash FROM delta) GROUP BY 1
+    ),
+    keep AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS delta_keep FROM delta
+    )
+    SELECT k.doc_id, k.content_hash,
+           CASE WHEN h.corpus_dup IS NOT NULL THEN 'dup_of_corpus'
+                WHEN k.doc_id <> k.delta_keep THEN 'dup_in_delta'
+                ELSE 'admitted' END AS status,
+           CASE WHEN h.corpus_dup IS NOT NULL THEN h.corpus_dup
+                WHEN k.doc_id <> k.delta_keep THEN k.delta_keep END AS dup_of
+    FROM keep k LEFT JOIN hits h ON h.content_hash = k.content_hash
+    """,
+)
+def dedup_incremental_admission(spark, sf_dir):
+    """Incremental exact-dedup admission of a synthetic delta batch
+    against the documents corpus: re-keyed copies (dup_of_corpus), a
+    '+uniq' variant family repeated within the batch (admitted min-id +
+    dup_in_delta), corpus untouched. Scale shape per
+    ``incremental_exact_dedup``: the corpus streams through ONE scan
+    against a broadcast probe of the delta's distinct hashes; only
+    colliding corpus rows ever shuffle — the batch-vs-batch
+    ``dedup_exact_documents`` re-pairing is exactly what a daily ingest
+    at 10^12 docs must not do."""
+    from zparse_spark.operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" uniq")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 14 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" uniq")).alias("text"),
+            )
+        )
+    )
+    return incremental_exact_dedup(d, delta)
+
+
+@register(
     "dedup_ngram_jaccard_documents",
     """
     WITH sh AS (

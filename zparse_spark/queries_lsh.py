@@ -724,3 +724,81 @@ def dedup_clusters_chain(spark, sf_dir):
     ids = spark.range(_CHAIN_N - 1).filter((F.col("id") + 1) % _CHAIN_LEN != 0)
     pairs = ids.select(fmt(F.col("id")).alias("id_a"), fmt(F.col("id") + 1).alias("id_b"))
     return resolve_duplicate_clusters_star(pairs, max_iter=_CHAIN_MAX_ITER)
+
+
+# --- Incremental LSH admission: delta probes a materialized band index ---
+
+_INC_MINHASH_SQL = f"""WITH
+corpus0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE doc_id % 4 <> 0
+),
+delta0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT 'nd_' || CAST(doc_id AS VARCHAR), text || ' extra extra'
+  FROM documents WHERE doc_id % 20 = 1
+),
+input AS (
+  SELECT doc_id, text FROM corpus0
+  UNION ALL
+  SELECT doc_id, text FROM delta0
+),
+sides AS (
+  SELECT doc_id, 'corpus' AS side FROM corpus0
+  UNION ALL
+  SELECT doc_id, 'delta' FROM delta0
+){_NORM_SH_TAIL},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_min_cols}
+  FROM ex GROUP BY doc_id
+),
+banded0 AS (
+{_band_rows}
+),
+banded AS (SELECT b.*, s.side FROM banded0 b JOIN sides s USING (doc_id))
+SELECT d.doc_id AS delta_id, c.doc_id AS other_id,
+       count(*) AS n_shared_bands, 'corpus' AS other_side
+FROM banded d JOIN banded c
+  ON d.band = c.band AND d.bucket = c.bucket
+ AND d.side = 'delta' AND c.side = 'corpus'
+GROUP BY 1, 2
+UNION ALL
+SELECT l.doc_id, r.doc_id, count(*), 'delta'
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket
+ AND l.side = 'delta' AND r.side = 'delta' AND l.doc_id < r.doc_id
+GROUP BY 1, 2"""
+
+
+@register("dedup_incremental_minhash", _INC_MINHASH_SQL)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup admission: the corpus is banded ONCE into a
+    materialized index and each delta batch (fresh docs + planted
+    ' extra extra' near-dup variants of corpus docs) probes it by
+    (band, bucket) with the delta side broadcast — the corpus is never
+    re-banded and never self-joined, the batch-vs-batch
+    dedup_minhash_documents shape a daily ingest must not pay. md5 hash
+    family so DuckDB rebuilds signature -> bands -> probe stage-for-
+    stage; within-delta candidates ride the same banding."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import incremental_minhash_candidates, minhash_banded
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id").cast("long")
+    corpus = d.filter(did % 4 != 0)
+    delta = d.filter(did % 4 == 0).unionByName(
+        d.filter(did % 20 == 1).select(
+            F.concat(F.lit("nd_"), "doc_id").alias("doc_id"),
+            F.concat("text", F.lit(" extra extra")).alias("text"),
+        )
+    )
+    kw = dict(n_hashes=_N_HASHES, n_bands=_N_BANDS, seed=_SEED, hash_fn="md5")
+    index = minhash_banded(corpus, **kw)
+    return incremental_minhash_candidates(index, delta, **kw)
