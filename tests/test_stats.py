@@ -415,3 +415,36 @@ def test_mutual_information_null_category(spark):
     )
     r = mutual_information(df, "x", "y").collect()[0]
     assert r["mi"] == round(math.log(2), 6) and r["u_y_given_x"] == 1.0
+
+
+def test_profile_snapshot_diff_statuses(spark):
+    """All five statuses from hand-built snapshots, plus the zero-distinct
+    ratio edge (old 0 vs new >0 is drift with NULL ratio)."""
+    from zparse_spark.operators.stats import profile_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x", None), (2, "b", "x", None), (3, "c", "y", None)],
+        "id long, keep string, cat string, allnull string",
+    )
+    new = spark.createDataFrame(
+        [("1", "a", "x", "p", 10), ("2", "b", None, "q", 11), ("3", "c", None, "r", 12)],
+        "id string, keep string, cat string, allnull string, fresh long",
+    )
+    got = {r["column"]: r for r in profile_snapshot_diff(old, new).collect()}
+    assert got["id"]["status"] == "type_changed"
+    assert got["keep"]["status"] == "stable"
+    # cat: null rate 0 -> 2/3 (> 0.05) AND distinct 2 -> 1 (ratio 0.5 at the
+    # boundary, not < 0.5) — the null-rate leg fires
+    assert got["cat"]["status"] == "drifted"
+    assert got["cat"]["null_rate_delta"] == round(2 / 3, 6)
+    # allnull: distinct 0 -> 3 with no finite ratio is drift by definition
+    assert got["allnull"]["status"] == "drifted" and got["allnull"]["distinct_ratio"] is None
+    assert got["fresh"]["status"] == "added" and got["fresh"]["old_type"] is None
+    # removed side: drop a column from new
+    got2 = {r["column"]: r for r in profile_snapshot_diff(old, new.drop("cat")).collect()}
+    assert got2["cat"]["status"] == "removed" and got2["cat"]["new_type"] is None
+    # distinct-ratio leg alone: same null rates, cardinality collapses 3 -> 1
+    old3 = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    new3 = spark.createDataFrame([("a",), ("a",), ("a",)], "v string")
+    d3 = {r["column"]: r for r in profile_snapshot_diff(old3, new3).collect()}
+    assert d3["v"]["status"] == "drifted" and d3["v"]["distinct_ratio"] == round(1 / 3, 6)

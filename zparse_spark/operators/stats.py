@@ -74,6 +74,107 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def profile_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 2.0,
+    distinct_mode: str = "exact",
+) -> DataFrame:
+    """Column-level drift between two table snapshots — the schema/
+    profile monitor a recurring ingest runs BEFORE row-level validation:
+    did yesterday's load add/drop/retype a column, blow up a null rate,
+    or collapse a cardinality? (verdict_diff answers rule-cell drift,
+    snapshot_diff row-identity drift; this closes the column axis.)
+
+    Per column: status ∈ added | removed | type_changed | drifted |
+    stable (first match wins). ``drifted`` fires when |Δ null_rate| >
+    ``null_rate_tol`` or the distinct-count ratio new/old leaves
+    [1/``distinct_ratio_tol``, ``distinct_ratio_tol``] (an old count of
+    0 with a new count > 0 is drift by definition). Rates/ratios are
+    rounded to 6 decimals so cross-engine comparisons are exact.
+
+    Scale shape: each side is ONE aggregate pass producing a k-row
+    profile; the diff joins two k-row tables — document data is scanned
+    once per side, nothing else moves. ``distinct_mode='exact'``
+    (count_distinct, the oracle-matchable default) expands the
+    aggregate input ×k_columns (Spark's Expand for multi-distinct);
+    at 10^12 rows pass ``'approx'`` (HLL, one pass, ±2%) and widen
+    ``distinct_ratio_tol`` accordingly.
+    """
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
+
+    def profile(df: DataFrame) -> DataFrame:
+        cols = [f.name for f in df.schema.fields]
+        dtypes = dict(df.dtypes)
+        distinct = F.count_distinct if distinct_mode == "exact" else F.approx_count_distinct
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__rows"),
+                F.count(c).alias(f"{c}__nonnull"),
+                distinct(F.col(c)).alias(f"{c}__distinct"),
+            ]
+        wide = df.agg(*aggs)
+        stack_expr = ", ".join(
+            f"'{c}', '{dtypes[c]}', `{c}__rows`, `{c}__nonnull`, `{c}__distinct`" for c in cols
+        )
+        return wide.selectExpr(
+            f"stack({len(cols)}, {stack_expr}) as (column, dtype, n_rows, n_nonnull, n_distinct)"
+        ).select(
+            "column",
+            "dtype",
+            F.round((F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows"), 6).alias(
+                "null_rate"
+            ),
+            "n_distinct",
+        )
+
+    o = profile(old).select(
+        "column",
+        F.col("dtype").alias("old_type"),
+        F.col("null_rate").alias("old_null_rate"),
+        F.col("n_distinct").alias("old_distinct"),
+    )
+    n = profile(new).select(
+        "column",
+        F.col("dtype").alias("new_type"),
+        F.col("null_rate").alias("new_null_rate"),
+        F.col("n_distinct").alias("new_distinct"),
+    )
+    j = o.join(n, "column", "full_outer")
+    ratio = F.when(
+        (F.col("old_distinct") > 0) & (F.col("new_distinct") > 0),
+        F.round(F.col("new_distinct").cast("double") / F.col("old_distinct"), 6),
+    )
+    null_delta = F.round(F.col("new_null_rate") - F.col("old_null_rate"), 6)
+    drifted = (
+        (F.abs(null_delta) > null_rate_tol)
+        | (ratio.isNull() & (F.coalesce("old_distinct", "new_distinct") > 0)
+           & (F.col("old_distinct") != F.col("new_distinct")))
+        | (ratio > distinct_ratio_tol)
+        | (ratio < 1.0 / distinct_ratio_tol)
+    )
+    status = (
+        F.when(F.col("old_type").isNull(), F.lit("added"))
+        .when(F.col("new_type").isNull(), F.lit("removed"))
+        .when(F.col("old_type") != F.col("new_type"), F.lit("type_changed"))
+        .when(F.coalesce(drifted, F.lit(False)), F.lit("drifted"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "column", status.alias("status"),
+        "old_type", "new_type",
+        "old_null_rate", "new_null_rate",
+        F.when(F.col("old_type").isNotNull() & F.col("new_type").isNotNull(), null_delta)
+        .alias("null_rate_delta"),
+        "old_distinct", "new_distinct",
+        F.when(F.col("old_type").isNotNull() & F.col("new_type").isNotNull(), ratio)
+        .alias("distinct_ratio"),
+    )
+
+
 def histogram(df: DataFrame, col: str, lo: float, hi: float, n_buckets: int) -> DataFrame:
     """Fixed-bin histogram via floor arithmetic (no width_bucket needed on
     the oracle side); clamps out-of-range values into edge buckets."""

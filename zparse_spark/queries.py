@@ -512,6 +512,100 @@ def _corr_oracle_sql() -> str:
     return f"WITH m AS (SELECT {aggs} FROM lineitem)\n    {arms}"
 
 
+_PROFILE_DRIFT_SQL = """
+    WITH new_t AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+             n_chars,
+             CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    ),
+    o AS (
+      SELECT 'doc_id' AS "column", 'bigint' AS old_type,
+             round((count(*) - count(doc_id)) / CAST(count(*) AS DOUBLE), 6) AS old_null_rate,
+             count(DISTINCT doc_id) AS old_distinct FROM documents
+      UNION ALL
+      SELECT 'text', 'string', round((count(*) - count(text)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT text) FROM documents
+      UNION ALL
+      SELECT 'lang', 'string', round((count(*) - count(lang)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT lang) FROM documents
+      UNION ALL
+      SELECT 'source', 'string', round((count(*) - count(source)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT source) FROM documents
+      UNION ALL
+      SELECT 'n_chars', 'bigint', round((count(*) - count(n_chars)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT n_chars) FROM documents
+    ),
+    n AS (
+      SELECT 'doc_id' AS "column", 'string' AS new_type,
+             round((count(*) - count(doc_id)) / CAST(count(*) AS DOUBLE), 6) AS new_null_rate,
+             count(DISTINCT doc_id) AS new_distinct FROM new_t
+      UNION ALL
+      SELECT 'text', 'string', round((count(*) - count(text)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT text) FROM new_t
+      UNION ALL
+      SELECT 'lang', 'string', round((count(*) - count(lang)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT lang) FROM new_t
+      UNION ALL
+      SELECT 'n_chars', 'bigint', round((count(*) - count(n_chars)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT n_chars) FROM new_t
+      UNION ALL
+      SELECT 'split', 'string', round((count(*) - count(split)) / CAST(count(*) AS DOUBLE), 6),
+             count(DISTINCT split) FROM new_t
+    ),
+    j AS (
+      SELECT coalesce(o."column", n."column") AS "column",
+             o.old_type, n.new_type, o.old_null_rate, n.new_null_rate,
+             o.old_distinct, n.new_distinct
+      FROM o FULL OUTER JOIN n ON o."column" = n."column"
+    ),
+    calc AS (
+      SELECT *,
+             round(new_null_rate - old_null_rate, 6) AS nd,
+             CASE WHEN old_distinct > 0 AND new_distinct > 0
+                  THEN round(CAST(new_distinct AS DOUBLE) / old_distinct, 6) END AS ratio
+      FROM j
+    )
+    SELECT "column",
+           CASE WHEN old_type IS NULL THEN 'added'
+                WHEN new_type IS NULL THEN 'removed'
+                WHEN old_type <> new_type THEN 'type_changed'
+                WHEN abs(nd) > 0.05
+                     OR (ratio IS NULL AND coalesce(old_distinct, new_distinct) > 0
+                         AND old_distinct <> new_distinct)
+                     OR ratio > 2.0 OR ratio < 0.5
+                  THEN 'drifted'
+                ELSE 'stable' END AS status,
+           old_type, new_type, old_null_rate, new_null_rate,
+           CASE WHEN old_type IS NOT NULL AND new_type IS NOT NULL THEN nd END AS null_rate_delta,
+           old_distinct, new_distinct,
+           CASE WHEN old_type IS NOT NULL AND new_type IS NOT NULL THEN ratio END AS distinct_ratio
+    FROM calc
+"""
+
+@register("profile_drift_documents", _PROFILE_DRIFT_SQL)
+def profile_drift_documents(spark, sf_dir):
+    """Column-level snapshot drift (X68): the new snapshot retypes
+    doc_id (bigint -> string), nulls every 5th lang (null-rate leg),
+    drops source (removed), adds split (added); text/n_chars stay
+    stable. One aggregate pass per side, k-row join — see
+    profile_snapshot_diff."""
+    from zparse_spark.operators.stats import profile_snapshot_diff
+
+    old = _t(spark, sf_dir, "documents")
+    new = old.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "n_chars",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+    return profile_snapshot_diff(old, new)
+
+
 @register("stats_correlation_lineitem", _corr_oracle_sql())
 def stats_correlation_lineitem(spark, sf_dir):
     """Pairwise Pearson correlation + sample covariance over the four
