@@ -1912,6 +1912,58 @@ def approx_distinct_tolerance(spark, sf_dir):
     )
 
 
+_TD_PROBS = [0.1, 0.5, 0.9, 0.99]
+_TD_TOL = 0.02
+
+
+@register(
+    "quantiles_tdigest_tolerance",
+    "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS DOUBLE) AS prob,
+           round(quantile_cont(l_extendedprice, {p}), 6) AS exact_value,
+           true AS within_tol
+    FROM lineitem"""
+        for p in _TD_PROBS
+    ),
+)
+def quantiles_tdigest_tolerance(spark, sf_dir):
+    """The north-star's t-digest quantile sketch, oracle-gated the way
+    sketches can be (the approx_distinct_tolerance pattern): the
+    distributed sketch (applyInPandas partial digests per hash bucket →
+    one bounded merge task, no driver collect) must land within 2% rel
+    error of the exact interpolated quantile at every probe — the exact
+    value (Spark percentile ≡ DuckDB quantile_cont, the
+    outliers_quantity_iqr contract) is the value-matched column, the
+    boolean is the sketch gate. Sketch cost: one scan + ≤ n_partials
+    Arrow tasks + one delta-bounded merge; the exact percentile here
+    exists only to judge it and would be the thing a 10^12-row job
+    cannot afford."""
+    from zparse_spark.operators.stats import tdigest_quantiles_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    td = tdigest_quantiles_df(li, "l_extendedprice", _TD_PROBS)
+    wide = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p})").alias(f"_e{i}")
+            for i, p in enumerate(_TD_PROBS)
+        ]
+    )
+    stack = ", ".join(f"{p}D, `_e{i}`" for i, p in enumerate(_TD_PROBS))
+    exact = wide.selectExpr(f"stack({len(_TD_PROBS)}, {stack}) as (prob, exact)")
+    return (
+        td.join(exact, "prob")
+        .select(
+            "prob",
+            F.round("exact", 6).alias("exact_value"),
+            (
+                F.abs(F.col("value") - F.col("exact"))
+                / F.greatest(F.abs("exact"), F.lit(1.0))
+                <= _TD_TOL
+            ).alias("within_tol"),
+        )
+    )
+
+
 @register(
     "delta_documents_snapshot",
     """
