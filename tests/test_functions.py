@@ -543,3 +543,32 @@ def test_pmi_collocations_single_token_docs(spark):
     )
     out = pmi_collocations(df, min_count=2, top_n=None).collect()
     assert [(r["w1"], r["w2"], r["c_xy"]) for r in out] == [("alpha", "beta", 2)]
+
+
+def test_extract_urls_and_domains(spark):
+    from zparse_spark.functions.text import extract_urls, url_domain
+
+    rows = spark.createDataFrame(
+        [
+            ("a", "see https://a.example.com/p/1 and http://b.org end"),
+            ("b", "no urls here"),
+            ("c", None),
+            ("d", "tight(https://c.net/x)paren"),   # greedy to whitespace
+            ("e", "https://just-host.io"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["urls"]
+        for r in rows.select("doc_id", extract_urls(F.col("text")).alias("urls")).collect()
+    }
+    assert got["a"] == ["https://a.example.com/p/1", "http://b.org"]
+    assert got["b"] == [] and got["c"] == []
+    assert got["d"] == ["https://c.net/x)paren"]  # documented greedy contract
+    assert got["e"] == ["https://just-host.io"]
+    doms = (
+        rows.select(F.explode(extract_urls(F.col("text"))).alias("url"))
+        .select(url_domain(F.col("url")).alias("d"))
+        .collect()
+    )
+    assert sorted(r["d"] for r in doms) == ["a.example.com", "b.org", "c.net", "just-host.io"]

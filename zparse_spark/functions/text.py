@@ -139,6 +139,31 @@ def lang_guess(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# URL / domain extraction — provenance profiling for web corpora
+# --------------------------------------------------------------------------
+
+# greedy-to-whitespace URL grammar, deliberately lookaround-free so the
+# same pattern runs under Java regex AND RE2 (DuckDB) — trailing
+# punctuation is kept by design (documented, not a bug: stripping it is
+# locale/scheme-specific and belongs to the caller)
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/\S*)?"
+_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in a text column, in order, as array<string> —
+    one codegen regexp pass, no Python."""
+    return F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(URL_PATTERN), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """Host part of a URL (scheme stripped, first path slash exclusive);
+    empty string for non-URLs — pair with a NULLIF/filter at the call
+    site when absent-vs-malformed matters."""
+    return F.regexp_extract(url, _DOMAIN_PATTERN, 1)
+
+
+# --------------------------------------------------------------------------
 # document fingerprinting
 # --------------------------------------------------------------------------
 

@@ -1912,6 +1912,68 @@ def approx_distinct_tolerance(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_domain_profile",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' see https://site' || (doc_id % 7) || '.example.com/p/' || (doc_id % 13)
+                     ELSE '' END
+             || CASE WHEN doc_id % 9 = 0
+                     THEN ' and http://mirror' || (doc_id % 5) || '.example.org'
+                     ELSE '' END AS text2
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(regexp_extract_all(text2, 'https?://[A-Za-z0-9.-]+(?:/\S*)?')) AS url
+      FROM t
+    )
+    SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_urls,
+           count(DISTINCT url) AS n_distinct_urls
+    FROM ex GROUP BY 1
+    """,
+)
+def corpus_domain_profile(spark, sf_dir):
+    """Per-domain provenance profile (the C4/RefinedWeb bookkeeping that
+    drives per-domain quality decisions): URLs planted deterministically
+    into the synthetic texts, extracted with the portable URL grammar
+    (one codegen regexp pass, no Python), domain keyed by host. One
+    explode + one groupBy(domain) — count aggregates combine map-side,
+    so a hot domain (half the web is a handful of hosts) never
+    concentrates raw rows on one reducer."""
+    from zparse_spark.functions.text import extract_urls, url_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" see https://site"), (did % 7).cast("string"),
+                F.lit(".example.com/p/"), (did % 13).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" and http://mirror"), (did % 5).cast("string"),
+                F.lit(".example.org"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    ex = d.select("doc_id", F.explode(extract_urls(text2)).alias("url"))
+    return ex.groupBy(url_domain(F.col("url")).alias("domain")).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct_urls"),
+    )
+
+
 _TD_PROBS = [0.1, 0.5, 0.9, 0.99]
 _TD_TOL = 0.02
 
