@@ -448,3 +448,74 @@ def test_profile_snapshot_diff_statuses(spark):
     new3 = spark.createDataFrame([("a",), ("a",), ("a",)], "v string")
     d3 = {r["column"]: r for r in profile_snapshot_diff(old3, new3).collect()}
     assert d3["v"]["status"] == "drifted" and d3["v"]["distinct_ratio"] == round(1 / 3, 6)
+
+
+def test_zorder_value_matches_reference(spark):
+    """Bit interleave vs a pure-python Morton reference, plus the hand
+    case x=0b101, y=0b011 → 0b011011 = 27."""
+    from zparse_spark.operators.layout import zorder_value
+
+    def ref(x, y, bits):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert ref(5, 3, 3) == 27
+    df = spark.range(200).selectExpr(
+        "CAST(pmod(xxhash64(id, 1), 256) AS LONG) AS x",
+        "CAST(pmod(xxhash64(id, 2), 256) AS LONG) AS y",
+    )
+    got = df.select("x", "y", zorder_value([F.col("x"), F.col("y")], bits=8).alias("z")).collect()
+    assert all(r["z"] == ref(r["x"], r["y"], 8) for r in got)
+
+
+def test_zorder_clustering_locality(spark):
+    """The point of the layout: single-dimension clustering prunes only
+    its own dimension (x-stripe → 1 partition, y-stripe → all 16); the
+    z-curve prunes BOTH (≈4 each on the idealized 64×64/16-range model)
+    and a 2-D box collapses to ~1 — observed via spark_partition_id."""
+    from zparse_spark.operators.layout import cluster_by_zorder, zorder_value
+
+    grid = spark.range(64 * 64).selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y")
+    z = cluster_by_zorder(grid, zorder_value([F.col("x"), F.col("y")], bits=6), n_ranges=16)
+    xclustered = grid.repartitionByRange(16, "x")
+
+    def parts_touched(df, pred):
+        return (
+            df.withColumn("_p", F.spark_partition_id())
+            .filter(pred)
+            .select("_p")
+            .distinct()
+            .count()
+        )
+
+    xstripe, ystripe = "x >= 8 AND x < 12", "y >= 40 AND y < 44"
+    box = f"{xstripe} AND {ystripe}"
+    # sampled range boundaries can split the ideal counts once; allow +2
+    assert parts_touched(z, box) <= 3
+    zx, zy = parts_touched(z, xstripe), parts_touched(z, ystripe)
+    rx, ry = parts_touched(xclustered, xstripe), parts_touched(xclustered, ystripe)
+    assert zx <= 6 and zy <= 6          # balanced pruning on both dims
+    assert ry >= 12 and rx <= 2         # 1-D layout: all-or-nothing
+    assert zx + zy < rx + ry
+
+
+def test_rank_bucketize_contract(spark):
+    from zparse_spark.operators.layout import rank_bucketize
+
+    df = spark.range(1000).selectExpr("CAST(id * id AS DOUBLE) AS v").unionByName(
+        spark.sql("SELECT CAST(NULL AS DOUBLE) AS v")
+    )
+    b = rank_bucketize(df, "v", bits=4)
+    rows = df.select("v", b.alias("b")).collect()
+    assert all(0 <= r["b"] < 16 for r in rows)
+    # monotone in v; NULL lands in bucket 0
+    nn = sorted((r["v"], r["b"]) for r in rows if r["v"] is not None)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(nn, nn[1:]))
+    assert [r["b"] for r in rows if r["v"] is None] == [0]
+    # buckets are roughly equi-depth despite the quadratic skew
+    from collections import Counter
+    depth = Counter(r["b"] for r in rows if r["v"] is not None)
+    assert max(depth.values()) < 3 * (1000 / 16)

@@ -1912,6 +1912,45 @@ def approx_distinct_tolerance(spark, sf_dir):
     )
 
 
+_Z_BITS = 8
+_Z_TERMS = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(_Z_BITS)
+)
+
+
+@register(
+    "layout_zorder_values",
+    f"""
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey % 256 AS x, l_suppkey % 256 AS y
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, ({_Z_TERMS}) AS z_value
+    FROM g
+    """,
+)
+def layout_zorder_values(spark, sf_dir):
+    """Z-order (Morton) interleave as plain shift/mask arithmetic — the
+    clustering key behind multi-dimensional min-max pruning
+    (``cluster_by_zorder`` range-shuffles on it so every output file
+    covers a tight z-interval; a query box then opens O(perimeter)
+    files). Map-only, whole-stage codegen, bit-identical in any SQL
+    engine — which is the property this oracle certifies."""
+    from zparse_spark.operators.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(
+            [F.pmod(F.col("l_orderkey"), F.lit(256)), F.pmod(F.col("l_suppkey"), F.lit(256))],
+            bits=_Z_BITS,
+        ).alias("z_value"),
+    )
+
+
 @register(
     "corpus_domain_profile",
     r"""
