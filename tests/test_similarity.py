@@ -306,3 +306,60 @@ def test_embedding_validation_plan_no_python_no_shuffle(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_quantize_embeddings_contract(spark):
+    """Hand grid: [0.5, -0.25, 1.0] at scale 1.0 → q = [64, -31, 127]
+    (floor(x·127 + 0.5): 63.5→63? no — 0.5·127+0.5 = 64.0 → 64;
+    -0.25·127+0.5 = -31.25 → floor → -32? -31.75+0.5 = -31.25 →
+    floor = -32 is wrong — verify against python below). Bounds stay in
+    [-127, 127], zero/NULL vectors degrade to scale 0 / all-zero q, and
+    dequantized cosine ≥ 0.995 on random unit-ish vectors."""
+    import math
+
+    from zparse_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    def ref_q(vals):
+        s = max((abs(x) for x in vals), default=0.0)
+        if s == 0:
+            return [0] * len(vals), 0.0
+        return [math.floor(x * 127.0 / s + 0.5) for x in vals], s
+
+    rows = [
+        ("a", [0.5, -0.25, 1.0]),
+        ("zero", [0.0, 0.0, 0.0]),
+        ("null", None),
+        ("neg", [-1.0, 0.3, -0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, vals in rows:
+        if vals is None:
+            assert got[vid]["q"] is None and got[vid]["scale"] == 0.0
+            continue
+        exp_q, exp_s = ref_q([float(np_f32(x)) for x in vals])
+        assert got[vid]["q"] == exp_q, (vid, got[vid]["q"], exp_q)
+        assert abs(got[vid]["scale"] - exp_s) < 1e-12
+        assert all(-127 <= q <= 127 for q in got[vid]["q"])
+    # cosine preservation on a real-ish batch
+    vecs = spark.range(1, 51).selectExpr(  # id=0 would be the zero vector
+        "CAST(id AS STRING) AS vec_id",
+        "transform(sequence(1, 64), i -> CAST(sin(id * i * 0.37) AS FLOAT)) AS embedding",
+    )
+    dq = dequantize_embeddings(quantize_embeddings(vecs))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t)
+
+    cos = dot(v, F.col("dq")) / (F.sqrt(dot(v, v)) * F.sqrt(dot(F.col("dq"), F.col("dq"))))
+    assert dq.select(F.min(cos).alias("m")).first()["m"] >= 0.995
+
+
+def np_f32(x):
+    import numpy as np
+
+    return np.float32(x)

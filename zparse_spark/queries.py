@@ -1594,6 +1594,71 @@ def embedding_norm_stats(spark, sf_dir):
 
 
 @register(
+    "embedding_quantization",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 0.0) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER))
+                  ELSE list_transform(v, x -> 0) END AS qv
+      FROM s
+    ),
+    d AS (SELECT *, list_transform(qv, x -> x * scale / 127.0) AS dq FROM q)
+    SELECT vec_id, round(scale, 6) AS scale_r,
+           coalesce(CAST(list_sum(qv) AS BIGINT), 0) AS q_sum,
+           list_min(qv) AS q_min, list_max(qv) AS q_max,
+           md5(array_to_string(qv, ',')) AS q_hash,
+           CASE WHEN scale > 0 THEN
+             list_dot_product(v, dq)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))) >= 0.995
+           END AS within_tol
+    FROM d
+    """,
+)
+def embedding_quantization(spark, sf_dir):
+    """int8 scalar quantization of the embedding corpus: the quantized
+    arrays themselves are value-matched via md5 checksum (floor/div are
+    exact IEEE, so both engines produce bit-identical grids — the
+    property that makes a quantized index reproducible), and the
+    dequantized cosine against the original must stay ≥ 0.995 per
+    vector (the recall-preservation gate; rounding error is ≲0.4% of
+    max amplitude per component). Map-only array expressions — at 10^9
+    vectors this is the 4× memory-bandwidth cut for every brute-force /
+    IVF scan downstream."""
+    from zparse_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd = dequantize_embeddings(quantize_embeddings(e))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t)
+
+    cos = dot(v, F.col("dq")) / (F.sqrt(dot(v, v)) * F.sqrt(dot(F.col("dq"), F.col("dq"))))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.coalesce(
+            F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda s, x: s + x), F.lit(0)
+        ).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.md5(F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")).alias(
+            "q_hash"
+        ),
+        F.when(F.col("scale") > 0, cos >= 0.995).alias("within_tol"),
+    )
+
+
+@register(
     "similarity_topk_embeddings",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
