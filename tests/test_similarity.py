@@ -363,3 +363,25 @@ def np_f32(x):
     import numpy as np
 
     return np.float32(x)
+
+
+def test_quantized_topk_arrow_matches_expr(spark):
+    """The production int8-matmul path must produce the identical final
+    ranking as the oracled expr fold, and recall@k vs exact brute force
+    must be perfect on well-separated synthetic vectors (rounding can't
+    reorder them)."""
+    from zparse_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    corpus = spark.range(1, 301).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 32), i -> CAST(sin(id * i * 0.61) AS FLOAT)) AS embedding",
+    )
+    qs = corpus.limit(4).selectExpr("vec_id AS query_id", "embedding")
+    expr = quantized_topk(corpus, qs, k=5, rerank=4, impl="expr").collect()
+    arrow = quantized_topk(corpus, qs, k=5, rerank=4, impl="arrow").collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["corpus_id"], r["cosine"]) for r in rows)  # noqa: E731
+    assert key(expr) == key(arrow)
+    exact = brute_force_topk(corpus, qs, k=5)
+    exact_set = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    quant_set = {(r["query_id"], r["corpus_id"]) for r in expr}
+    assert quant_set == exact_set  # rerank=4 buys back full recall here

@@ -1659,6 +1659,65 @@ def embedding_quantization(spark, sf_dir):
 
 
 @register(
+    "similarity_quantized_topk",
+    """
+    WITH qset AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 5
+    ),
+    s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 0.0) AS scale
+      FROM embeddings
+    ),
+    g AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER) AS DOUBLE)) AS qd
+      FROM s WHERE scale > 0
+    ),
+    s1 AS (
+      SELECT q.query_id, g.vec_id AS corpus_id, g.v,
+             round(list_cosine_similarity(g.qd, q.qv), 6) AS quantized_cosine
+      FROM g, qset q
+    ),
+    c1 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY quantized_cosine DESC, corpus_id) AS r
+      FROM s1
+    ),
+    cand AS (SELECT query_id, corpus_id, v, quantized_cosine FROM c1 WHERE r <= 20),
+    re AS (
+      SELECT cand.query_id, corpus_id, quantized_cosine,
+             round(list_cosine_similarity(q.qv, cand.v), 6) AS cosine
+      FROM cand JOIN qset q ON q.query_id = cand.query_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+      FROM re
+    )
+    SELECT query_id, corpus_id, quantized_cosine, cosine, rank FROM rk WHERE rank <= 5
+    """,
+)
+def similarity_quantized_topk(spark, sf_dir):
+    """Two-stage quantized ANN end-to-end: the int8 grid (scale cancels
+    out of cosine) ranks the full scan at 1/4 the bytes, k·rerank=20
+    candidates re-score exact per query via a broadcast-candidate
+    equi-join, final exact top-5. Both ranks order by the
+    6-decimal-rounded score + corpus_id tiebreak, so the candidate set
+    is engine-portable; impl='expr' pinned here so the fold matches
+    DuckDB (the X4/IVF precedent), 'arrow' is the production int8
+    matmul."""
+    from zparse_spark.operators.similarity import quantized_topk
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(e, qs, k=5, rerank=4, impl="expr")
+
+
+@register(
     "similarity_topk_embeddings",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
