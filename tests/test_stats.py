@@ -519,3 +519,39 @@ def test_rank_bucketize_contract(spark):
     from collections import Counter
     depth = Counter(r["b"] for r in rows if r["v"] is not None)
     assert max(depth.values()) < 3 * (1000 / 16)
+
+
+def test_tdigest_grouped_rank_accuracy(spark):
+    """Per-group digests: rank error within the t-digest bound on a
+    skewed two-group fixture, NaN for the all-null group, one row per
+    (group, prob)."""
+    from zparse_spark.operators.stats import tdigest_quantiles_grouped
+
+    df = spark.range(1, 2001).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CASE WHEN id % 2 = 0 THEN CAST(id AS DOUBLE) ELSE CAST(id * id AS DOUBLE) END AS v",
+    ).unionByName(
+        spark.createDataFrame([("c", None)], "g string, v double")
+    )
+    probs = [0.1, 0.5, 0.9]
+    td = tdigest_quantiles_grouped(df, "v", "g", probs)
+    rows = td.collect()
+    assert sorted((r["g"], r["prob"]) for r in rows) == sorted(
+        (g, p) for g in ("a", "b", "c") for p in probs
+    )
+    import math
+
+    # empty group: NaN survives Arrow as NaN or NULL depending on version —
+    # either way the value is "undefined", never a number
+    assert all(
+        r["value"] is None or math.isnan(r["value"]) for r in rows if r["g"] == "c"
+    )
+    # rank gate per group (the guarantee the sketch carries)
+    got = {(r["g"], r["prob"]): r["value"] for r in rows if r["g"] != "c"}
+    data = {g: [] for g in ("a", "b")}
+    for r in df.filter("g != 'c'").collect():
+        data[r["g"]].append(r["v"])
+    for (g, p), v in got.items():
+        xs = sorted(data[g])
+        rank = sum(1 for x in xs if x <= v) / len(xs)
+        assert abs(rank - p) <= 0.02, (g, p, rank)

@@ -288,6 +288,47 @@ def tdigest_quantiles_df(
     )
 
 
+def tdigest_quantiles_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    probs: list[float],
+    delta: int = 200,
+) -> DataFrame:
+    """Per-GROUP t-digest quantiles — the north-star's per-column stats
+    at the partition grain (each partition's length/quantity
+    distribution, one row per (group, prob)). One ``applyInPandas``
+    stage keyed by the group: Spark's grouped-map already streams each
+    group's Arrow batches into one task, so the digest builds and
+    queries in a single pass — the group-count shuffle is the only
+    exchange, and a 10^12-row table with hot groups should pre-salt via
+    ``key_skew_profile``'s recommendation and merge sub-digests (the
+    t-digest is a mergeable summary; ``tdigest_quantiles_df`` shows the
+    two-level shape).
+    """
+    import pyspark.sql.types as T
+
+    gfield = df.schema[group_col]
+    schema = T.StructType(
+        [
+            T.StructField(group_col, gfield.dataType),
+            T.StructField("prob", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def digest(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].dropna().to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            vals = [float("nan")] * len(probs)
+        else:
+            m, w = _compress(v, np.ones_like(v), delta)
+            vals = [_quantile_from_centroids(m, w, p) for p in probs]
+        return pd.DataFrame({group_col: [key[0]] * len(probs), "prob": probs, "value": vals})
+
+    return df.select(group_col, col).groupBy(group_col).applyInPandas(digest, schema)
+
+
 def tdigest_quantiles(
     df: DataFrame, col: str, probs: list[float], delta: int = 200, n_partials: int = 32
 ) -> dict[float, float]:

@@ -2190,6 +2190,56 @@ def quantiles_tdigest_tolerance(spark, sf_dir):
 
 
 @register(
+    "quantiles_tdigest_grouped",
+    "\nUNION ALL\n".join(
+        f"""SELECT lang, CAST({p} AS DOUBLE) AS prob,
+           round(quantile_cont(n_chars, {p}), 6) AS exact_value,
+           true AS within_tol
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang"""
+        for p in _TD_PROBS
+    ),
+)
+def quantiles_tdigest_grouped(spark, sf_dir):
+    """Per-group t-digest (X74): each lang's n_chars distribution
+    sketched in ONE grouped applyInPandas stage. The gate is RANK error
+    — the bound t-digest actually guarantees (≈4q(1−q)/δ on the
+    quantile, NOT on the value, which is unbounded where density is
+    low: the first cut of this query gated |Δvalue| ≤ 2% and a sparse
+    p=0.1 'de' tail measured 5.9%): the sketched value's empirical rank
+    within its group must sit within ±0.015 of the probe (measured
+    ≤ 0.007 across all 20 cells at δ=200). The exact interpolated
+    quantile (percentile ≡ quantile_cont) is the value-matched column;
+    the rank check re-scans docs against the broadcast 20-row sketch."""
+    from zparse_spark.operators.stats import tdigest_quantiles_grouped
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    td = tdigest_quantiles_grouped(d, "n_chars", "lang", _TD_PROBS)
+    rank_hat = (
+        d.join(F.broadcast(td), "lang")
+        .groupBy("lang", "prob")
+        .agg(
+            (
+                F.sum((F.col("n_chars") <= F.col("value")).cast("long")) / F.count(F.lit(1))
+            ).alias("_rank_hat")
+        )
+    )
+    wide = d.groupBy("lang").agg(
+        *[
+            F.expr(f"percentile(n_chars, {p})").alias(f"_e{i}")
+            for i, p in enumerate(_TD_PROBS)
+        ]
+    )
+    stack = ", ".join(f"{p}D, `_e{i}`" for i, p in enumerate(_TD_PROBS))
+    exact = wide.selectExpr("lang", f"stack({len(_TD_PROBS)}, {stack}) as (prob, exact)")
+    return rank_hat.join(exact, ["lang", "prob"]).select(
+        "lang",
+        "prob",
+        F.round("exact", 6).alias("exact_value"),
+        (F.abs(F.col("_rank_hat") - F.col("prob")) <= 0.015).alias("within_tol"),
+    )
+
+
+@register(
     "delta_documents_snapshot",
     """
     WITH old_snap AS (
