@@ -717,12 +717,15 @@ def quantize_embeddings(
     scale = F.coalesce(
         F.array_max(F.transform(vd, lambda x: F.abs(x))), F.lit(0.0)
     )
+    # tinyint, not int: array<int> is int32 in Arrow/parquet — storing the
+    # grid at 4 bytes/component would silently forfeit the whole 4× read
+    # win the quantization exists for
     q = F.when(
         F.col("_q_scale") > 0,
         F.transform(
-            vd, lambda x: F.floor(x * qmax / F.col("_q_scale") + F.lit(0.5)).cast("int")
+            vd, lambda x: F.floor(x * qmax / F.col("_q_scale") + F.lit(0.5)).cast("tinyint")
         ),
-    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("int")))
+    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("tinyint")))
     return (
         df.withColumn("_q_scale", scale)
         .withColumn("q", q)
@@ -752,6 +755,7 @@ def quantized_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     impl: str = "expr",
+    corpus_q: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN over the int8-quantized corpus — the production
     bandwidth shape: stage 1 ranks every corpus vector by the QUANTIZED
@@ -760,6 +764,14 @@ def quantized_topk(
     candidates per query; stage 2 re-scores only those against the
     float corpus via an equi-join (candidate side is k·rerank·|queries|
     rows → AQE broadcasts it) and emits the exact top-k.
+
+    ``corpus_q``: a pre-materialized quantized index (id, q) — the
+    production path: quantize ONCE at ingest, persist, and stage 1 then
+    reads ONLY the int8 table (``corpus`` float vectors are touched just
+    for the candidate re-rank). Omitted → quantized on the fly from
+    ``corpus`` (convenient, but the scan then reads float bytes and the
+    bandwidth win evaporates; scripts/quantized_ann_bench.py measures
+    both).
 
     Both ranks order by the 6-decimal-rounded score with corpus_id
     tiebreak (the tfidf determinism contract), so candidate sets are
@@ -771,7 +783,12 @@ def quantized_topk(
     broadcast query matrix — the inner loop a 10^9-vector scan actually
     runs; 'expr' keeps the fold shared with the DuckDB oracle.
     """
-    qc = quantize_embeddings(corpus, vec_col).filter(F.col("scale") > 0)
+    if corpus_q is not None:
+        # (id, q, scale) — quantize_embeddings' output persisted; scale
+        # guards the zero vector exactly like the inline path
+        qc = corpus_q.filter(F.col("scale") > 0)
+    else:
+        qc = quantize_embeddings(corpus, vec_col).filter(F.col("scale") > 0)
     qs = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     if impl == "arrow":
         qrows = sorted((r[0], r[1]) for r in qs.collect())
