@@ -107,3 +107,43 @@ def test_cap_per_group_preserves_caller_rk_column(spark):
     out = cap_per_group(df, "source", 2, "q")
     assert "_rk" in out.columns
     assert {(r.doc_id, r._rk) for r in out.collect()} == {(1, 99), (2, 98)}
+
+
+def test_split_into_windows_contract(spark):
+    """Window/stride arithmetic on a hand corpus: counts, overlap
+    content, short last window, exact-fit boundary (no empty trailing
+    window), sub-window doc, empty/NULL drop, stride validation."""
+    import pytest
+
+    from zparse_spark.operators.filtering import split_into_windows
+
+    toks = lambda n, p="t": " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            ("d10", toks(10)),     # 10 tokens, window 4 stride 3 -> starts 0,3,6,9
+            ("d8", toks(8)),       # exact multiple-ish: starts 0,3,6 (6: 2 tokens)
+            ("d3", toks(3)),       # single short window
+            ("d4", toks(4)),       # exactly one full window, no second
+            ("empty", "   "),
+            ("null", None),
+        ],
+        "doc_id string, text string",
+    )
+    out = split_into_windows(docs, window=4, stride=3)
+    rows = {(r["doc_id"], r["window_pos"]): r for r in out.collect()}
+    assert {k for k in rows if k[0] == "d10"} == {("d10", p) for p in range(4)}
+    assert rows[("d10", 0)]["window_text"] == "t0 t1 t2 t3"
+    assert rows[("d10", 1)]["window_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[("d10", 3)]["window_text"] == "t9" and rows[("d10", 3)]["n_tokens"] == 1
+    assert rows[("d8", 2)]["n_tokens"] == 2
+    assert {k[1] for k in rows if k[0] == "d3"} == {0} and rows[("d3", 0)]["n_tokens"] == 3
+    # window covers the doc exactly: start=3 < n=4 still yields the 1-token tail
+    assert {k[1] for k in rows if k[0] == "d4"} == {0, 1}
+    assert not any(k[0] in ("empty", "null") for k in rows)
+    with pytest.raises(ValueError):
+        split_into_windows(docs, window=4, stride=0)
+    with pytest.raises(ValueError):
+        split_into_windows(docs, window=4, stride=5)
+    # plan discipline: map-only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -184,6 +184,66 @@ def stratified_hash_sample(
     return df.filter(hash_unit(key_col, seed) < frac)
 
 
+def split_into_windows(
+    docs: DataFrame,
+    window: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut documents into fixed token windows with overlap (stride <
+    window ⇒ window−stride tokens shared between neighbors) — the
+    training-example chunker: a 100k-token document must become many
+    bounded sequences, and the overlap keeps boundary context learnable.
+
+    Output: (id, window_pos, n_tokens, window_text) — window_pos is the
+    0-based window index, n_tokens the actual token count (the last
+    window may be short; empty/NULL docs produce no rows). Tokens are
+    whitespace runs; window_text re-joins with single spaces (the token
+    stream IS the contract, original whitespace is not preserved —
+    render_training_text is the span-faithful path).
+
+    Scale shape: pure array expressions (split → sequence of starts →
+    per-start slice) + one explode — map-only, no shuffle, no Python;
+    output rows ≈ n_tokens/stride per doc ride the same scan task.
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride ≤ window, got stride={stride} window={window}")
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.length(trimmed) > 0, F.split(trimmed, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # sequence(0, n-1, stride) emits starts ≤ n-1; n=0 short-circuits via
+    # the filter below (its lone start 0 has an empty slice)
+    wins = F.filter(starts, lambda s: s < n)
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").alias("_n"),
+            F.posexplode(
+                F.transform(
+                    wins,
+                    lambda s: F.struct(
+                        F.array_join(F.slice(F.col("_toks"), s + 1, window), " ").alias(
+                            "window_text"
+                        ),
+                        F.least(F.lit(window), n - s).cast("int").alias("n_tokens"),
+                    ),
+                )
+            ).alias("window_pos", "_w"),
+        )
+        .select(
+            id_col,
+            "window_pos",
+            F.col("_w.n_tokens").alias("n_tokens"),
+            F.col("_w.window_text").alias("window_text"),
+        )
+    )
+
+
 def doc_lines(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, pos, line) rows — position kept so stripped documents can be
     reassembled in original order."""

@@ -2036,6 +2036,41 @@ def approx_distinct_tolerance(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_split_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) > 0
+                  THEN string_split_regex(trim(coalesce(text, '')), '\s+')
+                  ELSE [] END AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, len(toks) AS n, toks,
+             unnest(range(0, greatest(len(toks), 1), 30)) AS start,
+             generate_subscripts(range(0, greatest(len(toks), 1), 30), 1) - 1 AS window_pos
+      FROM t
+    )
+    SELECT doc_id, CAST(window_pos AS INT) AS window_pos,
+           CAST(least(40, n - start) AS INT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 40], ' ') AS window_text
+    FROM w WHERE start < n
+    """,
+)
+def corpus_split_windows(spark, sf_dir):
+    """Training-example chunker: every document cut into 40-token
+    windows at stride 30 (10-token overlap), last window short, empty
+    docs dropped — pure array expressions + one explode, map-only (see
+    split_into_windows). The oracle recomputes every window's exact
+    re-joined text, so slice arithmetic and tokenization agree
+    token-for-token cross-engine."""
+    from zparse_spark.operators.filtering import split_into_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return split_into_windows(d, window=40, stride=30)
+
+
 _Z_BITS = 8
 _Z_TERMS = " + ".join(
     f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
