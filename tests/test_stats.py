@@ -555,3 +555,36 @@ def test_tdigest_grouped_rank_accuracy(spark):
         xs = sorted(data[g])
         rank = sum(1 for x in xs if x <= v) / len(xs)
         assert abs(rank - p) <= 0.02, (g, p, rank)
+
+
+def test_inclusion_coefficient_hand_case(spark):
+    from zparse_spark.operators.stats import inclusion_coefficient
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (8,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = inclusion_coefficient(child, "k", parent, "k").first()
+    # distinct non-null child = {1,2,8,9}; matched = {1,2}
+    assert (r["n_child_distinct"], r["n_matched"]) == (4, 2)
+    assert r["inclusion"] == 0.5
+    assert r["examples"] == ["8", "9"]
+    # full inclusion
+    r2 = inclusion_coefficient(parent, "k", parent, "k").first()
+    assert r2["inclusion"] == 1.0 and r2["examples"] == []
+
+
+def test_key_candidate_score_hand_case(spark):
+    from zparse_spark.operators.stats import key_candidate_score
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, None), (2, None)],
+        "k long, s string",
+    )
+    one = key_candidate_score(df, ["k"]).first()
+    assert (one["n_rows"], one["n_distinct"], one["n_null_combos"]) == (5, 2, 0)
+    assert one["uniqueness"] == 0.4
+    two = key_candidate_score(df, ["k", "s"]).first()
+    # distinct combos: (1,a),(1,b),(2,a),(2,NULL) -> 4; null combos: 2 rows
+    assert (two["n_distinct"], two["n_null_combos"]) == (4, 2)
+    assert two["uniqueness"] == 0.8

@@ -74,6 +74,65 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def inclusion_coefficient(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Inclusion-dependency strength child ⊆ parent — the profiling
+    measurement behind foreign-key DISCOVERY (R1 enforces a declared
+    reference; this finds undeclared ones, the IND half of the TANE/
+    profiling family next to fd_confidence): the fraction of the
+    child's distinct non-NULL values present in the parent, plus
+    counts and up-to-3 example violators for triage.
+
+    One row out: (n_child_distinct, n_matched, inclusion, examples).
+    inclusion = 1.0 ⇒ a clean FK candidate; just-under-1 ⇒ a dirty one
+    (exactly what aggregate_reconciliation/R1 then enforce).
+
+    Scale shape: BOTH sides reduce to distinct value sets first (map-
+    side combining aggregates), so the join runs on the reduced domains
+    — never row×row; examples come from a bounded sort on the (small)
+    unmatched set.
+    """
+    c = child.select(F.col(child_col).alias("_v")).filter(F.col("_v").isNotNull()).distinct()
+    p = parent.select(F.col(parent_col).alias("_v")).filter(F.col("_v").isNotNull()).distinct()
+    marked = c.join(p.withColumn("_hit", F.lit(True)), "_v", "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_child_distinct"),
+        F.sum(F.col("_hit").isNotNull().cast("long")).alias("n_matched"),
+        F.round(
+            F.sum(F.col("_hit").isNotNull().cast("long")) / F.count(F.lit(1)), 6
+        ).alias("inclusion"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_hit").isNull(), F.col("_v").cast("string")))
+            ),
+            1,
+            3,
+        ).alias("examples"),
+    )
+
+
+def key_candidate_score(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Primary-key candidacy of a column combination: distinct combos /
+    rows (1.0 ⇒ unique key — what U1 then enforces table-wide), with
+    NULL-bearing combos counted separately (a key column must be
+    NOT NULL; SQL uniqueness ignores NULLs, so a high ratio with many
+    null combos is a trap this surfaces). One aggregate pass + one
+    count_distinct over the struct — the multi-column generalization of
+    profile_snapshot_diff's cardinality leg.
+    """
+    combo = F.struct(*[F.col(c) for c in cols])
+    any_null = sum(
+        (F.col(c).isNull().cast("int") for c in cols), F.lit(0)
+    ) > 0
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(combo).alias("n_distinct"),
+        F.sum(any_null.cast("long")).alias("n_null_combos"),
+        F.round(F.count_distinct(combo) / F.count(F.lit(1)), 6).alias("uniqueness"),
+    )
+
+
 def profile_snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -512,6 +512,87 @@ def _corr_oracle_sql() -> str:
     return f"WITH m AS (SELECT {aggs} FROM lineitem)\n    {arms}"
 
 
+@register(
+    "profile_inclusion_lineitem_orders",
+    """
+    WITH c AS (
+      SELECT DISTINCT v FROM (
+        SELECT l_orderkey AS v FROM lineitem
+        UNION ALL SELECT * FROM (VALUES (-1), (-2), (-3)) x(v)
+      ) WHERE v IS NOT NULL
+    ),
+    p AS (SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderkey IS NOT NULL),
+    m AS (SELECT c.v, p.v IS NOT NULL AS hit FROM c LEFT JOIN p ON p.v = c.v)
+    SELECT count(*) AS n_child_distinct,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_matched,
+           round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*), 6) AS inclusion,
+           (list_sort(list(CAST(v AS VARCHAR)) FILTER (WHERE NOT hit)))[1:3] AS examples
+    FROM m
+    """,
+)
+def profile_inclusion_lineitem_orders(spark, sf_dir):
+    """Inclusion-dependency profiling (FK discovery — the IND half of
+    the TANE family next to fd_confidence): l_orderkey ⊆ o_orderkey
+    with three planted orphans, so inclusion lands just under 1 and the
+    bounded example list names them. Both sides reduce to distinct
+    domains before the join — never row×row (see
+    inclusion_coefficient)."""
+    from zparse_spark.operators.stats import inclusion_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    planted = spark.createDataFrame([(-1,), (-2,), (-3,)], "l_orderkey long")
+    return inclusion_coefficient(
+        li.unionByName(planted), "l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey"
+    )
+
+
+@register(
+    "profile_key_candidates",
+    """
+    SELECT 'l_orderkey' AS combo, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_combos,
+           round(count(DISTINCT l_orderkey) / count(*), 6) AS uniqueness
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey,l_linenumber', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber)),
+           sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END),
+           round(count(DISTINCT (l_orderkey, l_linenumber)) / count(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lang,source', count(*),
+           count(DISTINCT (lang, source)),
+           sum(CASE WHEN lang IS NULL OR source IS NULL THEN 1 ELSE 0 END),
+           round(count(DISTINCT (lang, source)) / count(*), 6)
+    FROM documents
+    """,
+)
+def profile_key_candidates(spark, sf_dir):
+    """Primary-key candidacy scores (the discovery side of U1): distinct
+    combos / rows per candidate combination, NULL-bearing combos counted
+    separately (SQL uniqueness ignores NULLs — a high ratio with nulls
+    is the trap this surfaces). (l_orderkey, l_linenumber) scores 1.0,
+    l_orderkey alone does not; one aggregate pass per combo."""
+    from zparse_spark.operators.stats import key_candidate_score
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+    return (
+        key_candidate_score(li, ["l_orderkey"]).select(F.lit("l_orderkey").alias("combo"), "*")
+        .unionByName(
+            key_candidate_score(li, ["l_orderkey", "l_linenumber"]).select(
+                F.lit("l_orderkey,l_linenumber").alias("combo"), "*"
+            )
+        )
+        .unionByName(
+            key_candidate_score(d, ["lang", "source"]).select(
+                F.lit("lang,source").alias("combo"), "*"
+            )
+        )
+    )
+
+
 _PROFILE_DRIFT_SQL = """
     WITH new_t AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
