@@ -273,3 +273,38 @@ def test_cli_waivers_and_overlap_flag(tmp_path, spark):
     assert cells[("p1", "K1")] is True
     assert cells[("p1", "K3")] is False
     assert cells[("p0", "S9")] is True and cells[("p1", "S9")] is True
+
+
+def test_cli_sample_screening_mode(tmp_path, spark):
+    """--sample-fraction runs the Wilson screening pass instead of the
+    full pack: sampled_rates/ written, exit code keys on statistically
+    confident breaches (fraction=1 makes the planted K1 breach
+    confident; a clean corpus exits 0)."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = _fixture(spark)
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+    args = [
+        _sys.executable, "/root/repo/validate.py",
+        "--documents", dpath, "--out", out,
+        "--check", "K1:doc:spans IS NOT NULL AND size(spans) >= 1",
+        "--sample-fraction", "1.0",
+        "--master", "local[2]",
+    ]
+    proc = subprocess.run(args, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    assert "statistically confident breach" in proc.stdout
+    rows = duckdb.sql(
+        f"SELECT rule_id, n_violating, ci_lo FROM '{out}/sampled_rates/*.parquet' "
+        "WHERE partition = 'p1' AND rule_id = 'K1'"
+    ).fetchall()
+    assert rows and rows[0][1] == 2 and rows[0][2] > 0  # d3+d4 breach K1
+    # no full-pack sinks in screening mode
+    import os
+
+    assert not os.path.exists(f"{out}/verdicts")

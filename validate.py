@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--as-of", default=None, metavar="ISO",
                     help="reference instant for waiver expiry (default: now); pass a "
                          "literal for reproducible runs")
+    ap.add_argument("--sample-fraction", type=float, default=None, metavar="F",
+                    help="screening mode: estimate per-(partition, rule) violation "
+                         "rates with Wilson bounds from a deterministic F-fraction "
+                         "document sample instead of running the full pack; writes "
+                         "sampled_rates/ and exits 1 iff any cell's ci_lo > 0 (a "
+                         "statistically confident breach). U1/D1 are not estimable "
+                         "from a sample and are skipped")
+    ap.add_argument("--sample-seed", type=int, default=0)
     ap.add_argument("--referential-strategy", choices=["auto", "broadcast", "smj"], default="auto")
     ap.add_argument("--media-kind-fd", action="store_true",
                     help="enable F1: the same media_ref must carry the same span kind "
@@ -96,6 +104,24 @@ def main(argv: list[str] | None = None) -> int:
         from zparse_spark.multimodal import decode_verdicts
 
         media_verdicts = decode_verdicts(spark.read.parquet(args.media))
+
+    if args.sample_fraction is not None:
+        from pyspark.sql import functions as F
+
+        from zparse_spark.plans.engine import sampled_validation
+
+        rates = sampled_validation(
+            docs, engine, args.sample_fraction, seed=args.sample_seed,
+            media_catalog=catalog,
+        )
+        rates.write.mode("overwrite").parquet(f"{args.out}/sampled_rates")
+        back = spark.read.parquet(f"{args.out}/sampled_rates")
+        n_cells = back.count()
+        n_conf = back.filter(F.col("ci_lo") > 0).count()
+        print(f"sampled screening (fraction={args.sample_fraction}): "
+              f"{n_cells} cells, {n_conf} with a statistically confident breach")
+        spark.stop()
+        return 0 if n_conf == 0 else 1
 
     if args.no_resume:
         import shutil

@@ -493,6 +493,11 @@ def apply_waivers(
     subset, grouped on an internal row id so a violation matched by
     several waivers emits exactly once. No document data is touched —
     this runs on the (sparse) violation table.
+
+    Feed MATERIALIZED violations (the engine's sink, or a
+    localCheckpoint) when you consume BOTH outputs: they are two plans
+    over the input, so a lazy rule pack would re-derive itself once per
+    output action — the same 8× lesson quarantine_split measured.
     """
     active = F.col("expires_at").isNull() | (
         F.col("expires_at") > (F.lit(as_of) if as_of is not None else F.current_timestamp())

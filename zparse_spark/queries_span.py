@@ -824,7 +824,10 @@ def span_pack_waivers(spark, sf_dir):
 
     docs, cat = _pack_input(spark)
     eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
-    viol = eng.violations(docs, cat)
+    # materialize once: kept + waived are two plans over the violations,
+    # and the lazy rule pack would otherwise run twice (apply_waivers'
+    # documented contract; quarantine_split measured the same 8×)
+    viol = eng.violations(docs, cat).localCheckpoint(eager=True)
     kept, waived = apply_waivers(viol, _waiver_input(spark), as_of=_AS_OF)
     null_s = F.lit(None).cast("string")
     return kept.select(
