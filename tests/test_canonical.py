@@ -210,3 +210,58 @@ def test_render_training_text_degenerate_nulls(spark):
         [("d1", [("text", "a", None, 0), (None, None, "m1", None)], "p0")],
     )
     assert render_training_text(docs2).collect()[0].training_text == "a<|unknown|>"
+
+
+def test_repair_documents(spark):
+    """Every repair arm on one hand corpus: S2/S8 drops, S8/S5 fixes,
+    S1 canonical reindex, S3 truncation, clean doc untouched except
+    compaction; log carries first-reason precedence."""
+    from tests.conftest import make_docs
+    from zparse_spark.operators.canonical import repair_documents
+    from zparse_spark.operators.rules import RuleParams
+
+    docs = make_docs(
+        spark,
+        [
+            # out-of-order offsets + bad kind + media-without-ref +
+            # text-with-ref + control char
+            ("d1", [
+                ("text", "b\x01ad", None, 9),          # S5 fix, offset regressed
+                ("blob", "x", None, 1),                 # S2 drop
+                ("image", "", None, 2),                 # S8 drop (no ref)
+                ("text", "ok", "m1", 3),                # S8 fix (ref nulled)
+            ], "p0"),
+            ("d2", [("text", "clean", None, 5)], "p0"),  # only compaction
+            ("d3", [("text", str(i), None, i) for i in range(6)], "p0"),  # S3
+            ("empty", [], "p0"),
+            ("null", None, "p0"),
+        ],
+    )
+    repaired, log = repair_documents(docs, RuleParams(max_spans=4))
+    got = {r["doc_id"]: r["spans"] for r in repaired.collect()}
+    # d1: kept spans sorted by offset (3 then 9), reindexed 0,1; fixes applied
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["d1"]] == [
+        ("text", "ok", None, 0),
+        ("text", "bad", None, 1),
+    ]
+    assert [(s["text"], s["offset"]) for s in got["d2"]] == [("clean", 0)]
+    assert len(got["d3"]) == 4 and [s["offset"] for s in got["d3"]] == [0, 1, 2, 3]
+    assert got["empty"] == [] and got["null"] == []
+    actions = sorted(
+        ((r["doc_id"], r["span_pos"], r["action"], r["rule_id"]) for r in log.collect()),
+        key=lambda t: (t[0], -1 if t[1] is None else t[1], t[2]),
+    )
+    assert actions == [
+        ("d1", None, "reindex", "S1"),
+        ("d1", 0, "fix", "S5"),
+        ("d1", 1, "drop", "S2"),
+        ("d1", 2, "drop", "S8"),
+        ("d1", 3, "fix", "S8"),
+        ("d3", None, "truncate", "S3"),
+    ]
+    # repaired output passes the span pack it was repaired against
+    from zparse_spark.operators.rules import span_rule_violations
+
+    viol = span_rule_violations(repaired, RuleParams(max_spans=4))
+    bad = viol.filter("rule_id in ('S1','S2','S3','S5','S8')")
+    assert bad.count() == 0

@@ -302,3 +302,128 @@ def render_training_text(docs: DataFrame, spans_col: str = "spans") -> DataFrame
             F.filter(spans, lambda s: s["kind"].isNull() | (s["kind"] != "text"))
         ).alias("n_media_slots"),
     )
+
+
+def repair_documents(
+    docs: DataFrame,
+    params=None,
+    spans_col: str = "spans",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic rule-aligned REPAIR — the salvage path between
+    "passes" and "quarantined" (quarantine_split routes whole documents
+    out; this fixes what has a canonical fix and logs every action, the
+    engine-side analog of the reference's lenient modes):
+
+    - drop spans with NULL/out-of-domain kind (S2) or a non-text kind
+      missing its media_ref (S8 — nothing to dereference);
+    - null the media_ref on text spans (S8's other arm — the ref is
+      meaningless there);
+    - strip raw control characters from text (S5);
+    - canonical-sort (S1) and truncate to ``max_spans`` (S3);
+    - reindex offsets to 0..n−1: repaired documents are in canonical
+      COMPACT form (offset = position), the strongest S1/S9-clean shape.
+
+    NOT repaired (no canonical fix exists, quarantine instead): S4
+    size overflow (which bytes to cut is a policy), S6/S7 escape
+    damage (any rewrite invents content).
+
+    Returns ``(repaired, repair_log)`` — repaired keeps the input
+    schema; the log is (doc_id, span_pos, action, rule_id) with
+    doc-level actions (truncate:S3, reindex:S1) carrying a NULL
+    span_pos. Both outputs are map-only plans over ``docs``; reading
+    from storage they share the scan, but materialize first if ``docs``
+    is itself an expensive derived plan (the quarantine_split lesson).
+    """
+    from zparse_spark.operators.rules import _CONTROL_CHARS, RuleParams
+
+    p = params or RuleParams()
+    domain = F.array(*[F.lit(k) for k in p.kind_domain])
+    spans = F.coalesce(F.col(spans_col), F.array())
+
+    bad_kind = lambda s: s["kind"].isNull() | ~F.array_contains(domain, s["kind"])  # noqa: E731
+    drop_s8 = lambda s: (s["kind"] != "text") & s["media_ref"].isNull()  # noqa: E731
+
+    kept = F.filter(spans, lambda s: ~(bad_kind(s) | drop_s8(s)))
+    fixed = F.transform(
+        kept,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.regexp_replace(s["text"], _CONTROL_CHARS, "").alias("text"),
+            F.when(s["kind"] == "text", F.lit(None).cast("string"))
+            .otherwise(s["media_ref"])
+            .alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    sorted_ = _sorted_spans(fixed)
+    truncated = F.slice(sorted_, 1, p.max_spans) if p.max_spans > 0 else sorted_
+    reindexed = F.transform(
+        truncated,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    repaired = docs.withColumn(spans_col, reindexed)
+
+    # --- repair log: original spans, first-reason precedence ---------
+    prev_off = F.when(
+        F.size(spans) > 0,
+        F.concat(
+            F.array(F.lit(None).cast("int")),
+            F.slice(F.col(f"{spans_col}.offset"), 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    not_monotonic = F.exists(
+        F.zip_with(spans, prev_off, lambda s, po: s["offset"] <= po),
+        lambda x: F.coalesce(x, F.lit(False)),
+    )
+    n_kept = F.size(kept)
+    ex = docs.select(
+        "doc_id",
+        n_kept.alias("_n_kept"),
+        not_monotonic.alias("_reindex"),
+        F.posexplode_outer(spans).alias("span_pos", "s"),
+    )
+    s = F.col("s")
+    action = (
+        F.when(bad_kind(s), F.array(F.struct(F.lit("drop").alias("a"), F.lit("S2").alias("r"))))
+        .when(drop_s8(s), F.array(F.struct(F.lit("drop").alias("a"), F.lit("S8").alias("r"))))
+        .otherwise(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        (s["kind"] == "text") & s["media_ref"].isNotNull(),
+                        F.struct(F.lit("fix").alias("a"), F.lit("S8").alias("r")),
+                    ),
+                    F.when(
+                        s["text"].rlike(_CONTROL_CHARS),
+                        F.struct(F.lit("fix").alias("a"), F.lit("S5").alias("r")),
+                    ),
+                )
+            )
+        )
+    )
+    span_log = ex.filter(s.isNotNull()).select(
+        "doc_id", "span_pos", F.explode(action).alias("ar")
+    ).select("doc_id", "span_pos", F.col("ar.a").alias("action"), F.col("ar.r").alias("rule_id"))
+    null_i = F.lit(None).cast("int")
+    doc_flags = docs.select(
+        "doc_id",
+        n_kept.alias("_n_kept"),
+        not_monotonic.alias("_reindex"),
+    )
+    doc_log = (
+        doc_flags.filter(
+            (F.lit(p.max_spans) > 0) & (F.col("_n_kept") > p.max_spans)
+        ).select("doc_id", null_i.alias("span_pos"), F.lit("truncate").alias("action"),
+                 F.lit("S3").alias("rule_id"))
+    ).unionByName(
+        doc_flags.filter(F.col("_reindex")).select(
+            "doc_id", null_i.alias("span_pos"), F.lit("reindex").alias("action"),
+            F.lit("S1").alias("rule_id"),
+        )
+    )
+    return repaired, span_log.unionByName(doc_log)

@@ -682,6 +682,118 @@ def _overlap_input(spark):
 
 
 # ---------------------------------------------------------------------------
+# repair — the salvage path: fix what has a canonical fix, log everything
+# ---------------------------------------------------------------------------
+
+# per-ROW list computations throughout (never a doc_id window/group:
+# the fixture plants duplicate doc_ids, and a window would merge the
+# copies into one 2n-span group while Spark repairs each row alone)
+_REPAIR_PRE = f"""
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')),
+rep AS (
+  SELECT doc_id, partition, spans,
+         list_sort(list_transform(
+           list_filter(coalesce(spans, []),
+                       s -> s.kind IN ({_DOMAIN_SQL})
+                            AND NOT (s.kind <> 'text' AND s.media_ref IS NULL)),
+           s -> {{
+             o: s."offset",
+             k: s.kind,
+             m: coalesce(CASE WHEN s.kind = 'text' THEN NULL ELSE s.media_ref END, ''),
+             t: coalesce(regexp_replace(s.text, '{_CONTROL_CHARS}', '', 'g'), ''),
+             xt: regexp_replace(s.text, '{_CONTROL_CHARS}', '', 'g'),
+             xm: CASE WHEN s.kind = 'text' THEN NULL ELSE s.media_ref END
+           }})) AS fixed
+  FROM docs
+)"""
+
+
+@register(
+    "span_pack_repair_spans",
+    f"""WITH{_REPAIR_PRE}
+SELECT doc_id, partition,
+       CAST(pos - 1 AS INT) AS span_pos,
+       u.k AS kind, u.xt AS text, u.xm AS media_ref,
+       CAST(pos - 1 AS INT) AS "offset"
+FROM (
+  SELECT doc_id, partition,
+         unnest(fixed) AS u,
+         generate_subscripts(fixed, 1) AS pos
+  FROM rep
+) WHERE pos <= {_MAX_SPANS}""",
+)
+def span_pack_repair_spans(spark, sf_dir):
+    """Deterministic repair over the fixture corpus — the repaired span
+    arrays themselves, exploded and value-matched: S2/S8 drops, S8/S5
+    fixes, canonical sort, S3 truncation, compact reindex (offset =
+    position). Map-only array expressions; per-row semantics preserved
+    under the planted duplicate doc_ids (see repair_documents)."""
+    from zparse_spark.operators.canonical import repair_documents
+
+    docs, _cat = _pack_input(spark)
+    repaired, _log = repair_documents(docs, _PARAMS)
+    return repaired.select(
+        "doc_id", "partition", F.posexplode("spans").alias("span_pos", "s")
+    ).select(
+        "doc_id",
+        "partition",
+        "span_pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+@register(
+    "span_pack_repair_log",
+    f"""WITH
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')),
+ex AS (
+  SELECT doc_id, unnest(spans) AS s,
+         CAST(generate_subscripts(spans, 1) - 1 AS INT) AS pos
+  FROM docs
+),
+flags AS (
+  SELECT doc_id,
+         len(list_filter(range(2, len(coalesce(spans, [])) + 1),
+                         i -> spans[i]."offset" <= spans[i - 1]."offset")) > 0 AS reindex_flag,
+         len(list_filter(coalesce(spans, []),
+                         s -> s.kind IN ({_DOMAIN_SQL})
+                              AND NOT (s.kind <> 'text' AND s.media_ref IS NULL))) AS n_kept
+  FROM docs
+)
+SELECT doc_id, pos AS span_pos, 'drop' AS action, 'S2' AS rule_id
+FROM ex WHERE s.kind IS NULL OR s.kind NOT IN ({_DOMAIN_SQL})
+UNION ALL
+SELECT doc_id, pos, 'drop', 'S8'
+FROM ex WHERE s.kind IN ({_DOMAIN_SQL}) AND s.kind <> 'text' AND s.media_ref IS NULL
+UNION ALL
+SELECT doc_id, pos, 'fix', 'S8'
+FROM ex WHERE s.kind = 'text' AND s.media_ref IS NOT NULL
+UNION ALL
+SELECT doc_id, pos, 'fix', 'S5'
+FROM ex WHERE s.kind IN ({_DOMAIN_SQL})
+          AND NOT (s.kind <> 'text' AND s.media_ref IS NULL)
+          AND regexp_matches(s.text, '{_CONTROL_CHARS}')
+UNION ALL
+SELECT doc_id, CAST(NULL AS INT), 'truncate', 'S3' FROM flags WHERE n_kept > {_MAX_SPANS}
+UNION ALL
+SELECT doc_id, CAST(NULL AS INT), 'reindex', 'S1' FROM flags WHERE reindex_flag""",
+)
+def span_pack_repair_log(spark, sf_dir):
+    """The repair ACTION log for the same run — every drop/fix with its
+    rule attribution (first-reason precedence) plus doc-level
+    truncate/reindex rows, so 'what did the repairer change' is itself
+    auditable and cross-engine-verified."""
+    from zparse_spark.operators.canonical import repair_documents
+
+    docs, _cat = _pack_input(spark)
+    _repaired, log = repair_documents(docs, _PARAMS)
+    return log
+
+
+# ---------------------------------------------------------------------------
 # sampled-tier validation — violation-rate estimation with Wilson bounds
 # ---------------------------------------------------------------------------
 
