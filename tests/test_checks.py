@@ -308,3 +308,35 @@ def test_cli_sample_screening_mode(tmp_path, spark):
     import os
 
     assert not os.path.exists(f"{out}/verdicts")
+
+
+def test_cli_repair_flag(tmp_path, spark):
+    """--repair writes the canonical repaired table + action log next to
+    the validation sinks."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = _fixture(spark)
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            _sys.executable, "/root/repo/validate.py",
+            "--documents", dpath, "--out", out, "--repair",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode in (0, 1), proc.stderr[-2000:]
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/repaired_documents/*.parquet'").fetchone()[0]
+    assert n == 5  # every doc row survives (repair never drops documents)
+    log = duckdb.sql(
+        f"SELECT action, rule_id FROM '{out}/repair_log/*.parquet'"
+    ).fetchall()
+    # d5's negative offset isn't a repairable class; the fixture's only
+    # canonical repairs are compaction-level — log may be empty, but the
+    # sink must exist and parse
+    assert isinstance(log, list)

@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
                          "statistically confident breach). U1/D1 are not estimable "
                          "from a sample and are skipped")
     ap.add_argument("--sample-seed", type=int, default=0)
+    ap.add_argument("--repair", action="store_true",
+                    help="after validation, write the canonical repaired table "
+                         "(repaired_documents/) and its action log (repair_log/): "
+                         "S2/S8 drops, S8/S5 fixes, canonical sort, S3 truncation, "
+                         "compact reindex — S4/S6/S7 have no canonical fix and stay "
+                         "quarantine material")
     ap.add_argument("--referential-strategy", choices=["auto", "broadcast", "smj"], default="auto")
     ap.add_argument("--media-kind-fd", action="store_true",
                     help="enable F1: the same media_ref must carry the same span kind "
@@ -162,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
                   f"for this run (active: {sorted(known)}) — it will have no effect")
     rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
     rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
+
+    if args.repair:
+        from zparse_spark.operators.canonical import repair_documents
+
+        repaired, repair_log = repair_documents(docs, params)
+        repaired.write.mode("overwrite").parquet(f"{args.out}/repaired_documents")
+        repair_log.write.mode("overwrite").parquet(f"{args.out}/repair_log")
 
     n_viol = viol.count()
     n_fail = verdicts.filter("NOT passed").count()
