@@ -265,3 +265,27 @@ def test_repair_documents(spark):
     viol = span_rule_violations(repaired, RuleParams(max_spans=4))
     bad = viol.filter("rule_id in ('S1','S2','S3','S5','S8')")
     assert bad.count() == 0
+
+
+def test_row_diff_columns(spark):
+    from zparse_spark.operators.canonical import row_diff_columns
+
+    old = spark.createDataFrame(
+        [(1, "a", 10, None), (2, "b", 20, "x"), (3, "c", 30, "y")],
+        "k long, s string, n long, opt string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10, None), (2, "B", 21, None), (3, "c", 30, "y"), (4, "d", 0, None)],
+        "k long, s string, n long, opt string",
+    )
+    got = {r["k"]: (r["changed_columns"], r["n_changed"])
+           for r in row_diff_columns(old, new, ["k"]).collect()}
+    # row 1 unchanged (NULL==NULL is not a change); row 3 unchanged;
+    # row 4 exists only in new (snapshot_diff's job, not ours)
+    assert got == {2: (["s", "n", "opt"], 3)}
+    # declaration order is the old frame's column order
+    assert got[2][0] == ["s", "n", "opt"]
+    # restricted compare set
+    got2 = {r["k"]: r["changed_columns"]
+            for r in row_diff_columns(old, new, ["k"], compare_cols=["n"]).collect()}
+    assert got2 == {2: ["n"]}

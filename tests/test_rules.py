@@ -474,3 +474,37 @@ def test_fd_confidence_majority_and_ties(spark):
     assert out["x1"]["n_variants"] == 2 and out["x1"]["group_count"] == 4
     assert out["x2"]["majority_value"] == "aa" and out["x2"]["confidence"] == 0.5
     assert out["x4"]["majority_value"] == "NULL" and out["x4"]["majority_count"] == 2
+
+
+def test_transition_violations_hand_case(spark):
+    """State-machine legality per user: out-of-machine pairs flagged,
+    first event unconstrained, (ts, tiebreak) ordering deterministic
+    under ties, users independent."""
+    from datetime import datetime
+
+    from zparse_spark.operators.rules import transition_violations
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, 10, t(1), "view"),
+            (1, 11, t(2), "click"),      # view->click ok
+            (1, 12, t(3), "signup"),     # click->signup VIOLATION
+            (2, 20, t(1), "signup"),     # first event: unconstrained
+            (2, 21, t(2), "error"),
+            (2, 22, t(3), "signup"),     # error->signup ok
+            # tie on ts: event_id orders 30 before 31 -> view->signup bad
+            (3, 31, t(5), "signup"),
+            (3, 30, t(5), "view"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    allowed = [("view", "click"), ("error", "signup"), ("signup", "error")]
+    got = sorted(
+        (r["user_id"], r["event_id"], r["prev_type"], r["event_type"])
+        for r in transition_violations(events, allowed).collect()
+    )
+    assert got == [
+        (1, 12, "click", "signup"),
+        (3, 31, "view", "signup"),
+    ]

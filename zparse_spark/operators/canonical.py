@@ -427,3 +427,46 @@ def repair_documents(
         )
     )
     return repaired, span_log.unionByName(doc_log)
+
+
+def row_diff_columns(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changed-COLUMN attribution for rows present in both snapshots —
+    the drill-down under snapshot_diff's 'changed' bucket: which fields
+    moved? Output one row per changed key: (keys…, changed_columns
+    array<string> in declaration order, n_changed).
+
+    Comparison is null-safe (NULL→value and value→NULL both count as a
+    change; NULL→NULL does not). Columns present in only one snapshot
+    are a SCHEMA change — profile_snapshot_diff's job — so only the
+    intersection is compared (minus the keys).
+
+    Scale shape: one equi-join on the key + a map-only array build; the
+    filter keeps changed rows only, so output is delta-sparse.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in set(key_cols)
+        ]
+    o = old.select(*key_cols, *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(*key_cols, *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    j = o.join(n, list(key_cols))
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    return (
+        j.withColumn("changed_columns", changed)
+        .filter(F.size("changed_columns") > 0)
+        .select(*key_cols, "changed_columns", F.size("changed_columns").alias("n_changed"))
+    )

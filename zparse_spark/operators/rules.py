@@ -1248,3 +1248,46 @@ def fd_confidence(
         )
         .filter(F.col("confidence") < F.lit(min_confidence))
     )
+
+
+def transition_violations(
+    events: DataFrame,
+    allowed: list[tuple[str, str]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Sequence-constraint validation: within each user's event stream
+    (ordered by time, ties broken by ``tiebreak_col`` so the order —
+    and therefore the violation set — is deterministic under any
+    partitioning), every consecutive (prev → next) event-type pair must
+    be in the ``allowed`` set; a user's first event is unconstrained.
+    The state-machine generalization of the monotonicity window checks
+    — the reference's parser-state legality (json/parser.rs state
+    transitions) lifted to event tables.
+
+    Scale shape: ONE shuffle on ``user_col`` for the lag window (the
+    same partitioning sessionization uses — share it when composing);
+    the allowed set is a literal array in the plan (codegen `IN`),
+    sized for hand-curated machines (10s-100s of pairs), never a join.
+    """
+    from pyspark.sql import Window
+
+    pair_lits = F.array(*[F.lit(f"{a}\x1f{b}") for a, b in allowed])
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    prev = F.lag(type_col).over(w)
+    # pair is built from the materialized column, not the window expr —
+    # a window function may not appear inside a WHERE clause
+    pair = F.concat_ws("\x1f", F.col("_prev_type"), F.col(type_col))
+    return (
+        events.withColumn("_prev_type", prev)
+        .filter(F.col("_prev_type").isNotNull() & ~F.array_contains(pair_lits, pair))
+        .select(
+            user_col,
+            tiebreak_col,
+            ts_col,
+            F.col("_prev_type").alias("prev_type"),
+            type_col,
+        )
+    )

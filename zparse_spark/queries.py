@@ -512,6 +512,87 @@ def _corr_oracle_sql() -> str:
     return f"WITH m AS (SELECT {aggs} FROM lineitem)\n    {arms}"
 
 
+_EVENT_TYPES = ["click", "signup", "error", "view", "purchase"]
+# the planted machine: signup may only follow error (a re-registration
+# flow); every other transition is legal
+_ALLOWED_TRANSITIONS = [
+    (a, b) for a in _EVENT_TYPES for b in _EVENT_TYPES
+    if not (b == "signup" and a != "error")
+]
+
+
+@register(
+    "events_transition_violations",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id, event_id, ts, prev_type, event_type
+    FROM o
+    WHERE prev_type IS NOT NULL AND event_type = 'signup' AND prev_type <> 'error'
+    """,
+)
+def events_transition_violations(spark, sf_dir):
+    """Sequence-constraint validation — the reference's parser-state
+    legality (json/parser.rs state transitions) lifted to event streams:
+    per user, ordered by (ts, event_id) for a deterministic violation
+    set, every consecutive type pair must be in the allowed machine
+    (here: signup only after error). One lag window = one shuffle on
+    user_id, allowed set a codegen literal array; the oracle expresses
+    the same machine as its complement predicate."""
+    from zparse_spark.operators.rules import transition_violations
+
+    return transition_violations(_t(spark, sf_dir, "events"), _ALLOWED_TRANSITIONS)
+
+
+@register(
+    "diff_documents_changed_columns",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || '!' ELSE text END AS text,
+             CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+             source,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    j AS (
+      SELECT o.doc_id,
+             list_filter([
+               CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END,
+               CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+               CASE WHEN o.source IS DISTINCT FROM n.source THEN 'source' END,
+               CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END
+             ], x -> x IS NOT NULL) AS changed_columns
+      FROM documents o JOIN n USING (doc_id)
+    )
+    SELECT doc_id, changed_columns, len(changed_columns) AS n_changed
+    FROM j WHERE len(changed_columns) > 0
+    """,
+)
+def diff_documents_changed_columns(spark, sf_dir):
+    """Changed-column attribution between snapshots — the drill-down
+    under snapshot_diff's 'changed' bucket: WHICH fields moved, per key,
+    null-safe, array in declaration order. Planted mutations on three
+    independent residue classes (lang, n_chars, text-append). One
+    equi-join + map-only array build; output delta-sparse (see
+    row_diff_columns)."""
+    from zparse_spark.operators.canonical import row_diff_columns
+
+    old = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new = old.select(
+        "doc_id",
+        F.when(did % 11 == 0, F.concat("text", F.lit("!"))).otherwise(F.col("text")).alias("text"),
+        F.when(did % 5 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(did % 7 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    return row_diff_columns(old, new, ["doc_id"])
+
+
 @register(
     "profile_inclusion_lineitem_orders",
     """
