@@ -588,3 +588,26 @@ def test_key_candidate_score_hand_case(spark):
     # distinct combos: (1,a),(1,b),(2,a),(2,NULL) -> 4; null combos: 2 rows
     assert (two["n_distinct"], two["n_null_combos"]) == (4, 2)
     assert two["uniqueness"] == 0.8
+
+
+def test_clamp_outliers(spark):
+    """Numeric repair: values clamp to the same fences iqr_outliers
+    detects with; NULLs pass through; grouped fences independent; the
+    flag marks exactly the clamped rows."""
+    from zparse_spark.operators.stats import clamp_outliers, iqr_outliers
+
+    rows = [("a", float(v)) for v in range(1, 12)] + [("a", 100.0), ("a", -50.0)]
+    rows += [("b", float(v)) for v in range(1, 12)] + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = clamp_outliers(df, "v", ["g"], k=1.0).collect()
+    fa = {r["g"]: r for r in iqr_outliers(df, "v", ["g"], k=1.0).collect()}
+    for r in out:
+        if r["v"] is None:
+            assert r["v_clamped"] is None and r["v_was_clamped"] is False
+            continue
+        lo, hi = fa[r["g"]]["lo_fence"], fa[r["g"]]["hi_fence"]
+        assert lo <= r["v_clamped"] <= hi
+        assert r["v_was_clamped"] == (r["v"] < lo or r["v"] > hi)
+    a100 = [r for r in out if r["g"] == "a" and r["v"] == 100.0][0]
+    assert a100["v_clamped"] == fa["a"]["hi_fence"] and a100["v_was_clamped"]
+    assert sum(r["v_was_clamped"] for r in out) == 2

@@ -898,3 +898,49 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             "u_y_given_x"
         ),
     )
+
+
+def clamp_outliers(
+    df: DataFrame,
+    value: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Winsorize: clamp ``value`` into its group's Tukey fences
+    [Q1 − k·IQR, Q3 + k·IQR] — the NUMERIC arm of the repair family
+    (repair_documents fixes structure; this fixes the heavy tail a
+    stats rule flagged, without dropping the rows a filter would).
+    Fences share iqr_outliers' exact interpolated-quartile contract, so
+    detection and repair agree on the boundary by construction.
+
+    Appends ``{value}_clamped`` and ``{value}_was_clamped``; NULL values
+    pass through unclamped (NULL is E1/null-rate territory, not a tail).
+
+    Scale shape: one fences aggregate per group (exact percentile —
+    iqr_outliers' docstring covers the huge-group approx substitution)
+    broadcast-joined back onto the row stream; the clamp itself is a
+    map-only least/greatest.
+    """
+    group_cols = group_cols or []
+    pct = F.expr(f"percentile({value}, array(0.25, 0.75))")
+    fences = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        (pct[0] - F.lit(k) * (pct[1] - pct[0])).alias("_lo"),
+        (pct[1] + F.lit(k) * (pct[1] - pct[0])).alias("_hi"),
+    )
+    if group_cols:
+        joined = df.join(
+            F.broadcast(fences),
+            [df[c].eqNullSafe(fences[c]) for c in group_cols],
+        ).drop(*[fences[c] for c in group_cols])
+    else:
+        joined = df.crossJoin(F.broadcast(fences))
+    v = F.col(value)
+    clamped = F.when(v.isNull(), v).otherwise(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+    return (
+        joined.withColumn(f"{value}_clamped", clamped)
+        .withColumn(
+            f"{value}_was_clamped",
+            v.isNotNull() & ((v < F.col("_lo")) | (v > F.col("_hi"))),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -512,6 +512,45 @@ def _corr_oracle_sql() -> str:
     return f"WITH m AS (SELECT {aggs} FROM lineitem)\n    {arms}"
 
 
+@register(
+    "repair_clamp_quantity",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS DOUBLE) AS v
+      FROM lineitem
+    ),
+    f AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(v, 0.25) AS q1,
+             quantile_cont(v, 0.75) AS q3
+      FROM src GROUP BY 1
+    )
+    SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, s.v AS l_quantity,
+           CASE WHEN s.v IS NULL THEN s.v
+                ELSE least(greatest(s.v, q1 - 0.25 * (q3 - q1)), q3 + 0.25 * (q3 - q1))
+           END AS l_quantity_clamped,
+           s.v IS NOT NULL AND (s.v < q1 - 0.25 * (q3 - q1) OR s.v > q3 + 0.25 * (q3 - q1))
+             AS l_quantity_was_clamped
+    FROM src s JOIN f ON f.g = s.l_returnflag
+    """,
+)
+def repair_clamp_quantity(spark, sf_dir):
+    """Numeric repair (the winsorize arm of the repair family): clamp
+    l_quantity into its return-flag group's Tukey fences at k=0.25 —
+    detection (iqr_outliers) and repair share the exact interpolated-
+    quartile contract, so they agree on the boundary by construction.
+    One fences aggregate broadcast back, map-only clamp (see
+    clamp_outliers)."""
+    from zparse_spark.operators.stats import clamp_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    return clamp_outliers(li, "l_quantity", ["l_returnflag"], k=0.25)
+
+
 _EVENT_TYPES = ["click", "signup", "error", "view", "purchase"]
 # the planted machine: signup may only follow error (a re-registration
 # flow); every other transition is legal
