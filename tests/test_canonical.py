@@ -289,3 +289,33 @@ def test_row_diff_columns(spark):
     got2 = {r["k"]: r["changed_columns"]
             for r in row_diff_columns(old, new, ["k"], compare_cols=["n"]).collect()}
     assert got2 == {2: ["n"]}
+
+
+def test_resolve_duplicate_docs(spark):
+    """Most-spans keep with deterministic tie chain; singletons pass
+    through; the log names every dropped copy; unique output ids."""
+    from tests.conftest import make_docs
+    from zparse_spark.operators.canonical import resolve_duplicate_docs
+
+    docs = make_docs(
+        spark,
+        [
+            ("a", [("text", "x", None, 0)], "p0"),                         # singleton
+            ("b", [("text", "x", None, 0)], "p1"),                         # 1 span
+            ("b", [("text", "x", None, 0), ("text", "y", None, 1)], "p2"),  # 2 spans: kept
+            ("c", [("text", "same", None, 0)], "p3"),                      # identical copies:
+            ("c", [("text", "same", None, 0)], "p2"),                      # partition asc keeps p2
+            ("d", [("text", "A", None, 0)], "p0"),                         # same size/partition:
+            ("d", [("text", "B", None, 0)], "p0"),                         # md5 key decides ('A'<'B' by md5? deterministic either way)
+        ],
+    )
+    resolved, log = resolve_duplicate_docs(docs)
+    kept = {(r["doc_id"], r["partition"]) for r in resolved.collect()}
+    assert ("a", "p0") in kept and ("b", "p2") in kept and ("c", "p2") in kept
+    assert len(kept) == 4 and len({k[0] for k in kept}) == 4
+    dropped = sorted((r["doc_id"], r["partition"], r["action"]) for r in log.collect())
+    assert [d[:1][0] for d in dropped] == ["b", "c", "d"]
+    assert ("b", "p1", "drop_duplicate") in dropped and ("c", "p3", "drop_duplicate") in dropped
+    # deterministic across runs and partitioning
+    r2, _ = resolve_duplicate_docs(docs.repartition(7))
+    assert {(r["doc_id"], r["partition"]) for r in r2.collect()} == kept

@@ -470,3 +470,61 @@ def row_diff_columns(
         .filter(F.size("changed_columns") > 0)
         .select(*key_cols, "changed_columns", F.size("changed_columns").alias("n_changed"))
     )
+
+
+def duplicate_resolution_key(spans: Column) -> Column:
+    """Portable deterministic content key for duplicate resolution: md5
+    of a canonical serialization (spans in canonical order, fields
+    k/t/m/o joined with unit separators). Unlike ``span_fingerprint``
+    (xxhash64 of to_json — faster, JVM-only), every piece here has an
+    exact twin in any SQL engine, so resolution decisions are
+    oracle-checkable."""
+    ser = F.array_join(
+        F.transform(
+            _sorted_spans(F.coalesce(spans, F.array())),
+            lambda s: F.concat_ws(
+                "\x1f",
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                F.coalesce(s["offset"].cast("string"), F.lit("")),
+            ),
+        ),
+        "\x1e",
+    )
+    return F.md5(ser)
+
+
+def resolve_duplicate_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """U1 REPAIR: collapse duplicate doc_ids to one deterministic
+    representative — keep the copy with the most spans (the
+    most-complete heuristic), ties broken by (partition,
+    content-key) so any engine and any partitioning keeps the same row;
+    byte-identical copies are interchangeable by construction.
+
+    Returns ``(resolved, log)``: resolved has unique doc_ids and the
+    input schema; the log lists every dropped copy as (doc_id,
+    partition, action='drop_duplicate', rule_id='U1').
+
+    Scale shape: ONE shuffle on doc_id for the rank window (the same
+    key U1's count aggregate shuffles); the content key is map-side.
+    The skewed-key caveat from uniqueness_violations applies — a
+    pathological 10^8-copy doc_id lands one window partition; cap such
+    keys upstream (hot_bucket_stats-style probe) before resolving.
+    """
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_n"), F.asc("partition"), F.asc("_ser")
+    )
+    ranked = (
+        docs.withColumn("_n", F.coalesce(F.size("spans"), F.lit(0)))
+        .withColumn("_ser", duplicate_resolution_key(F.col("spans")))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    resolved = ranked.filter(F.col("_rn") == 1).drop("_n", "_ser", "_rn")
+    log = ranked.filter(F.col("_rn") > 1).select(
+        "doc_id",
+        "partition",
+        F.lit("drop_duplicate").alias("action"),
+        F.lit("U1").alias("rule_id"),
+    )
+    return resolved, log

@@ -793,6 +793,52 @@ def span_pack_repair_log(spark, sf_dir):
     return log
 
 
+@register(
+    "span_pack_dup_resolution",
+    f"""WITH
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')),
+keyed AS (
+  SELECT doc_id, partition,
+         coalesce(len(spans), 0) AS n_spans,
+         md5(array_to_string(list_transform(
+           list_sort(list_transform(coalesce(spans, []),
+             s -> {{o: s."offset", k: coalesce(s.kind, ''),
+                   m: coalesce(s.media_ref, ''), t: coalesce(s.text, '')}})),
+           x -> x.k || chr(31) || x.t || chr(31) || x.m || chr(31)
+                || coalesce(CAST(x.o AS VARCHAR), '')), chr(30))) AS ser
+  FROM docs
+),
+rn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY n_spans DESC, partition, ser) AS r
+  FROM keyed
+)
+SELECT doc_id, partition,
+       CASE WHEN r = 1 THEN 'kept' ELSE 'dropped' END AS status,
+       n_spans
+FROM rn""",
+)
+def span_pack_dup_resolution(spark, sf_dir):
+    """U1 repair: duplicate doc_ids collapse to one deterministic
+    representative (most spans, ties by partition then a portable
+    md5 content key — duplicate_resolution_key — so both engines keep
+    the same copy); every row reported with its kept/dropped status.
+    One shuffle on doc_id (see resolve_duplicate_docs)."""
+    from zparse_spark.operators.canonical import resolve_duplicate_docs
+
+    docs, _cat = _pack_input(spark)
+    resolved, log = resolve_duplicate_docs(docs)
+    n_spans = F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans")
+    kept = resolved.select("doc_id", "partition", F.lit("kept").alias("status"), n_spans)
+    # dropped copies take n_spans from their kept twin (resolved is
+    # unique per doc_id, so the join never multiplies; the fixture's
+    # copies are byte-identical so the value is the copy's own)
+    dropped = log.join(
+        resolved.select("doc_id", n_spans), "doc_id"
+    ).select("doc_id", "partition", F.lit("dropped").alias("status"), "n_spans")
+    return kept.unionByName(dropped)
+
+
 # ---------------------------------------------------------------------------
 # sampled-tier validation — violation-rate estimation with Wilson bounds
 # ---------------------------------------------------------------------------
