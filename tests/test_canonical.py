@@ -319,3 +319,42 @@ def test_resolve_duplicate_docs(spark):
     # deterministic across runs and partitioning
     r2, _ = resolve_duplicate_docs(docs.repartition(7))
     assert {(r["doc_id"], r["partition"]) for r in r2.collect()} == kept
+
+
+def test_repair_dangling_refs(spark):
+    """R1 repair: dangling media spans dropped and logged, survivors
+    re-compacted in original order, text spans immune, empty/NULL docs
+    preserved as empty arrays."""
+    from tests.conftest import make_docs
+    from zparse_spark.operators.canonical import repair_dangling_refs
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [
+                ("text", "a", None, 0),
+                ("image", "", "ghost", 1),   # dangling -> dropped
+                ("image", "", "known", 2),
+                ("text", "b", None, 3),
+            ], "p0"),
+            ("d2", [("audio", "", "ghost2", 0)], "p0"),  # all spans dropped
+            ("d3", [("text", "t", None, 0)], "p1"),
+            ("empty", [], "p1"),
+            ("null", None, "p1"),
+        ],
+    )
+    cat = spark.createDataFrame([("known",)], "media_ref string")
+    repaired, log = repair_dangling_refs(docs, cat)
+    got = {r["doc_id"]: r["spans"] for r in repaired.collect()}
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["d1"]] == [
+        ("text", "a", None, 0),
+        ("image", "", "known", 1),
+        ("text", "b", None, 2),
+    ]
+    assert got["d2"] == [] and got["empty"] == [] and got["null"] == []
+    assert [s["text"] for s in got["d3"]] == ["t"]
+    assert len(got) == 5  # every doc row survives
+    dropped = sorted(
+        (r["doc_id"], r["span_pos"], r["media_ref"], r["rule_id"]) for r in log.collect()
+    )
+    assert dropped == [("d1", 1, "ghost", "R1"), ("d2", 0, "ghost2", "R1")]

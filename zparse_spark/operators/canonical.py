@@ -528,3 +528,77 @@ def resolve_duplicate_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit("U1").alias("rule_id"),
     )
     return resolved, log
+
+
+def repair_dangling_refs(
+    docs: DataFrame,
+    media_catalog: DataFrame,
+    spans_col: str = "spans",
+) -> tuple[DataFrame, DataFrame]:
+    """R1 REPAIR: drop media spans whose media_ref has no catalog entry
+    (nothing downstream could dereference them) and re-compact the
+    remaining spans — the referential arm of the repair family. Text
+    spans (NULL ref) always survive.
+
+    Returns ``(repaired, log)``: repaired keeps the input schema with
+    surviving spans reindexed to compact form (offset = position in the
+    original order — gaps from dropped spans close up); the log lists
+    every dropped span as (doc_id, partition, span_pos, media_ref,
+    action='drop_span', rule_id='R1').
+
+    Scale shape: the catalog reduces to its distinct key set and joins
+    the exploded span stream (broadcast when it fits — AQE decides, the
+    same regime analysis as referential_violations' strategies); docs
+    re-assemble via collect_list over a per-doc window ordered by the
+    original position, so span order is preserved exactly. One explode
+    + one shuffle on the doc identity. Precondition (like
+    canonicalize_spans_exploded): (partition, doc_id) unique — resolve
+    duplicates first (X80); reassembly would otherwise merge copies.
+    """
+    cat_keys = media_catalog.select("media_ref").distinct().withColumn("_hit", F.lit(True))
+    ex = docs.select(
+        "partition", "doc_id", F.posexplode_outer(F.col(spans_col)).alias("_pos", "_s")
+    ).join(F.broadcast(cat_keys), F.col("_s.media_ref") == F.col("media_ref"), "left")
+    dangling = (
+        F.col("_s").isNotNull()
+        & F.col("_s.media_ref").isNotNull()
+        & F.col("_hit").isNull()
+    )
+    log = ex.filter(dangling).select(
+        "doc_id",
+        "partition",
+        F.col("_pos").alias("span_pos"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.lit("drop_span").alias("action"),
+        F.lit("R1").alias("rule_id"),
+    )
+    # posexplode_outer keeps empty/NULL-span docs as one NULL-pos row, so
+    # the groupBy still emits them; collect_list skips the NULL entry that
+    # row contributes, leaving an empty (never NULL) array. No window:
+    # collect_list's arbitrary order is fixed by array_sort on the unique
+    # original position, and the compact offset is the transform index.
+    # dangling rows stay in the aggregate with a NULL entry (filtering
+    # them out would vanish docs whose EVERY span dangled — they must
+    # survive as empty arrays, like originally-empty docs)
+    entry = F.when(
+        F.col("_pos").isNotNull() & ~dangling,
+        F.struct(F.col("_pos").alias("p"), F.col("_s").alias("s")),
+    )
+    repaired = (
+        ex.groupBy("partition", "doc_id")
+        .agg(F.array_sort(F.collect_list(entry)).alias("_rs"))
+        .select(
+            "partition",
+            "doc_id",
+            F.transform(
+                F.col("_rs"),
+                lambda x, i: F.struct(
+                    x["s"]["kind"].alias("kind"),
+                    x["s"]["text"].alias("text"),
+                    x["s"]["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias(spans_col),
+        )
+    )
+    return repaired, log

@@ -839,6 +839,72 @@ def span_pack_dup_resolution(spark, sf_dir):
     return kept.unionByName(dropped)
 
 
+@register(
+    "span_pack_repair_refs",
+    f"""WITH
+docs AS (SELECT doc_id, spans, partition FROM read_parquet('{_W}/span_docs/*.parquet')),
+cat AS (SELECT DISTINCT media_ref FROM read_parquet('{_W}/span_catalog/*.parquet')),
+keyed AS (
+  SELECT doc_id, partition, spans,
+         coalesce(len(spans), 0) AS n_spans,
+         md5(array_to_string(list_transform(
+           list_sort(list_transform(coalesce(spans, []),
+             s -> {{o: s."offset", k: coalesce(s.kind, ''),
+                   m: coalesce(s.media_ref, ''), t: coalesce(s.text, '')}})),
+           x -> x.k || chr(31) || x.t || chr(31) || x.m || chr(31)
+                || coalesce(CAST(x.o AS VARCHAR), '')), chr(30))) AS ser
+  FROM docs
+),
+resolved AS (
+  SELECT doc_id, partition, spans FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n_spans DESC, partition, ser) AS r
+    FROM keyed
+  ) WHERE r = 1
+),
+ex AS (
+  SELECT partition, doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS pos
+  FROM resolved
+),
+kept AS (
+  SELECT * FROM ex
+  WHERE s.media_ref IS NULL OR s.media_ref IN (SELECT media_ref FROM cat)
+)
+SELECT doc_id, partition,
+       CAST(row_number() OVER (PARTITION BY partition, doc_id ORDER BY pos) - 1 AS INT)
+         AS span_pos,
+       s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+       CAST(row_number() OVER (PARTITION BY partition, doc_id ORDER BY pos) - 1 AS INT)
+         AS "offset"
+FROM kept""",
+)
+def span_pack_repair_refs(spark, sf_dir):
+    """R1 repair composed behind U1 resolution (the reassembly
+    precondition — duplicate doc_ids would merge into one 2n-span doc —
+    is exactly what X80 discharges): dangling media spans dropped, the
+    survivors re-compacted in original order, exploded and
+    value-matched. One explode + one doc-identity shuffle (see
+    repair_dangling_refs)."""
+    from zparse_spark.operators.canonical import (
+        repair_dangling_refs,
+        resolve_duplicate_docs,
+    )
+
+    docs, cat = _pack_input(spark)
+    resolved, _dup_log = resolve_duplicate_docs(docs)
+    repaired, _log = repair_dangling_refs(resolved, cat)
+    return repaired.select(
+        "doc_id", "partition", F.posexplode("spans").alias("span_pos", "s")
+    ).select(
+        "doc_id", "partition", "span_pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sampled-tier validation — violation-rate estimation with Wilson bounds
 # ---------------------------------------------------------------------------
