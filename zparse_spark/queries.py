@@ -3855,3 +3855,102 @@ def corpus_contamination_flags(spark, sf_dir):
     )
     probes = d.filter(F.col("doc_id").cast("long") % 97 == 0)
     return contamination_flags(d, probes)
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (operators/sessionize.py)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h: ~1.75 events/session at sf0.01
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    sess AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(us) - min(us) AS duration_us,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup: the reference's
+    boundary-scan tokenization (json/lexer.rs cursor advance closing a
+    token at a delimiter class) lifted to event streams — a >6h silence
+    closes the session. One shuffle on user_id carries the lag window,
+    the running boundary sum AND the per-session aggregate (same key
+    prefix); gaps compared in exact integer microseconds so the
+    boundary decision is bit-identical in DuckDB."""
+    from zparse_spark.operators.sessionize import sessionize
+
+    ev = sessionize(
+        _t(spark, sf_dir, "events"), key="user_id", ts_col="ts", gap_us=_SESSION_GAP_US
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact threshold set-similarity join with prefix filtering (operators/setsim.py)
+# ---------------------------------------------------------------------------
+
+
+def _setsim_allpairs_oracle() -> str:
+    from zparse_spark.queries_lsh import _NORM_SH_TAIL
+
+    # The oracle is deliberately ALL-PAIRS: the Spark side must produce
+    # the identical pair set THROUGH its prefix-filter pruning, proving
+    # the optimization lossless (an LSH pipeline could not pass this).
+    return (
+        "WITH input AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text"
+        " FROM documents)" + _NORM_SH_TAIL + """,
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter, uni, round(inter * 1.0 / uni, 6) AS jaccard
+    FROM p WHERE inter * 1.0 / uni >= 0.8
+    """
+    )
+
+
+@register("dedup_setsim_prefix_join", _setsim_allpairs_oracle())
+def dedup_setsim_prefix_join(spark, sf_dir):
+    """Exact (lossless) threshold similarity self-join: every pair with
+    word-3-shingle Jaccard >= 0.8, found via frequency-ordered prefix
+    filtering (AllPairs/PPJoin) — never an all-pairs join, never an LSH
+    miss. The DuckDB oracle IS the quadratic all-pairs definition, so a
+    green row certifies the pruning dropped nothing. Complements
+    dedup_minhash_*: LSH for throughput, this for completeness
+    receipts (audit-grade dedup, decontamination attestations)."""
+    from zparse_spark.operators.setsim import prefix_filter_jaccard_join
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return prefix_filter_jaccard_join(d, threshold=0.8, k_shingle=3)
