@@ -1,0 +1,122 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from zparse_spark.operators.funnel import (
+    funnel_match_depth,
+    funnel_report,
+    retention_cohorts,
+)
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    # rows: (event_id, user_id, seconds_offset, event_type)
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, uid, base + dt.timedelta(seconds=off), et) for eid, uid, off, et in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def _depths(spark, rows):
+    df = _ev(spark, rows)
+    return {r.user_id: r.depth for r in funnel_match_depth(df, STEPS).collect()}
+
+
+def test_in_order_full_conversion(spark):
+    d = _depths(spark, [(1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 20, "purchase")])
+    assert d == {1: 3}
+
+
+def test_out_of_order_does_not_count(spark):
+    # purchase BEFORE the click: machine accepts view, then click, but
+    # the purchase that already happened must not satisfy stage 3
+    d = _depths(spark, [(1, 1, 0, "view"), (2, 1, 10, "purchase"), (3, 1, 20, "click")])
+    assert d == {1: 2}
+
+
+def test_strictly_later_equal_ts_rejected(spark):
+    # click at the SAME microsecond as the matched view is not "after"
+    d = _depths(spark, [(1, 1, 0, "view"), (2, 1, 0, "click")])
+    assert d == {1: 1}
+
+
+def test_greedy_earliest_is_optimal(spark):
+    # two views: greedy matches the first; the click between them still
+    # satisfies stage 2 (matching the LATER view would forfeit it)
+    d = _depths(
+        spark,
+        [(1, 1, 0, "view"), (2, 1, 5, "click"), (3, 1, 9, "view"), (4, 1, 12, "purchase")],
+    )
+    assert d == {1: 3}
+
+
+def test_missing_first_stage_means_zero(spark):
+    d = _depths(spark, [(1, 1, 0, "click"), (2, 1, 5, "purchase")])
+    assert d == {1: 0}
+
+
+def test_irrelevant_events_ignored(spark):
+    d = _depths(
+        spark,
+        [(1, 1, 0, "error"), (2, 1, 1, "view"), (3, 1, 2, "signup"), (4, 1, 3, "click")],
+    )
+    assert d == {1: 2}
+
+
+def test_report_includes_unreached_stage(spark):
+    df = _ev(spark, [(1, 1, 0, "view"), (2, 2, 0, "view"), (3, 1, 5, "click")])
+    rows = {r.step_no: r for r in funnel_report(df, STEPS).collect()}
+    assert rows[1].n_users == 2 and rows[1].pct_of_first == 1.0
+    assert rows[2].n_users == 1 and abs(rows[2].pct_of_first - 0.5) < 1e-9
+    assert rows[3].n_users == 0 and rows[3].pct_of_first == 0.0
+    assert rows[3].step == "purchase"
+
+
+def test_funnel_plan_single_exchange_for_depth(spark):
+    df = _ev(spark, [(i, i % 5, i * 7, STEPS[i % 3]) for i in range(60)])
+    plan = (
+        funnel_match_depth(df, STEPS)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one shuffle: the groupBy(user) collect_list; the fold is expr-only
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _retention(spark, rows):
+    df = _ev(spark, rows)
+    return {
+        (r.cohort_period.date() if hasattr(r.cohort_period, "date") else r.cohort_period,
+         r.period_offset): (r.n_active, r.retention)
+        for r in retention_cohorts(df).collect()
+    }
+
+
+def test_retention_offsets_and_shares(spark):
+    # 2024-01-01 is a Monday: week boundaries land on it exactly
+    wk = 7 * 86400
+    rows = [
+        (1, 1, 0, "view"),          # u1 week 0
+        (2, 2, 10, "view"),         # u2 week 0
+        (3, 1, wk + 5, "click"),    # u1 active week 1
+        (4, 3, wk + 6, "view"),     # u3 first seen week 1
+        (5, 1, 3 * wk, "view"),     # u1 active week 3 (gap week 2)
+    ]
+    grid = _retention(spark, rows)
+    d0 = dt.date(2024, 1, 1)
+    d1 = dt.date(2024, 1, 8)
+    assert grid[(d0, 0)] == (2, 1.0)
+    assert grid[(d0, 1)][0] == 1 and abs(grid[(d0, 1)][1] - 0.5) < 1e-9
+    assert grid[(d0, 3)][0] == 1
+    assert (d0, 2) not in grid  # silent week emits no row
+    assert grid[(d1, 0)] == (1, 1.0)
+
+
+def test_retention_multiple_events_same_week_count_once(spark):
+    rows = [(1, 1, 0, "view"), (2, 1, 100, "click"), (3, 1, 200, "view")]
+    grid = _retention(spark, rows)
+    assert grid == {(dt.date(2024, 1, 1), 0): (1, 1.0)}

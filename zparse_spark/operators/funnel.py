@@ -1,0 +1,158 @@
+"""Ordered funnel analysis and retention cohorts over event streams.
+
+The reference's parser is an ordered-acceptance machine — a state
+advances only when the NEXT expected token class arrives (json/parser.rs
+state transitions reject out-of-order structure). A conversion funnel is
+the same machine over a user's event stream: stage i+1 counts only if it
+happens strictly after the stage-i match. Retention cohorts are the
+longitudinal companion: partition users by first-seen week and measure
+how many remain active k weeks on.
+
+100 TB shape (funnel): ONE shuffle — collect each key's events into a
+sorted array, then run the acceptance machine as a JVM `aggregate` fold
+(no Python, no per-stage join, no k-pass re-aggregation). Per-key event
+counts are bounded in practice (a user's history fits in an executor
+row); for unbounded keys pre-filter to the funnel's event types first —
+the fold only needs candidate events, and that filter prunes the shuffle
+to the funnel's own traffic.
+
+100 TB shape (retention): two map-side-combining aggregations (first-seen
+per key; distinct key×week) joined on the key — both shuffles carry one
+row per user(-week), orders of magnitude below the event count; the
+final cohort grid is tiny and the retention share rides a window over
+it, never a re-scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_match_depth(
+    events: DataFrame,
+    steps: Sequence[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key funnel progress: (key, depth, matched_us).
+
+    depth = number of funnel stages completed in order; matched_us[i] is
+    the exact microsecond timestamp of the stage-i match. The machine is
+    greedy-earliest (advance at the FIRST event of the next expected
+    type strictly later than the previous match) — greedy-earliest is
+    optimal for existence: matching later can only forfeit candidates,
+    so depth equals the max achievable. Strictly-later is compared in
+    integer microseconds (bit-identical cross-engine; FP epoch would
+    make equal-boundary decisions ambiguous).
+    """
+    steps = list(steps)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # Pre-filter to the funnel's own event types BEFORE the shuffle —
+    # at scale this is the difference between shuffling the whole event
+    # table and shuffling only funnel traffic.
+    cand = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(key).alias("_k"),
+        F.struct(
+            us.alias("us"),
+            F.col(order_col).cast("long").alias("ord"),
+            F.col(type_col).alias("etype"),
+        ).alias("_ev"),
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    per_key = cand.groupBy("_k").agg(F.array_sort(F.collect_list("_ev")).alias("_evs"))
+    acc = F.aggregate(
+        F.col("_evs"),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+        lambda a, x: F.when(
+            (F.size(a) < F.lit(len(steps)))
+            & (x["etype"] == F.element_at(steps_lit, F.size(a) + 1))
+            & ((F.size(a) == 0) | (x["us"] > F.element_at(a, -1))),
+            F.concat(a, F.array(x["us"])),
+        ).otherwise(a),
+    )
+    return per_key.select(
+        F.col("_k").alias(key),
+        acc.alias("matched_us"),
+    ).withColumn("depth", F.size("matched_us"))
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: Sequence[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Funnel conversion table: one row per stage with the number of
+    keys reaching it and the share relative to stage 1. Stages no key
+    reaches still appear (n_users = 0) — a vanished stage is the
+    signal, not a row to drop."""
+    steps = list(steps)
+    depth = funnel_match_depth(events, steps, key, ts_col, type_col, order_col)
+    reached = (
+        depth.filter(F.col("depth") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step_no"))
+        .groupBy("step_no")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    grid = (
+        depth.sparkSession.range(1, len(steps) + 1)
+        .select(F.col("id").cast("int").alias("step_no"))
+        .withColumn("step", F.element_at(F.array(*[F.lit(s) for s in steps]), F.col("step_no")))
+    )
+    first_n = F.max(F.when(F.col("step_no") == 1, F.col("n_users"))).over(
+        Window.partitionBy(F.lit(1))
+    )
+    return (
+        grid.join(reached, "step_no", "left")
+        .withColumn("n_users", F.coalesce(F.col("n_users"), F.lit(0)))
+        .withColumn(
+            "pct_of_first",
+            F.round(F.col("n_users") / F.nullif(first_n, F.lit(0)), 6),
+        )
+        .select("step_no", "step", "n_users", "pct_of_first")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention grid: (cohort_period, period_offset, n_active,
+    retention). cohort_period is the key's first-seen truncated period;
+    a key counts as active in every distinct period it has an event;
+    retention = n_active / cohort size (offset 0 is 1.0 by construction
+    — the first-seen period is active by definition)."""
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    firsts = events.groupBy(F.col(key).alias("_k")).agg(F.min(p).alias("cohort_period"))
+    active = (
+        events.select(F.col(key).alias("_k"), p.alias("period")).distinct()
+    )
+    seconds = {"week": 7 * 86400, "day": 86400}[period]
+    joined = active.join(firsts, "_k").withColumn(
+        "period_offset",
+        (
+            (F.unix_micros(F.col("period")) - F.unix_micros(F.col("cohort_period")))
+            / F.lit(seconds * 1_000_000)
+        ).cast("int"),
+    )
+    grid = joined.groupBy("cohort_period", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    cohort_size = F.max(F.when(F.col("period_offset") == 0, F.col("n_active"))).over(
+        Window.partitionBy("cohort_period")
+    )
+    return grid.select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.nullif(cohort_size, F.lit(0)), 6).alias("retention"),
+    )

@@ -2071,48 +2071,6 @@ def similarity_lsh_topk_embeddings(spark, sf_dir):
 
 
 @register(
-    "events_sessionize",
-    """
-    WITH flagged AS (
-      SELECT user_id,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                  THEN 1 ELSE 0 END AS is_start
-      FROM events
-    ), per_user AS (
-      SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events
-      FROM flagged GROUP BY user_id
-    )
-    SELECT count(*) AS n_users,
-           CAST(sum(n_sessions) AS BIGINT) AS total_sessions,
-           round(avg(CAST(n_events AS DOUBLE) / n_sessions), 4) AS avg_events_per_session
-    FROM per_user
-    """,
-)
-def events_sessionize(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ: cast via timestamp (session TZ = UTC) to
-    # get epoch seconds, matching DuckDB's epoch() on the naive value
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    prev_epoch = F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
-    gap = epoch - prev_epoch
-    flagged = ev.withColumn(
-        "is_start", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    )
-    per_user = flagged.groupBy("user_id").agg(
-        F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
-    )
-    return per_user.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("n_sessions").alias("total_sessions"),
-        F.round(F.avg(F.col("n_events").cast("double") / F.col("n_sessions")), 4).alias(
-            "avg_events_per_session"
-        ),
-    )
-
-
-@register(
     "events_hourly_counts",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -3954,3 +3912,93 @@ def dedup_setsim_prefix_join(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return prefix_filter_jaccard_join(d, threshold=0.8, k_shingle=3)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel + retention cohorts (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel_ordered",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS us1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS us2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.us1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS us3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.us2
+      GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS step_no, 'view' AS step, (SELECT count(*) FROM t1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    )
+    SELECT step_no, step, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / nullif(max(CASE WHEN step_no = 1 THEN n_users END) OVER (), 0),
+                 6) AS pct_of_first
+    FROM counts
+    """,
+)
+def events_funnel_ordered(spark, sf_dir):
+    """Ordered conversion funnel view->click->purchase: stage i+1 counts
+    only strictly AFTER the stage-i match — the reference's ordered
+    token-acceptance machine (json/parser.rs advances state only on the
+    next expected class) over a user's event stream. The Spark side runs
+    the machine as a JVM ``aggregate`` fold over each user's sorted
+    candidate events (one shuffle, pre-filtered to funnel traffic); the
+    oracle is the equivalent greedy min-chain of per-stage CTEs —
+    greedy-earliest is optimal for reach-depth, so the two agree
+    exactly. Strictly-later compared in integer microseconds."""
+    from zparse_spark.operators.funnel import funnel_report
+
+    return funnel_report(_t(spark, sf_dir, "events"), list(_FUNNEL_STEPS))
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_period
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events
+    ), grid AS (
+      SELECT f.cohort_period,
+             CAST((epoch_us(a.period) - epoch_us(f.cohort_period))
+                  / (7 * 86400 * 1000000.0) AS INTEGER) AS period_offset,
+             count(*) AS n_active
+      FROM active a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_period, period_offset, n_active,
+           round(CAST(n_active AS DOUBLE)
+                 / nullif(max(CASE WHEN period_offset = 0 THEN n_active END)
+                          OVER (PARTITION BY cohort_period), 0),
+                 6) AS retention
+    FROM grid
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-seen week, a
+    user is active in every distinct week it has an event, retention is
+    the cohort share still active k weeks on. Two map-side-combining
+    aggregations (first-seen; distinct user-week) joined on user —
+    shuffles carry one row per user(-week), far below the event count;
+    the cohort grid itself is tiny and the share rides a window over
+    it. Offsets are exact week multiples (both sides truncate to the
+    Monday week boundary) so the int cast is lossless."""
+    from zparse_spark.operators.funnel import retention_cohorts
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"), key="user_id", ts_col="ts")
+    # DuckDB's date_trunc('week') yields DATE; align the grid key type.
+    return out.withColumn("cohort_period", F.col("cohort_period").cast("date"))
