@@ -1,0 +1,115 @@
+"""Semi-structured schema profiling for JSON string columns.
+
+The reference is a parser: every value it touches gets a definite type
+and a definite position (json/parser.rs typed-value construction). A
+table engine meets the same data as an untyped JSON *column* — `props`
+payloads whose schema nobody declared and which drifts silently as
+producers change. This module profiles that column distributedly: every
+(json path, value type) pair observed anywhere in the corpus, with
+counts — the evidence behind "field `$.meta.lang` flipped int→string in
+yesterday's ingest" alerts and behind choosing a `from_json` schema that
+actually fits the data.
+
+Path grammar: root is ``$``; object members append ``.key``; array
+elements collapse onto one wildcard segment ``[]`` (a profile wants the
+element-type distribution under a path, not one row per index).
+Types: object, array, string, int, double, bool, null — plus
+``malformed`` (unparseable document) and ``missing`` (SQL NULL cell),
+which profile the *column*, not a JSON value.
+
+100 TB shape: the flatten is a map-only Arrow pandas UDF (json.loads is
+C; the tree walk is per-NODE Python bounded by document size — the same
+accepted trade as repetition_signals' per-doc Counter, there is no JVM
+builtin that enumerates unknown JSON paths). The only full-data shuffle
+is the groupBy(path, vtype) over the exploded node stream, and hash
+aggregation partial-combines it to the distinct-(path,vtype) set per
+task — shuffle bytes scale with schema variety, not corpus size. The
+share denominator and the final window ride the tiny profile table.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+_NODE_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("vtype", StringType(), False),
+        ]
+    )
+)
+
+
+def _scalar_type(v) -> str:
+    # bool BEFORE int: bool is an int subclass in Python
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return "object"
+    return "array"
+
+
+def _flatten_doc(doc: str | None) -> list[tuple[str, str]]:
+    if doc is None:
+        return [("$", "missing")]
+    try:
+        root = json.loads(doc)
+    except (ValueError, RecursionError):
+        return [("$", "malformed")]
+    out: list[tuple[str, str]] = []
+    stack: list[tuple[str, object]] = [("$", root)]
+    while stack:
+        path, v = stack.pop()
+        t = _scalar_type(v)
+        out.append((path, t))
+        if t == "object":
+            for k, child in v.items():  # type: ignore[union-attr]
+                stack.append((f"{path}.{k}", child))
+        elif t == "array":
+            for child in v:  # type: ignore[union-attr]
+                stack.append((f"{path}[]", child))
+    return out
+
+
+@F.pandas_udf(_NODE_TYPE)
+def _flatten_json(col: pd.Series) -> pd.Series:
+    return col.map(_flatten_doc)
+
+
+def json_schema_profile(df: DataFrame, col: str) -> DataFrame:
+    """Profile a JSON string column: one row per (path, vtype) with the
+    observation count and its share of input rows (round 6). Array
+    indices collapse to ``[]`` so the output is a schema, not a dump;
+    ``malformed`` / ``missing`` rows surface broken producers instead
+    of silently skipping them (collect-don't-abort, SURVEY §2.2)."""
+    nodes = df.select(F.explode(_flatten_json(F.col(col))).alias("node")).select(
+        F.col("node.path").alias("path"), F.col("node.vtype").alias("vtype")
+    )
+    prof = nodes.groupBy("path", "vtype").agg(F.count(F.lit(1)).alias("n"))
+    # total input rows reconstructed on the tiny profile table: every
+    # input row contributes exactly one root-level node ($ / missing /
+    # malformed), so summing those buckets avoids a second full-data
+    # pass for the denominator.
+    root_n = F.sum(
+        F.when(F.col("path") == "$", F.col("n")).otherwise(F.lit(0))
+    ).over(Window.partitionBy(F.lit(1)))
+    return prof.select(
+        "path",
+        "vtype",
+        "n",
+        F.round(F.col("n") / root_n, 6).alias("row_share"),
+    )

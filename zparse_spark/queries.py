@@ -4002,3 +4002,87 @@ def events_retention_cohorts(spark, sf_dir):
     out = retention_cohorts(_t(spark, sf_dir, "events"), key="user_id", ts_col="ts")
     # DuckDB's date_trunc('week') yields DATE; align the grid key type.
     return out.withColumn("cohort_period", F.col("cohort_period").cast("date"))
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON schema profiling (functions/json_profile.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic JSON-variety fixture over events.props: nested objects,
+# arrays, int->string type flips, a malformed doc class and a missing
+# class — the same SQL fragment evaluates identically in Spark and
+# DuckDB (|| concat, CAST AS STRING), so both engines profile the SAME
+# corpus.
+_JPROPS_FIXTURE = """
+    CASE CAST(event_id % 7 AS INT)
+      WHEN 0 THEN '{"k": ' || CAST(event_id % 100 AS STRING)
+                  || ', "tags": ["a", "b"], "meta": {"lang": "en", "score": 1.5}}'
+      WHEN 1 THEN '{"k": "' || CAST(event_id % 100 AS STRING) || '"}'
+      WHEN 2 THEN '{"k": null, "extra": true}'
+      WHEN 3 THEN '{"tags": [], "meta": {"lang": "de", "deep": {"x": [1, "s", null]}}}'
+      WHEN 4 THEN '{bro'
+      WHEN 5 THEN NULL
+      ELSE props
+    END
+"""
+
+
+@register(
+    "profile_json_schema",
+    f"""
+    WITH RECURSIVE src AS (
+      SELECT {_JPROPS_FIXTURE} AS props FROM events
+    ), nodes(path, j) AS (
+      SELECT '$', CAST(props AS JSON) FROM src
+      WHERE props IS NOT NULL AND json_valid(props)
+      UNION ALL
+      SELECT n.path || s.suffix, s.child
+      FROM nodes n, LATERAL (
+        SELECT '.' || k AS suffix, json_extract(n.j, '$."' || k || '"') AS child
+        FROM unnest(json_keys(n.j)) AS t(k)
+        WHERE json_type(n.j) = 'OBJECT'
+        UNION ALL
+        SELECT '[]' AS suffix, json_extract(n.j, '$[' || i || ']') AS child
+        FROM unnest(range(CAST(json_array_length(n.j) AS BIGINT))) AS r(i)
+        WHERE json_type(n.j) = 'ARRAY'
+      ) s
+    ), prof AS (
+      SELECT path,
+             CASE WHEN j IS NULL THEN 'null' ELSE
+               CASE json_type(j)
+                 WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+                 WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'bool'
+                 WHEN 'DOUBLE' THEN 'double' WHEN 'NULL' THEN 'null'
+                 WHEN 'BIGINT' THEN 'int' WHEN 'UBIGINT' THEN 'int'
+               END
+             END AS vtype,
+             count(*) AS n
+      FROM nodes GROUP BY 1, 2
+      UNION ALL
+      SELECT '$', 'malformed', count(*) FROM src
+      WHERE props IS NOT NULL AND NOT json_valid(props) HAVING count(*) > 0
+      UNION ALL
+      SELECT '$', 'missing', count(*) FROM src
+      WHERE props IS NULL HAVING count(*) > 0
+    ), tot AS (
+      SELECT sum(CASE WHEN path = '$' THEN n ELSE 0 END) AS t FROM prof
+    )
+    SELECT prof.path, prof.vtype, CAST(prof.n AS BIGINT) AS n,
+           round(prof.n * 1.0 / tot.t, 6) AS row_share
+    FROM prof, tot
+    """,
+)
+def profile_json_schema(spark, sf_dir):
+    """Semi-structured schema profile of a JSON column: every (path,
+    value-type) pair observed anywhere in the corpus with counts — the
+    reference's typed-value construction (json/parser.rs) lifted to
+    schema DISCOVERY over an undeclared column. Array indices collapse
+    to a `[]` wildcard; malformed and missing documents are profiled,
+    not skipped. Spark side is one Arrow flatten + one partial-combined
+    groupBy; the DuckDB twin re-derives the profile with a recursive
+    path-expansion CTE, so the engines agree on an arbitrarily nested
+    corpus, not just on happy-path scalars."""
+    from zparse_spark.functions.json_profile import json_schema_profile
+
+    ev = _t(spark, sf_dir, "events").select(F.expr(_JPROPS_FIXTURE).alias("props"))
+    return json_schema_profile(ev, "props")
