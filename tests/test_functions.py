@@ -572,3 +572,24 @@ def test_extract_urls_and_domains(spark):
         .collect()
     )
     assert sorted(r["d"] for r in doms) == ["a.example.com", "b.org", "c.net", "just-host.io"]
+
+
+def test_unigram_logprob_scores(spark):
+    from zparse_spark.functions.text import unigram_logprob_scores
+
+    # corpus: "a a b" and "z" -> model: a tf=2, b tf=1, z tf=1, T=4
+    df = spark.createDataFrame(
+        [(1, "A a b"), (2, "z"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    import math
+
+    assert set(out) == {1, 2}  # null/blank docs score nothing
+    lp = lambda tf: round(math.log(tf / 4) * 1e6)
+    exp1 = round((2 * lp(2) + 1 * lp(1)) / (3 * 1e6), 6)
+    assert out[1].n_tokens == 3 and abs(out[1].avg_logprob - exp1) < 1e-9
+    exp2 = round(lp(1) / 1e6, 6)
+    assert out[2].n_tokens == 1 and abs(out[2].avg_logprob - exp2) < 1e-9
+    # the common-token doc outscores the rare-token doc
+    assert out[1].avg_logprob > out[2].avg_logprob

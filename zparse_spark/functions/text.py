@@ -658,3 +658,59 @@ def pmi_collocations(
             F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
         ).limit(top_n)
     return out
+
+
+def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style language-model quality score: mean unigram
+    log-probability of a document under the corpus's own unigram model.
+    Gibberish, OCR noise and boilerplate-of-rare-ids score sharply low
+    while ordinary prose clusters high — the classic cheap LM filter
+    (CCNet uses a KenLM 5-gram; the unigram degenerates to the same
+    pipeline shape with no external model artifact).
+
+    Cross-engine determinism: a double SUM over a document's tokens is
+    addition-order-dependent, and Spark's partial aggregation order is
+    not stable — so per-token log-probs are quantized ONCE to integer
+    micro-nats (round(ln(tf/T)·1e6) as BIGINT) and the per-doc
+    aggregation is exact integer arithmetic; the only float ops left
+    are one libm ln per DISTINCT token and the final display division.
+
+    Scale shape (100 TB): occurrences reduce to distinct (doc, token)
+    pairs in the first map-side-combining groupBy (the problem's lower
+    bound); the unigram model is one more groupBy on the already-reduced
+    pair table; scoring joins pairs⋈model on token (model is vocab-sized
+    — AQE broadcasts it when it fits) and the final per-doc aggregate
+    rides one shuffle on the doc key. No Python anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    doc_tok = toks.groupBy("_doc", "token").agg(F.count(F.lit(1)).alias("c"))
+    model = doc_tok.groupBy("token").agg(F.sum("c").alias("tf"))
+    total = model.agg(F.sum("tf").alias("_total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("tf") / F.col("_total")) * 1e6)
+        .cast("long")
+        .alias("ulp6"),
+    )
+    return (
+        doc_tok.join(model, "token")
+        .groupBy("_doc")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ulp6")).alias("_s"),
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_tokens",
+            F.round(F.col("_s") / (F.col("n_tokens") * 1e6), 6).alias("avg_logprob"),
+        )
+    )

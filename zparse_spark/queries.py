@@ -4086,3 +4086,44 @@ def profile_json_schema(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(F.expr(_JPROPS_FIXTURE).alias("props"))
     return json_schema_profile(ev, "props")
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score (functions/text.py::unigram_logprob_scores)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_lm_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), doc_tok AS (
+      SELECT doc_id, token, count(*) AS c
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), model AS (
+      SELECT token, sum(c) AS tf FROM doc_tok GROUP BY token
+    ), tot AS (
+      SELECT sum(tf) AS t FROM model
+    ), m AS (
+      SELECT token, CAST(round(ln(tf / tot.t) * 1000000) AS BIGINT) AS ulp6
+      FROM model, tot
+    )
+    SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+           round(sum(d.c * m.ulp6) / (sum(d.c) * 1000000.0), 6) AS avg_logprob
+    FROM doc_tok d JOIN m ON d.token = m.token
+    GROUP BY d.doc_id
+    """,
+)
+def corpus_lm_quality(spark, sf_dir):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap LM quality filter (CCNet's shape with no
+    external model artifact). Per-token log-probs quantize once to
+    integer micro-nats so the per-doc aggregation is exact integer
+    arithmetic in both engines; the only float ops are one libm ln per
+    distinct token and the final display division."""
+    from zparse_spark.functions.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
