@@ -611,3 +611,57 @@ def test_clamp_outliers(spark):
     a100 = [r for r in out if r["g"] == "a" and r["v"] == 100.0][0]
     assert a100["v_clamped"] == fa["a"]["hi_fence"] and a100["v_was_clamped"]
     assert sum(r["v_was_clamped"] for r in out) == 2
+
+
+def test_timeseries_anomalies_planted_spike(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import timeseries_anomalies
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # key 'a': constant 5/day for 7 days, then a 50-event spike on day 8
+    for d in range(7):
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(days=d), "a")); eid += 1
+    for _ in range(50):
+        rows.append((eid, base + dt.timedelta(days=7), "a")); eid += 1
+    # key 'b': linear ramp 1..8 — never anomalous
+    for d in range(8):
+        for _ in range(d + 1):
+            rows.append((eid, base + dt.timedelta(days=d), "b")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {
+        (r.event_type, r.day): r
+        for r in timeseries_anomalies(df, lookback_days=7, z_threshold=3.0).collect()
+    }
+    spike = out[("a", dt.date(2024, 3, 8))]
+    # constant baseline -> zero variance -> NULL z even for the spike
+    assert spike.z is None and spike.is_anomaly is None
+    ramp = out[("b", dt.date(2024, 3, 8))]
+    # baseline 1..7: mean 4, var_samp 28/6; z = (8-4)/sqrt(28/6)
+    import math
+
+    assert abs(ramp.z - round(4 / math.sqrt(28 / 6), 6)) < 1e-9
+    assert ramp.is_anomaly is False
+    # short history yields NULL z
+    assert out[("a", dt.date(2024, 3, 4))].z is None
+
+
+def test_timeseries_anomalies_silent_day_is_scored(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import timeseries_anomalies
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # 10/day for 7 days, then day 8 completely silent, day 9 back to 10
+    for d in [0, 1, 2, 3, 4, 5, 6, 8]:
+        for _ in range(10 + d % 2):  # 10/11 alternation -> nonzero variance
+            rows.append((eid, base + dt.timedelta(days=d), "a")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.day: r for r in timeseries_anomalies(df).collect()}
+    silent = out[dt.date(2024, 3, 8)]
+    assert silent.n == 0 and silent.is_anomaly is True and silent.z < -3

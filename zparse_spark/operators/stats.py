@@ -944,3 +944,70 @@ def clamp_outliers(
         )
         .drop("_lo", "_hi")
     )
+
+
+def timeseries_anomalies(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    lookback_days: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key daily-volume anomaly screen: each (key, day) count scored
+    against the trailing ``lookback_days`` baseline with a sample-z
+    score — the time axis of the monitoring family (D1 asks "is one
+    shard unlike the fleet?", drift_timeline asks "did the category mix
+    move?", this asks "did yesterday's VOLUME break pattern?").
+
+    Bit-identical cross-engine by construction: the rolling mean and
+    variance come from exact BIGINT window sums (s=Σn, q=Σn², k) on a
+    densified day×key grid, and the z formula
+    ``((k·n − s)/k) / sqrt((k·q − s²)/(k·(k−1)))`` uses only IEEE
+    correctly-rounded ops (divide, sqrt) on identical integer operands —
+    no libm, no accumulation-order dependence (contrast
+    unigram_logprob_scores, where ln forces micro-nat quantization).
+    Zero-variance baselines and short history (< lookback) yield NULL z,
+    never a divide-by-zero. Caveat: q holds Σn² — fine until a single
+    key's DAILY count approaches ~2^31 (q overflows around there);
+    at that volume pre-aggregate to a coarser key first.
+
+    Scale shape: ONE full-data groupBy(day, key); the dense grid, the
+    rolling window and the scoring all ride the tiny counts table
+    (days × keys rows). The grid densification matters for semantics,
+    not cost: a silent day IS the anomaly signal, and a ragged window
+    over present-days-only would hide it.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = df.select(day.alias("day"), F.col(key).alias("_k")).groupBy(
+        "day", "_k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mm = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .crossJoin(daily.select("_k").distinct())
+    )
+    dense = (
+        grid.join(daily, ["day", "_k"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("day")
+        .rowsBetween(-lookback_days, -1)
+    )
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n") * F.col("n")).over(w)
+    k = F.count("n").over(w)
+    num = (k * F.col("n") - s) * F.lit(1.0) / k
+    var_term = (k * q - s * s) * F.lit(1.0) / (k * (k - F.lit(1)))
+    z = F.when(
+        (k == F.lit(lookback_days)) & ((k * q - s * s) > F.lit(0)),
+        F.round(num / F.sqrt(var_term), 6),
+    )
+    return dense.select(
+        F.col("_k").alias(key),
+        "day",
+        F.col("n").cast("long").alias("n"),
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+    )

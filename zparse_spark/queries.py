@@ -4127,3 +4127,55 @@ def corpus_lm_quality(spark, sf_dir):
     from zparse_spark.functions.text import unigram_logprob_scores
 
     return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume anomaly screen (operators/stats.py::timeseries_anomalies)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_events_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+             t.event_type
+      FROM mm, (SELECT DISTINCT event_type FROM daily) t
+    ), dense AS (
+      SELECT g.day, g.event_type, coalesce(daily.n, 0) AS n
+      FROM grid g LEFT JOIN daily
+        ON g.day = daily.day AND g.event_type = daily.event_type
+    ), win AS (
+      SELECT day, event_type, n,
+             sum(n) OVER w AS s, sum(n * n) OVER w AS q, count(n) OVER w AS k
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CASE WHEN k = 7 AND (k * q - s * s) > 0
+                THEN round(((k * n - s) * 1.0 / k)
+                           / sqrt((k * q - s * s) * 1.0 / (k * (k - 1))), 6)
+           END AS z,
+           CASE WHEN k = 7 AND (k * q - s * s) > 0
+                THEN abs(round(((k * n - s) * 1.0 / k)
+                               / sqrt((k * q - s * s) * 1.0 / (k * (k - 1))),
+                         6)) > 3.0
+           END AS is_anomaly
+    FROM win
+    """,
+)
+def anomaly_events_daily(spark, sf_dir):
+    """Per-event-type daily-volume anomaly screen over a densified
+    day×type grid (a silent day IS the signal): trailing-7-day sample-z
+    from exact BIGINT window sums, so the only float ops are IEEE
+    correctly-rounded divide/sqrt on identical integer operands —
+    bit-identical cross-engine with no libm and no accumulation-order
+    dependence. Short history and zero-variance baselines yield NULL."""
+    from zparse_spark.operators.stats import timeseries_anomalies
+
+    return timeseries_anomalies(_t(spark, sf_dir, "events"))
