@@ -802,3 +802,133 @@ def dedup_incremental_minhash(spark, sf_dir):
     kw = dict(n_hashes=_N_HASHES, n_bands=_N_BANDS, seed=_SEED, hash_fn="md5")
     index = minhash_banded(corpus, **kw)
     return incremental_minhash_candidates(index, delta, **kw)
+
+
+# --- Candidate-generation quality gate: LSH recall/precision vs exact truth
+#
+# Fixture adds a MUTATED near-dup class alongside the exact 'dup_'
+# plants: every 7th doc gets 5 + doc_id % 23 novel filler tokens
+# appended, spreading exact Jaccard across the 0.8 threshold — so the
+# candidate set contains genuine sub-threshold collisions (precision
+# < 1 has something to measure) and the truth set contains
+# barely-over-threshold pairs (recall is earned, not vacuous).
+
+_MUT_SHINGLE_CTE = (
+    """
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+input AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT 'dup_' || doc_id, text FROM base WHERE CAST(doc_id AS BIGINT) % 10 = 0
+  UNION ALL
+  SELECT 'mut_' || doc_id,
+         text || ' ' || array_to_string(
+           list_transform(range(5 + CAST(doc_id AS BIGINT) % 23),
+                          i -> 'zfill' || CAST(i AS VARCHAR)), ' ')
+  FROM base WHERE CAST(doc_id AS BIGINT) % 7 = 0
+)"""
+    + _NORM_SH_TAIL
+)
+
+
+def _docs_with_mutants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    dup = d.filter(F.col("doc_id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    n_fill = F.lit(5) + F.col("doc_id").cast("long") % 23
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_fill - 1).cast("int")),
+            lambda i: F.concat(F.lit("zfill"), i.cast("string")),
+        ),
+        " ",
+    )
+    mut = d.filter(F.col("doc_id").cast("long") % 7 == 0).select(
+        F.concat(F.lit("mut_"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), filler).alias("text"),
+    )
+    return d.unionByName(dup).unionByName(mut)
+
+
+_CAND_QUALITY_SQL = f"""WITH{_MUT_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_min_cols}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{_band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= {_JACCARD_T}
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hit
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit * 1.0 / nullif(n_truth, 0), 6) AS recall,
+       round(n_hit * 1.0 / nullif(n_cand, 0), 6) AS precision
+FROM m"""
+
+
+@register("dedup_lsh_candidate_quality", _CAND_QUALITY_SQL)
+def dedup_lsh_candidate_quality(spark, sf_dir):
+    """Candidate-GENERATION quality of MinHash-LSH banding, measured
+    against exact ground truth the engine itself produces: recall = the
+    share of true >=0.8-Jaccard pairs (prefix-filter exact join, X83 —
+    provably complete) that land in at least one shared band bucket
+    BEFORE verification; precision = the share of raw banded candidates
+    that are true pairs. X26 monitors the ANN embedding path; this is
+    the same discipline for the text-dedup path — the number that tells
+    you whether n_bands/n_hashes are spending verification budget well
+    at the corpus's actual similarity profile. Uncapped md5 pipeline so
+    the DuckDB twin reproduces every stage; one full-outer join of two
+    pair sets, aggregated to a single metrics row."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_lsh_candidates
+    from zparse_spark.operators.setsim import prefix_filter_jaccard_join
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    cands = minhash_lsh_candidates(
+        docs, hash_fn="md5", max_bucket=0, seed=_SEED
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    truth = prefix_filter_jaccard_join(docs, threshold=_JACCARD_T, k_shingle=3).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    full = cands.join(truth, ["id_a", "id_b"], "full_outer")
+    return (
+        full.agg(
+            F.count("_t").alias("n_truth"),
+            F.count("_c").alias("n_cand"),
+            F.count(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.nullif(F.col("n_cand"), F.lit(0)), 6).alias("precision"),
+        )
+    )
