@@ -120,3 +120,29 @@ def test_retention_multiple_events_same_week_count_once(spark):
     rows = [(1, 1, 0, "view"), (2, 1, 100, "click"), (3, 1, 200, "view")]
     grid = _retention(spark, rows)
     assert grid == {(dt.date(2024, 1, 1), 0): (1, 1.0)}
+
+
+def test_event_path_ngrams(spark):
+    from zparse_spark.operators.funnel import event_path_ngrams
+
+    rows = [
+        # user 1: v > c > p  -> one trigram
+        (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 20, "purchase"),
+        # user 2: v > c > p > v -> two trigrams (v>c>p, c>p>v)
+        (4, 2, 0, "view"), (5, 2, 1, "click"), (6, 2, 2, "purchase"), (7, 2, 3, "view"),
+        # user 3: only two events -> contributes nothing
+        (8, 3, 0, "view"), (9, 3, 1, "click"),
+    ]
+    df = _ev(spark, rows)
+    out = {r.path: r.n_occurrences for r in event_path_ngrams(df, n=3, top_n=None).collect()}
+    assert out == {"view>click>purchase": 2, "click>purchase>view": 1}
+
+
+def test_event_path_ngrams_order_is_temporal_not_arrival(spark):
+    from zparse_spark.operators.funnel import event_path_ngrams
+
+    # rows arrive shuffled; the path must follow (ts, event_id)
+    rows = [(3, 1, 20, "purchase"), (1, 1, 0, "view"), (2, 1, 10, "click")]
+    df = _ev(spark, rows).repartition(4)
+    out = [r.path for r in event_path_ngrams(df, n=3, top_n=None).collect()]
+    assert out == ["view>click>purchase"]

@@ -156,3 +156,55 @@ def retention_cohorts(
         "n_active",
         F.round(F.col("n_active") / F.nullif(cohort_size, F.lit(0)), 6).alias("retention"),
     )
+
+
+def event_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_n: int | None = 50,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Top consecutive event-type n-grams across all keys' ordered
+    streams — path analysis ("which 3-step journeys actually happen?"),
+    the exploratory companion to funnel_report's confirmatory machine
+    and the event-stream analog of pmi_collocations' token bigrams.
+
+    Keys with fewer than ``n`` events contribute nothing (no padding —
+    a 2-event user has no 3-step path). Deterministic total order for
+    the top-n cut: count desc, path asc. 100 TB shape: one shuffle
+    collects each key's (ts, ord, type) structs (bounded per key by a
+    user's own history — pre-filter upstream for degenerate bot keys);
+    the slide is a map-only array transform; the n-gram count
+    map-side-combines to the distinct-path domain; ``top_n`` is a
+    TakeOrdered, never a global sort.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_key = (
+        events.select(
+            F.col(key).alias("_k"),
+            F.struct(
+                us.alias("us"),
+                F.col(order_col).cast("long").alias("ord"),
+                F.col(type_col).alias("etype"),
+            ).alias("_ev"),
+        )
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_list("_ev")).alias("_evs"))
+        .select(F.transform(F.col("_evs"), lambda e: e["etype"]).alias("_seq"))
+        .filter(F.size("_seq") >= n)
+    )
+    grams = per_key.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_seq") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("_seq"), i, n), ">"),
+            )
+        ).alias("path")
+    )
+    out = grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    if top_n is not None:
+        out = out.orderBy(F.col("n_occurrences").desc(), F.col("path").asc()).limit(top_n)
+    return out

@@ -4179,3 +4179,31 @@ def anomaly_events_daily(spark, sf_dir):
     from zparse_spark.operators.stats import timeseries_anomalies
 
     return timeseries_anomalies(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_path_ngrams",
+    """
+    WITH seqs AS (
+      SELECT user_id, array_agg(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(seq) - 1),
+                                   i -> array_to_string(seq[i:i+2], '>'))) AS path
+      FROM seqs WHERE len(seq) >= 3
+    )
+    SELECT path, count(*) AS n_occurrences
+    FROM grams GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC LIMIT 50
+    """,
+)
+def events_path_ngrams(spark, sf_dir):
+    """Top-50 three-step user journeys (consecutive event-type trigrams
+    over each user's time-ordered stream) — path analysis, the
+    exploratory companion to the X84 funnel machine. One shuffle
+    collects per-user ordered sequences, the slide is a map-only array
+    transform, the count map-side-combines to the path domain, and the
+    top-50 is a TakeOrdered under a deterministic total order."""
+    from zparse_spark.operators.funnel import event_path_ngrams
+
+    return event_path_ngrams(_t(spark, sf_dir, "events"), n=3, top_n=50)
