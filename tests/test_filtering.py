@@ -147,3 +147,42 @@ def test_split_into_windows_contract(spark):
     # plan discipline: map-only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_upsample_by_weight(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import hash_unit, upsample_by_weight
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, 0.5), (5, 3.7), (6, 99.0)],
+        "doc_id long, wt double",
+    )
+    out = upsample_by_weight(df, "wt", key_col="doc_id", seed=3, max_copies=4)
+    counts = {
+        r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # integer weight -> exactly w copies; zero/negative -> dropped
+    assert counts[1] == 2 and 2 not in counts and 3 not in counts
+    # fractional weight -> floor or floor+1, decided by the hash coin
+    coin4 = df.sparkSession.range(1).select(
+        (hash_unit(F.lit("4"), 3) < F.lit(0.5)).alias("c")
+    ).collect()[0].c
+    assert counts.get(4, 0) == (1 if coin4 else 0)
+    coin5 = df.sparkSession.range(1).select(
+        (hash_unit(F.lit("5"), 3) < F.lit(3.7 - 3.0)).alias("c")
+    ).collect()[0].c
+    assert counts[5] == 3 + (1 if coin5 else 0)
+    # clamp: runaway weight bounded at max_copies
+    assert counts[6] == 4
+    # copy_no runs 1..n and the multiset is deterministic across re-runs
+    again = {
+        r.doc_id: r.n
+        for r in upsample_by_weight(df, "wt", key_col="doc_id", seed=3, max_copies=4)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == counts
+    copy_nos = sorted(
+        r.copy_no for r in out.filter(F.col("doc_id") == 1).collect()
+    )
+    assert copy_nos == [1, 2]

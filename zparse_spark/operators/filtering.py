@@ -457,3 +457,47 @@ def cap_per_group(
         .filter(F.col(rk) <= n)
         .drop(rk)
     )
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    weight_col,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    max_copies: int = 16,
+) -> DataFrame:
+    """Deterministic weighted upsampling — the UPSAMPLE half of the
+    mixture story (rebalance_mixture is downsample-only by design; when
+    the target share of a scarce high-quality source exceeds its
+    natural share, epoch-repeat weighting is the standard move):
+    each row is replicated ``floor(w)`` times plus one more with
+    probability ``frac(w)``, so the expected copy count is exactly the
+    weight. The fractional coin is ``hash_unit(key, seed)`` — a pure
+    function of the key, so re-runs, resumed jobs and any-SQL twins
+    replicate the IDENTICAL multiset (an rng coin would re-deal on
+    every retry). The comparison is deterministic cross-engine: the
+    md5-nibble hash over 2^32 divides exactly (power-of-two
+    denominator) and the fraction is the same IEEE subtraction in both
+    engines.
+
+    Rows with w <= 0 drop; w is clamped at ``max_copies`` (a runaway
+    weight column must not explode the corpus). Output carries
+    ``copy_no`` (1..n) so downstream stays uniquely keyed on
+    (key, copy_no). Map-only: no shuffle, the explode multiplies rows
+    in place and Parquet scan pruning is unaffected.
+    """
+    w = (weight_col if not isinstance(weight_col, str) else F.col(weight_col)).cast(
+        "double"
+    )
+    base = F.floor(w).cast("long")
+    extra = (hash_unit(key_col, seed) < (w - F.floor(w))).cast("long")
+    n = F.least(base + extra, F.lit(int(max_copies)))
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(
+            "copy_no",
+            F.explode(F.sequence(F.lit(1), F.col("_n_copies").cast("int"))),
+        )
+        .drop("_n_copies")
+    )

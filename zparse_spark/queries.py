@@ -4207,3 +4207,55 @@ def events_path_ngrams(spark, sf_dir):
     from zparse_spark.operators.funnel import event_path_ngrams
 
     return event_path_ngrams(_t(spark, sf_dir, "events"), n=3, top_n=50)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted upsampling (operators/filtering.py::upsample_by_weight)
+# ---------------------------------------------------------------------------
+
+_UPSAMPLE_WT = (
+    "CASE lang WHEN 'en' THEN 1.7 WHEN 'de' THEN 0.4 WHEN 'es' THEN 2.0 ELSE 1.0 END"
+)
+
+
+def _upsample_oracle_sql(seed: int = 7) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH w AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+             {_UPSAMPLE_WT} AS wt
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang,
+             least(CAST(floor(wt) AS BIGINT)
+                   + CASE WHEN {hv} * 1.0 / 4294967296 < wt - floor(wt)
+                          THEN 1 ELSE 0 END,
+                   16) AS n_copies
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_no
+    FROM n WHERE n_copies >= 1
+    """
+
+
+@register("corpus_upsample_mixture", _upsample_oracle_sql())
+def corpus_upsample_mixture(spark, sf_dir):
+    """Deterministic weighted upsampling (epoch-repeat weighting for
+    scarce high-quality sources — the UPSAMPLE half of the mixture
+    story; X35 rebalancing is downsample-only): floor(w) copies plus a
+    hash-coin extra with probability frac(w), expected copies exactly
+    w, the whole multiset a pure function of (doc_id, seed). The
+    md5-nibble coin divides by a power of two, so the comparison is
+    bit-identical in DuckDB."""
+    from zparse_spark.operators.filtering import upsample_by_weight
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        F.expr(_UPSAMPLE_WT).alias("wt"),
+    )
+    return upsample_by_weight(d, "wt", key_col="doc_id", seed=7).select(
+        "doc_id", "lang", "copy_no"
+    )
