@@ -665,3 +665,44 @@ def test_timeseries_anomalies_silent_day_is_scored(spark):
     out = {r.day: r for r in timeseries_anomalies(df).collect()}
     silent = out[dt.date(2024, 3, 8)]
     assert silent.n == 0 and silent.is_anomaly is True and silent.z < -3
+
+
+def test_volume_trend_exact_hand_case(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import volume_trend
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # key 'up': counts 1,2,3,4,5 over 5 days -> slope exactly 1.0,
+    # mean 3 -> rel_slope = 1/3
+    for d in range(5):
+        for _ in range(d + 1):
+            rows.append((eid, base + dt.timedelta(days=d), "up")); eid += 1
+    # key 'gap': 10 on day 0 and day 4 only -> silent days count as 0
+    for d in (0, 4):
+        for _ in range(10):
+            rows.append((eid, base + dt.timedelta(days=d), "gap")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.event_type: r for r in volume_trend(df).collect()}
+    up = out["up"]
+    assert up.n_days == 5 and up.total == 15
+    assert abs(up.slope_per_day - 1.0) < 1e-9
+    assert abs(up.rel_slope - round(1.0 / 3.0, 6)) < 1e-9
+    # gap: y = 10,0,0,0,10 -> Sxy = 0*10+4*10 = 40, Sx=10, Sy=20, Sxx=30
+    # slope = (5*40 - 10*20)/(5*30 - 100) = 0/50 = 0
+    assert out["gap"].slope_per_day == 0.0
+
+
+def test_volume_trend_single_day_is_null(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import volume_trend
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1), "a"), (2, dt.datetime(2024, 3, 1), "a")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    r = volume_trend(df).collect()[0]
+    assert r.n_days == 1 and r.slope_per_day is None and r.rel_slope is None

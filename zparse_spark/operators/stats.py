@@ -1011,3 +1011,71 @@ def timeseries_anomalies(
         z.alias("z"),
         F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
     )
+
+
+def volume_trend(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key linear volume trend: the least-squares slope (and daily
+    relative change) of daily counts over the key's full densified day
+    range — the DIRECTION leg of the monitoring family (X87's z-score
+    flags a single broken day; this says "this source has been bleeding
+    5%/day for two weeks", which no single-day screen can see).
+
+    Exactness contract (same discipline as X87): with x = 0..k−1 day
+    indices and y = daily BIGINT counts on the densified grid, every
+    sum (Σx, Σy, Σxy, Σx²) is exact integer arithmetic, so
+    slope = (k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²) is one IEEE division of
+    identical integers in every engine — bit-identical with no libm.
+    ``rel_slope`` = slope / mean daily volume (per-day fractional
+    drift, the alertable number). Keys with a single-day range or zero
+    total volume yield NULL slope.
+
+    Scale shape: ONE full-data groupBy(day, key); densification, the
+    index window and the closed-form regression all ride the tiny
+    counts table.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = df.select(day.alias("day"), F.col(key).alias("_k")).groupBy(
+        "day", "_k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mm = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .crossJoin(daily.select("_k").distinct())
+    )
+    dense = (
+        grid.join(daily, ["day", "_k"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("x", F.datediff(F.col("day"), F.min("day").over(
+            Window.partitionBy("_k")
+        )).cast("long"))
+    )
+    agg = dense.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("x") * F.col("n")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = agg["k"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom > 0,
+        F.round((agg["k"] * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 6),
+    )
+    return agg.select(
+        F.col("_k").alias(key),
+        F.col("k").alias("n_days"),
+        F.col("sy").alias("total"),
+        slope.alias("slope_per_day"),
+        F.when(
+            denom.isNotNull() & (denom > 0) & (F.col("sy") > 0),
+            F.round(
+                ((agg["k"] * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
+                / (F.col("sy") / agg["k"]),
+                6,
+            ),
+        ).alias("rel_slope"),
+    )

@@ -4259,3 +4259,46 @@ def corpus_upsample_mixture(spark, sf_dir):
     return upsample_by_weight(d, "wt", key_col="doc_id", seed=7).select(
         "doc_id", "lang", "copy_no"
     )
+
+
+@register(
+    "trend_events_volume",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+             t.event_type, d0
+      FROM mm, (SELECT DISTINCT event_type FROM daily) t
+    ), dense AS (
+      SELECT g.event_type, CAST(g.day - g.d0 AS BIGINT) AS x,
+             CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN daily
+        ON g.day = daily.day AND g.event_type = daily.event_type
+    ), agg AS (
+      SELECT event_type, count(*) AS k, sum(x) AS sx, sum(n) AS sy,
+             sum(x * n) AS sxy, sum(x * x) AS sxx
+      FROM dense GROUP BY event_type
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS total,
+           CASE WHEN k * sxx - sx * sx > 0
+                THEN round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) END
+             AS slope_per_day,
+           CASE WHEN k * sxx - sx * sx > 0 AND sy > 0
+                THEN round(((k * sxy - sx * sy) / (k * sxx - sx * sx)) / (sy / k), 6)
+           END AS rel_slope
+    FROM agg
+    """,
+)
+def trend_events_volume(spark, sf_dir):
+    """Per-event-type daily-volume trend: closed-form least-squares
+    slope over the densified day grid, from exact BIGINT sums with one
+    IEEE division — bit-identical cross-engine (X87's discipline, for
+    the DIRECTION question: a slow bleed no single-day z-score sees).
+    rel_slope = slope / mean daily volume is the alertable per-day
+    fractional drift."""
+    from zparse_spark.operators.stats import volume_trend
+
+    return volume_trend(_t(spark, sf_dir, "events"))
