@@ -706,3 +706,43 @@ def test_volume_trend_single_day_is_null(spark):
     )
     r = volume_trend(df).collect()[0]
     assert r.n_days == 1 and r.slope_per_day is None and r.rel_slope is None
+
+
+def test_null_cooccurrence_hand_case(spark):
+    from zparse_spark.operators.stats import null_cooccurrence
+
+    # 8 rows: a null on {1,2,3,4}, b null on {3,4,5}, c never null
+    rows = []
+    for i in range(8):
+        rows.append(
+            (
+                None if i in (1, 2, 3, 4) else float(i),
+                None if i in (3, 4, 5) else str(i),
+                i,
+            )
+        )
+    df = spark.createDataFrame(rows, "a double, b string, c long")
+    out = {(r.col_a, r.col_b): r for r in null_cooccurrence(df, ["a", "b", "c"]).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_null_a, ab.n_null_b, ab.n_both) == (4, 3, 2)
+    assert abs(ab.jaccard - round(2 / 5, 6)) < 1e-9
+    assert abs(ab.lift - round(2 * 8 / 12, 6)) < 1e-9
+    ac = out[("a", "c")]
+    # c never null: zero denominators yield NULL, never divide-by-zero
+    assert ac.n_both == 0 and ac.jaccard is not None and ac.lift is None
+    assert abs(ac.jaccard - 0.0) < 1e-9  # union is 4, intersection 0
+    bc = out[("b", "c")]
+    assert bc.n_null_b == 0 and bc.lift is None
+
+
+def test_null_cooccurrence_single_exchange(spark):
+    from zparse_spark.operators.stats import null_cooccurrence
+
+    df = spark.createDataFrame([(1.0, "x", 1)] * 16, "a double, b string, c long")
+    plan = (
+        null_cooccurrence(df, ["a", "b", "c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one global aggregate: the single-partition exchange only
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

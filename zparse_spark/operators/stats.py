@@ -1079,3 +1079,58 @@ def volume_trend(
             ),
         ).alias("rel_slope"),
     )
+
+
+def null_cooccurrence(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missingness co-occurrence: for every column pair, how often the
+    two are null TOGETHER vs what independence predicts — the forensic
+    behind column_profile's per-column null rates. Correlated nulls
+    mean one upstream failure domain (a producer dropping a whole
+    struct), not k independent data-quality issues; jaccard ≈ 1 says
+    "fix one pipeline", jaccard ≈ 0 with high lift says "conditional
+    emission", and X54/X63 can't see any of it because they profile
+    VALUES, not their absence.
+
+    One aggregate pass over the pruned projection: per-column null
+    indicators as ints, all k + k(k−1)/2 sums ride a single map-side-
+    combining agg (exact BIGINTs); the pair table is built by exploding
+    a literal array on the one-row result — no second scan, no shuffle
+    beyond the agg's. ``lift`` = n_both·N / (n_a·n_b) (1 ≈ independent)
+    and ``jaccard`` = n_both / (n_a + n_b − n_both); zero denominators
+    yield NULL, never a divide-by-zero.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    ind = {c: F.col(c).isNull().cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_N")]
+    aggs += [F.sum(ind[c]).alias(f"_n_{i}") for i, c in enumerate(cols)]
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    aggs += [F.sum(ind[cols[i]] * ind[cols[j]]).alias(f"_nb_{i}_{j}") for i, j in pairs]
+    one = df.select(*[F.col(c) for c in cols]).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.col(f"_n_{i}").alias("n_null_a"),
+                F.col(f"_n_{j}").alias("n_null_b"),
+                F.col(f"_nb_{i}_{j}").alias("n_both"),
+                F.col("_N").alias("n_rows"),
+            )
+            for i, j in pairs
+        ]
+    )
+    p = one.select(F.explode(rows).alias("p")).select("p.*")
+    uni = F.col("n_null_a") + F.col("n_null_b") - F.col("n_both")
+    denom = F.col("n_null_a") * F.col("n_null_b")
+    return p.select(
+        "col_a",
+        "col_b",
+        "n_null_a",
+        "n_null_b",
+        "n_both",
+        F.when(uni > 0, F.round(F.col("n_both") / uni, 6)).alias("jaccard"),
+        F.when(denom > 0, F.round(F.col("n_both") * F.col("n_rows") / denom, 6)).alias(
+            "lift"
+        ),
+    )

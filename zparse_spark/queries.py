@@ -4302,3 +4302,66 @@ def trend_events_volume(spark, sf_dir):
     from zparse_spark.operators.stats import volume_trend
 
     return volume_trend(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Missingness co-occurrence (operators/stats.py::null_cooccurrence)
+# ---------------------------------------------------------------------------
+
+# Planted null classes: props nulls are a SUBSET of value nulls (one
+# upstream failure domain -> jaccard 0.5, lift 10), event_type nulls are
+# independent of both (lift ~= 1).
+_NULLS_FIXTURE = """
+      SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type
+      FROM events
+"""
+
+
+@register(
+    "profile_null_cooccurrence",
+    f"""
+    WITH src AS ({_NULLS_FIXTURE}),
+    a AS (
+      SELECT count(*) AS N,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN value IS NULL AND props IS NULL THEN 1 ELSE 0 END) AS b01,
+             sum(CASE WHEN value IS NULL AND event_type IS NULL THEN 1 ELSE 0 END) AS b02,
+             sum(CASE WHEN props IS NULL AND event_type IS NULL THEN 1 ELSE 0 END) AS b12
+      FROM src
+    )
+    SELECT 'value' AS col_a, 'props' AS col_b, n0 AS n_null_a, n1 AS n_null_b,
+           b01 AS n_both,
+           CASE WHEN n0 + n1 - b01 > 0 THEN round(b01 / (n0 + n1 - b01), 6) END AS jaccard,
+           CASE WHEN n0 * n1 > 0 THEN round((b01 * N) / (n0 * n1), 6) END AS lift
+    FROM a
+    UNION ALL
+    SELECT 'value', 'event_type', n0, n2, b02,
+           CASE WHEN n0 + n2 - b02 > 0 THEN round(b02 / (n0 + n2 - b02), 6) END,
+           CASE WHEN n0 * n2 > 0 THEN round((b02 * N) / (n0 * n2), 6) END
+    FROM a
+    UNION ALL
+    SELECT 'props', 'event_type', n1, n2, b12,
+           CASE WHEN n1 + n2 - b12 > 0 THEN round(b12 / (n1 + n2 - b12), 6) END,
+           CASE WHEN n1 * n2 > 0 THEN round((b12 * N) / (n1 * n2), 6) END
+    FROM a
+    """,
+)
+def profile_null_cooccurrence(spark, sf_dir):
+    """Missingness co-occurrence over planted null classes: props nulls
+    a strict subset of value nulls (one failure domain — jaccard 0.5,
+    lift 10 at the %5/%10 plant rates), event_type nulls independent
+    (lift ≈ 1). All pair sums ride ONE map-side-combining aggregate over
+    the pruned projection; the pair table explodes from the one-row
+    result. X54/X63 profile values — this profiles their ABSENCE."""
+    from zparse_spark.operators.stats import null_cooccurrence
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value",
+        "CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props",
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type",
+    )
+    return null_cooccurrence(ev, ["value", "props", "event_type"])
