@@ -358,3 +358,31 @@ def test_repair_dangling_refs(spark):
         (r["doc_id"], r["span_pos"], r["media_ref"], r["rule_id"]) for r in log.collect()
     )
     assert dropped == [("d1", 1, "ghost", "R1"), ("d2", 0, "ghost2", "R1")]
+
+
+def test_span_layout_profile(spark):
+    from zparse_spark.operators.canonical import span_layout_profile
+
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark,
+        [
+            ("1", [("text", "a", None, 0), ("image", "", "m1", 10)], "p0"),
+            # same layout, arrives with spans OUT of offset order
+            ("2", [("image", "", "m2", 10), ("text", "b", None, 0)], "p0"),
+            ("3", [("text", "c", None, 0)], "p1"),
+            ("4", [], "p1"),
+            ("5", None, "p1"),
+            # NULL kind and NULL offset get pinned sentinels
+            ("6", [(None, "x", None, None), ("text", "y", None, 5)], "p1"),
+        ],
+    )
+    out = {r.layout: r for r in span_layout_profile(docs).collect()}
+    assert out["text>image"].n_docs == 2
+    assert out["text>image"].example_doc == "1"
+    assert abs(out["text>image"].doc_share - round(2 / 6, 6)) < 1e-9
+    assert out["text"].n_docs == 1
+    assert out["(empty)"].n_docs == 1 and out["(none)"].n_docs == 1
+    # null offset (-1 sentinel) sorts FIRST, null kind renders '(null)'
+    assert out["(null)>text"].n_docs == 1

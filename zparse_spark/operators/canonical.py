@@ -602,3 +602,51 @@ def repair_dangling_refs(
         )
     )
     return repaired, log
+
+
+def span_layout_profile(
+    docs: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document layout census for interleaved corpora: the span-KIND
+    sequence in canonical offset order, collapsed to one signature per
+    doc ('text>image>text'), counted corpus-wide — "which interleaving
+    templates exist, and how common is each?" is the first question a
+    multimodal training mix owner asks, and per-span rules can't answer
+    it (a layout is a per-DOC shape). NULL spans profile as '(none)',
+    empty arrays as '(empty)' — broken producers are classes, never
+    skipped rows (collect-don't-abort); NULL kinds/offsets get pinned
+    sentinels so the canonical order is total cross-engine.
+
+    Map-only array expressions build the signature (no explode, no
+    Python); the only shuffle is the groupBy over the signature domain
+    (bounded by layout variety, not corpus size); the share denominator
+    rides a one-partition window on that tiny profile table.
+    """
+    sorted_kinds = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col(spans_col),
+                lambda s: F.struct(
+                    F.coalesce(s["offset"].cast("long"), F.lit(-1)).alias("o"),
+                    F.coalesce(s["kind"], F.lit("(null)")).alias("k"),
+                ),
+            )
+        ),
+        lambda x: x["k"],
+    )
+    sig = (
+        F.when(F.col(spans_col).isNull(), F.lit("(none)"))
+        .when(F.size(spans_col) == 0, F.lit("(empty)"))
+        .otherwise(F.array_join(sorted_kinds, ">"))
+    )
+    sigs = docs.select(F.col(id_col).alias("_id"), sig.alias("layout"))
+    prof = sigs.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("_id").alias("example_doc")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy(F.lit(1)))
+    return prof.select(
+        "layout",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("doc_share"),
+        "example_doc",
+    )

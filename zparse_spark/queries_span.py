@@ -1084,3 +1084,47 @@ def span_pack_overlap(spark, sf_dir):
     )
     eng = ValidationEngine(ValidationConfig(params=params, enable_drift=False))
     return eng.violations(docs, cat)
+
+
+# ---------------------------------------------------------------------------
+# Layout census over the interleaved corpus (operators/canonical.py)
+# ---------------------------------------------------------------------------
+
+_LAYOUT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, spans FROM read_parquet('{_W}/span_docs/*.parquet')
+), sigs AS (
+  -- row-wise (NOT GROUP BY doc_id): planted duplicate doc_ids are
+  -- distinct documents and must census as distinct layout rows
+  SELECT doc_id,
+         CASE WHEN spans IS NULL THEN '(none)'
+              WHEN len(spans) = 0 THEN '(empty)'
+              ELSE array_to_string(
+                list_transform(
+                  list_sort(list_transform(spans,
+                    x -> lpad(CAST(coalesce(CAST(x."offset" AS BIGINT), -1) + 2 AS VARCHAR),
+                              12, '0')
+                         || '|' || coalesce(x.kind, '(null)'))),
+                  y -> split_part(y, '|', 2)), '>')
+         END AS layout
+  FROM docs
+), tot AS (SELECT count(*) AS t FROM sigs)
+SELECT layout, count(*) AS n_docs,
+       round(count(*) * 1.0 / any_value(tot.t), 6) AS doc_share,
+       min(doc_id) AS example_doc
+FROM sigs, tot GROUP BY layout
+"""
+
+
+@register("span_pack_layout_profile", _LAYOUT_SQL)
+def span_pack_layout_profile(spark, sf_dir):
+    """Layout census of the interleaved fixture corpus: span-kind
+    signatures in canonical offset order, counted corpus-wide, with
+    '(none)'/'(empty)' as first-class classes — which multimodal
+    templates exist and how common each is. Map-only signature build,
+    one groupBy bounded by layout variety, share on the tiny profile."""
+    docs, _cat = _pack_input(spark)
+
+    from zparse_spark.operators.canonical import span_layout_profile
+
+    return span_layout_profile(docs)
