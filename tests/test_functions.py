@@ -593,3 +593,20 @@ def test_unigram_logprob_scores(spark):
     assert out[2].n_tokens == 1 and abs(out[2].avg_logprob - exp2) < 1e-9
     # the common-token doc outscores the rare-token doc
     assert out[1].avg_logprob > out[2].avg_logprob
+
+
+def test_conjunctive_search(spark):
+    from zparse_spark.functions.text import conjunctive_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "Scan the merge window scan"),   # all 3, score 4 (scan twice)
+            (2, "scan merge"),                   # missing 'window'
+            (3, "window   MERGE\tscan extra"),   # whitespace/case robust
+            (4, None),
+            (5, "scan scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in conjunctive_search(df, ["scan", "merge", "window"]).collect()}
+    assert out == {1: 4, 3: 3}

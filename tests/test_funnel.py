@@ -146,3 +146,31 @@ def test_event_path_ngrams_order_is_temporal_not_arrival(spark):
     df = _ev(spark, rows).repartition(4)
     out = [r.path for r in event_path_ngrams(df, n=3, top_n=None).collect()]
     assert out == ["view>click>purchase"]
+
+
+def test_active_users_rolling_distinct(spark):
+    from zparse_spark.operators.funnel import active_users
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1 active day 0 and day 2 (twice); u2 active day 0 only
+        (1, 1, 0, "view"),
+        (2, 2, 0, "view"),
+        (3, 1, 2 * 86400, "click"),
+        (4, 1, 2 * 86400 + 5, "view"),
+        # u3 active day 9 -> day gap 3..8 must densify to dau=0
+        (5, 3, 9 * 86400, "view"),
+    ]
+    df = _ev(spark, rows)
+    out = {r.day: r for r in active_users(df, window_days=7).collect()}
+    d = lambda i: dt.date(2024, 1, 1 + i)
+    assert len(out) == 10  # densified 2024-01-01..01-10
+    assert (out[d(0)].dau, out[d(0)].wau) == (2, 2)
+    assert (out[d(2)].dau, out[d(2)].wau) == (1, 2)  # u1 counted once
+    # day 6: nobody active, but u1 (day 0 and 2) and u2 (day 0) in window
+    assert (out[d(6)].dau, out[d(6)].wau) == (0, 2)
+    # day 7: day-0 activity aged out; u1's day-2 still supports
+    assert (out[d(7)].dau, out[d(7)].wau) == (0, 1)
+    # day 9: only u3's window
+    assert (out[d(9)].dau, out[d(9)].wau, out[d(9)].stickiness) == (1, 1, 1.0)
+    assert out[d(3)].stickiness is not None and out[d(3)].stickiness == 0.0

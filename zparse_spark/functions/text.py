@@ -714,3 +714,42 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
             F.round(F.col("_s") / (F.col("n_tokens") * 1e6), 6).alias("avg_logprob"),
         )
     )
+
+
+def conjunctive_search(df, terms, text_col: str = "text", id_col: str = "doc_id"):
+    """Conjunctive (AND-of-terms) document search via posting-list
+    intersection — the retrieval counterpart of build_vocabulary's
+    index side: a doc matches iff it contains EVERY query term; score
+    is the summed term frequency (ties broken downstream by id). The
+    corpus-side tokenization is byte-identical to
+    build_vocabulary/tfidf_top_terms, so an index built by one is
+    queryable by the other.
+
+    Scale shape: the term filter lands BEFORE the shuffle — the
+    exploded token stream drops to the query terms' own postings (for
+    k query terms that is k posting lists, a vanishing fraction of the
+    corpus), then ONE groupBy(doc) counts distinct matched terms and
+    sums tf; HAVING n = k is the intersection. Never a per-term join
+    chain (k−1 shuffles), never a contains() scan per term (k full
+    scans with no pruning).
+    """
+    from pyspark.sql import functions as F
+
+    terms = [t.lower() for t in terms]
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token").isin(terms))
+    )
+    return (
+        toks.groupBy("_doc")
+        .agg(
+            F.countDistinct("token").alias("_n_terms"),
+            F.count(F.lit(1)).alias("score"),
+        )
+        .filter(F.col("_n_terms") == len(set(terms)))
+        .select(F.col("_doc").alias(id_col), "score")
+    )

@@ -208,3 +208,56 @@ def event_path_ngrams(
     if top_n is not None:
         out = out.orderBy(F.col("n_occurrences").desc(), F.col("path").asc()).limit(top_n)
     return out
+
+
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact DAU / rolling WAU / stickiness per day — the
+    load-bearing engagement triple (stickiness = DAU/WAU is the
+    canonical "do they come back?" ratio, and the rolling-distinct WAU
+    is the part a naive window can't do: COUNT(DISTINCT) over a sliding
+    frame isn't decomposable, so it's computed by fanning each (key,
+    active day) out to the ``window_days`` report days it supports and
+    counting distinct keys per report day).
+
+    Exactness: integer counts; the one float op (stickiness division)
+    is IEEE-exact on identical integers. Days with no activity inside
+    the observed range are densified to zero rows — a dead day reads
+    0/owau, not a missing row.
+
+    Scale shape: events reduce to the distinct (key, day) table FIRST
+    (one map-side-combining distinct at event volume — the lower
+    bound); the ×window_days fan-out happens on that reduced table, so
+    the second shuffle carries |distinct user-days| × window rows, far
+    below event count; the final grid is days-sized. Distinct-count
+    state per task is bounded by Spark's two-phase distinct expand.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    kd = events.select(F.col(key).alias("_k"), day.alias("day")).distinct()
+    mm = kd.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = kd.groupBy("day").agg(F.countDistinct("_k").alias("dau"))
+    fan = kd.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("day"),
+    )
+    wau = fan.groupBy("day").agg(F.countDistinct("_k").alias("wau"))
+    grid = mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    return (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).alias("wau"),
+            F.when(
+                F.coalesce(F.col("wau"), F.lit(0)) > 0,
+                F.round(F.coalesce(F.col("dau"), F.lit(0)) / F.col("wau"), 6),
+            ).alias("stickiness"),
+        )
+    )

@@ -4365,3 +4365,67 @@ def profile_null_cooccurrence(spark, sf_dir):
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type",
     )
     return null_cooccurrence(ev, ["value", "props", "event_type"])
+
+
+@register(
+    "events_active_users",
+    """
+    WITH kd AS (
+      SELECT DISTINCT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM kd),
+    dau AS (SELECT day, count(DISTINCT k) AS dau FROM kd GROUP BY day),
+    fan AS (
+      SELECT k, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                            INTERVAL 1 DAY)) AS DATE) AS day
+      FROM kd
+    ),
+    wau AS (SELECT day, count(DISTINCT k) AS wau FROM fan GROUP BY day),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM mm
+    )
+    SELECT g.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+           CASE WHEN coalesce(wau.wau, 0) > 0
+                THEN round(coalesce(dau.dau, 0) / wau.wau, 6) END AS stickiness
+    FROM grid g LEFT JOIN dau ON g.day = dau.day LEFT JOIN wau ON g.day = wau.day
+    """,
+)
+def events_active_users(spark, sf_dir):
+    """Exact DAU / rolling 7-day WAU / stickiness per day. The rolling
+    distinct is non-decomposable, so each (user, active-day) — already
+    reduced to the distinct pair table — fans out to the 7 report days
+    it supports; the second shuffle carries user-days × 7, far below
+    event volume. Dead days densify to zero rows. The one float op is
+    an IEEE division of exact integers."""
+    from zparse_spark.operators.funnel import active_users
+
+    return active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@register(
+    "corpus_search_conjunctive",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), m AS (
+      SELECT doc_id, count(DISTINCT token) AS n_terms, count(*) AS score
+      FROM toks WHERE token IN ('scan', 'merge', 'window') GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM m WHERE n_terms = 3
+    """,
+)
+def corpus_search_conjunctive(spark, sf_dir):
+    """Conjunctive posting-list search: docs containing ALL of
+    {scan, merge, window}, scored by summed term frequency. The term
+    filter prunes the token stream to the query's own postings before
+    the one groupBy(doc); tokenization is byte-identical to the
+    vocabulary/TF-IDF index side."""
+    from zparse_spark.functions.text import conjunctive_search
+
+    return conjunctive_search(
+        _t(spark, sf_dir, "documents"), ["scan", "merge", "window"]
+    )
