@@ -746,3 +746,26 @@ def test_null_cooccurrence_single_exchange(spark):
     # one global aggregate: the single-partition exchange only
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_file_sizing_plan(spark):
+    from zparse_spark.operators.layout import file_sizing_plan
+
+    from tests.conftest import make_docs
+
+    # p0: two docs, 100+36 chars of text + 64/span overhead
+    docs = make_docs(
+        spark,
+        [
+            ("1", [("text", "x" * 100, None, 0), ("image", "", "m1", 200)], "p0"),
+            ("2", [("text", "y" * 36, None, 0)], "p0"),
+            ("3", None, "p1"),   # NULL spans: zero bytes, still planned
+            ("4", [], "p1"),
+        ],
+    )
+    out = {r.partition: r for r in file_sizing_plan(docs, target_mb=200 / (1024 * 1024)).collect()}
+    p0 = out["p0"]
+    # est = (100+64) + (0+64) + (36+64) = 328 -> ceil(328/200) = 2 files
+    assert (p0.n_docs, p0.est_bytes, p0.recommended_files, p0.rows_per_file) == (2, 328, 2, 1)
+    p1 = out["p1"]
+    assert (p1.n_docs, p1.est_bytes, p1.recommended_files, p1.rows_per_file) == (2, 0, 1, 2)

@@ -84,3 +84,59 @@ def cluster_by_zorder(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def file_sizing_plan(
+    docs: DataFrame,
+    target_mb: float = 128,
+    partition_col: str = "partition",
+    spans_col: str = "spans",
+    overhead_bytes: int = 64,
+) -> DataFrame:
+    """Compaction / file-sizing plan per table partition — the planning
+    half of Iceberg table maintenance (OPTIMIZE / rewrite_data_files
+    needs a target file count per partition BEFORE it shuffles
+    anything; guessing it wrong either leaves the small-files problem
+    in place or builds multi-GB files no executor wants to read).
+
+    Estimated bytes = Σ span text chars + per-span overhead (struct
+    framing, offsets, dictionary slots) — a deliberate, stated proxy:
+    real parquet sizes depend on encoding, but the RELATIVE partition
+    weights the plan needs survive the approximation, and the estimate
+    is reproducible in any engine (no file-system introspection).
+    ``recommended_files = max(1, ceil(est_bytes / target))``, plus
+    rows_per_file so the executor of the plan can repartitionByRange
+    without re-scanning.
+
+    One map-side-combining groupBy(partition); the plan table is
+    partition-count sized. The per-doc byte estimate is a map-only
+    array fold (no explode, no Python).
+    """
+    doc_bytes = (
+        F.coalesce(
+            F.aggregate(
+                F.col(spans_col),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.length(F.coalesce(s["text"], F.lit("")))
+                + F.lit(overhead_bytes),
+            ),
+            F.lit(0).cast("long"),
+        )
+    )
+    target = int(float(target_mb) * 1024 * 1024)
+    agg = docs.groupBy(F.col(partition_col).alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(doc_bytes).alias("est_bytes"),
+    )
+    rec = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("est_bytes") / F.lit(target)).cast("long"),
+    )
+    return agg.select(
+        "partition",
+        "n_docs",
+        "est_bytes",
+        rec.alias("recommended_files"),
+        F.ceil(F.col("n_docs") / rec).cast("long").alias("rows_per_file"),
+    )

@@ -1128,3 +1128,45 @@ def span_pack_layout_profile(spark, sf_dir):
     from zparse_spark.operators.canonical import span_layout_profile
 
     return span_layout_profile(docs)
+
+
+# ---------------------------------------------------------------------------
+# Compaction / file-sizing plan (operators/layout.py::file_sizing_plan)
+# ---------------------------------------------------------------------------
+
+_SIZING_TARGET = int(0.05 * 1024 * 1024)  # 50 KiB: small so the plan is non-trivial
+
+_SIZING_SQL = f"""
+WITH docs AS (
+  SELECT partition, spans FROM read_parquet('{_W}/span_docs/*.parquet')
+), b AS (
+  SELECT partition,
+         coalesce(list_sum(list_transform(spans,
+                  x -> length(coalesce(x.text, '')) + 64)), 0) AS db
+  FROM docs
+), agg AS (
+  SELECT partition, count(*) AS n_docs, CAST(sum(db) AS BIGINT) AS est_bytes
+  FROM b GROUP BY partition
+)
+SELECT partition, n_docs, est_bytes,
+       greatest(1, CAST(ceil(est_bytes * 1.0 / {_SIZING_TARGET}) AS BIGINT))
+         AS recommended_files,
+       CAST(ceil(n_docs * 1.0
+                 / greatest(1, CAST(ceil(est_bytes * 1.0 / {_SIZING_TARGET}) AS BIGINT)))
+            AS BIGINT) AS rows_per_file
+FROM agg
+"""
+
+
+@register("span_pack_file_sizing", _SIZING_SQL)
+def span_pack_file_sizing(spark, sf_dir):
+    """Compaction plan per partition (the planning half of Iceberg
+    rewrite_data_files): estimated bytes from a map-only span fold,
+    recommended file count at a target size, rows per file for a
+    repartitionByRange executor. 50 KiB target so the fixture corpus
+    produces a non-trivial plan (multiple files per hot partition)."""
+    docs, _cat = _pack_input(spark)
+
+    from zparse_spark.operators.layout import file_sizing_plan
+
+    return file_sizing_plan(docs, target_mb=0.05)
