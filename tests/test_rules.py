@@ -508,3 +508,24 @@ def test_transition_violations_hand_case(spark):
         (1, 12, "click", "signup"),
         (3, 31, "view", "signup"),
     ]
+
+
+def test_rule_cooccurrence_hand_case(spark):
+    from zparse_spark.operators.rules import rule_cooccurrence
+
+    rows = [
+        # doc 1 fails S2+S4 (plus a second S2 row that must dedup)
+        ("p0", "1", "S2"), ("p0", "1", "S2"), ("p0", "1", "S4"),
+        # doc 2 fails S2 only; doc 3 fails S4+R1
+        ("p0", "2", "S2"), ("p1", "3", "S4"), ("p1", "3", "R1"),
+    ]
+    viol = spark.createDataFrame(rows, "partition string, doc_id string, rule_id string")
+    out = {(r.rule_a, r.rule_b): r for r in rule_cooccurrence(viol, n_docs=10).collect()}
+    s24 = out[("S2", "S4")]
+    assert (s24.n_a, s24.n_b, s24.n_both) == (2, 2, 1)
+    assert abs(s24.jaccard - round(1 / 3, 6)) < 1e-9
+    assert abs(s24.lift - round(1 * 10 / 4, 6)) < 1e-9
+    r4 = out[("R1", "S4")]
+    assert (r4.n_a, r4.n_b, r4.n_both) == (1, 2, 1)
+    # S2/R1 never co-fire -> no row (pairs observed on >=1 common doc)
+    assert ("R1", "S2") not in out and ("S2", "R1") not in out

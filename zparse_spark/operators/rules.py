@@ -1291,3 +1291,59 @@ def transition_violations(
             type_col,
         )
     )
+
+
+def rule_cooccurrence(violations: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """Which rules fire TOGETHER on the same document — the X92
+    discipline (missingness co-occurrence) applied to the violation
+    table itself: correlated rules mean one root cause (a producer
+    emitting truncated docs trips S2+S4+R1 at once), and triage wants
+    the failure DOMAIN, not len(rules) separate tickets. ``lift``
+    (vs independence over the n_docs universe, when given) and
+    ``jaccard`` of the per-rule doc sets quantify it; pairs are
+    emitted for every rule pair observed on ≥1 common doc.
+
+    Scale shape: violations reduce to the distinct (partition, doc_id,
+    rule_id) table first — violation rows per doc can be huge, the
+    distinct is grid-bounded per doc by the rule count; the pair
+    self-join keys on the doc (per-doc fan-out ≤ rules², a constant);
+    per-rule doc counts ride one more groupBy on the reduced table.
+    """
+    d = violations.select("partition", "doc_id", "rule_id").distinct()
+    per_rule = d.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.partition").eqNullSafe(F.col("b.partition")))
+            & (F.col("a.doc_id").eqNullSafe(F.col("b.doc_id")))
+            & (F.col("a.rule_id") < F.col("b.rule_id")),
+        )
+        .groupBy(
+            F.col("a.rule_id").alias("rule_a"), F.col("b.rule_id").alias("rule_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        pairs.join(per_rule.withColumnRenamed("rule_id", "rule_a"), "rule_a")
+        .withColumnRenamed("n", "n_a")
+        .join(per_rule.withColumnRenamed("rule_id", "rule_b"), "rule_b")
+        .withColumnRenamed("n", "n_b")
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    sel = [
+        "rule_a",
+        "rule_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(uni > 0, F.round(F.col("n_both") / uni, 6)).alias("jaccard"),
+    ]
+    if n_docs is not None:
+        sel.append(
+            F.when(
+                (F.col("n_a") * F.col("n_b")) > 0,
+                F.round(F.col("n_both") * F.lit(int(n_docs)) / (F.col("n_a") * F.col("n_b")), 6),
+            ).alias("lift")
+        )
+    return out.select(*sel)

@@ -1170,3 +1170,46 @@ def span_pack_file_sizing(spark, sf_dir):
     from zparse_spark.operators.layout import file_sizing_plan
 
     return file_sizing_plan(docs, target_mb=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Rule co-occurrence forensics (operators/rules.py::rule_cooccurrence)
+# ---------------------------------------------------------------------------
+
+_COOC_SQL = f"""WITH{_SP_CTE},{_VIOL_CTE},
+dv AS (SELECT DISTINCT partition, doc_id, rule_id FROM viol),
+pr AS (SELECT rule_id, count(*) AS n FROM dv GROUP BY rule_id),
+pp AS (
+  SELECT a.rule_id AS rule_a, b.rule_id AS rule_b, count(*) AS n_both
+  FROM dv a JOIN dv b
+    ON a.partition IS NOT DISTINCT FROM b.partition
+   AND a.doc_id IS NOT DISTINCT FROM b.doc_id
+   AND a.rule_id < b.rule_id
+  GROUP BY 1, 2
+),
+nd AS (SELECT count(*) AS n_docs FROM docs)
+SELECT rule_a, rule_b, pa.n AS n_a, pb.n AS n_b, n_both,
+       CASE WHEN pa.n + pb.n - n_both > 0
+            THEN round(n_both / (pa.n + pb.n - n_both), 6) END AS jaccard,
+       CASE WHEN pa.n * pb.n > 0
+            THEN round((n_both * nd.n_docs) / (pa.n * pb.n), 6) END AS lift
+FROM pp
+JOIN pr pa ON pp.rule_a = pa.rule_id
+JOIN pr pb ON pp.rule_b = pb.rule_id, nd"""
+
+
+@register("span_pack_rule_cooccurrence", _COOC_SQL)
+def span_pack_rule_cooccurrence(spark, sf_dir):
+    """Which rules fire together on the same document (X92's
+    missingness discipline applied to the violation table): per-rule
+    doc-set jaccard + lift vs independence over the corpus — correlated
+    rules are one root cause, not k tickets. Violations reduce to the
+    distinct (partition, doc_id, rule) grid first; the pair join fans
+    out at most rules² per doc."""
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
+    viol = eng.violations(docs, cat)
+
+    from zparse_spark.operators.rules import rule_cooccurrence
+
+    return rule_cooccurrence(viol, n_docs=docs.count())
