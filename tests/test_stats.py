@@ -769,3 +769,45 @@ def test_file_sizing_plan(spark):
     assert (p0.n_docs, p0.est_bytes, p0.recommended_files, p0.rows_per_file) == (2, 328, 2, 1)
     p1 = out["p1"]
     assert (p1.n_docs, p1.est_bytes, p1.recommended_files, p1.rows_per_file) == (2, 0, 1, 2)
+
+
+def test_inter_arrival_stats_hand_case(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import inter_arrival_stats
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1, type 'a': events at 0, 10, 30, 60 -> gaps 10, 20, 30
+    for i, off in enumerate([0, 10, 30, 60]):
+        rows.append((i, 1, base + dt.timedelta(seconds=off), "a"))
+    # user 2, type 'a': events at 0, 5 -> gap 5 (cross-user gaps NOT mixed)
+    rows.append((10, 2, base, "a"))
+    rows.append((11, 2, base + dt.timedelta(seconds=5), "a"))
+    # type 'b': single event per user -> no gaps, no output row
+    rows.append((20, 1, base, "b"))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.event_type: r for r in inter_arrival_stats(df).collect()}
+    a = out["a"]
+    # gaps multiset {10, 20, 30, 5}: q1 = 8.75, median = 15, q3 = 22.5
+    assert a.n_gaps == 4
+    assert abs(a.q1_s - 8.75) < 1e-9 and abs(a.median_s - 15.0) < 1e-9
+    assert abs(a.q3_s - 22.5) < 1e-9
+    assert "b" not in out
+
+
+def test_inter_arrival_subsecond_gap_floors(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import inter_arrival_stats
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (1, 1, base, "a"),
+            (2, 1, base + dt.timedelta(microseconds=1_999_999), "a"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    r = inter_arrival_stats(df).collect()[0]
+    assert r.median_s == 1.0  # floor(1.999999), never round-to-2

@@ -1134,3 +1134,45 @@ def null_cooccurrence(df: DataFrame, cols: list[str]) -> DataFrame:
             "lift"
         ),
     )
+
+
+def inter_arrival_stats(
+    df: DataFrame,
+    key: str = "event_type",
+    seq_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inter-arrival time distribution per key: exact quartiles of the
+    gap (whole seconds) between consecutive events within each
+    (key, sequence) stream — the cadence leg of the monitoring family
+    (X87 sees a broken DAY; "errors now arrive 3× more often" shows up
+    here first, while daily totals still look plausible). Gaps are
+    computed within ``seq_col`` (a user's own stream) so cross-user
+    interleaving doesn't fake a cadence change.
+
+    Exactness: gaps are exact BIGINT second deltas from integer
+    microseconds; Q1/median/Q3 use the shared X37 contract
+    (``percentile`` ≡ DuckDB ``quantile_cont``) at DYADIC probes only
+    (.25/.5/.75 — interpolation weights are exact binary fractions on
+    integer data, so the cross-engine comparison cannot flip; a p90
+    probe would not have that property and is deliberately excluded).
+
+    Scale shape: ONE window shuffle on (key, seq) orders each stream
+    for the lag; the quartile aggregate is per-key sort-based — the
+    price of exactness, same trade documented in iqr_outliers.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key, seq_col).orderBy(us)
+    # floor, not cast: Spark's double->long cast truncates while
+    # DuckDB's rounds — floor() agrees everywhere and gaps are >= 0
+    gap = F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).cast("long")
+    gaps = df.select(F.col(key).alias("_k"), gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    pct = F.expr("percentile(gap_s, array(0.25, 0.5, 0.75))")
+    return gaps.groupBy(F.col("_k").alias(key)).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        pct[0].alias("q1_s"),
+        pct[1].alias("median_s"),
+        pct[2].alias("q3_s"),
+    )

@@ -4429,3 +4429,33 @@ def corpus_search_conjunctive(spark, sf_dir):
     return conjunctive_search(
         _t(spark, sf_dir, "documents"), ["scan", "merge", "window"]
     )
+
+
+@register(
+    "stats_inter_arrival",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor((epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+                                                   ORDER BY epoch_us(ts)))
+                        / 1000000) AS BIGINT) AS gap_s
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           quantile_cont(gap_s, 0.25) AS q1_s,
+           quantile_cont(gap_s, 0.5) AS median_s,
+           quantile_cont(gap_s, 0.75) AS q3_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+    """,
+)
+def stats_inter_arrival(spark, sf_dir):
+    """Inter-arrival cadence per event type: exact quartiles of the
+    within-user gap in whole seconds — 'errors now arrive 3× more
+    often' surfaces here while daily totals still look plausible.
+    Dyadic probes only (X37's percentile ≡ quantile_cont contract is
+    exact on integer data at .25/.5/.75); floor(), not cast, for the
+    second delta (Spark's double→long truncates, DuckDB's rounds)."""
+    from zparse_spark.operators.stats import inter_arrival_stats
+
+    return inter_arrival_stats(_t(spark, sf_dir, "events"))
