@@ -932,3 +932,50 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
             F.round(F.col("n_hit") / F.nullif(F.col("n_cand"), F.lit(0)), 6).alias("precision"),
         )
     )
+
+
+# --- Dedup yield report: cluster-size histogram + corpus removal share
+
+
+def _yield_oracle_sql() -> str:
+    base = _cluster_oracle_sql()
+    head, _, final = base.rpartition("\nSELECT node AS doc_id")
+    return f"""{head},
+reps AS (SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node),
+cs AS (SELECT rep_id, count(*) AS size FROM reps GROUP BY rep_id),
+tot AS (SELECT count(*) AS n FROM input)
+SELECT size AS cluster_size, count(*) AS n_clusters,
+       CAST((size - 1) * count(*) AS BIGINT) AS docs_removed,
+       round((size - 1) * count(*) * 1.0 / any_value(tot.n), 6) AS removed_share
+FROM cs, tot GROUP BY size"""
+
+
+@register("dedup_yield_report", _yield_oracle_sql())
+def dedup_yield_report(spark, sf_dir):
+    """What dedup will actually DO to the corpus, before committing to
+    it: cluster-size histogram over the verified near-dup components
+    plus the per-size-class share of the corpus that keep-one-per-
+    cluster would remove — the number a mix owner signs off on (a 1%
+    yield doesn't justify the pipeline; a 30% yield from one size-2
+    band suggests boilerplate, not true dups). Rides the oracled
+    md5 pipeline end to end: pairs → components → sizes; every stage
+    after the pair table is grid-sized."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup, resolve_duplicate_clusters
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED)
+    reps = resolve_duplicate_clusters(pairs)
+    cs = reps.groupBy("rep_id").agg(F.count(F.lit(1)).alias("size"))
+    total = d.count()
+    return cs.groupBy(F.col("size").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("docs_removed"),
+        F.round(
+            (F.col("cluster_size") - 1) * F.col("n_clusters") / F.lit(int(total)), 6
+        ).alias("removed_share"),
+    )
