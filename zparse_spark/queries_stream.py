@@ -88,3 +88,105 @@ def streaming_dedup_compaction(spark, sf_dir):
     return compacted.select(
         "doc_id", "val", F.col("ts").cast("long").alias("ts_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed violation rates with watermark: late-data semantics oracled
+# ---------------------------------------------------------------------------
+
+_WIN_S = 600          # 10-minute tumbling windows
+_DELAY_S = 1800       # 30-minute watermark
+_TW0 = 1_700_000_400  # window-aligned (divisible by 600)
+
+# The oracle reimplements Spark's streaming-aggregation contract
+# explicitly, batch by batch:
+#   * a row arriving in batch b is DROPPED iff its window end <= the
+#     watermark in force during b (= max event time over batches < b,
+#     minus the delay) — that window's state was already evicted;
+#   * a window is EMITTED (appears in the append-mode sink at all) iff
+#     its end <= the final watermark — the sentinel's own window never
+#     closes and must be absent.
+_RATE_SQL = f"""WITH inp AS (
+  SELECT CAST(epoch(ts) AS BIGINT) AS e, rule_id, batch
+  FROM read_parquet('{_W}/ratewin_src/*.parquet')
+),
+wm AS (
+  SELECT b.batch,
+         (SELECT max(p.e) FROM inp p WHERE p.batch < b.batch) - {_DELAY_S} AS w
+  FROM (SELECT DISTINCT batch FROM inp) b
+),
+kept AS (
+  SELECT i.e, i.rule_id,
+         CAST(i.e // {_WIN_S} * {_WIN_S} AS BIGINT) AS ws
+  FROM inp i JOIN wm ON i.batch = wm.batch
+  WHERE wm.w IS NULL OR (i.e // {_WIN_S} * {_WIN_S}) + {_WIN_S} > wm.w
+),
+final_wm AS (SELECT max(e) - {_DELAY_S} AS w FROM inp)
+SELECT ws AS window_start_s, ws + {_WIN_S} AS window_end_s, rule_id,
+       count(*) AS n_violations
+FROM kept, final_wm
+WHERE rule_id <> 'Z_SENTINEL' AND ws + {_WIN_S} <= final_wm.w
+GROUP BY ws, rule_id"""
+
+
+@register("streaming_violation_rate_windows", _RATE_SQL)
+def streaming_violation_rate_windows(spark, sf_dir):
+    """Windowed violation-rate stream (10-min tumbling, 30-min
+    watermark, append mode) across three availableNow runs over a
+    growing source — certifying the LATE-DATA contract, not just the
+    counts: a batch-2 row aimed at a long-closed window is dropped, a
+    late row whose window is still open merges, and a window the
+    watermark never passes (the sentinel's own) is absent from the
+    sink. The DuckDB twin reimplements the per-batch watermark drop
+    rule and the final emission rule explicitly, so a green row means
+    streaming-over-history equals the stated batch semantics."""
+    from zparse_spark.streaming.validate_stream import violation_rate_windows
+
+    src = f"{_W}/ratewin_src"
+    out = f"{_W}/ratewin_out"
+    ckpt = f"{_W}/ratewin_ckpt"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def mk(rows, tag):
+        return spark.createDataFrame(rows, "ts_s long, rule_id string").select(
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "rule_id",
+            F.lit(tag).alias("batch"),
+        )
+
+    def run(df):
+        df.write.mode("append").parquet(src)
+        q = (
+            violation_rate_windows(
+                spark.readStream.schema("ts timestamp, rule_id string, batch int")
+                .parquet(src)
+                .drop("batch"),
+                window_duration="10 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    T = _TW0
+    run(mk([(T + 0, "S1"), (T + 60, "S1"), (T + 120, "S1"),
+            (T + 700, "S2"), (T + 800, "S2"),
+            (T + 7200, "S1")], 1))
+    run(mk([(T + 130, "S1"),               # late, window closed -> dropped
+            (T + 5500, "S2"),              # late, window still open -> merges
+            (T + 7300, "S1"), (T + 7400, "S1")], 2))
+    run(mk([(T + 32400, "Z_SENTINEL")], 3))  # closes every real window
+
+    res = spark.read.parquet(out)
+    return res.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        F.col("window_end").cast("long").alias("window_end_s"),
+        "rule_id",
+        "n_violations",
+    ).filter(F.col("rule_id") != "Z_SENTINEL")
