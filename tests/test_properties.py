@@ -151,3 +151,56 @@ def test_hot_bucket_cap_only_shrinks(spark, texts):
     for _id, b in uncapped:
         if sizes[b] <= 2:
             assert (_id, b) in capped  # non-hot buckets never lose rows
+
+
+# --- funnel greedy fold == brute-force maximum ordered chain ------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+event_st = st.tuples(
+    st.integers(min_value=0, max_value=40),  # timestamp seconds (ties likely)
+    st.sampled_from(_FUNNEL_STEPS + ["error", "signup"]),
+)
+stream_st = st.lists(event_st, min_size=0, max_size=12)
+
+
+def _brute_depth(events):
+    """Maximum achievable funnel depth by exhaustive DP over the
+    time-ordered stream (strictly-later semantics, any subsequence)."""
+    evs = sorted(events)  # (ts, type); equal-ts order irrelevant: strict >
+    best = 0
+    # state: for each depth d, the MIN timestamp of the d-th match over
+    # all valid chains (optimal substructure: smaller last-ts is never
+    # worse for extending)
+    min_last = {0: -1}
+    for ts, et in evs:
+        for d in sorted(min_last, reverse=True):
+            if (
+                d < len(_FUNNEL_STEPS)
+                and et == _FUNNEL_STEPS[d]
+                and ts > min_last[d]
+            ):
+                if d + 1 not in min_last or ts < min_last[d + 1]:
+                    min_last[d + 1] = ts
+                    best = max(best, d + 1)
+    return best
+
+
+@given(stream=stream_st)
+@_settings
+def test_funnel_depth_equals_brute_force(spark, stream):
+    import datetime as dt
+
+    from zparse_spark.operators.funnel import funnel_match_depth
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=ts), et)
+        for i, (ts, et) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.user_id: r.depth for r in funnel_match_depth(df, _FUNNEL_STEPS).collect()}
+    want = _brute_depth(stream)
+    # users with no candidate events produce no row at all
+    assert got.get(1, 0 if want == 0 else -1) == want
