@@ -386,3 +386,27 @@ def test_span_layout_profile(spark):
     assert out["(empty)"].n_docs == 1 and out["(none)"].n_docs == 1
     # null offset (-1 sentinel) sorts FIRST, null kind renders '(null)'
     assert out["(null)>text"].n_docs == 1
+
+
+def test_media_cooccurrence(spark):
+    from zparse_spark.operators.canonical import media_cooccurrence
+
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark,
+        [
+            # doc 1 carries m1+m2 (m1 TWICE: distinct-reduction -> one pair)
+            ("1", [("image", "", "m1", 0), ("image", "", "m1", 5),
+                   ("audio", "", "m2", 10)], "p0"),
+            ("2", [("image", "", "m1", 0), ("audio", "", "m2", 5),
+                   ("video", "", "m3", 10)], "p0"),
+            ("3", [("text", "x", None, 0)], "p0"),  # no refs
+        ],
+    )
+    out = {(r.ref_a, r.ref_b): r for r in media_cooccurrence(docs).collect()}
+    m12 = out[("m1", "m2")]
+    assert (m12.n_docs_both, m12.n_docs_a, m12.n_docs_b) == (2, 2, 2)
+    assert out[("m1", "m3")].n_docs_both == 1
+    assert out[("m2", "m3")].n_docs_both == 1
+    assert len(out) == 3

@@ -650,3 +650,53 @@ def span_layout_profile(
         F.round(F.col("n_docs") / total, 6).alias("doc_share"),
         "example_doc",
     )
+
+
+def media_cooccurrence(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Which media assets appear TOGETHER in documents — the basket
+    view of the interleaved corpus (X93 asks "what layouts exist?";
+    this asks "which assets travel together?", the signal behind asset
+    packs, shared templates, and near-dup families that text dedup
+    can't see because the text differs while the media payload set
+    repeats). One row per unordered ref pair with doc counts and the
+    per-ref marginals for lift downstream.
+
+    Scale shape: spans reduce to the DISTINCT (doc, ref) pair table
+    map-side (a doc repeating one asset adds no pairs); the pair
+    self-join keys on the doc — fan-out is refs-per-doc², bounded by
+    document structure, never corpus size; marginals ride one more
+    groupBy on the reduced table. ``min_count`` prunes the singleton
+    tail post-agg.
+    """
+    dr = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(spans_col).alias("s"),
+        )
+        .filter(F.col("s.media_ref").isNotNull())
+        .select("_doc", F.col("s.media_ref").alias("ref"))
+        .distinct()
+    )
+    marg = dr.groupBy("ref").agg(F.count(F.lit(1)).alias("n"))
+    a, b = dr.alias("a"), dr.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._doc") == F.col("b._doc")) & (F.col("a.ref") < F.col("b.ref")),
+        )
+        .groupBy(F.col("a.ref").alias("ref_a"), F.col("b.ref").alias("ref_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= min_count)
+    )
+    return (
+        pairs.join(marg.withColumnRenamed("ref", "ref_a"), "ref_a")
+        .withColumnRenamed("n", "n_docs_a")
+        .join(marg.withColumnRenamed("ref", "ref_b"), "ref_b")
+        .withColumnRenamed("n", "n_docs_b")
+        .select("ref_a", "ref_b", "n_docs_both", "n_docs_a", "n_docs_b")
+    )

@@ -1213,3 +1213,40 @@ def span_pack_rule_cooccurrence(spark, sf_dir):
     from zparse_spark.operators.rules import rule_cooccurrence
 
     return rule_cooccurrence(viol, n_docs=docs.count())
+
+
+# ---------------------------------------------------------------------------
+# Media-asset co-occurrence (operators/canonical.py::media_cooccurrence)
+# ---------------------------------------------------------------------------
+
+_MEDIA_COOC_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, spans FROM read_parquet('{_W}/span_docs/*.parquet')
+), dr AS (
+  SELECT DISTINCT doc_id, s.media_ref AS ref
+  FROM (SELECT doc_id, unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+), marg AS (
+  SELECT ref, count(*) AS n FROM dr GROUP BY ref
+), pairs AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b, count(*) AS n_docs_both
+  FROM dr a JOIN dr b ON a.doc_id = b.doc_id AND a.ref < b.ref
+  GROUP BY 1, 2
+)
+SELECT ref_a, ref_b, n_docs_both, ma.n AS n_docs_a, mb.n AS n_docs_b
+FROM pairs JOIN marg ma ON pairs.ref_a = ma.ref
+JOIN marg mb ON pairs.ref_b = mb.ref
+"""
+
+
+@register("span_pack_media_cooccurrence", _MEDIA_COOC_SQL)
+def span_pack_media_cooccurrence(spark, sf_dir):
+    """Media assets appearing together in a document — the basket
+    view behind asset packs and template families text dedup can't see.
+    Distinct (doc, ref) reduction map-side; doc-keyed pair join bounded
+    by per-doc structure; marginals on the reduced table."""
+    docs, _cat = _pack_input(spark)
+
+    from zparse_spark.operators.canonical import media_cooccurrence
+
+    return media_cooccurrence(docs, min_count=1)
