@@ -340,3 +340,46 @@ def test_cli_repair_flag(tmp_path, spark):
     # canonical repairs are compaction-level — log may be empty, but the
     # sink must exist and parse
     assert isinstance(log, list)
+
+
+def test_cli_profile_flag(tmp_path, spark):
+    """--profile writes the discovery sinks (layout census, file-sizing
+    plan, media co-occurrence) next to the validation sinks, readable
+    back with DuckDB."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "hello", None, 0), ("image", "", "m1", 5),
+                    ("image", "", "m2", 9)], "p0"),
+            ("d2", [("text", "hola", None, 0), ("image", "", "m1", 5),
+                    ("image", "", "m2", 9)], "p0"),
+            ("d3", None, "p1"),
+        ],
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/validate.py",
+         "--documents", dpath, "--out", out,
+         "--profile", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode in (0, 1), r.stderr[-2000:]
+    lay = dict(duckdb.sql(
+        f"SELECT layout, n_docs FROM read_parquet('{out}/layout_profile/*.parquet')"
+    ).fetchall())
+    assert lay["text>image>image"] == 2 and lay["(none)"] == 1
+    plan = duckdb.sql(
+        f"SELECT partition, n_docs FROM read_parquet('{out}/file_sizing_plan/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert plan == [("p0", 2), ("p1", 1)]
+    cooc = duckdb.sql(
+        f"SELECT ref_a, ref_b, n_docs_both FROM read_parquet('{out}/media_cooccurrence/*.parquet')"
+    ).fetchall()
+    assert cooc == [("m1", "m2", 2)]

@@ -529,3 +529,29 @@ def test_rule_cooccurrence_hand_case(spark):
     assert (r4.n_a, r4.n_b, r4.n_both) == (1, 2, 1)
     # S2/R1 never co-fire -> no row (pairs observed on >=1 common doc)
     assert ("R1", "S2") not in out and ("S2", "R1") not in out
+
+
+def test_drift_scores_empty_partition_no_crash(spark):
+    """A partition whose docs carry NO spans is data, not a crash: ANSI
+    mode made c/0 abort the whole job before the zero-span guard. The
+    empty partition's shares floor to eps -> large positive PSI (it IS
+    maximal drift) and the run completes."""
+    from zparse_spark.operators.rules import RuleParams, drift_scores
+
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark,
+        [
+            ("1", [("text", "a", None, 0), ("image", "", "m1", 5)], "p0"),
+            ("2", [("text", "b", None, 0)], "p0"),
+            ("3", None, "pempty"),
+            ("4", [], "pempty"),
+        ],
+    )
+    out = {r.partition: r for r in drift_scores(docs, RuleParams()).collect()}
+    assert set(out) == {"p0", "pempty"}
+    assert out["pempty"].psi > out["p0"].psi > 0 or out["pempty"].psi > 0
+    import math
+
+    assert math.isfinite(out["pempty"].psi) and math.isfinite(out["pempty"].kl)

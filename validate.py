@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--media-no-check-missing", action="store_true",
                     help="skip M1's referenced-but-absent anti-join (use when the payload "
                          "table is ingest-guaranteed complete; changes rules_hash)")
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="also write corpus profile sinks: layout_profile/ (span-kind "
+             "layout census), file_sizing_plan/ (per-partition compaction "
+             "plan), media_cooccurrence/ (asset basket pairs) — the "
+             "discovery surface next to the pass/fail one",
+    )
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and revalidate everything")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit supplies it)")
     ap.add_argument(
@@ -168,6 +175,20 @@ def main(argv: list[str] | None = None) -> int:
                   f"for this run (active: {sorted(known)}) — it will have no effect")
     rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
     rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
+
+    if args.profile:
+        from zparse_spark.operators.canonical import media_cooccurrence, span_layout_profile
+        from zparse_spark.operators.layout import file_sizing_plan
+
+        span_layout_profile(docs).write.mode("overwrite").parquet(
+            f"{args.out}/layout_profile"
+        )
+        file_sizing_plan(docs).write.mode("overwrite").parquet(
+            f"{args.out}/file_sizing_plan"
+        )
+        media_cooccurrence(docs).write.mode("overwrite").parquet(
+            f"{args.out}/media_cooccurrence"
+        )
 
     if args.repair:
         from zparse_spark.operators.canonical import repair_documents

@@ -791,8 +791,23 @@ def drift_scores(docs: DataFrame, params: RuleParams | None = None) -> DataFrame
     psi_terms = []
     kl_terms = []
     for k in kind_domain:
-        pk = F.col(f"c_{k}") / F.col("_tot") + eps
-        qk = F.col(f"g_{k}") / F.col("g_tot") + eps
+        # zero-span guard (ANSI mode makes x/0 a job-killer, and a
+        # partition of span-less docs is DATA, not a reason to abort —
+        # collect-don't-abort): an empty partition's shares floor to
+        # eps across every kind, which reads as maximal drift and
+        # flags the partition instead of crashing the run
+        pk = (
+            F.when(F.col("_tot") > 0, F.col(f"c_{k}") / F.col("_tot")).otherwise(
+                F.lit(0.0)
+            )
+            + eps
+        )
+        qk = (
+            F.when(F.col("g_tot") > 0, F.col(f"g_{k}") / F.col("g_tot")).otherwise(
+                F.lit(0.0)
+            )
+            + eps
+        )
         psi_terms.append((pk - qk) * F.log(pk / qk))
         # KL(p‖q) with the same eps floor — asymmetric by design: it
         # penalizes mass the partition has that the global lacks, the

@@ -185,16 +185,20 @@ _kc_cols = ",\n         ".join(
 )
 _tot = " + ".join(f"c_{k}" for k in SPAN_KIND_DOMAIN)
 _g_cols = ", ".join(f"sum(c_{k}) AS g_{k}" for k in SPAN_KIND_DOMAIN)
+# zero-span guard mirrors drift_scores (rules.py): an empty partition's
+# shares floor to eps rather than dividing by zero
+_pk = "(CASE WHEN tot > 0 THEN c_{k} / tot ELSE 0 END + {e})"
+_qk = "(CASE WHEN g_tot > 0 THEN g_{k} / g_tot ELSE 0 END + {e})"
 _psi_terms = " + ".join(
-    f"((c_{k} / tot + {_EPS} - (g_{k} / g_tot + {_EPS})) * "
-    f"ln((c_{k} / tot + {_EPS}) / (g_{k} / g_tot + {_EPS})))"
+    f"(({_pk.format(k=k, e=_EPS)} - {_qk.format(k=k, e=_EPS)}) * "
+    f"ln({_pk.format(k=k, e=_EPS)} / {_qk.format(k=k, e=_EPS)}))"
     for k in SPAN_KIND_DOMAIN
 )
 # KL(partition ‖ global), same eps floor and accumulation order as
 # drift_scores' kl_terms (rules.py)
 _kl_terms = " + ".join(
-    f"((c_{k} / tot + {_EPS}) * "
-    f"ln((c_{k} / tot + {_EPS}) / (g_{k} / g_tot + {_EPS})))"
+    f"(({_pk.format(k=k, e=_EPS)}) * "
+    f"ln({_pk.format(k=k, e=_EPS)} / {_qk.format(k=k, e=_EPS)}))"
     for k in SPAN_KIND_DOMAIN
 )
 _PSI_CTE = f"""
