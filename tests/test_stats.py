@@ -811,3 +811,50 @@ def test_inter_arrival_subsecond_gap_floors(spark):
     )
     r = inter_arrival_stats(df).collect()[0]
     assert r.median_s == 1.0  # floor(1.999999), never round-to-2
+
+
+def test_suggest_check_constraints(spark):
+    from zparse_spark.operators.stats import suggest_check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 12.0, "b"), (3, 14.0, "a"), (4, None, "a"),
+         (5, 16.0, None), (6, 18.0, "b"), (7, 20.0, "a"), (8, 22.0, "b")],
+        "id long, v double, cat string",
+    )
+    out = {
+        (r.column, r.family): r
+        for r in suggest_check_constraints(
+            df, numeric_cols=["id", "v"], categorical_cols=["cat"], max_domain=5
+        ).collect()
+    }
+    # id 1..8: q1=2.75, q3=6.25, iqr=3.5 -> fences -2.5 / 11.5
+    rid = out[("id", "numeric_range")]
+    assert rid.suggested_predicate == "id IS NULL OR id BETWEEN -2.5000 AND 11.5000"
+    assert rid.n_support == 8 and rid.null_share == 0.0
+    assert ("id", "not_null") in out  # fully observed -> enforceable
+    # v has a null -> no not_null suggestion, null_share recorded
+    assert ("v", "not_null") not in out
+    assert out[("v", "numeric_range")].null_share == 0.125
+    cat = out[("cat", "categorical_domain")]
+    assert cat.suggested_predicate == "cat IS NULL OR cat IN ('a', 'b')"
+    assert ("cat", "not_null") not in out
+    # suggestions are VALID Spark SQL predicates and the observed data
+    # passes its own suggestion (ANSI CHECK semantics: NULL passes)
+    from pyspark.sql import functions as F
+
+    for r in out.values():
+        failed = df.filter(~F.coalesce(F.expr(r.suggested_predicate), F.lit(True)))
+        assert failed.count() == 0, r.suggested_predicate
+
+
+def test_suggest_check_constraints_high_cardinality_skipped(spark):
+    from zparse_spark.operators.stats import suggest_check_constraints
+
+    df = spark.createDataFrame([(i, str(i)) for i in range(50)], "id long, s string")
+    fams = {
+        (r.column, r.family)
+        for r in suggest_check_constraints(
+            df, numeric_cols=[], categorical_cols=["s"], max_domain=20
+        ).collect()
+    }
+    assert ("s", "categorical_domain") not in fams  # never collects the domain

@@ -1176,3 +1176,98 @@ def inter_arrival_stats(
         pct[1].alias("median_s"),
         pct[2].alias("q3_s"),
     )
+
+
+def suggest_check_constraints(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str] | None = None,
+    max_domain: int = 20,
+    fence_k: float = 1.5,
+) -> DataFrame:
+    """Constraint DISCOVERY → authoring bridge: profile the data and
+    emit ready-to-run CHECK predicates (the X36 K-rule grammar — each
+    ``suggested_predicate`` pastes straight into ``--check ID:doc:...``)
+    instead of leaving profiling output as numbers someone must
+    hand-translate. Three suggestion families:
+
+    - numeric range: ``col BETWEEN lo AND hi`` at the observed Tukey
+      fences (X37's exact-quartile contract) — robust bounds, not
+      min/max, so one historic outlier doesn't become the contract;
+    - not-null: for columns observed 100% non-null (the invariant is
+      already being relied on — make it enforced);
+    - categorical domain: ``col IN (...)`` when the observed distinct
+      set fits ``max_domain`` (sorted, deterministic literal order).
+
+    Suggestions are EVIDENCE, not truth: each row carries the support
+    stats (n, null share, fence/domain provenance) so a human promotes
+    them deliberately — auto-enforcing discovered constraints would
+    institutionalize yesterday's bugs.
+
+    Scale shape: numerics ride ONE exact-percentile aggregate over the
+    pruned projection (iqr_outliers' trade); categorical domains one
+    distinct-agg each, pruned by a count(distinct) probe first so a
+    high-cardinality column never collects; output is k rows.
+    """
+    categorical_cols = categorical_cols or []
+    rows = []
+    n_total = df.count()
+    if numeric_cols:
+        aggs = []
+        for c in numeric_cols:
+            aggs += [
+                F.expr(f"percentile({c}, array(0.25, 0.75))").alias(f"_q_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            ]
+        prof = df.agg(*aggs).collect()[0]
+        for c in numeric_cols:
+            q = prof[f"_q_{c}"]
+            n_null = prof[f"_null_{c}"]
+            if q is not None and q[0] is not None:
+                iqr = q[1] - q[0]
+                lo, hi = q[0] - fence_k * iqr, q[1] + fence_k * iqr
+                # fixed 4-decimal formatting, not repr: the predicate
+                # string must be reproducible by any engine (printf
+                # '%.4f' of the same double), and repr's shortest-
+                # roundtrip digits are Python-specific
+                rows.append(
+                    (
+                        c,
+                        "numeric_range",
+                        f"{c} IS NULL OR {c} BETWEEN {lo:.4f} AND {hi:.4f}",
+                        int(n_total - n_null),
+                        round(n_null / n_total, 6) if n_total else None,
+                    )
+                )
+            if n_null == 0 and n_total > 0:
+                rows.append(
+                    (c, "not_null", f"{c} IS NOT NULL", int(n_total), 0.0)
+                )
+    for c in categorical_cols:
+        probe = df.agg(
+            F.countDistinct(c).alias("d"),
+            F.sum(F.col(c).isNull().cast("long")).alias("nn"),
+        ).collect()[0]
+        if probe["d"] == 0 or probe["d"] > max_domain:
+            continue
+        vals = sorted(
+            r[0] for r in df.select(c).filter(F.col(c).isNotNull()).distinct().collect()
+        )
+        lits = ", ".join(f"'{v}'" for v in vals)
+        rows.append(
+            (
+                c,
+                "categorical_domain",
+                f"{c} IS NULL OR {c} IN ({lits})",
+                int(n_total - probe["nn"]),
+                round(probe["nn"] / n_total, 6) if n_total else None,
+            )
+        )
+        if probe["nn"] == 0 and n_total > 0:
+            rows.append((c, "not_null", f"{c} IS NOT NULL", int(n_total), 0.0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "column string, family string, suggested_predicate string, "
+        "n_support long, null_share double",
+    )

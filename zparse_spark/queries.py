@@ -4459,3 +4459,75 @@ def stats_inter_arrival(spark, sf_dir):
     from zparse_spark.operators.stats import inter_arrival_stats
 
     return inter_arrival_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "profile_suggest_checks",
+    """
+    WITH nq AS (
+      SELECT 'l_quantity' AS c, quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3,
+             count(*) AS n, count(*) - count(l_quantity) AS nn
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', quantile_cont(l_linenumber, 0.25),
+             quantile_cont(l_linenumber, 0.75),
+             count(*), count(*) - count(l_linenumber)
+      FROM lineitem
+    ), ranges AS (
+      SELECT c AS "column", 'numeric_range' AS family,
+             c || ' IS NULL OR ' || c || ' BETWEEN '
+               || printf('%.4f', q1 - 1.5 * (q3 - q1)) || ' AND '
+               || printf('%.4f', q3 + 1.5 * (q3 - q1)) AS suggested_predicate,
+             CAST(n - nn AS BIGINT) AS n_support,
+             round(nn * 1.0 / n, 6) AS null_share
+      FROM nq
+    ), nn_num AS (
+      SELECT c AS "column", 'not_null' AS family,
+             c || ' IS NOT NULL' AS suggested_predicate,
+             CAST(n AS BIGINT) AS n_support, 0.0 AS null_share
+      FROM nq WHERE nn = 0
+    ), doms AS (
+      SELECT 'l_returnflag' AS c,
+             (SELECT string_agg('''' || v || '''', ', ' ORDER BY v)
+              FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem
+                    WHERE l_returnflag IS NOT NULL)) AS lits,
+             (SELECT count(*) FROM lineitem) AS n,
+             (SELECT count(*) - count(l_returnflag) FROM lineitem) AS nn
+      UNION ALL
+      SELECT 'l_linestatus',
+             (SELECT string_agg('''' || v || '''', ', ' ORDER BY v)
+              FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem
+                    WHERE l_linestatus IS NOT NULL)),
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) - count(l_linestatus) FROM lineitem)
+    ), dom_rows AS (
+      SELECT c AS "column", 'categorical_domain' AS family,
+             c || ' IS NULL OR ' || c || ' IN (' || lits || ')' AS suggested_predicate,
+             CAST(n - nn AS BIGINT) AS n_support,
+             round(nn * 1.0 / n, 6) AS null_share
+      FROM doms
+    ), nn_cat AS (
+      SELECT c AS "column", 'not_null' AS family,
+             c || ' IS NOT NULL' AS suggested_predicate,
+             CAST(n AS BIGINT) AS n_support, 0.0 AS null_share
+      FROM doms WHERE nn = 0
+    )
+    SELECT * FROM ranges UNION ALL SELECT * FROM nn_num
+    UNION ALL SELECT * FROM dom_rows UNION ALL SELECT * FROM nn_cat
+    """,
+)
+def profile_suggest_checks(spark, sf_dir):
+    """Constraint discovery → authoring bridge: profile lineitem and
+    emit ready-to-paste CHECK predicates (X36 grammar) — Tukey-fence
+    numeric ranges (fixed %.4f formatting so any engine reproduces the
+    string), observed not-null invariants, and small categorical
+    domains. Suggestions carry support stats: evidence for a human to
+    promote, never auto-enforced."""
+    from zparse_spark.operators.stats import suggest_check_constraints
+
+    return suggest_check_constraints(
+        _t(spark, sf_dir, "lineitem"),
+        numeric_cols=["l_quantity", "l_linenumber"],
+        categorical_cols=["l_returnflag", "l_linestatus"],
+    )
