@@ -332,3 +332,48 @@ def test_continuation_ops_plan_discipline(spark, docs_path):
     )
     ip = plan_of(iqr)
     assert "BroadcastExchange" in ip and "EvalPython" not in ip
+
+
+def test_round5_closing_ops_plan_discipline(spark, docs_path):
+    """Round-5 closing family stays JVM-side and shuffle-disciplined:
+    upsample (map-only), volume trend / anomalies (one full-data
+    aggregate Exchange before the tiny grid), conjunctive search (no
+    Python), layout census (no explode of spans into the shuffle),
+    media co-occurrence (distinct reduction before the pair join)."""
+    import datetime as dt
+
+    from zparse_spark.functions.text import conjunctive_search
+    from zparse_spark.operators.canonical import media_cooccurrence, span_layout_profile
+    from zparse_spark.operators.filtering import upsample_by_weight
+    from zparse_spark.operators.stats import timeseries_anomalies, volume_trend
+
+    docs = spark.read.parquet(docs_path)
+
+    up = upsample_by_weight(
+        docs.select("doc_id", F.lit(1.5).alias("w")), "w", key_col="doc_id"
+    )
+    p = plan_of(up)
+    assert "Exchange" not in p and "EvalPython" not in p  # map-only
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, dt.datetime(2024, 1, 1 + i % 9), "view") for i in range(40)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    for op in (volume_trend, timeseries_anomalies):
+        p = plan_of(op(ev))
+        assert "EvalPython" not in p, op.__name__
+
+    p = plan_of(conjunctive_search(
+        docs.select("doc_id", F.lit("scan merge window").alias("text")),
+        ["scan", "merge", "window"],
+    ))
+    assert "EvalPython" not in p
+    # the term filter lands BEFORE the aggregate's shuffle: only the
+    # one groupBy(doc) Exchange plus AQE artifacts, never a join chain
+    assert p.count("SortMergeJoin") == 0 and p.count("BroadcastHashJoin") == 0
+
+    p = plan_of(span_layout_profile(docs))
+    assert "EvalPython" not in p and "Generate" not in p  # no explode
+
+    p = plan_of(media_cooccurrence(docs))
+    assert "EvalPython" not in p
