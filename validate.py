@@ -58,6 +58,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip M1's referenced-but-absent anti-join (use when the payload "
                          "table is ingest-guaranteed complete; changes rules_hash)")
     ap.add_argument(
+        "--contract", metavar="PATH",
+        help="YAML data contract (plans/contract.py format): its checks "
+             "load as K-rules alongside --check entries — same violation "
+             "schema, verdict grid, and rules_hash/resume discipline",
+    )
+    ap.add_argument(
+        "--emit-contract", metavar="PATH",
+        help="profile the documents table (doc-level computed columns "
+             "n_spans/total_text_bytes + the partition domain) and write "
+             "a suggested YAML contract for human review — suggestions "
+             "are evidence, never auto-enforced",
+    )
+    ap.add_argument(
         "--profile", action="store_true",
         help="also write corpus profile sinks: layout_profile/ (span-kind "
              "layout census), file_sizing_plan/ (per-partition compaction "
@@ -99,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
         if len(bits) != 3:
             ap.error(f"--check {spec!r}: expected ID:LEVEL:PREDICATE")
         checks.append(CheckConstraint(rule_id=bits[0], level=bits[1], predicate=bits[2]))
+    if args.contract:
+        from zparse_spark.plans.contract import import_contract
+
+        with open(args.contract) as fh:
+            checks.extend(import_contract(fh.read()))
     engine = ValidationEngine(
         ValidationConfig(
             params=params,
@@ -175,6 +193,33 @@ def main(argv: list[str] | None = None) -> int:
                   f"for this run (active: {sorted(known)}) — it will have no effect")
     rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
     rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
+
+    if args.emit_contract:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from zparse_spark.plans.contract import export_contract
+
+        doc_level = docs.select(
+            "partition",
+            F.size("spans").alias("n_spans"),
+            F.coalesce(
+                F.aggregate(
+                    "spans",
+                    F.lit(0).cast("long"),
+                    lambda a, s: a + F.octet_length(F.coalesce(s["text"], F.lit(""))),
+                ),
+                F.lit(0),
+            ).alias("total_text_bytes"),
+        )
+        text = export_contract(
+            doc_level,
+            table="documents",
+            numeric_cols=["n_spans", "total_text_bytes"],
+            categorical_cols=["partition"],
+        )
+        with open(args.emit_contract, "w") as fh:
+            fh.write(text)
+        print(f"contract written: {args.emit_contract}")
 
     if args.profile:
         from zparse_spark.operators.canonical import media_cooccurrence, span_layout_profile
