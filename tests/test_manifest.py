@@ -152,3 +152,38 @@ def test_rules_hash_change_does_not_mix_stale_violations(spark, tmp_path):
     assert lax_viol.filter("rule_id = 'S3'").count() == 0  # no stale strict rows
     # the strict namespace is untouched
     assert Manifest(out).read_violations(spark, strict.config.rules_hash()).count() == n_strict
+
+
+def test_violation_rate_regressions(spark):
+    from zparse_spark.plans.manifest import violation_rate_regressions
+
+    rows = [
+        # p0: 1% -> 5% under the same rules: flags (delta .04 > .01, 5x > 2x)
+        ("p0", "h1", "done", 1000, 10, "2026-08-01T00:00:00Z"),
+        ("p0", "h1", "done", 1000, 50, "2026-08-02T00:00:00Z"),
+        # p1: 1% -> 1.5%: ratio < 2 -> no flag
+        ("p1", "h1", "done", 1000, 10, "2026-08-01T00:00:00Z"),
+        ("p1", "h1", "done", 1000, 15, "2026-08-02T00:00:00Z"),
+        # p2: 0 -> 0.5%: below min_delta=0.01 -> noise floor, no flag
+        ("p2", "h1", "done", 1000, 0, "2026-08-01T00:00:00Z"),
+        ("p2", "h1", "done", 1000, 5, "2026-08-02T00:00:00Z"),
+        # p3: first-ever run cannot regress
+        ("p3", "h1", "done", 1000, 900, "2026-08-02T00:00:00Z"),
+        # p4: jump under a CHANGED rule set -> flagged with rules_changed
+        ("p4", "h1", "done", 1000, 10, "2026-08-01T00:00:00Z"),
+        ("p4", "h2", "done", 1000, 100, "2026-08-02T00:00:00Z"),
+        # p5: three runs; only latest-vs-previous is judged (5% -> 1%: recovery)
+        ("p5", "h1", "done", 1000, 50, "2026-08-01T00:00:00Z"),
+        ("p5", "h1", "done", 1000, 10, "2026-08-02T00:00:00Z"),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "partition string, rules_hash string, status string, n_docs long, "
+        "n_violations long, ts string",
+    )
+    out = {r.partition: r for r in violation_rate_regressions(m).collect()}
+    assert set(out) == {"p0", "p4"}
+    p0 = out["p0"]
+    assert (p0.prev_rate, p0.rate_now, p0.delta) == (0.01, 0.05, 0.04)
+    assert p0.rules_changed is False
+    assert out["p4"].rules_changed is True

@@ -242,3 +242,65 @@ def run_with_manifest(
         [(p, rh, *counts.get(p, (0, 0))) for p in todo], spark=spark
     )
     return todo
+
+
+def violation_rate_regressions(
+    manifest: DataFrame,
+    min_delta: float = 0.01,
+    ratio: float = 2.0,
+    order_col: str = "ts",
+) -> DataFrame:
+    """Meta-monitoring: the engine watching its OWN run history. Each
+    manifest commit records (partition, n_docs, n_violations) for a
+    validated partition; comparing consecutive commits of the same
+    partition turns the lineage trail into a regression alarm — "p007's
+    violation rate jumped 4× since the last run" is the earliest signal
+    a producer broke something, and it needs no new scan of the data,
+    only the (tiny) manifest table.
+
+    A partition flags when its latest rate exceeds the previous run's
+    by BOTH an absolute ``min_delta`` (guards the 0 → 0.0001 noise
+    floor) and a multiplicative ``ratio`` (guards already-dirty
+    partitions drifting slightly). First-ever runs can't regress;
+    ``rules_hash`` changes between commits are surfaced in the output
+    (a rate jump under a NEW rule set is expected, not a producer
+    break — the consumer decides).
+
+    Scale shape: everything rides the manifest table (one row per
+    partition per run — thousands of rows, not documents); one window
+    per partition, no document I/O at all.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("partition").orderBy(F.col(order_col).asc())
+    rate = F.when(
+        F.col("n_docs") > 0, F.col("n_violations") / F.col("n_docs")
+    ).otherwise(F.lit(0.0))
+    h = (
+        manifest.filter(F.col("status") == "done")
+        .withColumn("rate", F.round(rate, 6))
+        .withColumn("prev_rate", F.lag("rate").over(w))
+        .withColumn("prev_ts", F.lag(order_col).over(w))
+        .withColumn("prev_rules_hash", F.lag("rules_hash").over(w))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("partition").orderBy(F.col(order_col).desc())
+        ))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        h.filter(
+            F.col("prev_rate").isNotNull()
+            & ((F.col("rate") - F.col("prev_rate")) > F.lit(float(min_delta)))
+            & (F.col("rate") > F.col("prev_rate") * F.lit(float(ratio)))
+        )
+        .select(
+            "partition",
+            F.col("prev_ts"),
+            F.col(order_col).alias("ts_now"),
+            "prev_rate",
+            F.col("rate").alias("rate_now"),
+            F.round(F.col("rate") - F.col("prev_rate"), 6).alias("delta"),
+            (F.col("rules_hash") != F.col("prev_rules_hash")).alias("rules_changed"),
+        )
+    )
