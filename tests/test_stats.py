@@ -858,3 +858,35 @@ def test_suggest_check_constraints_high_cardinality_skipped(spark):
         ).collect()
     }
     assert ("s", "categorical_domain") not in fams  # never collects the domain
+
+
+def test_cusum_matches_recursive_definition(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.stats import cusum_shift_detection
+
+    base = dt.datetime(2024, 3, 1)
+    # stable 5/day for 10 days, then a sustained +4 shift for 10 days —
+    # small enough that no single day trips a z-score
+    counts = [5] * 10 + [9] * 10
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(days=d), "a")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    slack, h = 1.0, 8.0
+    out = {r.day: r for r in cusum_shift_detection(df, slack=slack, threshold=h).collect()}
+    # recursive reference: c+_t = max(0, c+_{t-1} + n_t - mean - slack)
+    mean = sum(counts) / len(counts)
+    cu = cd = 0.0
+    for d, n in enumerate(counts):
+        cu = max(0.0, cu + n - mean - slack)
+        cd = max(0.0, cd + mean - n - slack)
+        got = out[dt.date(2024, 3, 1 + d)]
+        assert abs(got.cusum_up - round(cu, 6)) < 1e-6, (d, got.cusum_up, cu)
+        assert abs(got.cusum_down - round(cd, 6)) < 1e-6, (d, got.cusum_down, cd)
+        assert got.alarm == (cu > h or cd > h)
+    # the sustained shift alarms eventually; the stable prefix never does
+    assert not out[dt.date(2024, 3, 5)].alarm
+    assert out[dt.date(2024, 3, 20)].alarm

@@ -1271,3 +1271,95 @@ def suggest_check_constraints(
         "column string, family string, suggested_predicate string, "
         "n_support long, null_share double",
     )
+
+
+def cusum_shift_detection(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    slack: float = 2.0,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """CUSUM change-point detection per key over daily volumes — the
+    PERSISTENT-shift leg of the monitoring family: X87's z-score sees a
+    single broken day, X91's slope a corpus-wide trend, but a small
+    sustained level shift (volume quietly +3/day since the 12th) stays
+    under both; CUSUM accumulates exactly that. ``slack`` (counts/day)
+    is the drift allowance before accumulation, ``threshold`` (counts)
+    the alarm line; both sides are tracked (cusum_up for level rises,
+    cusum_down for drops/outages).
+
+    Window-expressible closed form — no recursion: with y_t = x_t −
+    mean − slack, CUSUM⁺_t = max(0, …) equals S_t − min_{j≤t} S_j of
+    the prefix sums. The prefix sums are computed on k·x_t − T (exact
+    BIGINT — k days, T total) and the slack correction is applied
+    pointwise (one IEEE multiply-subtract on exact operands, never a
+    float accumulation), so both engines agree bit-for-bit before the
+    6-decimal display round.
+
+    Scale shape: identical to X87 — one full-data groupBy(day, key),
+    then grid/windows on the tiny counts table.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = df.select(day.alias("day"), F.col(key).alias("_k")).groupBy(
+        "day", "_k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mm = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .crossJoin(daily.select("_k").distinct())
+    )
+    dense = (
+        grid.join(daily, ["day", "_k"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    tot = dense.groupBy("_k").agg(
+        F.sum("n").alias("_T"), F.count(F.lit(1)).alias("_kdays")
+    )
+    d = dense.join(tot, "_k")
+    worder = Window.partitionBy("_k").orderBy("day")
+    run = Window.partitionBy("_k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # STAGED projections: a window function must never appear inside
+    # another window's argument expression (Spark resolves the nesting
+    # silently-wrong instead of erroring — caught by the DuckDB twin)
+    staged = d.select(
+        "_k",
+        "day",
+        "n",
+        "_kdays",
+        F.row_number().over(worder).cast("long").alias("_t"),
+        # exact-integer prefix sums of k*x - T; slack applied pointwise
+        F.sum(F.col("_kdays") * F.col("n") - F.col("_T")).over(run).alias("_s_int"),
+    ).select(
+        "_k",
+        "day",
+        "n",
+        "_kdays",
+        (F.col("_s_int") - F.col("_t") * (F.col("_kdays") * F.lit(float(slack)))).alias(
+            "_s_up"
+        ),
+        (F.col("_s_int") + F.col("_t") * (F.col("_kdays") * F.lit(float(slack)))).alias(
+            "_s_dn"
+        ),
+    )
+    # the running extremum must include the EMPTY prefix (S_0 = 0):
+    # max(0, c_{t-1} + y_t) == S_t - min(0, min_{j<=t} S_j) — without
+    # the 0 baseline a series whose prefix sums never dip under-reports
+    cusum_up = (
+        F.col("_s_up") - F.least(F.min("_s_up").over(run), F.lit(0.0))
+    ) / F.col("_kdays")
+    cusum_dn = (
+        F.greatest(F.max("_s_dn").over(run), F.lit(0.0)) - F.col("_s_dn")
+    ) / F.col("_kdays")
+    return staged.select(
+        F.col("_k").alias(key),
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(cusum_up, 6).alias("cusum_up"),
+        F.round(cusum_dn, 6).alias("cusum_down"),
+        ((cusum_up > F.lit(float(threshold))) | (cusum_dn > F.lit(float(threshold)))).alias(
+            "alarm"
+        ),
+    )

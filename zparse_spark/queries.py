@@ -4531,3 +4531,57 @@ def profile_suggest_checks(spark, sf_dir):
         numeric_cols=["l_quantity", "l_linenumber"],
         categorical_cols=["l_returnflag", "l_linestatus"],
     )
+
+
+@register(
+    "anomaly_events_cusum",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+             t.event_type
+      FROM mm, (SELECT DISTINCT event_type FROM daily) t
+    ), dense AS (
+      SELECT g.day, g.event_type, CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN daily
+        ON g.day = daily.day AND g.event_type = daily.event_type
+    ), tot AS (
+      SELECT event_type, sum(n) AS tot_n, count(*) AS kd FROM dense GROUP BY event_type
+    ), d AS (
+      SELECT dense.day, dense.event_type, dense.n, tot.tot_n, tot.kd
+      FROM dense JOIN tot ON dense.event_type = tot.event_type
+    ), w AS (
+      SELECT *, CAST(row_number() OVER wo AS BIGINT) AS rn,
+             sum(kd * n - tot_n) OVER wr AS s_int
+      FROM d
+      WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+             wr AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), u AS (
+      SELECT *, s_int - rn * (kd * 2.0) AS s_up, s_int + rn * (kd * 2.0) AS s_dn FROM w
+    ), v AS (
+      SELECT *, min(s_up) OVER wr2 AS mn, max(s_dn) OVER wr2 AS mx
+      FROM u
+      WINDOW wr2 AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, day, n,
+           round((s_up - least(mn, 0.0)) / kd, 6) AS cusum_up,
+           round((greatest(mx, 0.0) - s_dn) / kd, 6) AS cusum_down,
+           ((s_up - least(mn, 0.0)) / kd > 10.0)
+             OR ((greatest(mx, 0.0) - s_dn) / kd > 10.0) AS alarm
+    FROM v
+    """,
+)
+def anomaly_events_cusum(spark, sf_dir):
+    """CUSUM change-point detection per event type (slack 2/day,
+    threshold 10): the persistent-shift detector — accumulates small
+    sustained level changes the single-day z-score and the global
+    slope both miss. Window-expressible closed form (prefix sums minus
+    running min) on exact BIGINT scaled counts; the slack correction is
+    one pointwise IEEE multiply-subtract, never a float accumulation —
+    bit-identical cross-engine."""
+    from zparse_spark.operators.stats import cusum_shift_detection
+
+    return cusum_shift_detection(_t(spark, sf_dir, "events"), slack=2.0, threshold=10.0)
