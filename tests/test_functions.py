@@ -610,3 +610,27 @@ def test_conjunctive_search(spark):
     )
     out = {r.doc_id: r.score for r in conjunctive_search(df, ["scan", "merge", "window"]).collect()}
     assert out == {1: 4, 3: 3}
+
+
+def test_strip_markup(spark):
+    from zparse_spark.functions.text import strip_markup
+
+    cases = [
+        # script/style BODIES vanish, including '<' inside code
+        ("<p>a</p><script>if (x < 1) alert('hi')</script><p>b</p>", "a b"),
+        ("<style>h1 { color: red }</style>text", "text"),
+        ("<!-- secret -->shown", "shown"),
+        # entity decode order: &amp;lt; is a literal escape, not a tag
+        ("&amp;lt;kept&amp;gt;", "&lt;kept&gt;"),
+        ("&lt;b&gt;bold&lt;/b&gt;", "<b>bold</b>"),
+        ("a&nbsp;&nbsp;b &quot;q&#39;s&quot;", "a b \"q's\""),
+        ("no markup at all", "no markup at all"),
+        ("  <div> spaced   out </div>  ", "spaced out"),
+        (None, ""),
+        # malformed nesting degrades, never errors
+        ("<p>unclosed <b>tag", "unclosed tag"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i long, t string")
+    got = {r.i: r.c for r in df.select("i", strip_markup(df.t).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -753,3 +753,41 @@ def conjunctive_search(df, terms, text_col: str = "text", id_col: str = "doc_id"
         .filter(F.col("_n_terms") == len(set(terms)))
         .select(F.col("_doc").alias(id_col), "score")
     )
+
+
+def strip_markup(col):
+    """HTML/markup → training text, the web-corpus ingest step (what a
+    crawl dump needs before any quality/dedup stage sees it): drop
+    <script>/<style> subtrees wholesale (their CONTENT is code, not
+    prose — tag-only stripping would leak it into the corpus), remove
+    remaining tags and comments, decode the five core entities plus
+    numeric escapes for them, collapse whitespace runs and trim.
+
+    Engine-portable by construction: every pattern is lookaround-free
+    and valid under BOTH Java regex and RE2 (the queries_span.py
+    discipline), so the DuckDB twin applies the identical chain — and
+    the whole thing is a map-only codegen regexp_replace cascade, no
+    Python, no shuffle.
+
+    Deliberately NOT a parser: malformed nesting degrades to leaving
+    text in place rather than erroring (collect-don't-abort); documents
+    needing DOM fidelity should route through from_xml_lines instead.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.coalesce(col, F.lit(""))
+    # (?is) case-insensitive + dotall: script/style blocks span lines
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST: decoding it earlier would double-decode
+    ):
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

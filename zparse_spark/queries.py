@@ -4585,3 +4585,65 @@ def anomaly_events_cusum(spark, sf_dir):
     from zparse_spark.operators.stats import cusum_shift_detection
 
     return cusum_shift_detection(_t(spark, sf_dir, "events"), slack=2.0, threshold=10.0)
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup stripping (functions/text.py::strip_markup)
+# ---------------------------------------------------------------------------
+
+# Deterministic HTML-ish wrapper: script/style bodies that MUST NOT leak
+# (code with a '<' inside), comments, entities incl. the &amp;lt;
+# double-escape trap, and the doc's own text split across two elements.
+_HTML_FIXTURE = (
+    "'<html><head><style>p {{ color: red }}</style>"
+    "<script>var x = 1 < 2 && y > 0;</script></head>"
+    "<body><h1 class=\"t\">' || substr(text, 1, 40) || '</h1>"
+    "<!-- hidden comment --><p>' || substr(text, 41, 80) || '</p>"
+    "<p>&amp;lt;kept&amp;gt; &lt;b&gt;bold&lt;/b&gt; "
+    "&quot;q&#39;s&quot;&nbsp;end</p></body></html>'"
+)
+
+
+@register(
+    "corpus_strip_markup",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_HTML_FIXTURE.replace('{{', '{').replace('}}', '}')} AS html
+      FROM documents WHERE text IS NOT NULL
+    ), s1 AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]*>', ' ', 'g') AS t
+      FROM src
+    ), s2 AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+      FROM s1
+    )
+    SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+    FROM s2
+    """,
+)
+def corpus_strip_markup(spark, sf_dir):
+    """HTML→training-text over a deterministic markup wrapper: script
+    and style BODIES must vanish (tag-only stripping would leak code
+    into the corpus), comments and tags drop, core entities decode with
+    &amp; last so &amp;lt; correctly yields a literal '<'-escape, and
+    whitespace collapses. Map-only lookaround-free regexp cascade,
+    valid under both Java regex and RE2 — the DuckDB twin applies the
+    identical chain (entity pass via plain replace: fixed strings need
+    no regex engine at all there)."""
+    from zparse_spark.functions.text import strip_markup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.expr(
+        _HTML_FIXTURE.replace("{{", "{").replace("}}", "}")
+    )
+    return d.select("doc_id", strip_markup(html).alias("clean_text"))
