@@ -70,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
              "a suggested YAML contract for human review — suggestions "
              "are evidence, never auto-enforced",
     )
+    ap.add_argument("--junit-xml", metavar="PATH",
+                    help="write the verdict grid as JUnit XML (one testcase per "
+                         "partition x rule cell) for CI ingestion")
+    ap.add_argument("--report-md", metavar="PATH",
+                    help="write a human-readable Markdown run summary")
     ap.add_argument(
         "--profile", action="store_true",
         help="also write corpus profile sinks: layout_profile/ (span-kind "
@@ -193,6 +198,18 @@ def main(argv: list[str] | None = None) -> int:
                   f"for this run (active: {sorted(known)}) — it will have no effect")
     rollup = partition_verdicts(verdicts, warn_rules=warn_rules)
     rollup.write.mode("overwrite").parquet(f"{args.out}/partition_verdicts")
+
+    if args.junit_xml or args.report_md:
+        from zparse_spark.plans.report import junit_xml, markdown_report
+
+        viol_back = spark.read.parquet(f"{args.out}/verdicts")
+        viol_rows = spark.read.parquet(f"{args.out}/violations")
+        if args.junit_xml:
+            with open(args.junit_xml, "w") as fh:
+                fh.write(junit_xml(viol_back, viol_rows))
+        if args.report_md:
+            with open(args.report_md, "w") as fh:
+                fh.write(markdown_report(viol_back, viol_rows))
 
     if args.emit_contract:
         from pyspark.sql import functions as F  # noqa: F811
