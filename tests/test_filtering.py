@@ -186,3 +186,30 @@ def test_upsample_by_weight(spark):
         r.copy_no for r in out.filter(F.col("doc_id") == 1).collect()
     )
     assert copy_nos == [1, 2]
+
+
+def test_shuffle_assign_deterministic_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import shuffle_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = shuffle_assign(df, n_shards=8, seed=3)
+    b = shuffle_assign(df.repartition(7), n_shards=8, seed=3)
+    rows_a = {(r.doc_id): (r.shard, r.pos) for r in a.collect()}
+    rows_b = {(r.doc_id): (r.shard, r.pos) for r in b.collect()}
+    # pure function of (key, seed): partitioning cannot move anything
+    assert rows_a == rows_b and len(rows_a) == 200
+    # every shard's positions are a contiguous 1..k ranking
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for sh, pos in rows_a.values():
+        by_shard[sh].append(pos)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+    # a different seed is a genuinely different permutation
+    c = {r.doc_id: (r.shard, r.pos) for r in shuffle_assign(df, n_shards=8, seed=4).collect()}
+    assert c != rows_a
+    # plan: no global sort — rank rides the shard hash partitioning
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan

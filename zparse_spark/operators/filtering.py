@@ -22,7 +22,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from zparse_spark.functions.text import lang_guess, quality_score, token_count
@@ -500,4 +500,38 @@ def upsample_by_weight(
             F.explode(F.sequence(F.lit(1), F.col("_n_copies").cast("int"))),
         )
         .drop("_n_copies")
+    )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Reproducible corpus shuffling for training order: every row gets
+    a (shard, pos_in_shard) address that is a pure function of
+    (key, seed) — the property data-order ablations and resumable
+    training need (df.orderBy(rand()) re-deals on every retry and
+    partitioning change; a hash order never does). Disjoint seeds give
+    independent permutations (epoch 2 = seed+1).
+
+    Never a global sort: the shard is an md5 bucket (map-only) and the
+    position is a rank WITHIN the shard — the only shuffle is the
+    hash partition on shard, and each shard sorts independently (the
+    cap_per_group discipline). Writers consume it as
+    partitionBy(shard) + sortWithinPartitions(pos).
+    """
+    hv = hash_unit(key_col, seed)
+    hv2 = hash_unit(key_col, seed + 1_000_003)
+    shard = F.pmod((hv * F.lit(float(0x100000000))).cast("long"), F.lit(int(n_shards)))
+    w = Window.partitionBy("_shard").orderBy(
+        F.col("_order").asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("_shard", shard.cast("int"))
+        .withColumn("_order", hv2)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumnRenamed("_shard", "shard")
+        .drop("_order")
     )

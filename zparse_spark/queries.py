@@ -4647,3 +4647,36 @@ def corpus_strip_markup(spark, sf_dir):
         _HTML_FIXTURE.replace("{{", "{").replace("}}", "}")
     )
     return d.select("doc_id", strip_markup(html).alias("clean_text"))
+
+
+def _shuffle_oracle_sql(seed: int = 0, n_shards: int = 16) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    hv2 = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed + 1_000_003}'")
+    return f"""
+    WITH a AS (
+      SELECT doc_id, CAST({hv} % {n_shards} AS INT) AS shard, {hv2} AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord, CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS pos
+    FROM a
+    """
+
+
+@register("corpus_shuffle_assign", _shuffle_oracle_sql())
+def corpus_shuffle_assign(spark, sf_dir):
+    """Reproducible training-order shuffle: (shard, pos) is a pure
+    function of (doc_id, seed) — retries, resumes, engines and
+    partitioning all deal the identical permutation (orderBy(rand())
+    re-deals on every retry). Never a global sort: md5 bucket map-side,
+    rank within shard only."""
+    from zparse_spark.operators.filtering import shuffle_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_assign(d, key_col="doc_id", n_shards=16, seed=0).select(
+        "doc_id", "shard", "pos"
+    )
