@@ -4680,3 +4680,38 @@ def corpus_shuffle_assign(spark, sf_dir):
     return shuffle_assign(d, key_col="doc_id", n_shards=16, seed=0).select(
         "doc_id", "shard", "pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded edit-distance fuzzy key join (operators/editdist.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_fuzzy_customer_names",
+    """
+    SELECT CAST(a.c_custkey AS VARCHAR) AS id_a,
+           CAST(b.c_custkey AS VARCHAR) AS id_b,
+           a.c_name AS key_a, b.c_name AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON CAST(a.c_custkey AS VARCHAR) < CAST(b.c_custkey AS VARCHAR)
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_customer_names(spark, sf_dir):
+    """Exact fuzzy-key matching: every customer-name pair within
+    Levenshtein distance 1, found via deletion-neighborhood candidate
+    generation (FastSS/SymSpell) and verified with Spark's built-in
+    JVM levenshtein — never an all-pairs join, never Python, never a
+    probabilistic miss. The DuckDB oracle IS the quadratic all-pairs
+    definition, so a green row certifies the pruning lossless. The
+    entity-key sibling of dedup_setsim_prefix_join (set semantics) for
+    keys mangled in re-ingestion (reference contract: exact duplicate-
+    key rejection, toml/parser.rs:100-122, lifted to distance <= 1)."""
+    from zparse_spark.operators.editdist import bounded_edit_distance_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return bounded_edit_distance_join(
+        c, id_col="c_custkey", key_col="c_name", k=1
+    )
