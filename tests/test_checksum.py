@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zparse_spark.operators.checksum import table_checksum
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_partitioning_and_order_insensitive(spark):
+    rows = [(i, f"t{i}", None if i % 3 == 0 else f"l{i%5}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "text", "lang"])
+    a = _one(table_checksum(df))
+    b = _one(table_checksum(df.repartition(7, "lang").sortWithinPartitions("text")))
+    c = _one(table_checksum(df.orderBy(F.desc("id"))))
+    assert a == b == c
+    assert a.n_rows == 200
+
+
+def test_column_order_does_not_matter_row_order_inside_does(spark):
+    df1 = spark.createDataFrame([(1, "x")], ["a", "b"])
+    df2 = spark.createDataFrame([("x", 1)], ["b", "a"]).select("b", "a")
+    assert _one(table_checksum(df1)) == _one(table_checksum(df2))
+    # but swapping VALUES across columns must change the digest
+    df3 = spark.createDataFrame([("1", "x")], ["a", "b"])  # a as string "1"
+    assert _one(table_checksum(df1)).xor_hash == _one(table_checksum(df3)).xor_hash
+    df4 = spark.createDataFrame([(2, "x")], ["a", "b"])
+    assert _one(table_checksum(df1)).xor_hash != _one(table_checksum(df4)).xor_hash
+
+
+def test_null_vs_empty_and_sentinel_framing(spark):
+    a = _one(table_checksum(spark.createDataFrame([(1, None)], "a bigint, b string")))
+    b = _one(table_checksum(spark.createDataFrame([(1, "")], "a bigint, b string")))
+    assert a.xor_hash != b.xor_hash
+    # NULL placement matters: (NULL,'x') != ('x',NULL)
+    c = _one(table_checksum(spark.createDataFrame([(None, "x")], "a string, b string")))
+    d = _one(table_checksum(spark.createDataFrame([("x", None)], "a string, b string")))
+    assert c.xor_hash != d.xor_hash
+
+
+def test_duplicate_pair_caught_by_sum_not_xor(spark):
+    one = spark.createDataFrame([(1, "x")], ["a", "b"])
+    three = spark.createDataFrame([(1, "x")] * 3, ["a", "b"])
+    r1, r3 = _one(table_checksum(one)), _one(table_checksum(three))
+    # xor of an odd multiplicity collapses to the single-row xor
+    assert r1.xor_hash == r3.xor_hash
+    assert r1.n_rows != r3.n_rows
+    assert (r1.sum_hash * 3) % (1 << 60) == r3.sum_hash
+
+
+def test_grouped_matches_filtered(spark):
+    rows = [(i, "g" + str(i % 3), f"t{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "g", "t"])
+    per = {r.g: r for r in table_checksum(df, group_cols=["g"]).collect()}
+    for g in ("g0", "g1", "g2"):
+        whole = _one(table_checksum(df.filter(F.col("g") == g).drop("g")))
+        assert (whole.n_rows, whole.xor_hash, whole.sum_hash) == (
+            per[g].n_rows,
+            per[g].xor_hash,
+            per[g].sum_hash,
+        )
+
+
+def test_float_columns_rejected(spark):
+    df = spark.createDataFrame([(1, 2.5)], ["a", "b"])
+    with pytest.raises(ValueError, match="non-portable"):
+        table_checksum(df)
+    # explicit decimal cast is the documented escape hatch
+    ok = table_checksum(df.withColumn("b", F.col("b").cast("decimal(10,2)")))
+    assert _one(ok).n_rows == 1

@@ -1,0 +1,101 @@
+"""Order-insensitive, engine-portable table checksums — the parity
+primitive under every cross-run / cross-cluster validation story.
+
+The engine's whole premise is "this table is what the contract says it
+is". The final reduction of that premise is a single number two
+independent runs — different cluster, different partitioning, different
+engine — can compare: a content checksum that is
+
+  * ORDER-INSENSITIVE: commutative-monoid aggregates (count, bit_xor,
+    modular sum) over per-row hashes, so partitioning, shuffle order
+    and merge order cannot change it;
+  * MERGEABLE: each aggregate has a map-side partial, so the plan is
+    one scan + one tiny exchange of (group, 3×int64) — at 10^12 rows
+    the shuffle is bytes per group, not rows;
+  * PORTABLE: the per-row hash is md5 over a canonical serialization
+    (columns sorted by name, chr(1) separators, chr(0) NULL sentinel)
+    with the first 15 hex nibbles read as a 60-bit integer — the same
+    md5-nibble idiom every sampler/bucketer in this repo uses, exactly
+    reproducible in DuckDB SQL (and any engine with md5).
+
+Why three aggregates: bit_xor alone is blind to duplicate row PAIRS
+(x ⊕ x = 0); the modular sum catches multiplicity; count catches
+cardinality. The modular sum accumulates in decimal(38,0) (Spark) /
+hugeint (DuckDB) so the reduction NEVER overflows en route at any row
+count, then reduces mod 2^60 — both engines mod the exact integer sum,
+so the results agree regardless of accumulation order or width.
+
+Float columns are rejected loudly: engines render doubles differently
+("1.0" vs "1"), which would make the "portable" claim silently false.
+Callers round/cast floats to decimal or string explicitly first.
+
+Reference parity: zParse's tests pin byte-exact outputs (golden files,
+error-position equality, tests/*.rs); this is the table-scale
+generalization — a byte-exact digest a golden fixture can pin and a
+resumed/repartitioned re-run must reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 1 << 60
+_NULL_SENTINEL = "\x00"
+_SEP = "\x01"
+
+_TEXTY = {"string", "boolean", "date", "timestamp"}
+
+
+def _is_portable(dt: str) -> bool:
+    return (
+        dt in _TEXTY
+        or dt.startswith(("int", "bigint", "smallint", "tinyint", "long", "decimal"))
+    )
+
+
+def row_hash60(cols: list[str]) -> Column:
+    """60-bit integer hash of the canonical row serialization: columns
+    in the given order, cast to string, chr(0) for NULL, chr(1) joins,
+    md5, first 15 hex nibbles as a base-16 integer."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.conv(F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group (or whole-table) content checksum. Returns
+    ``group_cols + [n_rows, xor_hash, sum_hash]``.
+
+    ``cols`` defaults to every non-group column, SORTED BY NAME so the
+    digest is a function of the table's content, not its column order.
+    """
+    group_cols = list(group_cols or [])
+    if cols is None:
+        cols = sorted(c for c in df.columns if c not in group_cols)
+    bad = [
+        (c, t) for c, t in df.select(*cols).dtypes if not _is_portable(t)
+    ]
+    if bad:
+        raise ValueError(
+            f"non-portable column types for checksum {bad}: engines render "
+            "floats differently; round/cast to decimal or string first"
+        )
+    hv = df.select(*group_cols, row_hash60(cols).alias("_hv"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_hv)").alias("xor_hash"),
+        (F.sum(F.col("_hv").cast("decimal(38,0)")) % F.lit(_MOD))
+        .cast("long")
+        .alias("sum_hash"),
+    ]
+    if group_cols:
+        return hv.groupBy(*group_cols).agg(*aggs)
+    return hv.agg(*aggs)

@@ -4715,3 +4715,53 @@ def dedup_fuzzy_customer_names(spark, sf_dir):
     return bounded_edit_distance_join(
         c, id_col="c_custkey", key_col="c_name", k=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive portable table checksum (operators/checksum.py)
+# ---------------------------------------------------------------------------
+
+
+def _hv60_sql(expr: str) -> str:
+    """First 15 hex nibbles of md5(expr) as a 60-bit integer — the SQL
+    twin of checksum.row_hash60's F.conv(substring(md5,1,15),16,10)."""
+    m = f"md5({expr})"
+    terms = []
+    for k in range(15):
+        c = f"ascii(substr({m}, {k + 1}, 1))"
+        nib = f"CAST(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END AS BIGINT)"
+        terms.append(f"{nib} * {16 ** (14 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _checksum_docs_oracle() -> str:
+    row = (
+        "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)),"
+        " coalesce(lang, chr(0)), coalesce(CAST(n_chars AS VARCHAR), chr(0)),"
+        " coalesce(text, chr(0)))"
+    )
+    return f"""
+    WITH hv AS (SELECT source, {_hv60_sql(row)} AS h FROM documents)
+    SELECT source,
+           count(*) AS n_rows,
+           bit_xor(h) AS xor_hash,
+           CAST(sum(h) % {1 << 60} AS BIGINT) AS sum_hash
+    FROM hv GROUP BY source
+    """
+
+
+@register("checksum_documents_by_source", _checksum_docs_oracle())
+def checksum_documents_by_source(spark, sf_dir):
+    """Engine-portable content checksum of the documents table per
+    source: count + bit_xor + modular sum over 60-bit md5-nibble row
+    hashes of the canonical serialization (columns sorted by name,
+    chr(1)/chr(0) framing). Order- and partitioning-insensitive,
+    map-side mergeable — at 10^12 rows the exchange carries three
+    int64s per source. A resumed, repartitioned, or cross-engine rerun
+    must reproduce these digests bit-for-bit; the DuckDB oracle proves
+    the cross-engine leg. Table-scale analog of the reference's
+    byte-exact golden-file tests (tests/json_parser_tests.rs)."""
+    from zparse_spark.operators.checksum import table_checksum
+
+    d = _t(spark, sf_dir, "documents")
+    return table_checksum(d, group_cols=["source"])
