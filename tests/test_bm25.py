@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from zparse_spark.functions.text import bm25_search
+
+K1, B = 1.2, 0.75
+
+
+def _brute_bm25(docs: dict[str, str], terms: list[str], top_k: int):
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs.items()}
+    toks = {d: ts for d, ts in toks.items() if ts}
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    df = {
+        q: sum(1 for ts in toks.values() if q in ts) for q in terms
+    }
+    out = []
+    for d, ts in toks.items():
+        contribs = []
+        for q in sorted(set(t.lower() for t in terms)):
+            tf = ts.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            c = idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * len(ts) / avgdl))
+            contribs.append(round(c, 6))
+        if contribs:
+            out.append((d, round(sum(contribs), 6), len(contribs)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:top_k]
+
+
+@pytest.fixture()
+def corpus(spark):
+    docs = {
+        "a": "spark merge window spark spark",
+        "b": "merge merge merge merge merge merge merge merge",
+        "c": "window",
+        "d": "nothing relevant here at all whatsoever in this one",
+        "e": "spark window merge spark window merge spark window merge",
+        "f": "   ",
+        "g": "spark",
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    return docs, df
+
+
+def test_matches_brute_force(corpus, spark):
+    docs, df = corpus
+    terms = ["spark", "window", "merge"]
+    got = [
+        (r.doc_id, r.score, r.n_hit)
+        for r in bm25_search(df, terms, top_k=5).orderBy("rank").collect()
+    ]
+    assert got == _brute_bm25(docs, terms, 5)
+
+
+def test_rank_is_dense_and_deterministic(corpus, spark):
+    _, df = corpus
+    a = bm25_search(df, ["spark", "merge"], top_k=10).collect()
+    b = bm25_search(df, ["merge", "SPARK", "spark"], top_k=10).collect()
+    # case-folded, deduped query terms; identical result either way
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    ranks = sorted(r.rank for r in a)
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_df_zero_term_and_miss_only_docs_excluded(corpus, spark):
+    _, df = corpus
+    rows = bm25_search(df, ["unicorn"], top_k=10).collect()
+    assert rows == []
+    rows = bm25_search(df, ["unicorn", "window"], top_k=10).collect()
+    assert {r.doc_id for r in rows} == {"a", "c", "e"}
+    assert all(r.n_hit == 1 for r in rows)
+
+
+def test_empty_query_raises(corpus, spark):
+    _, df = corpus
+    with pytest.raises(ValueError):
+        bm25_search(df, [])

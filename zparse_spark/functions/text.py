@@ -791,3 +791,95 @@ def strip_markup(col):
     ):
         c = F.regexp_replace(c, ent, ch)
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def bm25_search(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranked retrieval for one conjunctive-ish bag of query terms
+    over the corpus: top-``top_k`` documents by Okapi BM25 (Robertson/
+    Sparck Jones idf with the +1 floor, Lucene-style), columns
+    ``doc_id, rank, score, n_hit`` (n_hit = how many distinct query
+    terms the doc contains).
+
+    Determinism contract (engine-portable, same as tfidf_top_terms):
+    every per-term contribution is rounded to 6 decimals BEFORE the
+    per-doc sum, the sum is rounded again, and the final ordering is
+    (rounded score desc, doc_id asc) — so the top-k SET is a pure
+    function of the data, not of float summation order.
+
+    Scale shape (100 TB): the token stream is filtered to the literal
+    query terms BEFORE any aggregation — a pushed-down isin over the
+    exploded stream, so tf/df aggregate only matching occurrences
+    (thousands of rows per term, not the corpus). Doc lengths and the
+    corpus-size/avgdl one-row aggregate come from one groupBy over the
+    full stream (map-side combined; this is the same pass a vocabulary
+    build already pays). Final ranking is a TakeOrdered of the scored
+    doc set — never a global sort of the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    # one full-stream pass: per-doc length
+    dl = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    hits = toks.filter(F.col("token").isin(terms))
+    tf = hits.groupBy("_doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = hits.groupBy("token").agg(F.countDistinct("_doc").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(dl, "_doc")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.round(
+                F.col("_idf")
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("_doc").agg(
+        F.round(F.sum("_contrib"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    ranked = per_doc.orderBy(F.col("score").desc(), F.col("_doc").asc()).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("_doc").asc())
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_doc").alias(id_col), "rank", "score", "n_hit"
+    )

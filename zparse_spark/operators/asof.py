@@ -97,3 +97,76 @@ def range_join_binned(
     return p.join(i, "_bin").filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     ).drop("_bin")
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """Self-join of intervals on OVERLAP (closed ends), per group:
+    every pair (id_a < id_b) with ``[s_a,e_a] ∩ [s_b,e_b] != ∅``,
+    with the intersection bounds. Start/end must be integral (epoch
+    days/seconds — cast dates first).
+
+    Scale shape: the naive formulation is a theta join (cartesian per
+    group). Here each interval explodes to the grid bins it touches
+    (``floor(s/W)..floor(e/W)``, ~len/W + 1 rows) and pairs meet by an
+    EQUI-join on (group, bin) — shuffle keyed, AQE-splittable, never
+    cartesian.
+
+    The usual cost of grid joins is pair dedup (a pair meeting in k
+    shared bins appears k times → a ``distinct`` shuffle as big as the
+    match set). This operator is dedup-FREE: an overlapping pair is
+    KEPT ONLY in the bin of its overlap start, ``floor(max(s_a,s_b)/W)``
+    — a bin both intervals provably touch (max-start <= min-end) and
+    that identifies each pair exactly once, so the filter replaces the
+    distinct. One explode, one equi-join, zero dedup shuffles.
+
+    Validation framing: overlap is the span-offset S2 rule
+    (operators/rules.py) lifted from within-document span arrays to a
+    table-wide interval set — "no two shipment windows for one part
+    may collide" style contracts.
+    """
+    group_cols = list(group_cols or [])
+    W = int(bin_width)
+    if W <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    base = df.select(
+        *group_cols,
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).filter(
+        F.col("_s").isNotNull() & F.col("_e").isNotNull() & (F.col("_s") <= F.col("_e"))
+    )
+    binned = base.select(
+        *group_cols,
+        "_id",
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(F.floor(F.col("_s") / W), F.floor(F.col("_e") / W))
+        ).alias("_bin"),
+    )
+    l, r = binned.alias("l"), binned.alias("r")
+    on = (F.col("l._bin") == F.col("r._bin")) & (F.col("l._id") < F.col("r._id"))
+    for g in group_cols:
+        on = on & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    ov_start = F.greatest(F.col("l._s"), F.col("r._s"))
+    ov_end = F.least(F.col("l._e"), F.col("r._e"))
+    return (
+        l.join(r, on)
+        .filter(ov_start <= ov_end)  # true overlap
+        .filter(F.col("l._bin") == F.floor(ov_start / W))  # count-once bin
+        .select(
+            *[F.col(f"l.{g}").alias(g) for g in group_cols],
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            ov_start.alias("overlap_start"),
+            ov_end.alias("overlap_end"),
+        )
+    )

@@ -4765,3 +4765,158 @@ def checksum_documents_by_source(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return table_checksum(d, group_cols=["source"])
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands key continuity (operators/stats.py key_gaps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gaps_orders_by_priority",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderpriority AS pri, CAST(o_orderkey AS BIGINT) AS k
+      FROM orders
+    ), lagged AS (
+      SELECT pri, k AS next_key,
+             lag(k) OVER (PARTITION BY pri ORDER BY k) AS prev_key
+      FROM k
+    )
+    SELECT pri, prev_key, next_key, next_key - prev_key - 1 AS n_missing
+    FROM lagged
+    WHERE prev_key IS NOT NULL AND next_key - prev_key > 1
+    """,
+)
+def gaps_orders_by_priority(spark, sf_dir):
+    """Key-continuity audit: every maximal run of orderkeys missing
+    from each priority class's keyset (the per-group keyspace is sparse
+    even though the global one is dense — exactly the 'which keys did
+    this partition lose' validation question). Computed with the
+    two-level binned decomposition (parallel intra-bin windows + a
+    bin-summary stitch), never a global-sort window; the oracle is the
+    textbook global lag(), so a green row proves the decomposition
+    exact."""
+    from zparse_spark.operators.stats import key_gaps
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), "o_orderkey"
+    )
+    return key_gaps(o, key_col="o_orderkey", group_cols=["pri"], bin_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (functions/text.py bm25_search)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "spark", "window")
+
+
+@register(
+    "corpus_search_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS d,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    clean AS (SELECT d, token FROM toks WHERE token <> ''),
+    dl AS (SELECT d, count(*) AS dl FROM clean GROUP BY 1),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (SELECT d, token FROM clean
+             WHERE token IN {repr(_BM25_TERMS)}),
+    tf AS (SELECT d, token, count(*) AS tf FROM hits GROUP BY 1, 2),
+    docfreq AS (SELECT token, count(DISTINCT d) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT tf.d,
+             round(
+               ln(1.0 + (corpus.n - docfreq.df + 0.5) / (docfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl)),
+               6) AS contrib
+      FROM tf JOIN docfreq USING (token) JOIN dl USING (d) CROSS JOIN corpus
+    ),
+    per_doc AS (
+      SELECT d, round(sum(contrib), 6) AS score, count(*) AS n_hit
+      FROM scored GROUP BY d
+    ),
+    ranked AS (
+      SELECT d AS doc_id,
+             row_number() OVER (ORDER BY score DESC, d ASC) AS rank,
+             score, n_hit
+      FROM per_doc
+    )
+    SELECT doc_id, rank, score, n_hit FROM ranked WHERE rank <= 10
+    """,
+)
+def corpus_search_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 for a literal 3-term query over documents.
+    The token stream is filtered to the query terms BEFORE tf/df
+    aggregation (pushed isin over the explode); doc length + corpus
+    stats ride one full-stream groupBy; ranking is a TakeOrdered of
+    the scored doc set, and the trailing row_number window runs on the
+    ALREADY-limited top-k rows (k rows, one partition — bounded by
+    construction). Per-term contributions are rounded to 6 decimals
+    before the per-doc sum so the ranking is engine-portable (same
+    contract as corpus_tfidf_top_terms)."""
+    from zparse_spark.functions.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_k=10
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (operators/asof.py interval_overlap_join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "overlap_shipment_windows",
+    """
+    WITH iv2 AS (
+      SELECT l_partkey AS partkey,
+             concat_ws('-', CAST(l_orderkey AS VARCHAR),
+                            CAST(l_linenumber AS VARCHAR)) AS id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(l_shipdate AS DATE)) AS BIGINT)
+               + CAST(l_quantity AS BIGINT) AS e
+      FROM lineitem
+    )
+    SELECT a.partkey, a.id AS id_a, b.id AS id_b,
+           greatest(a.s, b.s) AS overlap_start,
+           least(a.e, b.e) AS overlap_end
+    FROM iv2 a JOIN iv2 b
+      ON a.partkey = b.partkey AND a.id < b.id
+     AND greatest(a.s, b.s) <= least(a.e, b.e)
+    """,
+)
+def overlap_shipment_windows(spark, sf_dir):
+    """Concurrent-shipment audit: all pairs of shipment windows
+    [shipdate, shipdate + quantity days] for the SAME part that
+    overlap in time, with the exact intersection. Grid-binned
+    equi-join with the count-once-bin filter standing in for pair
+    dedup (no distinct shuffle); the oracle is the per-group theta
+    join, so a green row proves the binning complete AND the
+    count-once rule exact (a dropped bin loses a pair, a wrong rule
+    duplicates one — either flips the row count)."""
+    from zparse_spark.operators.asof import interval_overlap_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("id"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).withColumn("e", F.col("s") + F.col("q"))
+    return interval_overlap_join(
+        li, id_col="id", start_col="s", end_col="e",
+        group_cols=["partkey"], bin_width=32,
+    )
