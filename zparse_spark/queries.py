@@ -5040,3 +5040,36 @@ def corpus_dataset_card(spark, sf_dir):
             " 'p50_chars', p50_chars, 'max_chars', max_chars) AS (metric, value)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-layer parquet footer audit (sources/parquet_audit.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_parquet_footers",
+    """
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file,
+           CAST(row_group_id AS INT) AS row_group_id,
+           path_in_schema AS column,
+           CAST(row_group_num_rows AS BIGINT) AS row_group_num_rows,
+           CAST(num_values AS BIGINT) AS num_values,
+           CAST(stats_null_count AS BIGINT) AS null_count,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes
+    FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+    """,
+)
+def audit_parquet_footers(spark, sf_dir):
+    """Physical-layout audit of the documents table: per column chunk
+    row/value/null counts and compressed bytes, read from parquet
+    FOOTERS distributed over executors (pyarrow inside mapInPandas —
+    kilobytes per file, data pages untouched). The DuckDB oracle is
+    parquet_metadata(), an independent footer parser, so a green row
+    is two engines agreeing on the physical bytes of the storage
+    layer. NOTE: the oracle pins the sf0.01 path (the driver's
+    correctness tier) because oracle SQL is static; the Spark side
+    follows sf_dir as usual."""
+    from zparse_spark.sources.parquet_audit import parquet_footer_audit
+
+    return parquet_footer_audit(spark, f"{sf_dir}/documents.parquet")
