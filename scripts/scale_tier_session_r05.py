@@ -123,7 +123,8 @@ def main() -> None:
             ).alias("id"),
             F.datediff("shipdate", F.lit("1970-01-01").cast("date"))
             .cast("long").alias("s"),
-        ).withColumn("e", F.col("s") + F.col("q"))
+            "q",
+        ).withColumn("e", F.col("s") + F.col("q")).drop("q")
         return {
             "editdist_join": lambda: bounded_edit_distance_join(
                 t["cust"], "c_custkey", "c_name", k=1

@@ -383,3 +383,40 @@ def test_cli_profile_flag(tmp_path, spark):
         f"SELECT ref_a, ref_b, n_docs_both FROM read_parquet('{out}/media_cooccurrence/*.parquet')"
     ).fetchall()
     assert cooc == [("m1", "m2", 2)]
+
+
+def test_cli_checksum_flag(tmp_path, spark):
+    """--checksum writes a per-partition digest that a re-partitioned
+    rerun of the same content reproduces bit-for-bit."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "hello", None, 0)], "p0"),
+            ("d2", [("text", "hola", None, 0), ("image", "", "m1", 5)], "p0"),
+            ("d3", None, "p1"),
+        ],
+    )
+    d1, d2 = str(tmp_path / "docs1"), str(tmp_path / "docs2")
+    docs.coalesce(1).write.parquet(d1)
+    docs.repartition(3).write.parquet(d2)  # same content, different layout
+    digests = []
+    for i, dpath in enumerate((d1, d2)):
+        out = str(tmp_path / f"out{i}")
+        r = subprocess.run(
+            [_sys.executable, "/root/repo/validate.py",
+             "--documents", dpath, "--out", out,
+             "--checksum", "--master", "local[2]"],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode in (0, 1), r.stderr[-2000:]
+        digests.append(set(map(tuple, duckdb.sql(
+            f"SELECT partition, n_rows, xor_hash, sum_hash "
+            f"FROM read_parquet('{out}/checksum/*.parquet')"
+        ).fetchall())))
+    assert digests[0] == digests[1]
+    assert {p for p, *_ in digests[0]} == {"p0", "p1"}

@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
              "or the exit code",
     )
     ap.add_argument(
+        "--checksum", action="store_true",
+        help="also write checksum/: per-partition order-insensitive content "
+             "digest (count + bit_xor + modular sum over canonical row hashes; "
+             "spans serialized via to_json) — a resumed or re-partitioned rerun "
+             "must reproduce it bit-for-bit",
+    )
+    ap.add_argument(
         "--check", action="append", default=[], metavar="ID:LEVEL:PREDICATE",
         help="user CHECK constraint, e.g. K1:span:'offset >= 0' — repeatable; "
              "LEVEL is doc|span; predicate is Spark SQL, NULL passes (ANSI CHECK). "
@@ -251,6 +258,22 @@ def main(argv: list[str] | None = None) -> int:
         media_cooccurrence(docs).write.mode("overwrite").parquet(
             f"{args.out}/media_cooccurrence"
         )
+
+    if args.checksum:
+        from pyspark.sql import functions as F
+
+        from zparse_spark.operators.checksum import table_checksum
+
+        # spans serialize through to_json so the digest covers the full
+        # interleaved content with checksum-portable (string) columns
+        flat = docs.select(
+            "partition",
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.to_json(F.col("spans")).alias("spans_json"),
+        )
+        table_checksum(flat, group_cols=["partition"]).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/checksum")
 
     if args.repair:
         from zparse_spark.operators.canonical import repair_documents
