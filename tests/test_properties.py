@@ -204,3 +204,69 @@ def test_funnel_depth_equals_brute_force(spark, stream):
     want = _brute_depth(stream)
     # users with no candidate events produce no row at all
     assert got.get(1, 0 if want == 0 else -1) == want
+
+
+_key_st = st.text(alphabet="abx0", min_size=0, max_size=5)
+
+
+@given(keys=st.lists(_key_st, min_size=2, max_size=9, unique=True))
+@_settings
+def test_edit_distance_join_equals_brute_force(spark, keys):
+    """Deletion-neighborhood candidates + levenshtein verify ≡ the
+    quadratic definition for ANY key set (tiny alphabet forces dense
+    near-collisions — the adversarial regime for candidate pruning)."""
+    import itertools
+
+    from zparse_spark.operators.editdist import bounded_edit_distance_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    rows = [(str(i), k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id string, k string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in bounded_edit_distance_join(df, "id", "k", k=1).collect()
+    }
+    want = {
+        (min(ia, ib), max(ia, ib), lev(ka, kb))
+        for (ia, ka), (ib, kb) in itertools.combinations(rows, 2)
+        if lev(ka, kb) <= 1
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.one_of(st.none(), st.text(alphabet="ab\x00\x01", max_size=3)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@_settings
+def test_table_checksum_invariant_under_permutation(spark, rows, seed):
+    """The digest is a pure function of the row MULTISET — any
+    permutation and any partitioning produce identical digests, and
+    the separator/sentinel framing survives adversarial cell contents
+    (cells containing the framing bytes themselves)."""
+    import random
+
+    from zparse_spark.operators.checksum import table_checksum
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = spark.createDataFrame(rows, "i int, s string")
+    b = spark.createDataFrame(shuffled, "i int, s string").repartition(3)
+    ra = table_checksum(a).collect()[0]
+    rb = table_checksum(b).collect()[0]
+    assert (ra.n_rows, ra.xor_hash, ra.sum_hash) == (rb.n_rows, rb.xor_hash, rb.sum_hash)

@@ -890,3 +890,57 @@ def test_cusum_matches_recursive_definition(spark):
     # the sustained shift alarms eventually; the stable prefix never does
     assert not out[dt.date(2024, 3, 5)].alarm
     assert out[dt.date(2024, 3, 20)].alarm
+
+
+def test_column_category_profile_hand_case(spark):
+    import math
+
+    from zparse_spark.operators.stats import column_category_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)],
+        "x string",
+    )
+    r = column_category_profile(df, ["x"]).collect()[0]
+    assert (r.column, r.n, r.n_distinct) == ("x", 10, 3)
+    assert r.gini_impurity == round(1 - (36 + 9 + 1) / 100, 9)
+    want_h = round(
+        math.log(10.0)
+        - (round(6 * math.log(6.0), 6) + round(3 * math.log(3.0), 6) + 0.0) / 10,
+        6,
+    )
+    assert r.entropy_nats == want_h
+    # degenerate single-value column: zero gini, zero entropy
+    one = spark.createDataFrame([("z",)] * 5, "x string")
+    r1 = column_category_profile(one, ["x"]).collect()[0]
+    assert r1.gini_impurity == 0.0 and r1.entropy_nats == 0.0
+
+
+def test_sketch_merge_equals_oneshot_estimate(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import (
+        sketch_distinct_by_group,
+        sketch_merge_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, f"v{i % 400}") for i in range(4000)], "g int, v string"
+    )
+    sk = sketch_distinct_by_group(df, "v", ["g"])
+    merged = sketch_merge_estimate(sk).collect()[0].estimate
+    oneshot = (
+        df.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("v").cast("string"), F.lit(14))
+            ).alias("e")
+        ).collect()[0].e
+    )
+    # merging per-group sketches must equal sketching the rows once
+    assert merged == oneshot
+    # and the estimate is within HLL tolerance of the exact 400
+    assert abs(merged - 400) / 400 < 0.05
+    # exact leg rides along per group
+    assert {r.g: r.n_exact for r in sk.collect()}[0] == len(
+        {f"v{i % 400}" for i in range(4000) if i % 7 == 0}
+    )

@@ -1438,3 +1438,102 @@ def key_gaps(
         "next_key",
         (F.col("next_key") - F.col("prev_key") - 1).alias("n_missing"),
     )
+
+
+def sketch_distinct_by_group(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    lg_k: int = 14,
+) -> DataFrame:
+    """Mergeable per-group distinct-count sketches (Apache DataSketches
+    HLL via Spark's hll_sketch_agg): returns group_cols +
+    [sketch (binary), n_exact (bigint)].
+
+    The sketch column is the POINT: at 10^12 rows the exact distinct is
+    a full shuffle of the key domain, but per-partition/per-day
+    sketches are a few KB each, persist in a manifest table, and merge
+    associatively — tomorrow's incremental load unions yesterday's
+    sketches without touching yesterday's rows. ``n_exact`` rides along
+    here for tolerance gating at test scale; production callers drop
+    it (it is the expensive leg).
+    """
+    aggs = [
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("sketch"),
+        F.count_distinct(F.col(col)).alias("n_exact"),
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def sketch_merge_estimate(sketches: DataFrame, group_cols: list[str] | None = None):
+    """Union per-group sketches (optionally regrouped coarser) and
+    estimate: group_cols + [estimate (bigint)]. Merging sketches from
+    disjoint loads is the incremental-cardinality contract —
+    estimate(union) ≡ estimate(one-shot) on the same rows."""
+    group_cols = list(group_cols or [])
+    agg = F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(agg)
+    return sketches.agg(agg)
+
+
+def column_category_profile(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-column categorical profile: (column, n, n_distinct,
+    gini_impurity, entropy_nats).
+
+    gini = 1 − Σc²/N² is computed from EXACT integer count sums —
+    bit-identical cross-engine (one IEEE division at the end). Entropy
+    needs ln: per-value terms c·ln(c) are rounded to 6 decimals before
+    the sum and the result rounded again (the engine's standard
+    portable-float contract, cf. bm25/tfidf).
+
+    Scale shape: one groupBy per column over (column literal, value) —
+    submitted as a UNION of per-column aggregates so Catalyst scans
+    once per column with map-side combine; the value-frequency tables
+    (the only shuffles) are vocabulary-sized, and the final per-column
+    reduce is rows=distinct values.
+    """
+    outs = []
+    for c in cols:
+        freq = (
+            df.select(F.col(c).cast("string").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        outs.append(
+            freq.agg(
+                F.lit(c).alias("column"),
+                F.sum("_c").alias("n"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                # Σc² accumulates in decimal so a 10^12-count value
+                # cannot overflow the long product; ONE double division
+                # at the end (decimal→double and long→double casts are
+                # nearest-even in both engines → bit-identical)
+                F.round(
+                    F.lit(1.0)
+                    - F.sum(
+                        (
+                            F.col("_c").cast("decimal(18,0)")
+                            * F.col("_c").cast("decimal(18,0)")
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / (F.sum("_c").cast("double") * F.sum("_c").cast("double")),
+                    9,
+                ).alias("gini_impurity"),
+                F.round(
+                    F.log(F.sum("_c").cast("double"))
+                    - F.sum(
+                        F.round(F.col("_c") * F.log(F.col("_c").cast("double")), 6)
+                    )
+                    / F.sum("_c"),
+                    6,
+                ).alias("entropy_nats"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

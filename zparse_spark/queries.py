@@ -5073,3 +5073,103 @@ def audit_parquet_footers(spark, sf_dir):
     from zparse_spark.sources.parquet_audit import parquet_footer_audit
 
     return parquet_footer_audit(spark, f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Categorical entropy/gini profile + mergeable HLL sketches (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def _entropy_leg_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS "column", sum(c) AS n, count(*) AS n_distinct,
+           round(1.0 - CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 9)
+             AS gini_impurity,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(round(c * ln(CAST(c AS DOUBLE)), 6))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+    FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c FROM {table}
+          WHERE {col} IS NOT NULL GROUP BY 1)
+    """
+
+
+@register(
+    "profile_category_entropy",
+    " UNION ALL ".join(
+        [
+            _entropy_leg_sql("documents", "lang"),
+            _entropy_leg_sql("documents", "source"),
+            _entropy_leg_sql("orders", "o_orderpriority"),
+            _entropy_leg_sql("orders", "o_orderstatus"),
+        ]
+    ),
+)
+def profile_category_entropy(spark, sf_dir):
+    """Categorical concentration profile for four columns across two
+    tables: gini impurity from EXACT integer count sums (decimal
+    accumulate, one double division — bit-identical cross-engine) and
+    Shannon entropy under the standard portable-float contract
+    (per-value terms rounded pre-sum). The shuffles are the
+    vocabulary-sized frequency tables; everything after is rows =
+    distinct values."""
+    from zparse_spark.operators.stats import column_category_profile
+
+    d = _t(spark, sf_dir, "documents")
+    o = _t(spark, sf_dir, "orders")
+    return column_category_profile(d, ["lang", "source"]).unionByName(
+        column_category_profile(o, ["o_orderpriority", "o_orderstatus"])
+    )
+
+
+@register(
+    "approx_distinct_sketch_merge",
+    """
+    SELECT CAST(source AS VARCHAR) AS source,
+           count(DISTINCT text) AS n_exact,
+           TRUE AS est_ok
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__all__', count(DISTINCT text), TRUE FROM documents
+    """,
+)
+def approx_distinct_sketch_merge(spark, sf_dir):
+    """Mergeable cardinality sketches (DataSketches HLL, lg_k=14):
+    per-source sketches estimate within 5% of the exact distinct, and
+    the GLOBAL estimate is produced by UNIONING the per-source sketches
+    — never re-touching the rows. That union is the 10^12-row
+    contract: per-partition/per-day sketches persist at a few KB and
+    tomorrow's load merges them associatively. The oracle carries the
+    exact counts and TRUE gates, so a green row means every estimate
+    (including the merged one) landed inside tolerance in Spark."""
+    from zparse_spark.operators.stats import (
+        sketch_distinct_by_group,
+        sketch_merge_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sk = sketch_distinct_by_group(d, "text", ["source"]).cache()
+    per = sk.select(
+        F.col("source").cast("string").alias("source"),
+        "n_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sketch").cast("double") - F.col("n_exact")
+            )
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("est_ok"),
+    )
+    merged = sketch_merge_estimate(sk).crossJoin(
+        d.agg(F.count_distinct("text").alias("n_exact"))
+    )
+    glob = merged.select(
+        F.lit("__all__").alias("source"),
+        "n_exact",
+        (
+            F.abs(F.col("estimate").cast("double") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("est_ok"),
+    )
+    return per.unionByName(glob)
