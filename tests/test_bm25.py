@@ -81,3 +81,36 @@ def test_empty_query_raises(corpus, spark):
     _, df = corpus
     with pytest.raises(ValueError):
         bm25_search(df, [])
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_hand_computed(spark):
+    from zparse_spark.functions.text import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    l2 = spark.createDataFrame([(3, 1), (4, 2), (1, 3)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse({"lex": l1, "dense": l2}).collect()}
+    assert round(1 / 61 + 1 / 63, 6) == out[1].rrf == out[3].rrf
+    assert out[2].rrf == round(1 / 62, 6)
+    assert out[4].rrf == round(1 / 62, 6)
+    # tie → id ascending, both for the top pair and the bottom pair
+    ranks = {d: out[d].fused_rank for d in out}
+    assert ranks == {1: 1, 3: 2, 2: 3, 4: 4}
+    # absent docs carry NULL system ranks
+    assert out[2].dense_rank is None and out[4].lex_rank is None
+
+
+def test_rrf_top_k_and_single_system(spark):
+    import pytest
+
+    from zparse_spark.functions.text import rrf_fuse
+
+    l1 = spark.createDataFrame([(i, i) for i in range(1, 9)], "doc_id long, rank int")
+    out = rrf_fuse({"only": l1}, top_k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    with pytest.raises(ValueError):
+        rrf_fuse({})

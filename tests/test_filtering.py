@@ -213,3 +213,86 @@ def test_shuffle_assign_deterministic_permutation(spark):
     # plan: no global sort — rank rides the shard hash partitioning
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_wor (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _wor_input(spark, n=400):
+    from pyspark.sql import functions as F
+
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 9) + 1).cast("long").alias("w"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+
+
+def test_wor_matches_reference_formula(spark):
+    """The selected set equals a brute-force pandas evaluation of the
+    exact same clock formula — pinning hash, normalizer, rounding and
+    tiebreak, not just 'some weighted sample'."""
+    import hashlib
+    import math
+
+    from zparse_spark.operators.filtering import weighted_sample_wor
+
+    df = _wor_input(spark)
+    got = sorted(
+        r.doc_id for r in weighted_sample_wor(df, 25, "w", "doc_id", seed=7).collect()
+    )
+    rows = [(r.doc_id, r.w) for r in df.collect()]
+    mx = float(max(w for _, w in rows))
+    clocks = []
+    for k, w in rows:
+        hv = int(hashlib.md5(f"{k}:7".encode()).hexdigest()[:8], 16)
+        u = (hv + 0.5) / 2**32
+        clocks.append((round((0.0 - math.log(u)) * mx / w, 6), k))
+    want = sorted(k for _, k in sorted(clocks)[:25])
+    assert got == want
+
+
+def test_wor_deterministic_and_seed_sensitive(spark):
+    from zparse_spark.operators.filtering import weighted_sample_wor
+
+    df = _wor_input(spark)
+    a = sorted(r.doc_id for r in weighted_sample_wor(df, 30, "w", seed=1).collect())
+    b = sorted(r.doc_id for r in weighted_sample_wor(df, 30, "w", seed=1).collect())
+    c = sorted(r.doc_id for r in weighted_sample_wor(df, 30, "w", seed=2).collect())
+    assert a == b
+    assert a != c
+
+
+def test_wor_strata_counts_and_weight_bias(spark):
+    from zparse_spark.operators.filtering import weighted_sample_wor
+
+    df = _wor_input(spark)
+    out = weighted_sample_wor(df, 40, "w", seed=5, strata_col="g")
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"a": 40, "b": 40}
+    # weight-proportional bias: across seeds, the mean weight of the
+    # selected set must sit clearly above the population mean (~5.0)
+    sel_w = []
+    for seed in range(6):
+        sel_w += [
+            r.w for r in weighted_sample_wor(df, 40, "w", seed=seed).collect()
+        ]
+    assert sum(sel_w) / len(sel_w) > 5.8
+
+
+def test_wor_excludes_nonpositive_weights_and_validates_n(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import weighted_sample_wor
+
+    df = _wor_input(spark).withColumn(
+        "w", F.when(F.col("doc_id") < 390, F.lit(0)).otherwise(F.col("w"))
+    )
+    out = weighted_sample_wor(df, 50, "w", seed=0)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert len(ids) == 10 and all(i >= 390 for i in ids)
+    with pytest.raises(ValueError):
+        weighted_sample_wor(df, 0, "w")

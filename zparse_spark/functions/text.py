@@ -883,3 +883,56 @@ def bm25_search(
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         F.col("_doc").alias(id_col), "rank", "score", "n_hit"
     )
+
+
+def rrf_fuse(
+    rankings: "dict[str, object]",
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_k: int = 10,
+):
+    """Reciprocal-rank fusion of N retrieval systems (Cormack/Clarke/
+    Buettcher's RRF): each system contributes ``1/(k + rank)`` for the
+    documents it ranked, absent documents contribute 0, and the fused
+    ordering is the rounded sum descending. RRF is the standard
+    score-free way to combine lexical (BM25) and dense (embedding)
+    retrieval — it needs only RANKS, so the incomparable score scales
+    of the two systems never meet.
+
+    ``rankings``: ordered dict name → DataFrame with (id_col, rank);
+    output carries ``{name}_rank`` per system (NULL = not retrieved),
+    ``rrf`` and ``fused_rank``.
+
+    Determinism contract: ranks are integers, each contribution is one
+    IEEE double division, and the fused sum adds contributions in dict
+    order — bit-identical on any engine — then rounds to 6 decimals;
+    ties break on id ascending (same discipline as bm25_search).
+
+    Scale shape: inputs are already top-k lists (bounded — k·systems
+    rows total), so the full-outer join chain, the sort, and the
+    trailing row_number window all run on bounded data; fusing never
+    touches the corpus."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused = None
+    for name, rdf in rankings.items():
+        side = rdf.select(
+            F.col(id_col), F.col("rank").cast("int").alias(f"{name}_rank")
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    contribs = [
+        F.coalesce(F.lit(1.0) / (F.lit(int(k)) + F.col(f"{n}_rank")), F.lit(0.0))
+        for n in rankings
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    ranked = (
+        fused.withColumn("rrf", F.round(score, 6))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return ranked.withColumn("fused_rank", F.row_number().over(w))

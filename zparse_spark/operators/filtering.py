@@ -535,3 +535,70 @@ def shuffle_assign(
         .withColumnRenamed("_shard", "shard")
         .drop("_order")
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme in its exponential-race form: every
+    row draws a clock ``t = -ln(u) / w`` (u uniform from the portable
+    md5 hash, w its positive weight) and the n smallest clocks win.
+    The winning SET has exactly the sequential weighted-WOR
+    distribution (each draw picks proportional to remaining weight),
+    which is what quality-weighted corpus subsampling wants: a doc with
+    2× the quality weight is 2× as likely to take any given slot, yet
+    no doc appears twice — ``upsample_by_weight`` solves the opposite
+    (with-replacement) problem.
+
+    Determinism contract: u = (md5-nibble(key:seed) + 0.5) / 2^32 is
+    strictly inside (0,1) (the +0.5 keeps ln finite at both edges), and
+    the clock is normalized by the GLOBAL max weight before rounding —
+    ``t = round((-ln u) * max_w / w, 6)`` — so t spans ~[1e-6, 22·max_w
+    /min_w] and a 6-decimal round absorbs any cross-engine libm ulp in
+    ln while never collapsing distinct clocks of the winners (winner
+    clocks are O(1); doubles there carry ~1e-16 ulp). Ties (possible
+    only through the rounding) break on key ascending, so the selected
+    set is a pure function of (data, seed) on any engine — the same
+    contract as hash_sample/assign_splits, and the property a resumable
+    or multi-engine pipeline needs.
+
+    Scale shape (100 TB): the weight normalizer is ONE one-row
+    aggregate (map-side combined max) cross-joined back as a broadcast;
+    the clock is a map-only projection; selection is the cap_per_group
+    rank discipline — per-stratum window when ``strata_col`` is given
+    (shuffle keyed on strata), else a global TakeOrdered(n) which Spark
+    executes as per-partition partial top-n + driver merge of n·tasks
+    rows, never a full sort. Rows with NULL or non-positive weight are
+    excluded by definition (they can never win a weighted draw).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    pos = df.filter(w.isNotNull() & (w > 0))
+    mx = pos.agg(F.max(w).cast("double").alias("__max_w"))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (hv + F.lit(0.5)) / F.lit(float(0x100000000))
+    t = F.round((F.lit(0.0) - F.log(u)) * F.col("__max_w") / w, 6)
+    clocked = pos.crossJoin(F.broadcast(mx)).withColumn("__t", t).drop("__max_w")
+    if strata_col is None:
+        out = clocked.orderBy(F.col("__t").asc(), F.col(key_col).asc()).limit(n)
+    else:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.col("__t").asc(), F.col(key_col).asc()
+        )
+        out = clocked.withColumn("__rk", F.row_number().over(win)).filter(
+            F.col("__rk") <= n
+        ).drop("__rk")
+    return out.withColumnRenamed("__t", "sample_clock")

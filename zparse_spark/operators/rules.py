@@ -623,6 +623,12 @@ def referential_violations(
     Output is exactly the single-phase anti-join's — the rewrite is an
     algebraic identity (anti-join distributes over the distinct because
     membership depends only on the key).
+
+    ``strategy='bloom'`` is 'distinct' plus an exact Bloom prune of the
+    catalog side first (see ``bloom_prune``): the giant catalog is cut
+    to ~the refs actually used before it ever reaches an exchange —
+    the shape for catalogs orders of magnitude wider than any one
+    table's ref domain (a global media store serving many corpora).
     """
     # GetArrayStructFields projections (spans.media_ref / spans.offset)
     # are visible to nested-schema pruning, so the parquet scan reads ONLY
@@ -648,6 +654,22 @@ def referential_violations(
         cat = F.broadcast(cat)
     elif strategy == "smj":
         cat = cat.hint("merge")
+    if strategy == "bloom":
+        # EXACT probe-side catalog pruning for the 10^9-row-catalog
+        # regime: build a Bloom bitmap over the DISTINCT refs actually
+        # used (one agg, ≤n_words rows), then drop catalog rows whose
+        # key misses it BEFORE any join — no false negatives means
+        # every catalog row that matches some ref survives, so the
+        # anti-join result is unchanged; what changes is that the
+        # catalog side of the exchange shrinks from |catalog| to
+        # ~|used refs| (+FP). The surviving two-phase below then runs
+        # on the pruned side. This is what Spark's runtime Bloom join
+        # would do for us if it fired for anti-joins (it does not).
+        distinct_refs = refs.select("media_ref").distinct()
+        cat = bloom_prune(
+            cat, "media_ref", bloom_bitmap(distinct_refs, "media_ref")
+        )
+        strategy = "distinct"
     if strategy == "distinct":
         dangling_set = refs.select("media_ref").distinct().join(
             cat, "media_ref", "left_anti"
@@ -683,6 +705,95 @@ def referential_violations(
         F.lit(None).cast("int").alias("col"),
         F.concat(F.lit("dangling media_ref: "), F.col("media_ref")).alias("message"),
     )
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, n_words: int = 4096, n_hashes: int = 5
+) -> DataFrame:
+    """Mergeable Bloom bitmap over a key column as a ≤``n_words``-row
+    table ``(word_idx int, word long)`` — 64 bits per word, ``n_hashes``
+    bits set per key via ``xxhash64(key, i)`` for i in 0..n_hashes-1
+    (the two-argument form hashes the (key, i) tuple, so the i-th probe
+    is an independent hash family member; both build and probe spell
+    the IDENTICAL SQL expression, so the bit positions agree by
+    construction).
+
+    Scale shape: ONE scan of the key set with a k-way explode, then a
+    groupBy(word_idx) + bit_or — map-side partial bit_or collapses each
+    task's contribution to ≤ n_words rows before the shuffle, so the
+    exchange carries at most n_words × tasks tiny rows no matter how
+    many keys went in. The result is a TABLE (not a driver value): it
+    merges across incremental builds with another bit_or, and it
+    broadcasts (n_words=4096 → 32 KB; even 2^22 words → 32 MB fits the
+    default broadcast budget) — the property ``bloom_prune`` rides."""
+    m = n_words * 64
+    probes = F.array(
+        *[
+            F.struct(
+                F.expr(
+                    f"CAST(pmod(xxhash64({key_col}, {i}), {m}) DIV 64 AS INT)"
+                ).alias("w"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pmod(xxhash64({key_col}, {i}), {m}) % 64 AS INT))"
+                ).alias("b"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        keys.select(F.explode(probes).alias("x"))
+        .select(F.col("x.w").alias("word_idx"), F.col("x.b").alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    n_words: int = 4096,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the set the bitmap was built
+    over — Bloom filters have NO false negatives, so every row whose key
+    IS in the set survives; false positives only cost bytes downstream.
+    This makes the prune EXACT for join work: filtering the non-probe
+    side of an equi/semi/anti join by a Bloom of the probe side's keys
+    never changes the join result (rows dropped here match nothing).
+
+    The probe is ``n_hashes`` broadcast hash joins of the ≤n_words-row
+    bitmap (word lookup) plus a codegen bit test — map-only, no shuffle
+    of ``df``, no driver collect, no Python. This is the engine-level
+    form of Spark's runtime row-level Bloom join (which does not fire
+    for anti-joins); n_words scales to the key cardinality (~10 bits/key
+    for ~1% FP at k=5) bounded only by the broadcast budget."""
+    m = n_words * 64
+    out = df
+    keep = F.lit(True)
+    tmp = []
+    for i in range(n_hashes):
+        wi, wv = f"__bloom_w{i}", f"__bloom_v{i}"
+        tmp += [wi, wv]
+        out = out.withColumn(
+            wi, F.expr(f"CAST(pmod(xxhash64({key_col}, {i}), {m}) DIV 64 AS INT)")
+        ).join(
+            F.broadcast(
+                bitmap.select(
+                    F.col("word_idx").alias(f"__bm_w{i}"),
+                    F.col("word").alias(wv),
+                )
+            ),
+            F.col(wi) == F.col(f"__bm_w{i}"),
+            "left",
+        ).drop(f"__bm_w{i}")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({key_col}, {i}), {m}) % 64 AS INT))"
+        )
+        keep = keep & F.col(wv).isNotNull() & (F.col(wv).bitwiseAND(mask) != 0)
+    return out.filter(keep).drop(*tmp)
 
 
 def media_payload_violations(

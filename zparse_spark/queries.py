@@ -5173,3 +5173,154 @@ def approx_distinct_sketch_merge(spark, sf_dir):
         ).alias("est_ok"),
     )
     return per.unionByName(glob)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (operators/filtering.py
+# weighted_sample_wor — Efraimidis–Spirakis A-ES, exponential-race form)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_sample_oracle_sql(n: int = 50, seed: int = 11) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, lang, n_chars,
+             ({hv} + 0.5) / 4294967296.0 AS u
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    m AS (
+      SELECT max(CAST(n_chars AS DOUBLE)) AS mx FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    clocked AS (
+      SELECT doc_id, lang, n_chars,
+             round((0.0 - ln(u)) * m.mx / CAST(n_chars AS DOUBLE), 6) AS sample_clock
+      FROM pos, m
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_clock ASC, doc_id ASC) AS rk
+      FROM clocked
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars, sample_clock
+    FROM r WHERE rk <= {n}
+    """
+
+
+@register("corpus_sample_weighted", _weighted_sample_oracle_sql())
+def corpus_sample_weighted(spark, sf_dir):
+    """Quality-weighted corpus subsampling WITHOUT replacement: 50 docs
+    per lang stratum, inclusion probability proportional to n_chars —
+    the A-ES exponential race (smallest -ln(u)/w clocks win). Pure
+    function of (doc_id, seed): re-runs, resumes, and the DuckDB twin
+    select the identical set. One map-only clock projection + the
+    cap_per_group rank discipline; the global max-weight normalizer
+    (which pins the 6-decimal rounding's dynamic range) is a one-row
+    broadcast. See weighted_sample_wor for the determinism contract."""
+    from zparse_spark.operators.filtering import weighted_sample_wor
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_wor(
+        d, n=50, weight_col="n_chars", key_col="doc_id", seed=11, strata_col="lang"
+    ).select("doc_id", "lang", "n_chars", "sample_clock")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense embedding
+# ranking (functions/text.py rrf_fuse)
+# ---------------------------------------------------------------------------
+
+
+_RRF_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id AS d,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    clean AS (SELECT d, token FROM toks WHERE token <> ''),
+    dl AS (SELECT d, count(*) AS dl FROM clean GROUP BY 1),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (SELECT d, token FROM clean
+             WHERE token IN {repr(_BM25_TERMS)}),
+    tf AS (SELECT d, token, count(*) AS tf FROM hits GROUP BY 1, 2),
+    docfreq AS (SELECT token, count(DISTINCT d) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT tf.d,
+             round(
+               ln(1.0 + (corpus.n - docfreq.df + 0.5) / (docfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl)),
+               6) AS contrib
+      FROM tf JOIN docfreq USING (token) JOIN dl USING (d) CROSS JOIN corpus
+    ),
+    per_doc AS (
+      SELECT d, round(sum(contrib), 6) AS score FROM scored GROUP BY d
+    ),
+    lexr AS (
+      SELECT d AS doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, d ASC) AS INT) AS lex_rank
+      FROM per_doc
+    ),
+    lex AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+    q1 AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+    dsc AS (
+      SELECT c.vec_id AS doc_id,
+             list_cosine_similarity(q1.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      FROM q1, embeddings c
+    ),
+    dr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS dense_rank
+      FROM dsc
+    ),
+    dense AS (SELECT doc_id, dense_rank FROM dr WHERE dense_rank <= 20),
+    fused AS (
+      SELECT doc_id, lex_rank, dense_rank,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN dense USING (doc_id)
+    ),
+    top AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT)
+               AS fused_rank
+      FROM fused
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf, fused_rank
+    FROM top WHERE fused_rank <= 10
+"""
+
+
+@register("corpus_search_hybrid_rrf", _RRF_ORACLE)
+def corpus_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval the way production RAG stacks fuse lexical and
+    dense: BM25 top-20 for the literal 3-term query over documents.text
+    PLUS exact-cosine top-20 around a probe embedding (the corpus' first
+    vector, embeddings.vec_id doubling as doc_id), combined with
+    reciprocal-rank fusion 1/(60+rank) — rank-only, so the incomparable
+    BM25/cosine score scales never meet. Both input lists are bounded
+    (top-20), so the fusion join, sort, and final row_number all run on
+    ≤40 rows; the corpus is touched exactly twice (the BM25 token pass,
+    the dense scan — each with its own oracled query already). Ranks are
+    integers and each contribution is one IEEE division, so the fused
+    scores are bit-identical on any engine (see rrf_fuse)."""
+    from zparse_spark.functions.text import bm25_search, rrf_fuse
+    from zparse_spark.operators.similarity import brute_force_topk
+
+    d = _t(spark, sf_dir, "documents")
+    lex = bm25_search(d, list(_BM25_TERMS), top_k=20).select("doc_id", "rank")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(e, q1, k=20).select(
+        F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lex, "dense": dense}, top_k=10).select(
+        "doc_id", "lex_rank", "dense_rank", "rrf", "fused_rank"
+    )

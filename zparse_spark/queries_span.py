@@ -253,6 +253,39 @@ def span_pack_referential_distinct(spark, sf_dir):
 
 
 @register(
+    "span_pack_referential_bloom",
+    f"""WITH{_SP_CTE}
+SELECT partition, doc_id, 'R1' AS rule_id, 'DanglingMediaRef' AS kind,
+       span_pos, off AS "offset", {_NULL_LC},
+       'dangling media_ref: ' || media_ref AS message
+FROM sp
+WHERE media_ref IS NOT NULL AND media_ref NOT IN (SELECT media_ref FROM cat)""",
+)
+def span_pack_referential_bloom(spark, sf_dir):
+    """R1 via strategy='bloom': the catalog is cut by an EXACT Bloom
+    prune (bitmap over the distinct refs actually used; no false
+    negatives ⇒ every matching catalog row survives ⇒ identical
+    anti-join output) BEFORE the two-phase distinct rewrite runs — the
+    shape for a global media store orders of magnitude wider than one
+    table's ref domain, where even the distinct-refs anti-join would
+    shuffle 10^9 catalog keys for nothing. The fixture's catalog is
+    inflated 50× with decoy refs no document uses, so a green row
+    proves the prune kept exactly the rows the oracle's plain NOT IN
+    (which never sees the decoys' absence) requires — and the pytest
+    grid asserts the decoys were in fact pruned, not carried."""
+    from zparse_spark.operators.rules import referential_violations
+
+    docs, cat = _pack_input(spark)
+    decoys = (
+        cat.sparkSession.range(0, 50 * 512)
+        .select(F.concat(F.lit("decoy://"), F.col("id").cast("string")).alias("media_ref"))
+    )
+    return referential_violations(
+        docs, cat.select("media_ref").unionByName(decoys), strategy="bloom"
+    )
+
+
+@register(
     "span_pack_media_kind_fd",
     f"""WITH{_SP_CTE},
 fdpairs AS (
