@@ -944,3 +944,49 @@ def test_sketch_merge_equals_oneshot_estimate(spark):
     assert {r.g: r.n_exact for r in sk.collect()}[0] == len(
         {f"v{i % 400}" for i in range(4000) if i % 7 == 0}
     )
+
+
+# ---------------------------------------------------------------------------
+# equidepth_bins
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_matches_numpy_and_partitions_rows(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import equidepth_bins
+
+    vals = [float(x) for x in range(1, 101)] + [50.0] * 25  # tie block
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.bin: r for r in equidepth_bins(df, "v", n_bins=4).collect()}
+    bs = np.percentile(np.array(vals), [25, 50, 75], method="linear")
+    want = {}
+    for v in vals:
+        b = int(sum(v > x for x in bs))
+        want[b] = want.get(b, 0) + 1
+    assert {b: r.n_rows for b, r in out.items()} == want
+    assert sum(r.n_rows for r in out.values()) == len(vals)
+    # boundary columns mirror the quantiles; open ends are NULL
+    assert out[0].lo is None and out[3].hi is None
+    assert out[1].lo == round(float(bs[0]), 6) and out[1].hi == round(float(bs[1]), 6)
+    # right-closed: a value equal to a boundary sits in the LOWER bin
+    assert out[max(want)].min_v > float(bs[-1])
+
+
+def test_equidepth_grouped_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import equidepth_bins
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = equidepth_bins(df, "v", n_bins=5, group_cols=["g"])
+    per = {(r.g, r.bin): r.n_rows for r in out.collect()}
+    # each group has 100 evenly spread values -> 5 exact bins of 20
+    assert all(n == 20 for n in per.values()) and len(per) == 15
+    with pytest.raises(ValueError):
+        equidepth_bins(df, "v", n_bins=1)

@@ -1537,3 +1537,88 @@ def column_category_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value: str,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile) binning without a global sort — the
+    feature-bucketization primitive (length deciles, price bands,
+    score calibration buckets) SQL usually spells NTILE. NTILE needs a
+    TOTAL ORDER of the table (a global range-partitioned sort at 100 TB)
+    and splits ties by arbitrary row index, so two runs can bin the
+    same value differently. Value-boundary bins instead: the interior
+    boundaries are the EXACT linearly-interpolated quantiles at
+    i/n_bins (``percentile`` ≡ DuckDB ``quantile_cont``, the X37/IQR
+    cross-engine contract), and a row's bin is the count of boundaries
+    strictly below its value — right-closed intervals, deterministic,
+    identical on any engine, and mergeable (two runs over disjoint data
+    with the same boundaries produce addable bin counts).
+
+    Scale shape: pass 1 is ONE percentile aggregate per group (the
+    per-group sort inside the agg is the price of exactness — swap in
+    percentile_approx for a mergeable sketch when groups are huge);
+    pass 2 broadcasts the one-row-per-group boundary table back and
+    assigns bins with n_bins−1 STATIC codegen comparisons (expanded at
+    plan build, no interpreted HOF lambda per row), then one
+    bin-keyed groupBy whose output is ≤ groups × n_bins rows.
+
+    Returns (group_cols…, bin, lo, hi, n_rows, min_v, max_v): lo/hi are
+    the enclosing boundaries rounded to 6 (NULL at the open ends);
+    NULL values are excluded (they have no quantile position).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    group_cols = group_cols or []
+    probs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    v = F.col(value).cast("double")
+    rows = df.filter(v.isNotNull()).select(
+        *group_cols, v.alias("_v")
+    )
+    bounds = rows.groupBy(*group_cols).agg(
+        F.expr(f"percentile(_v, array({probs}))").alias("_bs")
+    )
+    if group_cols:
+        br = F.broadcast(
+            bounds.select(
+                *[F.col(c).alias(f"_b_{c}") for c in group_cols], "_bs"
+            )
+        )
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+            cond = e if cond is None else (cond & e)
+        joined = rows.join(br, cond).drop(*[f"_b_{c}" for c in group_cols])
+    else:
+        joined = rows.crossJoin(F.broadcast(bounds))
+    bin_expr = None
+    for k in range(1, n_bins):
+        term = (F.col("_v") > F.element_at(F.col("_bs"), k)).cast("int")
+        bin_expr = term if bin_expr is None else (bin_expr + term)
+    binned = joined.withColumn("bin", bin_expr)
+    return (
+        binned.groupBy(*group_cols, "bin")
+        .agg(
+            F.first("_bs").alias("_bs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+        )
+        .select(
+            *group_cols,
+            "bin",
+            F.when(
+                F.col("bin") >= 1, F.round(F.element_at("_bs", F.col("bin")), 6)
+            ).alias("lo"),
+            F.when(
+                F.col("bin") <= n_bins - 2,
+                F.round(F.element_at("_bs", F.col("bin") + 1), 6),
+            ).alias("hi"),
+            "n_rows",
+            "min_v",
+            "max_v",
+        )
+    )

@@ -5324,3 +5324,52 @@ def corpus_search_hybrid_rrf(spark, sf_dir):
     return rrf_fuse({"lex": lex, "dense": dense}, top_k=10).select(
         "doc_id", "lex_rank", "dense_rank", "rrf", "fused_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (operators/stats.py equidepth_bins — NTILE semantics
+# from value boundaries, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def _equidepth_oracle_sql(n_bins: int = 10) -> str:
+    probs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    case_sum = " + ".join(
+        f"(CASE WHEN v > bs[{k}] THEN 1 ELSE 0 END)" for k in range(1, n_bins)
+    )
+    return f"""
+    WITH r AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    b AS (SELECT quantile_cont(v, [{probs}]) AS bs FROM r),
+    a AS (SELECT v, ({case_sum}) AS bin FROM r, b),
+    g AS (
+      SELECT bin, count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v
+      FROM a GROUP BY bin
+    )
+    SELECT g.bin,
+           CASE WHEN g.bin >= 1 THEN round(bs[g.bin], 6) END AS lo,
+           CASE WHEN g.bin <= {n_bins - 2} THEN round(bs[g.bin + 1], 6) END AS hi,
+           n_rows, min_v, max_v
+    FROM g, b
+    """
+
+
+@register("histogram_equidepth_extendedprice", _equidepth_oracle_sql())
+def histogram_equidepth_extendedprice(spark, sf_dir):
+    """Price deciles of lineitem.l_extendedprice as VALUE-boundary
+    equi-depth bins — what SQL spells NTILE(10), minus NTILE's global
+    range-sort and its arbitrary tie splitting. Boundaries are the
+    exact interpolated quantiles (one percentile aggregate, the
+    X37/IQR cross-engine contract); assignment is nine static codegen
+    comparisons against the broadcast boundary row; output is one
+    bin-keyed groupBy. Bin populations differ from n/10 exactly where
+    ties straddle a boundary — deterministically, identically in both
+    engines."""
+    from zparse_spark.operators.stats import equidepth_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equidepth_bins(li, "l_extendedprice", n_bins=10).withColumn(
+        "bin", F.col("bin").cast("int")
+    )
