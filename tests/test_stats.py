@@ -990,3 +990,26 @@ def test_equidepth_grouped_and_validation(spark):
     assert all(n == 20 for n in per.values()) and len(per) == 15
     with pytest.raises(ValueError):
         equidepth_bins(df, "v", n_bins=1)
+
+
+def test_length_histogram_buckets_and_edges(spark):
+    import pytest
+
+    from zparse_spark.operators.stats import length_histogram
+
+    rows = [("", "x"), ("a", None), ("ab", "yy"), ("abc", "yy"),
+            ("abcd", "zzzz"), ("a" * 17, "w")]
+    df = spark.createDataFrame(rows, "s string, t string")
+    out = {(r["column"], r.bucket): r for r in length_histogram(df, ["s", "t"]).collect()}
+    # s: lens 0,1 -> bucket 0; 2,3 -> 1; 4 -> 2; 17 -> 4
+    assert out[("s", 0)].n_rows == 2 and out[("s", 0)].min_len == 0
+    assert out[("s", 1)].n_rows == 2 and out[("s", 1)].max_len == 3
+    assert out[("s", 2)].n_rows == 1
+    assert out[("s", 4)].min_len == 17  # power-of-two edge: 16 <= 17 < 32
+    # t: NULL excluded; lens 1,1 -> bucket 0 (x, w); 2,2 -> 1; 4 -> 2
+    assert out[("t", 0)].n_rows == 2
+    assert out[("t", 1)].n_rows == 2
+    assert out[("t", 2)].n_rows == 1
+    assert sum(r.n_rows for k, r in out.items() if k[0] == "t") == 5
+    with pytest.raises(ValueError):
+        length_histogram(df, [])

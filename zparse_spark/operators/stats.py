@@ -1622,3 +1622,46 @@ def equidepth_bins(
             "max_v",
         )
     )
+
+
+def length_histogram(
+    df: DataFrame, cols: list[str], max_pow: int = 20
+) -> DataFrame:
+    """Per-column string-length histogram on power-of-two buckets —
+    the north-star's per-column "length histograms" as a first-class
+    operator: bucket k holds lengths in [2^k, 2^(k+1)) (bucket 0 is
+    [0, 2)), the standard log-scaled shape for text columns whose
+    lengths span five orders of magnitude, where fixed-width bins
+    would put 99% of documents in one bin.
+
+    Integer-exact by construction: the bucket is a CASE ladder of
+    ``len >= 2^k`` comparisons against LITERAL powers of two — never
+    floor(log2(x)), whose float rounding at exact powers of two can
+    differ across engines. NULL values are excluded (a null has no
+    length); empty strings land in bucket 0.
+
+    Scale shape: ONE scan reshapes all columns to (column, len) rows
+    via stack (a generator, but emitting two small ints per column —
+    no text bytes survive past the length() call in the same stage),
+    then ONE groupBy whose output is bounded by cols × (max_pow+1)
+    rows with map-side combine. No Python, no sort, no second scan.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stack_expr = ", ".join(f"'{c}', length(`{c}`)" for c in cols)
+    lens = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, len)"
+    ).filter(F.col("len").isNotNull())
+    bucket = None
+    for k in range(1, max_pow + 1):
+        term = (F.col("len") >= F.lit(2**k)).cast("int")
+        bucket = term if bucket is None else (bucket + term)
+    return (
+        lens.withColumn("bucket", bucket)
+        .groupBy("column", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("len").cast("int").alias("min_len"),
+            F.max("len").cast("int").alias("max_len"),
+        )
+    )

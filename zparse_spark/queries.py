@@ -5373,3 +5373,44 @@ def histogram_equidepth_extendedprice(spark, sf_dir):
     return equidepth_bins(li, "l_extendedprice", n_bins=10).withColumn(
         "bin", F.col("bin").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-column length histograms (operators/stats.py length_histogram)
+# ---------------------------------------------------------------------------
+
+
+def _length_hist_oracle_sql(cols=("text", "lang", "source"), max_pow: int = 20) -> str:
+    case_sum = " + ".join(
+        f"(CASE WHEN len >= {2**k} THEN 1 ELSE 0 END)" for k in range(1, max_pow + 1)
+    )
+    legs = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", length({c}) AS len FROM documents "
+        f"WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    return f"""
+    WITH lens AS ({legs})
+    SELECT "column", ({case_sum}) AS bucket,
+           count(*) AS n_rows,
+           CAST(min(len) AS INT) AS min_len,
+           CAST(max(len) AS INT) AS max_len
+    FROM lens GROUP BY 1, 2
+    """
+
+
+@register("profile_length_histograms", _length_hist_oracle_sql())
+def profile_length_histograms(spark, sf_dir):
+    """Log-scaled length histograms for the three string columns of
+    documents in ONE scan + ONE bounded groupBy — the per-column
+    "length histogram" of the north-star's stats list, engine-portable
+    because the bucket is a ladder of integer comparisons against
+    literal powers of two (never floor(log2): its float rounding at
+    exact powers of two is engine-dependent). Text bytes die inside
+    the scan stage — only (column, len) pairs reach the exchange."""
+    from zparse_spark.operators.stats import length_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return length_histogram(d, ["text", "lang", "source"]).withColumn(
+        "bucket", F.col("bucket").cast("int")
+    )
