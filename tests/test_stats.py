@@ -1013,3 +1013,29 @@ def test_length_histogram_buckets_and_edges(spark):
     assert sum(r.n_rows for k, r in out.items() if k[0] == "t") == 5
     with pytest.raises(ValueError):
         length_histogram(df, [])
+
+
+def test_pattern_profile_signatures_and_truncation(spark):
+    import pytest
+
+    from zparse_spark.operators.stats import pattern_profile
+
+    rows = [
+        ("A-12", "x" * 40),
+        ("B-34", "short"),
+        ("C-56", None),
+        ("dd",   "short"),
+    ]
+    df = spark.createDataFrame(rows, "id string, t string")
+    out = {(r["column"], r.signature): r for r in pattern_profile(df, ["id", "t"]).collect()}
+    assert out[("id", "A-99")].n_rows == 3
+    assert out[("id", "A-99")].example == "A-12"  # min, not arbitrary
+    assert out[("id", "aa")].n_rows == 1
+    # >16 chars truncates with the marker; NULL is its own signature
+    assert ("t", "a" * 16 + "…") in out
+    assert out[("t", "<null>")].n_rows == 1
+    assert out[("t", "aaaaa")].n_rows == 2
+    # ranks: per-column, count desc then signature asc
+    assert out[("id", "A-99")].rank == 1 and out[("t", "aaaaa")].rank == 1
+    with pytest.raises(ValueError):
+        pattern_profile(df, [])

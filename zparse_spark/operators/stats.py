@@ -1665,3 +1665,68 @@ def length_histogram(
             F.max("len").cast("int").alias("max_len"),
         )
     )
+
+
+def pattern_profile(
+    df: DataFrame,
+    cols: list[str],
+    top_n: int = 10,
+    max_sig_len: int = 16,
+) -> DataFrame:
+    """Per-column value-PATTERN profile — the format-discovery half of
+    a data profiler (Deequ/DataCleaner lineage): every value is mapped
+    to its character-class signature (digits→``9``, uppercase→``A``,
+    lowercase→``a``, everything else kept literally), truncated to
+    ``max_sig_len`` chars with a ``…`` marker, and the top-``top_n``
+    signatures per column are reported with counts and one example.
+    'o_orderpriority looks like ``9-AAAA`` in 99.9% of rows' is how
+    format regressions (a new ID scheme, a locale-formatted number
+    column) surface before any typed rule exists — and the output is
+    exactly the evidence a CHECK-constraint suggestion (X103) needs to
+    propose a LIKE/regexp rule.
+
+    Engine-portable: the signature is three chained ``regexp_replace``
+    calls with single-character classes (identical RE2/PCRE semantics),
+    a substring, and a concat — deterministic string ops; the example
+    is the MIN value per (column, signature), not an arbitrary first().
+
+    Scale shape: map-only signature projection via one stack() reshape
+    (text bytes die in the scan stage — only ≤max_sig_len signatures
+    reach the exchange), ONE groupBy(column, signature) with map-side
+    combine, then the cap_per_group rank discipline on the
+    signature-frequency table (vocabulary-sized, never the corpus) for
+    top-n. NULLs are profiled as their own ``<null>`` signature row —
+    a format profile that silently drops nulls misreports the column.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    vals = df.selectExpr(f"stack({len(cols)}, {stack_expr}) as (column, v)")
+    sig_raw = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("v"), "[0-9]", "9"), "[A-Z]", "A"
+        ),
+        "[a-z]",
+        "a",
+    )
+    sig = F.when(F.col("v").isNull(), F.lit("<null>")).otherwise(
+        F.when(
+            F.length(sig_raw) > max_sig_len,
+            F.concat(F.substring(sig_raw, 1, max_sig_len), F.lit("…")),
+        ).otherwise(sig_raw)
+    )
+    freq = (
+        vals.select("column", sig.alias("signature"), "v")
+        .groupBy("column", "signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("example"),
+        )
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_rows").desc(), F.col("signature").asc()
+    )
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )

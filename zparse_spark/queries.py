@@ -5414,3 +5414,60 @@ def profile_length_histograms(spark, sf_dir):
     return length_histogram(d, ["text", "lang", "source"]).withColumn(
         "bucket", F.col("bucket").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-pattern profiling (operators/stats.py pattern_profile)
+# ---------------------------------------------------------------------------
+
+
+def _pattern_profile_oracle_sql(
+    cols=("lang", "source", "text"),
+    top_n: int = 10,
+    max_sig_len: int = 16,
+) -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", {c} AS v FROM documents" for c in cols
+    )
+    s = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        "v, '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g')"
+    )
+    return f"""
+    WITH vals AS ({legs}),
+    sigs AS (
+      SELECT "column",
+             CASE WHEN v IS NULL THEN '<null>'
+                  WHEN length({s}) > {max_sig_len}
+                    THEN substring({s}, 1, {max_sig_len}) || '…'
+                  ELSE {s} END AS signature,
+             v
+      FROM vals
+    ),
+    freq AS (
+      SELECT "column", signature, count(*) AS n_rows, min(v) AS example
+      FROM sigs GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY "column" ORDER BY n_rows DESC, signature ASC) AS INT) AS rank
+      FROM freq
+    )
+    SELECT "column", signature, n_rows, example, rank FROM r WHERE rank <= {top_n}
+    """
+
+
+@register("profile_value_patterns", _pattern_profile_oracle_sql())
+def profile_value_patterns(spark, sf_dir):
+    """Top-10 character-class signatures for the three string columns
+    of documents — 'lang is ``aa`` everywhere, source is ``aaa-9``' —
+    the format-discovery profile that catches
+    ID-scheme and locale regressions before any typed rule exists.
+    One map-only signature projection (three chained single-class
+    regexp_replace calls, identical RE2 semantics in DuckDB with the
+    'g' flag), one vocabulary-bounded groupBy, rank-per-column top-n;
+    the example is min(v), never an arbitrary first."""
+    from zparse_spark.operators.stats import pattern_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return pattern_profile(d, ["lang", "source", "text"])
