@@ -555,3 +555,33 @@ def test_drift_scores_empty_partition_no_crash(spark):
     import math
 
     assert math.isfinite(out["pempty"].psi) and math.isfinite(out["pempty"].kl)
+
+
+def test_conditional_fd_scopes_to_condition(spark):
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.rules import (
+        conditional_fd_violations,
+        functional_dependency_violations,
+    )
+
+    rows = [
+        # scope in ("a" rows): k1 has 2 variants, k2 has 1
+        ("a", "k1", "x"), ("a", "k1", "y"), ("a", "k2", "x"),
+        # out-of-scope rows would add a THIRD k1 variant and violate k2
+        ("b", "k1", "z"), ("b", "k2", "y"),
+        # NULL condition column -> outside the scope, like SQL WHERE
+        (None, "k1", "w"),
+    ]
+    df = spark.createDataFrame(rows, "scope string, x string, y string")
+    out = {r.x: r for r in conditional_fd_violations(
+        df, F.col("scope") == "a", "x", "y").collect()}
+    assert set(out) == {"k1"}
+    assert out["k1"].n_variants == 2 and out["k1"].variants == "x,y"
+    # the same check unscoped sees all variants — CFD is a real refinement
+    glob = {r.x: r for r in functional_dependency_violations(df, "x", "y").collect()}
+    assert glob["k1"].n_variants == 4 and glob["k2"].n_variants == 2
+    # SQL-string condition spelling is equivalent
+    out2 = {r.x: r.n_variants for r in conditional_fd_violations(
+        df, "scope = 'a'", "x", "y").collect()}
+    assert out2 == {"k1": 2}

@@ -1032,6 +1032,36 @@ def functional_dependency_violations(
     return counts.join(examples, xs).select(*xs, "n_variants", "variants")
 
 
+def conditional_fd_violations(
+    df: DataFrame,
+    condition,
+    determinant: str | list[str],
+    dependent: str,
+    max_examples: int = 8,
+) -> DataFrame:
+    """Conditional functional dependency (Bohannon et al.'s CFD — the
+    standard strengthening of X31's FD in the data-quality literature):
+    X → Y must hold only on the rows satisfying ``condition``. The real
+    catalogs FDs describe are usually conditional — "within source
+    'wiki', every domain has one license tag" holds where the global
+    domain → license FD is legitimately violated by other sources —
+    so a global FD either misses the rule (never checked) or drowns in
+    false positives (checked everywhere). ``condition`` is a Column or
+    SQL boolean string.
+
+    Semantics: exactly ``functional_dependency_violations`` on
+    σ_condition(df) — rows where the condition is NULL are outside the
+    scope, matching SQL WHERE. The filter lands BEFORE the distinct-
+    pair shuffle, so the only full-data cost is the (pushed-down)
+    predicate scan: at 100 TB a selective condition makes the CFD
+    strictly cheaper than the global FD it refines.
+    """
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    return functional_dependency_violations(
+        df.filter(pred), determinant, dependent, max_examples
+    )
+
+
 def media_kind_consistency_violations(
     docs: DataFrame, max_examples: int = 4
 ) -> DataFrame:

@@ -5471,3 +5471,48 @@ def profile_value_patterns(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return pattern_profile(d, ["lang", "source", "text"])
+
+
+# ---------------------------------------------------------------------------
+# Conditional functional dependency (operators/rules.py
+# conditional_fd_violations — CFD, the scoped strengthening of X31)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fd_conditional_long_docs",
+    """
+    WITH scoped AS (
+      SELECT source, lang FROM documents WHERE n_chars >= 400
+    ),
+    pairs AS (
+      SELECT DISTINCT source, lang FROM scoped
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, count(*) AS n_variants FROM pairs
+      GROUP BY source HAVING count(*) > 1
+    ),
+    ranked AS (
+      SELECT source, lang,
+             row_number() OVER (PARTITION BY source ORDER BY lang) AS rk
+      FROM pairs
+    )
+    SELECT c.source, c.n_variants,
+           string_agg(r.lang, ',' ORDER BY r.lang) AS variants
+    FROM counts c JOIN ranked r ON r.source = c.source AND r.rk <= 8
+    GROUP BY c.source, c.n_variants
+    """,
+)
+def fd_conditional_long_docs(spark, sf_dir):
+    """CFD: within long documents (n_chars >= 400) each source must
+    carry one lang — the scoped form of X31's source → lang FD, the
+    shape real catalog rules take ("within source 'wiki', domain
+    determines license"). The condition filters BEFORE the distinct-
+    pair shuffle (predicate pushes to the scan), so the refinement is
+    strictly cheaper than the global FD; everything downstream is the
+    X31 machinery verbatim — bounded examples, no per-key state."""
+    from zparse_spark.operators.rules import conditional_fd_violations
+
+    d = _t(spark, sf_dir, "documents")
+    return conditional_fd_violations(d, "n_chars >= 400", "source", "lang")
