@@ -1039,3 +1039,25 @@ def test_pattern_profile_signatures_and_truncation(spark):
     assert out[("id", "A-99")].rank == 1 and out[("t", "aaaaa")].rank == 1
     with pytest.raises(ValueError):
         pattern_profile(df, [])
+
+
+def test_join_cardinality_profile_exact(spark):
+    from zparse_spark.operators.stats import join_cardinality_profile
+
+    l = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), (None,)], "k string"
+    )
+    r = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("d",), (None,)], "k string"
+    )
+    rows = join_cardinality_profile(l, "k", r, "k", top_n=5).collect()
+    by_key = {x.key: x for x in rows if x.kind == "key"}
+    total = next(x for x in rows if x.kind == "total")
+    # exact contributions: a -> 3*2=6, b -> 1*1=1; c/d unmatched; NULL never
+    assert by_key["a"].n_pairs == 6 and by_key["a"].rank == 1
+    assert by_key["b"].n_pairs == 1 and by_key["b"].rank == 2
+    assert set(by_key) == {"a", "b"}
+    assert total.n_pairs == 7  # == actual inner-join row count
+    assert total.n_left == 2  # matched distinct keys
+    actual = l.filter("k is not null").join(r, "k").count()
+    assert total.n_pairs == actual

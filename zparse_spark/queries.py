@@ -5516,3 +5516,49 @@ def fd_conditional_long_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return conditional_fd_violations(d, "n_chars >= 400", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality profiling (operators/stats.py join_cardinality_profile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_join_cardinality",
+    """
+    WITH cl AS (
+      SELECT o_custkey AS key, count(*) AS n_left FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    cr AS (
+      SELECT c_custkey AS key, count(*) AS n_right FROM customer
+      WHERE c_custkey IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT cl.key, n_left, n_right, n_left * n_right AS n_pairs
+      FROM cl JOIN cr USING (key)
+    ),
+    top AS (
+      SELECT 'key' AS kind, CAST(key AS VARCHAR) AS key, n_left, n_right,
+             n_pairs,
+             CAST(row_number() OVER (ORDER BY n_pairs DESC, key ASC) AS INT) AS rank
+      FROM pairs
+    )
+    SELECT kind, key, n_left, n_right, n_pairs, rank FROM top WHERE rank <= 10
+    UNION ALL
+    SELECT 'total', NULL, count(*), count(*), sum(n_pairs), NULL FROM pairs
+    """,
+)
+def profile_join_cardinality(spark, sf_dir):
+    """Exact predicted cardinality + hot keys of orders ⋈ customer on
+    custkey WITHOUT executing the join: two key histograms (shuffle =
+    distinct keys, not rows), a histogram-sized equi-join, TakeOrdered
+    top-10 contributors and the one-row total a GO/NO-GO gate reads.
+    The measurement behind every broadcast/salt/skew-split decision —
+    and exact, because sampling misses exactly the hot keys that blow
+    up production joins."""
+    from zparse_spark.operators.stats import join_cardinality_profile
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return join_cardinality_profile(o, "o_custkey", c, "c_custkey")
