@@ -585,3 +585,58 @@ def test_conditional_fd_scopes_to_condition(spark):
     out2 = {r.x: r.n_variants for r in conditional_fd_violations(
         df, "scope = 'a'", "x", "y").collect()}
     assert out2 == {"k1": 2}
+
+
+def test_asof_referential_violation_classes(spark):
+    import datetime as dt
+
+    from zparse_spark.operators.rules import asof_referential_violations
+
+    d = dt.date
+    dim = spark.createDataFrame(
+        [
+            # k=good: contiguous v1/v2, v2 open-ended
+            ("good", d(2020, 1, 1), d(2021, 1, 1)),
+            ("good", d(2021, 1, 1), None),
+            # k=gap: hole in all of 2021
+            ("gap", d(2020, 1, 1), d(2021, 1, 1)),
+            ("gap", d(2022, 1, 1), None),
+            # k=ovl: second version starts before the first ends
+            ("ovl", d(2020, 1, 1), d(2021, 1, 1)),
+            ("ovl", d(2020, 12, 1), None),
+        ],
+        "k string, valid_from date, valid_to date",
+    )
+    fact = spark.createDataFrame(
+        [
+            ("good", d(2020, 6, 1)),
+            ("good", d(2021, 1, 1)),   # boundary: half-open -> v2 only
+            ("gap", d(2021, 6, 1)),    # in the hole
+            ("gap", d(2021, 6, 1)),    # duplicate fact -> n_facts=2
+            ("ovl", d(2020, 12, 15)),  # covered twice
+            ("missing", d(2020, 6, 1)),
+            (None, d(2020, 6, 1)),     # NULL key out of scope
+            ("good", None),            # NULL ts out of scope
+        ],
+        "k string, ts date",
+    )
+    out = {
+        (r.key, r.ts): r
+        for r in asof_referential_violations(
+            fact, "k", "ts", dim, "k"
+        ).collect()
+    }
+    assert set(out) == {
+        ("gap", d(2021, 6, 1)),
+        ("ovl", d(2020, 12, 15)),
+        ("missing", d(2020, 6, 1)),
+    }
+    g = out[("gap", d(2021, 6, 1))]
+    assert g.violation == "no_valid_version" and g.n_facts == 2 and g.n_versions == 0
+    o = out[("ovl", d(2020, 12, 15))]
+    assert o.violation == "ambiguous_version" and o.n_versions == 2
+    m = out[("missing", d(2020, 6, 1))]
+    assert m.violation == "unmatched_key" and m.n_versions == 0
+    # clean resolutions (incl. the half-open boundary) emit nothing
+    with __import__("pytest").raises(ValueError):
+        asof_referential_violations(fact, "k", "ts", dim, "k", strategy="nope")

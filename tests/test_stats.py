@@ -1061,3 +1061,35 @@ def test_join_cardinality_profile_exact(spark):
     assert total.n_left == 2  # matched distinct keys
     actual = l.filter("k is not null").join(r, "k").count()
     assert total.n_pairs == actual
+
+
+def test_sampled_audit_wilson_bounds(spark):
+    import math
+
+    import pytest
+
+    from zparse_spark.operators.stats import sampled_audit
+
+    rows = [(i, "p1" if i % 2 == 0 else "p2", i % 5 == 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, part string, bad boolean")
+    out = {r.partition: r for r in sampled_audit(
+        df, "part", F.col("bad"), fraction=1.0, key_col="doc_id"
+    ).collect()}
+    # fraction=1.0 keeps every row: exact counts, Wilson vs hand formula
+    r = out["p1"]
+    assert r.n_sampled == 200 and r.n_violations == 40
+    p, n, z = 40 / 200, 200.0, 1.96
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert r.p_hat == round(p, 6)
+    assert r.wilson_lo == round(max(0.0, center - half), 6)
+    assert r.wilson_hi == round(min(1.0, center + half), 6)
+    assert 0.0 <= r.wilson_lo < p < r.wilson_hi <= 1.0
+    # deterministic subsample: same fraction+seed -> identical selection
+    a = sampled_audit(df, "part", "bad", 0.3, key_col="doc_id", seed=1).collect()
+    b = sampled_audit(df, "part", "bad", 0.3, key_col="doc_id", seed=1).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert sum(x.n_sampled for x in a) < 400
+    with pytest.raises(ValueError):
+        sampled_audit(df, "part", "bad", 0.0)

@@ -1573,3 +1573,98 @@ def cross_table_check_violations(
         (detail if detail is not None else F.lit(None).cast("string")).alias("detail"),
     )
     return out
+
+
+def asof_referential_violations(
+    fact: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim: DataFrame,
+    dim_key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Temporal (SCD2) referential integrity: every fact row must
+    resolve to EXACTLY ONE dimension version whose half-open validity
+    window ``[valid_from, valid_to)`` covers the fact's timestamp
+    (``valid_to IS NULL`` = open-ended current version). Plain R1
+    answers "does the key exist"; at web scale catalogs are versioned,
+    and the three corruptions R1 cannot see are exactly the classes
+    this emits:
+
+    - ``unmatched_key`` — the key has no dimension rows at all;
+    - ``no_valid_version`` — the key exists but no version covers the
+      timestamp (a validity GAP: versions were retired or loaded with
+      holes);
+    - ``ambiguous_version`` — more than one version covers it (window
+      OVERLAP: the exactly-once resolution every as-of join silently
+      assumes is broken, and picking "the" version is load-order luck).
+
+    Facts with a NULL key or NULL timestamp are out of scope (they
+    belong to not-null checks, mirroring how SQL joins treat NULL keys)
+    — documented, not silent: they simply cannot match any window.
+
+    Output: one row per violating DISTINCT (key, ts) pair —
+    ``(key:string, ts, n_facts, n_versions, violation)`` where
+    ``n_facts`` is how many fact rows share the pair and ``n_versions``
+    how many windows covered it (0 for gaps, ≥2 for overlaps).
+
+    Scale shape (100 TB facts, versioned catalog): the fact side is
+    first reduced to DISTINCT (key, ts) with a map-side-combined count
+    — the only fact-sized shuffle, and it's the same reduction an as-of
+    join would pay. The dimension joins that reduced table on the key
+    equi-condition with the window predicate evaluated in codegen;
+    ``strategy='broadcast'`` (default — catalogs are small next to
+    facts) makes the whole check exchange-free past the reduction,
+    ``'smj'`` hints sort-merge for a dimension too big to ship.
+    Per-pair version counting is a second groupBy on the already
+    distinct-pair-sized table. Reference parity: generalizes the R1
+    dangling-ref contract (convert.rs media_ref lookups) to versioned
+    catalogs; exactly-once resolution mirrors the parser's duplicate-key
+    rejection (toml/parser.rs:88-122) lifted to time windows.
+    """
+    if strategy not in ("broadcast", "smj"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    pairs = (
+        fact.select(
+            F.col(fact_key).cast("string").alias("key"),
+            F.col(fact_ts).alias("ts"),
+        )
+        .filter(F.col("key").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("key", "ts")
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+    )
+    d = dim.select(
+        F.col(dim_key).cast("string").alias("key"),
+        F.col(valid_from).alias("_vf"),
+        F.col(valid_to).alias("_vt"),
+    )
+    if strategy == "broadcast":
+        d = F.broadcast(d)
+    else:
+        d = d.hint("merge")
+    covers = (F.col("_vf") <= F.col("ts")) & (
+        F.col("_vt").isNull() | (F.col("ts") < F.col("_vt"))
+    )
+    joined = pairs.join(d, "key", "left")
+    resolved = joined.groupBy("key", "ts", "n_facts").agg(
+        F.max(F.col("_vf").isNotNull().cast("int")).alias("_key_exists"),
+        F.sum(covers.cast("int")).alias("_n_cover"),
+    )
+    return (
+        resolved.withColumn(
+            "violation",
+            F.when(F.col("_key_exists") == 0, F.lit("unmatched_key"))
+            .when(F.coalesce(F.col("_n_cover"), F.lit(0)) == 0, F.lit("no_valid_version"))
+            .when(F.col("_n_cover") > 1, F.lit("ambiguous_version")),
+        )
+        .filter(F.col("violation").isNotNull())
+        .select(
+            "key",
+            "ts",
+            "n_facts",
+            F.coalesce(F.col("_n_cover"), F.lit(0)).cast("bigint").alias("n_versions"),
+            "violation",
+        )
+    )

@@ -5562,3 +5562,167 @@ def profile_join_cardinality(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return join_cardinality_profile(o, "o_custkey", c, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Temporal (SCD2) referential integrity (operators/rules.py
+# asof_referential_violations) and audit-by-sampling with Wilson bounds
+# (operators/stats.py sampled_audit)
+# ---------------------------------------------------------------------------
+
+
+_ASOF_REF_SQL = """
+    WITH base AS (
+      SELECT s_suppkey AS k,
+             DATE '1994-01-01' + CAST((s_suppkey * 37) % 700 AS INTEGER) AS b1
+      FROM supplier WHERE s_suppkey % 13 <> 5
+    ),
+    base2 AS (
+      SELECT k, b1, b1 + CAST(400 + (k * 13) % 300 AS INTEGER) AS b2 FROM base
+    ),
+    dim AS (
+      SELECT k, DATE '1992-01-01' AS vf, b1 AS vt FROM base2
+      UNION ALL
+      SELECT k, b1 - CAST(CASE WHEN k % 11 = 3 THEN 30 ELSE 0 END AS INTEGER), b2
+      FROM base2 WHERE k % 7 <> 0
+      UNION ALL
+      SELECT k, b2, NULL FROM base2
+    ),
+    pairs AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, l_shipdate AS ts,
+             count(*) AS n_facts
+      FROM lineitem
+      WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    resolved AS (
+      SELECT p.key, p.ts, p.n_facts,
+             max(CASE WHEN d.vf IS NOT NULL THEN 1 ELSE 0 END) AS key_exists,
+             coalesce(sum(CASE WHEN d.vf <= p.ts
+                                AND (d.vt IS NULL OR p.ts < d.vt)
+                           THEN 1 ELSE 0 END), 0) AS n_cover
+      FROM pairs p LEFT JOIN dim d ON CAST(d.k AS VARCHAR) = p.key
+      GROUP BY 1, 2, 3
+    )
+    SELECT key, ts, n_facts, CAST(n_cover AS BIGINT) AS n_versions,
+           CASE WHEN key_exists = 0 THEN 'unmatched_key'
+                WHEN n_cover = 0 THEN 'no_valid_version'
+                ELSE 'ambiguous_version' END AS violation
+    FROM resolved
+    WHERE key_exists = 0 OR n_cover <> 1
+"""
+
+
+@register("referential_asof_supplier_versions", _ASOF_REF_SQL)
+def referential_asof_supplier_versions(spark, sf_dir):
+    """SCD2 referential integrity of lineitem (l_suppkey, l_shipdate)
+    against a deterministically versioned supplier dimension (pure
+    function of s_suppkey, built identically by the DuckDB twin):
+    every shipment must resolve to EXACTLY ONE validity window. The
+    dimension plants all three corruption classes — keys with no rows
+    (k%13=5 → unmatched_key), a retired middle version (k%7=0 →
+    no_valid_version gaps), and a version loaded 30 days early (k%11=3
+    → ambiguous_version overlaps). Fact side reduces to distinct
+    (key, ts) pairs first — the only fact-sized shuffle — then a
+    broadcast key-equi join with the window predicate in codegen."""
+    from zparse_spark.operators.rules import asof_referential_violations
+
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("k"))
+        .filter((F.col("k") % 13) != 5)
+    )
+    b = s.select(
+        "k",
+        F.date_add(
+            F.to_date(F.lit("1994-01-01")), ((F.col("k") * 37) % 700).cast("int")
+        ).alias("b1"),
+    ).withColumn(
+        "b2",
+        F.date_add(F.col("b1"), (F.lit(400) + (F.col("k") * 13) % 300).cast("int")),
+    )
+    v1 = b.select(
+        "k",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.col("b1").alias("valid_to"),
+    )
+    v2 = b.filter((F.col("k") % 7) != 0).select(
+        "k",
+        F.date_sub(
+            F.col("b1"),
+            F.when((F.col("k") % 11) == 3, F.lit(30)).otherwise(F.lit(0)),
+        ).alias("valid_from"),
+        F.col("b2").alias("valid_to"),
+    )
+    v3 = b.select(
+        "k",
+        F.col("b2").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2).unionByName(v3)
+    li = _t(spark, sf_dir, "lineitem")
+    return asof_referential_violations(li, "l_suppkey", "l_shipdate", dim, "k")
+
+
+def _wilson_audit_sql(fraction: float = 0.25, seed: int = 0, z: float = 1.96) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    z2 = repr(z * z)
+    zs = repr(float(z))
+    return f"""
+    WITH s AS (
+      SELECT source,
+             coalesce(CAST(n_chars > 450 AS INT), 0) AS v
+      FROM documents
+      WHERE {hv} / 4294967296.0 < {fraction}
+    ),
+    a AS (
+      SELECT source AS partition, count(*) AS n_sampled,
+             sum(v) AS n_violations
+      FROM s GROUP BY 1
+    )
+    SELECT partition, n_sampled, n_violations,
+           round(CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE), 6)
+             AS p_hat,
+           round(greatest(0.0,
+             ((CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+              + {z2} / (2.0 * CAST(n_sampled AS DOUBLE)))
+             / (1.0 + {z2} / CAST(n_sampled AS DOUBLE))
+             - {zs} * sqrt(
+                 (CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+                 * (1.0 - CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+                 / CAST(n_sampled AS DOUBLE)
+                 + {z2} / (4.0 * CAST(n_sampled AS DOUBLE)
+                           * CAST(n_sampled AS DOUBLE)))
+               / (1.0 + {z2} / CAST(n_sampled AS DOUBLE))), 6) AS wilson_lo,
+           round(least(1.0,
+             ((CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+              + {z2} / (2.0 * CAST(n_sampled AS DOUBLE)))
+             / (1.0 + {z2} / CAST(n_sampled AS DOUBLE))
+             + {zs} * sqrt(
+                 (CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+                 * (1.0 - CAST(n_violations AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+                 / CAST(n_sampled AS DOUBLE)
+                 + {z2} / (4.0 * CAST(n_sampled AS DOUBLE)
+                           * CAST(n_sampled AS DOUBLE)))
+               / (1.0 + {z2} / CAST(n_sampled AS DOUBLE))), 6) AS wilson_hi
+    FROM a
+"""
+
+
+@register("audit_sampled_wilson", _wilson_audit_sql())
+def audit_sampled_wilson(spark, sf_dir):
+    """Audit-by-sampling certificate: deterministic md5-hash 25% sample
+    of documents (pure function of doc_id — DuckDB selects the
+    identical rows), violation predicate n_chars > 450, per-source
+    sampled rate with its 95% Wilson score interval. The sample filter
+    is map-only and pushes to the scan; the groupBy is bounded by the
+    source count; at 10^12 docs the certificate costs a quarter of one
+    scan instead of a full re-validation."""
+    from zparse_spark.operators.stats import sampled_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return sampled_audit(
+        d, "source", "n_chars > 450", fraction=0.25, key_col="doc_id", seed=0
+    )
