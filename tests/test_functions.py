@@ -634,3 +634,50 @@ def test_strip_markup(spark):
     got = {r.i: r.c for r in df.select("i", strip_markup(df.t).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_nfc_audit_flags_decomposed_text(spark):
+    from zparse_spark.functions.text import nfc_audit
+
+    rows = [
+        (1, "p", "café"),          # composed: already NFC
+        (2, "p", "café"),         # decomposed: NOT NFC
+        (3, "p", "plain ascii"),
+        (9, "p", "é again"),      # NOT NFC, larger id than 2
+        (4, "q", None),                 # NULL text: out of scope
+        (5, "q", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r.partition: r for r in nfc_audit(df).collect()}
+    p = out["p"]
+    assert p.n_docs == 4 and p.n_non_nfc == 2
+    assert p.non_nfc_rate == 0.5 and p.example_doc_id == "2"
+    q = out["q"]
+    assert q.n_docs == 1 and q.n_non_nfc == 0 and q.example_doc_id is None
+
+
+def test_distinctive_terms_hand_formula(spark):
+    import math
+
+    from zparse_spark.functions.text import distinctive_terms
+
+    df = spark.createDataFrame(
+        [("A", "cat cat cat dog"), ("B", "dog dog bird bird")],
+        "grp string, text string",
+    )
+    out = distinctive_terms(
+        df, "grp", "text", top_n=3, alpha=0.5, min_count=1
+    ).collect()
+    rows = {(r.grp, r.token): r for r in out}
+    # hand-computed Monroe et al. for (A, 'cat'):
+    # vocab=3, N=8, n_A=4, a0=1.5; y_g=3, y_rest=0
+    delta = math.log(3.5 / (4 + 1.5 - 3 - 0.5)) - math.log(0.5 / (4 + 1.5 - 0 - 0.5))
+    z = delta / math.sqrt(1 / 3.5 + 1 / 0.5)
+    r = rows[("A", "cat")]
+    assert r.n_in_group == 3 and r.n_in_rest == 0
+    assert r.log_odds == round(delta, 6) and r.z == round(z, 6)
+    assert r.rank == 1  # most distinctive for A
+    assert rows[("B", "bird")].rank == 1  # and bird for B
+    # min_count prunes: with min_count=3 'bird' (2 occurrences) is gone
+    pruned = distinctive_terms(df, "grp", "text", min_count=3).collect()
+    assert not any(r.token == "bird" for r in pruned)

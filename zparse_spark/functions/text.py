@@ -936,3 +936,146 @@ def rrf_fuse(
 
     w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
     return ranked.withColumn("fused_rank", F.row_number().over(w))
+
+
+def nfc_flag(text: Column) -> Column:
+    """TRUE iff the string is already in Unicode NFC form (NULL for
+    NULL input) — an Arrow-vectorized pandas_udf over unicodedata's
+    normalizer, the package's blessed path for semantics Spark has no
+    built-in for. Mojibake and decomposed combining marks (e + U+0301
+    vs é) make byte-level dedup/fingerprinting silently miss matches,
+    so corpus hygiene needs this audited, not assumed."""
+
+    @pandas_udf(T.BooleanType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v) == v
+        )
+
+    return _nfc(text)
+
+
+def nfc_audit(
+    df,
+    text_col: str = "text",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Per-partition Unicode normalization audit: how many documents
+    are NOT in NFC form, the rate, and the smallest offending doc id
+    (a deterministic example to pull). NULL texts are out of scope
+    (they belong to not-null checks).
+
+    Scale shape: the NFC test is one Arrow-batched map stage fused with
+    the scan; the groupBy is partition-count-bounded. Cross-engine
+    oracle: DuckDB's ``nfc_normalize(text) <> text`` computes the same
+    flag, so the audit is value-verified against an independent
+    normalizer implementation (utf8proc vs CPython's unicodedata)."""
+    from pyspark.sql import functions as F
+
+    flagged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(partition_col).alias("partition"),
+        F.col(id_col).cast("string").alias("_id"),
+        (~nfc_flag(F.col(text_col))).alias("_bad"),
+    )
+    return flagged.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_bad").cast("int")).alias("n_non_nfc"),
+        F.round(
+            F.sum(F.col("_bad").cast("int")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("non_nfc_rate"),
+        F.min(F.when(F.col("_bad"), F.col("_id"))).alias("example_doc_id"),
+    )
+
+
+def distinctive_terms(
+    df,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 5,
+    alpha: float = 0.5,
+    min_count: int = 10,
+):
+    """What vocabulary makes each group DISTINCTIVE — log-odds ratio
+    with a Dirichlet prior and its z-score (Monroe, Colaresi & Quinn,
+    "Fightin' Words", Political Analysis 16(4), 2008): for each
+    (group, token), the smoothed log-odds of the token in the group vs
+    in the REST of the corpus, standardized by the delta's approximate
+    variance 1/(y_g+α) + 1/(y_rest+α). Raw frequency ranks surface
+    stopwords; pure lift surfaces hapax noise; the prior + variance
+    standardization is the standard fix, and it's exactly the
+    diagnostic a training-data curator reads per source ("what does
+    this source over-represent?").
+
+    Tokens with fewer than ``min_count`` total occurrences are dropped
+    BEFORE ranking (the z-score of a 3-occurrence token is noise).
+    Ranking is deterministic cross-engine: z rounded to 6 decimals
+    desc, then token asc.
+
+    Scale shape (100 TB): one token-occurrence explode into a
+    groupBy(group, token) — the same lower-bound shuffle as
+    build_vocabulary — then EVERYTHING runs on the (group × vocab)
+    grid: token totals are a second map-side-combined groupBy, corpus
+    totals a 1-row broadcast, per-group totals a groups-bounded
+    broadcast, and the final rank a per-group window on the grid.
+    No full-data second pass, no global sort.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    grid = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("y_g"))
+    tok_tot = grid.groupBy("token").agg(F.sum("y_g").alias("y_w")).filter(
+        F.col("y_w") >= min_count
+    )
+    totals = tok_tot.agg(
+        F.count(F.lit(1)).alias("vocab"), F.sum("y_w").alias("n_total")
+    )
+    # group token mass restricted to the min_count vocabulary, so the
+    # denominators and the rest-side masses add up over the SAME domain
+    grp_tot = (
+        grid.join(F.broadcast(tok_tot.select("token")), "token")
+        .groupBy("grp")
+        .agg(F.sum("y_g").alias("n_grp"))
+    )
+    g = (
+        grid.join(F.broadcast(tok_tot), "token")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(totals))
+    )
+    a = float(alpha)
+    y_g = F.col("y_g").cast("double")
+    y_r = (F.col("y_w") - F.col("y_g")).cast("double")
+    n_g = F.col("n_grp").cast("double")
+    n_r = (F.col("n_total") - F.col("n_grp")).cast("double")
+    a0 = F.lit(a) * F.col("vocab").cast("double")
+    delta = F.log(
+        (y_g + F.lit(a)) / (n_g + a0 - y_g - F.lit(a))
+    ) - F.log((y_r + F.lit(a)) / (n_r + a0 - y_r - F.lit(a)))
+    var = F.lit(1.0) / (y_g + F.lit(a)) + F.lit(1.0) / (y_r + F.lit(a))
+    scored = g.select(
+        F.col("grp").alias(group_col),
+        "token",
+        F.col("y_g").alias("n_in_group"),
+        (F.col("y_w") - F.col("y_g")).alias("n_in_rest"),
+        F.round(delta, 6).alias("log_odds"),
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("z").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )

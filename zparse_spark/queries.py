@@ -5726,3 +5726,112 @@ def audit_sampled_wilson(spark, sf_dir):
     return sampled_audit(
         d, "source", "n_chars > 450", fraction=0.25, key_col="doc_id", seed=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC audit (functions/text.py nfc_audit) and distinctive-terms
+# log-odds (functions/text.py distinctive_terms)
+# ---------------------------------------------------------------------------
+
+
+_NFC_AUDIT_SQL = """
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 17 = 3 THEN text || 'e' || chr(769)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    f AS (
+      SELECT source AS partition, CAST(doc_id AS VARCHAR) AS id,
+             CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END AS bad
+      FROM planted WHERE text IS NOT NULL
+    )
+    SELECT partition, count(*) AS n_docs, sum(bad) AS n_non_nfc,
+           round(CAST(sum(bad) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS non_nfc_rate,
+           min(CASE WHEN bad = 1 THEN id END) AS example_doc_id
+    FROM f GROUP BY 1
+"""
+
+
+@register("corpus_nfc_audit", _NFC_AUDIT_SQL)
+def corpus_nfc_audit(spark, sf_dir):
+    """Unicode normalization audit per source with planted decomposed
+    text (doc_id % 17 = 3 gets a combining acute appended): count and
+    rate of non-NFC documents plus a deterministic example id. The NFC
+    test is one Arrow-batched pandas_udf map stage (CPython
+    unicodedata), value-verified against DuckDB's independent utf8proc
+    normalizer — two implementations agreeing on every row."""
+    from zparse_spark.functions.text import nfc_audit
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 3, F.concat(F.col("text"), F.lit("é"))
+        ).otherwise(F.col("text")),
+    )
+    out = nfc_audit(planted, "text", "source", "doc_id")
+    return out.withColumn("n_non_nfc", F.col("n_non_nfc").cast("bigint"))
+
+
+_DISTINCTIVE_SQL = """
+    WITH toks0 AS (
+      SELECT source AS grp,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    toks AS (SELECT grp, token FROM toks0 WHERE token <> ''),
+    grid AS (SELECT grp, token, count(*) AS y_g FROM toks GROUP BY 1, 2),
+    tok_tot AS (
+      SELECT token, sum(y_g) AS y_w FROM grid GROUP BY 1
+      HAVING sum(y_g) >= 10
+    ),
+    totals AS (SELECT count(*) AS vocab, sum(y_w) AS n_total FROM tok_tot),
+    grp_tot AS (
+      SELECT grp, sum(y_g) AS n_grp
+      FROM grid JOIN tok_tot USING (token) GROUP BY 1
+    ),
+    g AS (
+      SELECT grid.grp, grid.token,
+             CAST(grid.y_g AS DOUBLE) AS yg,
+             CAST(y_w - grid.y_g AS DOUBLE) AS yr,
+             CAST(n_grp AS DOUBLE) AS n_g,
+             CAST(n_total - n_grp AS DOUBLE) AS n_r,
+             0.5 * CAST(vocab AS DOUBLE) AS a0,
+             grid.y_g AS y_g_i, y_w - grid.y_g AS y_r_i
+      FROM grid JOIN tok_tot USING (token) JOIN grp_tot USING (grp)
+      CROSS JOIN totals
+    ),
+    scored AS (
+      SELECT grp AS source, token,
+             y_g_i AS n_in_group, y_r_i AS n_in_rest,
+             round(ln((yg + 0.5) / (n_g + a0 - yg - 0.5))
+                 - ln((yr + 0.5) / (n_r + a0 - yr - 0.5)), 6) AS log_odds,
+             round((ln((yg + 0.5) / (n_g + a0 - yg - 0.5))
+                  - ln((yr + 0.5) / (n_r + a0 - yr - 0.5)))
+                   / sqrt(1.0 / (yg + 0.5) + 1.0 / (yr + 0.5)), 6) AS z
+      FROM g
+    )
+    SELECT source, token, n_in_group, n_in_rest, log_odds, z, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY source ORDER BY z DESC, token ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("corpus_distinctive_terms", _DISTINCTIVE_SQL)
+def corpus_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary: log-odds ratio with Dirichlet
+    prior + z-score (Monroe/Colaresi/Quinn 2008) of each token in the
+    source vs the REST of the corpus, top 5 per source. One
+    token-occurrence shuffle to the (source × vocab) grid, then grid-
+    sized arithmetic and a per-source window rank — no second data
+    pass. Ranking deterministic cross-engine (z rounded to 6, token
+    tiebreak)."""
+    from zparse_spark.functions.text import distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(d, "source", "text", top_n=5, alpha=0.5, min_count=10)
