@@ -499,3 +499,68 @@ def test_bloom_wor_rrf_plan_discipline(spark, docs_path):
     l2 = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
     p = plan_of(rrf_fuse({"a": l1, "b": l2}, top_k=5))
     assert "EvalPython" not in p
+
+
+def test_session3_ops_plan_discipline(spark, docs_path):
+    """Session-3 operators keep their claimed shapes: the
+    join-cardinality forecast never executes the predicted join (no
+    join of the two FULL inputs — only histogram-sized sides after
+    partial aggregation); the as-of referential check broadcasts the
+    dimension and keeps the window predicate in codegen (no Python, no
+    SMJ unless hinted); sampled_audit's hash filter reaches the scan
+    stage and the plan is Python-free; distinctive_terms does exactly
+    ONE explode of the corpus (the token-occurrence lower bound) and
+    everything downstream is grid-sized; nfc_audit's only Python is
+    the single declared ArrowEvalPython stage."""
+    import datetime as dt
+
+    from zparse_spark.functions.text import distinctive_terms, nfc_audit
+    from zparse_spark.operators.rules import asof_referential_violations
+    from zparse_spark.operators.stats import join_cardinality_profile, sampled_audit
+
+    docs = spark.read.parquet(docs_path)
+
+    # join-cardinality forecast: partial_count before every exchange
+    # (map-side combine on both histogram sides), no Python
+    left = docs.select(F.col("doc_id").alias("k"))
+    right = docs.select((F.col("doc_id") % 7).alias("k"))
+    p = plan_of(join_cardinality_profile(left, "k", right, "k"))
+    assert "EvalPython" not in p
+    assert p.count("partial_count") >= 2
+
+    # as-of referential: broadcast dim by default, codegen predicate
+    dim = spark.createDataFrame(
+        [("1", dt.date(2020, 1, 1), None)], "k string, vf date, vt date"
+    )
+    fact = docs.select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(dt.date(2021, 1, 1)).alias("ts"),
+    )
+    p = plan_of(asof_referential_violations(fact, "k", "ts", dim, "k", "vf", "vt"))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+    # sampled_audit: the md5 sample filter lands in the scan stage
+    # (Filter directly over the FileScan, before any exchange) and the
+    # whole plan is Python-free
+    p = plan_of(sampled_audit(docs, "partition", "size(spans) >= 0", 0.25))
+    assert "EvalPython" not in p
+    assert "Filter" in p.split("Exchange")[-1]  # filter below the agg exchange
+
+    # distinctive_terms: the corpus explode runs exactly ONCE — the
+    # grid is eagerly checkpointed before the 4-way fan-out, so the
+    # downstream plan must contain NO Generate (it would re-explode
+    # the corpus; measured pre-fix the lazy fan-out ran the explode 4
+    # times, ReuseExchange collapsing only 3 of 7 scans) and no Python
+    flat = docs.select("doc_id", F.col("partition").alias("grp")).withColumn(
+        "text", F.concat_ws(" ", F.lit("a b c"), F.col("doc_id").cast("string"))
+    )
+    p = plan_of(distinctive_terms(flat, "grp", "text", min_count=1))
+    assert "Generate" not in p
+    assert "Scan ExistingRDD" in p  # reads the checkpointed grid
+    assert "EvalPython" not in p
+
+    # nfc_audit: exactly one ArrowEvalPython, nothing row-at-a-time
+    p = plan_of(nfc_audit(flat, "text", "grp", "doc_id"))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p

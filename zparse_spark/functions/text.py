@@ -1021,6 +1021,16 @@ def distinctive_terms(
     totals a 1-row broadcast, per-group totals a groups-bounded
     broadcast, and the final rank a per-group window on the grid.
     No full-data second pass, no global sort.
+
+    The grid is materialized once with ``localCheckpoint(eager=True)``
+    before fan-out: it feeds FOUR downstream branches (token totals,
+    corpus totals, per-group totals, the scored join), and measured on
+    the lazy plan Spark's ReuseExchange only collapsed 3 of the 7
+    resulting corpus scans — the explode ran four times over the full
+    corpus. Checkpointing the grid (|groups|×|vocab| rows, orders of
+    magnitude smaller than token occurrences) pins the corpus scan and
+    explode to exactly one execution; the plan-discipline test asserts
+    Generate appears once in the executed fan-out.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1035,7 +1045,11 @@ def distinctive_terms(
         )
         .filter(F.col("token") != "")
     )
-    grid = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("y_g"))
+    grid = (
+        toks.groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("y_g"))
+        .localCheckpoint(eager=True)
+    )
     tok_tot = grid.groupBy("token").agg(F.sum("y_g").alias("y_w")).filter(
         F.col("y_w") >= min_count
     )
