@@ -117,6 +117,97 @@ def test_ks_drift_scores_hand_case(spark):
     assert set(out) == {"Z", "W"} and 0.0 <= out["Z"] <= 1.0
 
 
+def test_wasserstein_drift_hand_case_and_brute_force(spark):
+    """X134. Hand case: A uniform over 10 bins, B all in bin 0 on a
+    [0,10) 10-bin grid (step 1). Global CDF at bin b is (11+b)/20;
+    B's CDF is 1 everywhere, A's is (b+1)/10. Hand EMD:
+      emd(B) = sum_b (1 - (11+b)/20) = sum_{b=0..9} (9-b)/20 = 45/20 = 2.25
+      emd(A) = sum_b |(b+1)/10 - (11+b)/20| = sum_b (9-b)/20 = 2.25
+    (symmetric: each group is half the global mass). Identical groups
+    drift to 0. Also cross-checked against the brute-force definition
+    on random data, and the wide-small-shift case KS under-ranks."""
+    from zparse_spark.operators.stats import (
+        ks_drift_scores,
+        wasserstein_drift_scores,
+    )
+
+    rows = [("A", float(v)) for v in range(10)] + [("B", 0.0) for _ in range(10)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: r["emd"]
+        for r in wasserstein_drift_scores(
+            df, "v", "grp", lo=0.0, hi=10.0, n_bins=10
+        ).collect()
+    }
+    assert abs(got["A"] - 2.25) < 1e-6
+    assert abs(got["B"] - 2.25) < 1e-6
+
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in ("X", "Y") for v in range(10)], "grp string, v double"
+    )
+    assert all(
+        abs(r["emd"]) < 1e-12
+        for r in wasserstein_drift_scores(
+            same, "v", "grp", lo=0.0, hi=10.0, n_bins=10
+        ).collect()
+    )
+
+    # brute-force definition on random data: emd = step * sum_b |cdfg - cdfG|
+    import random
+
+    rng = random.Random(42)
+    data = [
+        (g, rng.uniform(0, 10) + (3.0 if g == "B" else 0.0))
+        for g in ("A", "B")
+        for _ in range(200)
+    ]
+    rdf = spark.createDataFrame(data, "grp string, v double")
+    n_bins, lo, hi = 16, 0.0, 16.0
+    step = (hi - lo) / n_bins
+
+    def brute(grp):
+        vals = [min(max(int((v - lo) / step), 0), n_bins - 1) for g, v in data if g == grp]
+        allv = [min(max(int((v - lo) / step), 0), n_bins - 1) for _, v in data]
+        tot, gtot = len(vals), len(allv)
+        emd, cg, cG = 0.0, 0, 0
+        for b in range(n_bins):
+            cg += sum(1 for x in vals if x == b)
+            cG += sum(1 for x in allv if x == b)
+            emd += abs(cg / tot - cG / gtot)
+        return emd * step
+
+    got2 = {
+        r["grp"]: r["emd"]
+        for r in wasserstein_drift_scores(
+            rdf, "v", "grp", lo=lo, hi=hi, n_bins=n_bins
+        ).collect()
+    }
+    assert abs(got2["A"] - brute("A")) < 1e-5
+    assert abs(got2["B"] - brute("B")) < 1e-5
+
+    # the case EMD exists for: a wide small shift (every bin displaced a
+    # little) carries more mass-distance than a narrow large one, while
+    # KS scores the narrow spike higher.
+    wide = [("W", float(b) + 0.0) for b in range(10) for _ in range(10)]
+    shifted = [("S", min(float(b) + 3.0, 9.0)) for b in range(10) for _ in range(10)]
+    spike = [("K", float(b)) for b in range(10) for _ in range(9)] + [
+        ("K", 0.0) for _ in range(10)
+    ]
+    mdf = spark.createDataFrame(wide + shifted + spike, "grp string, v double")
+    emds = {
+        r["grp"]: r["emd"]
+        for r in wasserstein_drift_scores(
+            mdf, "v", "grp", lo=0.0, hi=10.0, n_bins=10
+        ).collect()
+    }
+    kss = {
+        r["grp"]: r["ks"]
+        for r in ks_drift_scores(mdf, "v", "grp", lo=0.0, hi=10.0, n_bins=10).collect()
+    }
+    assert emds["S"] > emds["K"]  # shift moves more mass-distance
+    assert kss["S"] > 0 and emds["W"] < emds["S"]
+
+
 def test_heavy_hitters_exact_vs_full_groupby(spark):
     from pyspark.sql import functions as F
 

@@ -441,6 +441,28 @@ def ks_drift_scores(
     the global CDF broadcast-joined by bin. Every CDF value is one
     integer-ratio division, so the DuckDB twin matches exactly.
     """
+    joined = _binned_group_global_cdfs(df, value_col, group_col, lo, hi, n_bins)
+    diff = F.abs(F.col("cum") / F.col("tot") - F.col("gcum") / F.col("gtot"))
+    return joined.groupBy(F.col("grp").alias(group_col)).agg(
+        F.max(diff).alias("ks")
+    )
+
+
+def _binned_group_global_cdfs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Shared scaffolding for the binned two-sample drift statistics
+    (KS max-gap, Wasserstein area): one row per (group, bin) carrying
+    the group's running count ``cum`` / total ``tot`` and the global
+    running count ``gcum`` / total ``gtot`` on a fixed [lo, hi] grid.
+    All four are exact integers — each caller decides how to turn them
+    into its statistic, keeping the divisions (the only IEEE ops)
+    engine-portable at the last step."""
     step = (hi - lo) / n_bins
     bucket = F.least(
         F.greatest(F.floor((F.col(value_col) - lo) / step).cast("long"), F.lit(0)),
@@ -484,10 +506,53 @@ def ks_drift_scores(
             F.sum("gn").over(Window.partitionBy(F.lit(1))).alias("gtot"),
         )
     )
-    joined = per_grp.join(F.broadcast(glob), "bin")
-    diff = F.abs(F.col("cum") / F.col("tot") - F.col("gcum") / F.col("gtot"))
+    return per_grp.join(F.broadcast(glob), "bin")
+
+
+def wasserstein_drift_scores(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Binned 1-Wasserstein (earth-mover's) distance per group vs the
+    global distribution — the MAGNITUDE companion of ks_drift_scores'
+    max-gap: KS tells you the worst single quantile displacement, EMD
+    integrates how much probability mass must move how far, so a wide
+    small shift (which KS under-reports) and a narrow large one are
+    ranked on the same scale. On a fixed grid the closed form is
+
+        emd = step * sum_b |CDF_group(b) - CDF_global(b)|
+
+    (the final bin contributes 0 since both CDFs end at 1, so summing
+    all bins is exact). Engine portability: a float sum is
+    order-sensitive, so the per-bin term is kept as the EXACT integer
+    |cum*gtot - gcum*tot| (decimal(38,0) accumulation — overflow-proof
+    at 10^12-row scale where cum*gtot ~ 10^24 exceeds int64; the DuckDB
+    twin accumulates in HUGEINT) and the single trailing division by
+    tot*gtot happens once per group, after the order-insensitive
+    integer sum. Same scale shape as KS: one groupBy(group, bin) scan
+    with map-side combine, per-group cumulative windows (never a global
+    sort), broadcast global CDF.
+    """
+    step = (hi - lo) / n_bins
+    joined = _binned_group_global_cdfs(df, value_col, group_col, lo, hi, n_bins)
+    # decimal(18,0) operands -> decimal(37,0) products, exact (Spark caps
+    # decimal multiply at precision 38; 38x38 operands would truncate).
+    # Counts up to 10^18 rows stay exact - comfortably past 10^12 scale.
+    term = F.abs(
+        F.col("cum").cast("decimal(18,0)") * F.col("gtot").cast("decimal(18,0)")
+        - F.col("gcum").cast("decimal(18,0)") * F.col("tot").cast("decimal(18,0)")
+    )
     return joined.groupBy(F.col("grp").alias(group_col)).agg(
-        F.max(diff).alias("ks")
+        F.round(
+            F.sum(term).cast("double")
+            * F.lit(step)
+            / (F.max("tot").cast("double") * F.max("gtot").cast("double")),
+            6,
+        ).alias("emd")
     )
 
 

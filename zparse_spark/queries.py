@@ -404,6 +404,49 @@ def drift_numeric_totalprice(spark, sf_dir):
 
 
 @register(
+    "drift_emd_totalprice",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS grp,
+             least(greatest(CAST(floor((o_totalprice - 0.0) / 18750.0) AS BIGINT), 0), 31) AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    counts AS (SELECT grp, bin, count(*) AS n FROM vals GROUP BY 1, 2),
+    grid AS (SELECT g.grp, b.bin
+             FROM (SELECT DISTINCT grp FROM counts) g, range(32) b(bin)),
+    dense AS (SELECT grid.grp, grid.bin, coalesce(c.n, 0) AS n
+              FROM grid LEFT JOIN counts c ON c.grp = grid.grp AND c.bin = grid.bin),
+    per AS (SELECT grp, bin,
+                   sum(n) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY grp) AS tot
+            FROM dense),
+    gl AS (SELECT bin,
+                  sum(gn) OVER (ORDER BY bin) AS gcum,
+                  sum(gn) OVER () AS gtot
+           FROM (SELECT bin, sum(n) AS gn FROM dense GROUP BY bin))
+    SELECT per.grp AS o_orderpriority,
+           round(CAST(sum(abs(CAST(cum AS HUGEINT) * gtot - CAST(gcum AS HUGEINT) * tot)) AS DOUBLE)
+                 * 18750.0 / (CAST(max(tot) AS DOUBLE) * CAST(max(gtot) AS DOUBLE)), 6) AS emd
+    FROM per JOIN gl USING (bin) GROUP BY 1
+    """,
+)
+def drift_emd_totalprice(spark, sf_dir):
+    """X134: binned 1-Wasserstein (earth-mover's) drift of each order
+    priority's o_totalprice distribution vs the global one — the
+    magnitude companion of the KS max-gap on the SAME 32-bin grid and
+    the same one-scan shape. The per-bin CDF gap is kept as the exact
+    integer |cum*gtot - gcum*tot| (order-insensitive decimal sum; the
+    DuckDB twin accumulates in HUGEINT) with ONE trailing division per
+    group, so the value hashes match bit-for-bit."""
+    from zparse_spark.operators.stats import wasserstein_drift_scores
+
+    o = _t(spark, sf_dir, "orders")
+    return wasserstein_drift_scores(
+        o, "o_totalprice", "o_orderpriority", lo=0.0, hi=600000.0, n_bins=32
+    )
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
