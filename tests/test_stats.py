@@ -208,6 +208,61 @@ def test_wasserstein_drift_hand_case_and_brute_force(spark):
     assert kss["S"] > 0 and emds["W"] < emds["S"]
 
 
+def test_cms_sketch_guarantee_and_merge_monoid(spark):
+    """X135. (a) est >= exact for EVERY value (counters only add);
+    (b) with width >= cardinality and no collisions est == exact;
+    (c) merge monoid: sketch(A ∪ B) is cell-identical to
+    merge(sketch(A), sketch(B)); (d) estimates off the merged sketch
+    equal estimates off the one-shot sketch; (e) nulls are ignored."""
+    from zparse_spark.operators.stats import cms_estimate, cms_merge, cms_sketch
+
+    rows_a = [(f"u{i % 7}",) for i in range(70)] + [(None,)]
+    rows_b = [(f"u{i % 13}",) for i in range(65)]
+    a = spark.createDataFrame(rows_a, "v string")
+    b = spark.createDataFrame(rows_b, "v string")
+    both = a.unionByName(b)
+    W, D = 8, 4  # 13 distinct values vs 8 buckets: collisions certain
+
+    exact = {
+        r["v"]: r["n"]
+        for r in both.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sk = cms_sketch(both, "v", width=W, depth=D)
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(sk, both, "v", width=W, depth=D).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)  # never underestimates
+    assert sum(est.values()) > 0
+
+    # wide sketch, tiny domain: exact (md5 buckets of 13 keys into 2^20
+    # cells collide with prob ~8e-5 per pair per row — and the check is
+    # deterministic, not probabilistic: these 13 literals don't collide)
+    skw = cms_sketch(both, "v", width=1 << 20, depth=3)
+    estw = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(skw, both, "v", width=1 << 20, depth=3).collect()
+    }
+    assert estw == exact
+
+    # monoid: cell-identical union
+    merged = cms_merge(
+        cms_sketch(a, "v", width=W, depth=D), cms_sketch(b, "v", width=W, depth=D)
+    )
+    cells_one = {(r["d"], r["bucket"]): r["n"] for r in sk.collect()}
+    cells_two = {(r["d"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert cells_one == cells_two
+    est_m = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(merged, both, "v", width=W, depth=D).collect()
+    }
+    assert est_m == est
+
+
 def test_heavy_hitters_exact_vs_full_groupby(spark):
     from pyspark.sql import functions as F
 

@@ -556,6 +556,87 @@ def wasserstein_drift_scores(
     )
 
 
+def _cms_buckets(col: str, width: int, depth: int):
+    """The depth Count-Min bucket ids for a value, as an array column:
+    bucket_d(v) = md5-nibble(v ':' d) mod width — the SAME engine-portable
+    hash idiom as filtering.hash_unit / cap_hot_buckets, so a DuckDB (or
+    any-SQL) twin reproduces every cell bit-for-bit."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col(col).cast("string"), F.lit(str(d)))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 1024, depth: int = 4) -> DataFrame:
+    """Count-Min sketch of a column's value frequencies: a (depth x
+    width) grid of counters, returned as rows (d, bucket, n). The
+    mergeable companion of the EXACT heavy_hitters pass: where
+    Misra-Gries answers "which values exceed n/(k+1)" with a rescan,
+    the CMS answers point-frequency queries for ANY value from
+    depth*width integers TOTAL — state independent of column
+    cardinality, so 10^12-row streams with 10^9 distinct values keep a
+    fixed-size summary that unions across partitions, days, or tables
+    by plain cell-wise addition (cms_merge). Guarantee: est >= true
+    always (counters only ever add), est <= true + eps*N w.h.p. with
+    eps = e/width over depth independent rows.
+
+    Scale shape: one scan, a depth-way row fan-out (depth is 3-5)
+    immediately reduced by groupBy(d, bucket) with map-side combine —
+    the shuffle carries at most tasks x depth x width partial cells, not
+    data rows. Determinism: buckets come from the portable md5 idiom,
+    never a JVM/session-dependent hash, so sketches built by different
+    engines or different runs are cell-identical and safely mergeable.
+    """
+    ex = df.filter(F.col(col).isNotNull()).select(
+        F.posexplode(_cms_buckets(col, width, depth)).alias("d", "bucket")
+    )
+    return ex.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union Count-Min sketches built with the SAME (width, depth):
+    cell-wise addition — the monoid the streaming/incremental paths
+    rely on (sketch(A ∪ B) == merge(sketch(A), sketch(B)), exactly)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("d", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-frequency estimates for a probe set of values: min over the
+    value's depth counters. The sketch is depth*width rows — broadcast —
+    so probing any number of values is a map-side join, never a shuffle
+    of the probe stream. Absent cells count as 0 (a value never seen
+    hashes to untouched counters only if genuinely absent everywhere)."""
+    # NULL must not probe: concat_ws SKIPS nulls, so an unfiltered NULL
+    # would silently hash as the bare seed string and return a bogus cell.
+    p = probes.select(F.col(col)).filter(F.col(col).isNotNull()).distinct()
+    fan = p.select(col, F.posexplode(_cms_buckets(col, width, depth)).alias("d", "bucket"))
+    return (
+        fan.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_est"))
+    )
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
     """Exact heavy hitters (frequency > n/(k+1)) without grouping the
     full value domain — the two-pass Misra–Gries pattern.

@@ -446,6 +446,67 @@ def drift_emd_totalprice(spark, sf_dir):
     )
 
 
+def _cms_oracle_sql(width: int = 64, depth: int = 4) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql("CAST(user_id AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")
+    return f"""
+    WITH fan AS (
+      SELECT user_id, dd.d AS d, ({hv}) % {width} AS bucket
+      FROM events, range({depth}) dd(d)
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (SELECT d, bucket, count(*) AS n FROM fan GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT user_id, d, bucket FROM fan),
+    est AS (SELECT user_id, min(coalesce(n, 0)) AS cms_est
+            FROM probe LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+    ex AS (SELECT user_id, count(*) AS exact_n FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT CAST(ex.user_id AS BIGINT) AS user_id,
+           ex.exact_n,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(est.cms_est - ex.exact_n AS BIGINT) AS overcount
+    FROM ex JOIN est USING (user_id)
+    WHERE est.cms_est < ex.exact_n OR est.cms_est - ex.exact_n > 0
+       OR (CAST(ex.user_id AS BIGINT)) % 17 = 0
+    """
+
+
+@register("sketch_cms_user_counts", _cms_oracle_sql())
+def sketch_cms_user_counts(spark, sf_dir):
+    """X135: Count-Min sketch point-frequency estimates over
+    events.user_id at width=64/depth=4 (cardinality >> width, so
+    collisions are real): build the mergeable (d, bucket) counter grid,
+    probe every distinct user, and report (exact_n, cms_est, overcount)
+    for the interesting rows — any undercount (there must be NONE: the
+    structural est>=exact guarantee is part of the value-matched
+    output), any collision overcount, plus a deterministic 1/17 id
+    sample of exact hits. Sketch cells come from the portable md5
+    bucket idiom, so the DuckDB twin rebuilds the identical grid."""
+    from zparse_spark.operators.stats import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    width, depth = 64, 4
+    sk = cms_sketch(ev, "user_id", width=width, depth=depth)
+    est = cms_estimate(sk, ev, "user_id", width=width, depth=depth)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    out = exact.join(est, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "exact_n",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+    return out.filter(
+        (F.col("cms_est") < F.col("exact_n"))
+        | (F.col("overcount") > 0)
+        | (F.col("user_id") % 17 == 0)
+    )
+
+
 @register(
     "quantiles_quantity",
     """
