@@ -640,3 +640,39 @@ def test_asof_referential_violation_classes(spark):
     # clean resolutions (incl. the half-open boundary) emit nothing
     with __import__("pytest").raises(ValueError):
         asof_referential_violations(fact, "k", "ts", dim, "k", strategy="nope")
+
+
+def test_violation_exemplars_bounded_and_repartition_invariant(spark):
+    """X136: per (partition, rule) at most n exemplars, n_total is the
+    full count, and the selected exemplar SET is identical under any
+    input partitioning (pure function of the data, not of shuffles)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.rules import violation_exemplars
+
+    rows = [
+        ("p0", f"d{i}", "S1", "InvalidArray", i % 5, 10 * i, None, None, f"m{i}")
+        for i in range(20)
+    ] + [
+        ("p1", f"d{i}", "U1", "DuplicateKey", None, None, None, None, "dup")
+        for i in range(2)
+    ]
+    schema = (
+        "partition string, doc_id string, rule_id string, kind string,"
+        "span_pos int, offset long, line int, col int, message string"
+    )
+    v1 = spark.createDataFrame(rows, schema)
+    out1 = violation_exemplars(v1, n=3).collect()
+    by_cell: dict = {}
+    for r in out1:
+        by_cell.setdefault((r["partition"], r["rule_id"]), []).append(r)
+    assert len(by_cell[("p0", "S1")]) == 3
+    assert all(r["n_total"] == 20 for r in by_cell[("p0", "S1")])
+    assert sorted(r["exemplar_rank"] for r in by_cell[("p0", "S1")]) == [1, 2, 3]
+    assert len(by_cell[("p1", "U1")]) == 2  # fewer rows than n -> all kept
+    assert all(r["n_total"] == 2 for r in by_cell[("p1", "U1")])
+
+    v2 = spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+    out2 = violation_exemplars(v2, n=3).collect()
+    key = lambda r: (r["partition"], r["rule_id"], r["doc_id"], r["exemplar_rank"])
+    assert sorted(map(key, out1)) == sorted(map(key, out2))

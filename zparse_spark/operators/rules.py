@@ -1668,3 +1668,50 @@ def asof_referential_violations(
             "violation",
         )
     )
+
+
+def violation_exemplars(
+    violations: DataFrame,
+    n: int = 3,
+    keys: tuple[str, ...] = ("partition", "rule_id"),
+) -> DataFrame:
+    """X136: bounded, DETERMINISTIC exemplar violations per group — the
+    report surface between "show me the count" (partition_verdicts) and
+    "dump every row" (violations): each (partition, rule) cell keeps its
+    total plus at most ``n`` concrete example rows a human can read.
+
+    Exemplar choice is a pure function of the data, never of partitioning
+    or arrival order: rows rank by md5(doc_id ':' span_pos) — the same
+    engine-portable sampler as hash_sample — with (doc_id, span_pos,
+    message) tiebreak, so re-runs, resumed jobs, and the DuckDB twin
+    select the IDENTICAL exemplars (a LIMIT-per-group would be
+    nondeterministic under Spark's unordered shuffles).
+
+    Scale shape: ONE window partitioned by the group keys (never a
+    global sort; the heavy (partition, rule) cells are exactly the ones
+    the engine already shuffles for verdicts), count rides the same
+    window frame, and the <=n filter drops everything else before any
+    collect. At 10^12 docs the output is |partitions| x |rules| x n rows
+    — constant-bounded, safe to sink or broadcast into a report.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("doc_id"),
+            F.coalesce(F.col("span_pos").cast("string"), F.lit("-1")),
+        )
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        h.asc(),
+        F.col("doc_id").asc(),
+        F.coalesce(F.col("span_pos"), F.lit(-1)).asc(),
+        F.col("message").asc(),
+    )
+    wc = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        violations.withColumn("exemplar_rank", F.row_number().over(w))
+        .withColumn("n_total", F.count(F.lit(1)).over(wc))
+        .filter(F.col("exemplar_rank") <= n)
+    )

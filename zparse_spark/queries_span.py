@@ -231,6 +231,37 @@ def span_pack_violations(spark, sf_dir):
 
 
 @register(
+    "span_pack_violation_exemplars",
+    f"""WITH{_SP_CTE},{_VIOL_CTE},
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY partition, rule_id
+           ORDER BY md5(doc_id || ':' || coalesce(CAST(span_pos AS VARCHAR), '-1')),
+                    doc_id, coalesce(span_pos, -1), message
+         ) AS exemplar_rank,
+         count(*) OVER (PARTITION BY partition, rule_id) AS n_total
+  FROM viol
+)
+SELECT partition, doc_id, rule_id, kind, span_pos, "offset", line, "col",
+       message, exemplar_rank, n_total
+FROM ranked WHERE exemplar_rank <= 3""",
+)
+def span_pack_violation_exemplars(spark, sf_dir):
+    """X136: each (partition, rule) cell of the verdict grid keeps its
+    violation total plus <=3 deterministic exemplar rows — chosen by
+    the portable md5 sampler, so resumes, re-runs, and the DuckDB twin
+    pick the IDENTICAL examples (never a nondeterministic LIMIT). One
+    window on the keys the engine already shuffles; output bounded at
+    |partitions| x |rules| x 3 regardless of corpus size."""
+    from zparse_spark.operators.rules import violation_exemplars
+
+    docs, cat = _pack_input(spark)
+    eng = ValidationEngine(ValidationConfig(params=_PARAMS, enable_drift=False))
+    return violation_exemplars(eng.violations(docs, cat), n=3)
+
+
+@register(
     "span_pack_referential_distinct",
     f"""WITH{_SP_CTE}
 SELECT partition, doc_id, 'R1' AS rule_id, 'DanglingMediaRef' AS kind,
