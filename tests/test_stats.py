@@ -1239,3 +1239,38 @@ def test_sampled_audit_wilson_bounds(spark):
     assert sum(x.n_sampled for x in a) < 400
     with pytest.raises(ValueError):
         sampled_audit(df, "part", "bad", 0.0)
+
+
+def test_k_anonymity_audit_hand_case(spark):
+    """X137: classes below k flagged; classes meeting k but with a
+    single sensitive value flagged for l-diversity; healthy classes
+    absent; NULL QI values form their own class."""
+    from zparse_spark.operators.stats import k_anonymity_audit
+
+    rows = (
+        # class (US, A): size 3 >= k, 2 sensitive values -> healthy
+        [("US", "A", "x"), ("US", "A", "y"), ("US", "A", "x")]
+        # class (US, B): size 1 < k -> flagged
+        + [("US", "B", "x")]
+        # class (DE, A): size 3 >= k but l == 1 -> flagged
+        + [("DE", "A", "z")] * 3
+        # class (NULL, A): size 1 -> flagged as its own class
+        + [(None, "A", "x")]
+    )
+    df = spark.createDataFrame(rows, "nation string, seg string, s string")
+    out = {
+        (r["nation"], r["seg"]): (r["class_size"], r["l_diversity"])
+        for r in k_anonymity_audit(df, ["nation", "seg"], k=3, sensitive="s").collect()
+    }
+    assert out == {
+        ("US", "B"): (1, 1),
+        ("DE", "A"): (3, 1),
+        (None, "A"): (1, 1),
+    }
+
+    # without a sensitive column: only the size criterion applies
+    out2 = {
+        (r["nation"], r["seg"]): r["class_size"]
+        for r in k_anonymity_audit(df, ["nation", "seg"], k=3).collect()
+    }
+    assert out2 == {("US", "B"): 1, (None, "A"): 1}

@@ -2025,3 +2025,39 @@ def sampled_audit(
         F.round(F.greatest(F.lit(0.0), center - half), 6).alias("wilson_lo"),
         F.round(F.least(F.lit(1.0), center + half), 6).alias("wilson_hi"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive: str | None = None,
+) -> DataFrame:
+    """X137: k-anonymity / l-diversity audit — the privacy gate a
+    training-corpus release needs next to the PII redaction pass
+    (text.redact_pii removes direct identifiers; this flags rows that
+    remain re-identifiable through QUASI-identifier combinations):
+    every combination of ``qi_cols`` shared by fewer than ``k`` rows is
+    an equivalence class whose members can be singled out. With a
+    ``sensitive`` column the same pass reports each class's distinct
+    sensitive-value count (l-diversity: l==1 means membership leaks the
+    value even when k is met).
+
+    Output: one row per violating equivalence class (class_size < k OR
+    l_diversity < 2 when a sensitive column is given), carrying the QI
+    values, class_size, and l_diversity — bounded by the number of rare
+    classes, never the corpus.
+
+    Scale shape: ONE groupBy on the QI key (map-side combine;
+    count_distinct of the sensitive column is the standard two-phase
+    partial) — the same shuffle a uniqueness check pays. NULL QI values
+    group as their own class (NULL education is itself identifying).
+    """
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive is not None:
+        aggs.append(F.countDistinct(F.col(sensitive)).alias("l_diversity"))
+    grouped = df.groupBy(*[F.col(c) for c in qi_cols]).agg(*aggs)
+    cond = F.col("class_size") < k
+    if sensitive is not None:
+        cond = cond | (F.col("l_diversity") < 2)
+    return grouped.filter(cond)

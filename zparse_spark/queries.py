@@ -508,6 +508,37 @@ def sketch_cms_user_counts(spark, sf_dir):
 
 
 @register(
+    "privacy_k_anonymity_customer",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS class_size,
+             count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END)
+               AS l_diversity
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT * FROM g WHERE class_size < 8 OR l_diversity < 2
+    """,
+)
+def privacy_k_anonymity_customer(spark, sf_dir):
+    """X137: k-anonymity / l-diversity audit over customer with
+    quasi-identifiers (nation, market segment) and account-balance sign
+    as the sensitive attribute: every QI class smaller than k=8, plus
+    any class whose members all share the sensitive value (l==1), is a
+    re-identification risk row. One groupBy, same shuffle as a
+    uniqueness check; output bounded by the rare classes."""
+    from zparse_spark.operators.stats import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "balance_sign",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("nonneg")),
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment"], k=8, sensitive="balance_sign"
+    )
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
