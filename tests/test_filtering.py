@@ -296,3 +296,44 @@ def test_wor_excludes_nonpositive_weights_and_validates_n(spark):
     assert len(ids) == 10 and all(i >= 390 for i in ids)
     with pytest.raises(ValueError):
         weighted_sample_wor(df, 0, "w")
+
+
+def test_sample_negatives_properties(spark):
+    """X138: no self-pairs, no duplicate negatives per key, exactly k
+    negatives when arcs are big enough, repartition-invariant pairing,
+    different seeds re-mix, tiny arcs degrade to all-mates."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import sample_negatives
+
+    df = spark.createDataFrame([(f"d{i:03d}",) for i in range(200)], "doc_id string")
+    out = sample_negatives(df, "doc_id", k=3, seed=1, n_buckets=4).collect()
+    pairs = [(r["doc_id"], r["neg_rank"], r["negative_id"]) for r in out]
+    assert all(d != n for d, _, n in pairs)
+    per_key: dict = {}
+    for d, rank, n in pairs:
+        per_key.setdefault(d, []).append((rank, n))
+    # arcs average 50 members >> k+1: every key gets exactly k distinct negatives
+    assert all(len(v) == 3 for v in per_key.values())
+    assert all(len({n for _, n in v}) == 3 for v in per_key.values())
+    assert all(sorted(r for r, _ in v) == [0, 1, 2] for v in per_key.values())
+
+    # pure function of (data, seed): repartitioned input pairs identically
+    out2 = sample_negatives(df.repartition(13), "doc_id", k=3, seed=1, n_buckets=4).collect()
+    assert sorted(pairs) == sorted(
+        (r["doc_id"], r["neg_rank"], r["negative_id"]) for r in out2
+    )
+
+    # another seed re-mixes the ring
+    out3 = sample_negatives(df, "doc_id", k=3, seed=2, n_buckets=4).collect()
+    assert sorted(pairs) != sorted(
+        (r["doc_id"], r["neg_rank"], r["negative_id"]) for r in out3
+    )
+
+    # 3 keys, k=5: each key gets its 2 arc-mates, never itself
+    tiny = spark.createDataFrame([("a",), ("b",), ("c",)], "doc_id string")
+    t = sample_negatives(tiny, "doc_id", k=5, seed=0, n_buckets=1).collect()
+    got: dict = {}
+    for r in t:
+        got.setdefault(r["doc_id"], set()).add(r["negative_id"])
+    assert got == {"a": {"b", "c"}, "b": {"a", "c"}, "c": {"a", "b"}}

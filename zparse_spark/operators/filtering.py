@@ -602,3 +602,62 @@ def weighted_sample_wor(
             F.col("__rk") <= n
         ).drop("__rk")
     return out.withColumnRenamed("__t", "sample_clock")
+
+
+def sample_negatives(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    k: int = 3,
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """X138: deterministic negative sampling — pair every key with k
+    pseudo-random OTHER keys (contrastive/triplet training pairs,
+    hard-negative mining baselines) without rng state or a global
+    shuffle, and reproducibly: the pairing is a pure function of
+    (data, seed), so resumed jobs, re-runs, and other engines emit the
+    IDENTICAL pairs (df.sample/rand would re-pair on every retry).
+
+    Construction: place keys on a hash ring (u = md5-nibble unit value,
+    the hash_sample idiom), split the ring into n_buckets arcs, and take
+    each key's k RING SUCCESSORS within its arc, wrapping from arc tail
+    to arc head (ties broken by key). md5 destroys any correlation
+    between key locality and ring locality, so successors are an
+    unbiased draw of distinct negatives; disjoint seeds re-mix the ring.
+    Keys in arcs smaller than k+1 get all their arc-mates (fewer than k)
+    rather than a cross-arc shuffle — size n_buckets so the expected arc
+    population >> k.
+
+    Output: (key, neg_rank, negative_id), neg_rank in [0, k).
+
+    Scale shape: windows partition BY ARC (bounded, parallel — never a
+    global ring sort); the wrap list is n_buckets x (k+1) tiny rows,
+    broadcast back. One shuffle on the arc id. At 10^12 keys raise
+    n_buckets so each arc stays executor-sized; the plan is unchanged.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+        .select("key", hash_unit("key", seed).alias("u"))
+        .withColumn("bucket", F.floor(F.col("u") * n_buckets).cast("long"))
+    )
+    win = Window.partitionBy("bucket").orderBy(F.col("u").asc(), F.col("key").asc())
+    wr = base.withColumn(
+        "leads", F.array(*[F.lead("key", i).over(win) for i in range(1, k + 1)])
+    ).withColumn("rn", F.row_number().over(win))
+    heads = (
+        wr.filter(F.col("rn") <= k + 1)
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("rn", "key"))).alias("hs"))
+        .select("bucket", F.transform("hs", lambda s: s["key"]).alias("head"))
+    )
+    ld = F.filter(F.col("leads"), lambda x: x.isNotNull())
+    fill = F.array_except(F.col("head"), F.concat(ld, F.array(F.col("key"))))
+    negs = F.concat(ld, F.slice(fill, F.lit(1), F.lit(k) - F.size(ld)))
+    return (
+        wr.join(F.broadcast(heads), "bucket")
+        .select(F.col("key").alias(key_col), F.posexplode(negs).alias("neg_rank", "negative_id"))
+    )

@@ -538,6 +538,60 @@ def privacy_k_anonymity_customer(spark, sf_dir):
     )
 
 
+def _negatives_oracle_sql(k: int = 3, n_buckets: int = 16, seed: int = 5) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    leads = ", ".join(f"lead(key, {i}) OVER win" for i in range(1, k + 1))
+    return f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS key,
+             ({hv}) / 4294967296.0 AS u
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+    ),
+    b2 AS (SELECT key, u, CAST(floor(u * {n_buckets}) AS BIGINT) AS bucket FROM base),
+    w AS (
+      SELECT key, bucket,
+             list_filter([{leads}], x -> x IS NOT NULL) AS ld
+      FROM b2
+      WINDOW win AS (PARTITION BY bucket ORDER BY u, key)
+    ),
+    hr AS (
+      SELECT bucket, key, row_number() OVER (PARTITION BY bucket ORDER BY u, key) AS rn
+      FROM b2
+    ),
+    heads AS (
+      SELECT bucket, list(key ORDER BY rn) AS head FROM hr WHERE rn <= {k + 1} GROUP BY bucket
+    ),
+    j AS (
+      SELECT w.key,
+             list_concat(
+               ld,
+               (list_filter(head, x -> x <> w.key AND NOT list_contains(ld, x)))
+                 [1 : {k} - len(ld)]
+             ) AS negs
+      FROM w JOIN heads USING (bucket)
+    )
+    SELECT key AS doc_id,
+           CAST(generate_subscripts(negs, 1) - 1 AS INT) AS neg_rank,
+           unnest(negs) AS negative_id
+    FROM j
+    """
+
+
+@register("corpus_sample_negatives", _negatives_oracle_sql())
+def corpus_sample_negatives(spark, sf_dir):
+    """X138: deterministic negative sampling for contrastive pairs —
+    each doc paired with k=3 ring-successor negatives on a seeded md5
+    hash ring split into 16 arcs (wrap at arc tail). Pure function of
+    (doc_id set, seed): the DuckDB twin rebuilds the identical ring and
+    must emit the identical (doc, rank, negative) triples."""
+    from zparse_spark.operators.filtering import sample_negatives
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_negatives(d, "doc_id", k=3, seed=5, n_buckets=16)
+
+
 @register(
     "quantiles_quantity",
     """
