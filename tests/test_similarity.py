@@ -385,3 +385,29 @@ def test_quantized_topk_arrow_matches_expr(spark):
     exact_set = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
     quant_set = {(r["query_id"], r["corpus_id"]) for r in expr}
     assert quant_set == exact_set  # rerank=4 buys back full recall here
+
+
+def test_centroid_drift_hand_case(spark):
+    """X139. Orthogonal groups: A all [1,0], B all [0,1] -> global
+    centroid [0.5,0.5]; cosine(A,G)=1/sqrt(2), norm_ratio=sqrt(2).
+    Identical groups -> cosine 1, ratio 1. NULL vectors ignored."""
+    import math
+
+    from zparse_spark.operators.similarity import centroid_drift
+
+    rows = [(0, [1.0, 0.0]) for _ in range(4)] + [(1, [0.0, 1.0]) for _ in range(4)]
+    df = spark.createDataFrame(rows + [(0, None)], "label int, embedding array<float>")
+    out = {r["label"]: r for r in centroid_drift(df, "embedding", "label").collect()}
+    assert out[0]["n_vecs"] == 4 and out[1]["n_vecs"] == 4  # NULL ignored
+    for lbl in (0, 1):
+        assert abs(out[lbl]["centroid_cosine"] - 1 / math.sqrt(2)) < 1e-6
+        assert abs(out[lbl]["norm_ratio"] - math.sqrt(2)) < 1e-6
+
+    same = spark.createDataFrame(
+        [(g, [0.6, 0.8]) for g in (0, 1) for _ in range(3)],
+        "label int, embedding array<float>",
+    )
+    out2 = {r["label"]: r for r in centroid_drift(same, "embedding", "label").collect()}
+    for lbl in (0, 1):
+        assert abs(out2[lbl]["centroid_cosine"] - 1.0) < 1e-6
+        assert abs(out2[lbl]["norm_ratio"] - 1.0) < 1e-6

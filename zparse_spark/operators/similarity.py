@@ -854,3 +854,65 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "quantized_cosine", "cosine", "rank")
     )
+
+
+def centroid_drift(
+    df,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> "DataFrame":
+    """X139: embedding-space distribution drift per group — the vector
+    modality's seat in the drift family (PSI/KL for categorical kinds,
+    KS/EMD for scalars, THIS for array<float> columns): each group's
+    centroid compared to the global centroid by cosine and by norm
+    ratio. A group whose centroid swings away from the corpus (cosine
+    drops) or collapses/inflates (norm ratio moves off 1) signals a
+    shifted embedding distribution — a new model version writing into
+    an old table, a poisoned source, a re-normalization bug — long
+    before per-vector checks (embedding_validation) fire.
+
+    Scale shape: ONE posexplode of the vectors into (group, dim, v) is
+    immediately reduced by groupBy(group, dim) with map-side combine —
+    the shuffle carries |groups| x dim partial sums, never vectors. The
+    global centroid derives from the SAME reduced table (no second
+    scan), is dim rows, and broadcasts into a |groups| x dim join; the
+    cosine/norm arithmetic happens on that grid. NULL vectors are
+    ignored (embedding_validation owns flagging them).
+
+    Determinism: elements are float32 read exactly into doubles; sums
+    of ~n doubles differ across engines only in last-ulp association
+    noise, absorbed by the 6-decimal rounding of the two final metrics
+    (same contract as the ANN cosine oracles).
+    """
+    from pyspark.sql import functions as F
+
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    per = ex.groupBy("grp", "dim").agg(
+        F.sum(F.col("v").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    glob = per.groupBy("dim").agg(
+        (F.sum("s") / F.sum("n")).alias("gc"),
+    )
+    cent = per.select("grp", "dim", (F.col("s") / F.col("n")).alias("c"), "n")
+    j = cent.join(F.broadcast(glob), "dim")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("c") * F.col("gc")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+            F.sum(F.col("gc") * F.col("gc")).alias("ng"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vecs",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("nc")) * F.sqrt(F.col("ng"))), 6
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt(F.col("nc")) / F.sqrt(F.col("ng")), 6).alias("norm_ratio"),
+        )
+    )

@@ -593,6 +593,38 @@ def corpus_sample_negatives(spark, sf_dir):
 
 
 @register(
+    "drift_embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label AS grp,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    per AS (SELECT grp, dim, sum(v) AS s, count(*) AS n FROM ex GROUP BY 1, 2),
+    gcent AS (SELECT dim, sum(s) / sum(n) AS gc FROM per GROUP BY 1),
+    cent AS (SELECT grp, dim, s / n AS c, n FROM per),
+    j AS (SELECT * FROM cent JOIN gcent USING (dim))
+    SELECT grp AS label, max(n) AS n_vecs,
+           round(sum(c * gc) / (sqrt(sum(c * c)) * sqrt(sum(gc * gc))), 6)
+             AS centroid_cosine,
+           round(sqrt(sum(c * c)) / sqrt(sum(gc * gc)), 6) AS norm_ratio
+    FROM j GROUP BY 1
+    """,
+)
+def drift_embedding_centroids(spark, sf_dir):
+    """X139: embedding-space drift per label — cosine and norm ratio of
+    each label's centroid vs the global centroid. One posexplode
+    reduced by groupBy(label, dim) map-side combine (shuffle carries
+    |labels| x 64 partials, never vectors); global centroid derived
+    from the same reduced table and broadcast."""
+    from zparse_spark.operators.similarity import centroid_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(e, "embedding", "label")
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
