@@ -1274,3 +1274,50 @@ def test_k_anonymity_audit_hand_case(spark):
         for r in k_anonymity_audit(df, ["nation", "seg"], k=3).collect()
     }
     assert out2 == {("US", "B"): 1, (None, "A"): 1}
+
+
+def test_profile_partials_merge_law(spark):
+    """X140: finalize(merge(partials(A) ∪ partials(B))) equals the
+    direct whole-table profile; merging any unit split gives the same
+    answer; non-numeric columns carry NULL extrema/avg."""
+    from zparse_spark.operators.stats import (
+        column_profile_partials,
+        merge_column_profile_partials,
+    )
+
+    rows = [
+        ("u1", 10, "en"),
+        ("u1", 20, None),
+        ("u2", None, "de"),
+        ("u2", 40, "de"),
+        ("u3", 5, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "unit string, n int, lang string")
+
+    direct = merge_column_profile_partials(
+        column_profile_partials(df.withColumn("one", F.lit("x")), ["n", "lang"], "one")
+    )
+    via_units = merge_column_profile_partials(
+        column_profile_partials(df, ["n", "lang"], "unit")
+    )
+    d = {r["column"]: tuple(r)[1:] for r in direct.collect()}
+    u = {r["column"]: tuple(r)[1:] for r in via_units.collect()}
+    assert d == u
+    assert u["n"] == (5, 4, 5.0, 40.0, 18.75, 0.2)
+    assert u["lang"] == (5, 4, None, None, None, 0.2)
+
+    # incremental: merge(old partials ∪ new unit's partials) == profile of grown table
+    grown = df.unionByName(
+        spark.createDataFrame([("u4", 100, "en")], "unit string, n int, lang string")
+    )
+    inc = merge_column_profile_partials(
+        column_profile_partials(df, ["n", "lang"], "unit").unionByName(
+            column_profile_partials(
+                grown.filter(F.col("unit") == "u4"), ["n", "lang"], "unit"
+            )
+        )
+    )
+    full = merge_column_profile_partials(
+        column_profile_partials(grown, ["n", "lang"], "unit")
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))

@@ -2061,3 +2061,90 @@ def k_anonymity_audit(
     if sensitive is not None:
         cond = cond | (F.col("l_diversity") < 2)
     return grouped.filter(cond)
+
+
+def column_profile_partials(
+    df: DataFrame, cols: list[str], unit_col: str = "partition"
+) -> DataFrame:
+    """X140: per-unit MERGEABLE profile partials — the incremental-stats
+    layer under column_profile: each ingestion unit (partition, day,
+    micro-batch) reduces to primitive aggregates that merge EXACTLY
+    (counts add, min/min, max/max, integer sums add), so a resumed or
+    incremental run profiles only the NEW units and folds them into the
+    running profile — the same per-partition lineage+metrics discipline
+    as the manifest checkpoint, applied to statistics. (This is why the
+    partials are counts/extrema/sums and not rates/averages: a null_rate
+    or avg does not merge; its numerator and denominator do.)
+
+    Output: one row per (unit, column): n_rows, n_nonnull, min, max,
+    sum (doubles; NULL for non-numeric columns).
+
+    Scale shape: ONE groupBy(unit) pass with every per-column aggregate
+    partial-combined map-side, then a driver-free stack() reshape —
+    |units| x |cols| tiny rows, safe to sink into the manifest table.
+    """
+    dts = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        dt = dts[c]
+        num = dt in (
+            "bigint",
+            "int",
+            "smallint",
+            "tinyint",
+            "double",
+            "float",
+        ) or dt.startswith("decimal")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+        ]
+        if num:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+                F.sum(F.col(c).cast("double")).alias(f"{c}__sum"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"{c}__min"),
+                F.lit(None).cast("double").alias(f"{c}__max"),
+                F.lit(None).cast("double").alias(f"{c}__sum"),
+            ]
+    wide = df.groupBy(F.col(unit_col).alias("unit")).agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nonnull`, `{c}__min`, `{c}__max`, `{c}__sum`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "unit",
+        f"stack({len(cols)}, {stack_expr}) as (column, n_rows, n_nonnull, min, max, sum)",
+    )
+
+
+def merge_column_profile_partials(partials: DataFrame) -> DataFrame:
+    """Fold profile partials (any subset of units, produced by any run
+    or engine) into the finalized per-column profile: counts and sums
+    add, extrema take min/max, and the derived metrics (avg, null_rate)
+    are computed ONCE from the merged primitives — so
+    finalize(merge(partials)) == profile(whole table), exactly for
+    integer-summed columns and to last-ulp association noise for float
+    sums. groupBy on |units| x |cols| rows — driver never sees data."""
+    m = partials.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum").alias("sum"),
+    )
+    return m.select(
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "min",
+        "max",
+        F.round(F.col("sum") / F.col("n_nonnull"), 6).alias("avg"),
+        F.round((F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows"), 6).alias(
+            "null_rate"
+        ),
+    )

@@ -625,6 +625,41 @@ def drift_embedding_centroids(spark, sf_dir):
 
 
 @register(
+    "profile_incremental_documents",
+    """
+    SELECT 'n_chars' AS "column",
+           count(*) AS n_rows,
+           count(n_chars) AS n_nonnull,
+           CAST(min(n_chars) AS DOUBLE) AS min,
+           CAST(max(n_chars) AS DOUBLE) AS max,
+           round(sum(CAST(n_chars AS DOUBLE)) / count(n_chars), 6) AS avg,
+           round((count(*) - count(n_chars)) * 1.0 / count(*), 6) AS null_rate
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(lang),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           round((count(*) - count(lang)) * 1.0 / count(*), 6)
+    FROM documents
+    """,
+)
+def profile_incremental_documents(spark, sf_dir):
+    """X140: incremental profiling — per-source MERGEABLE partials
+    (counts/extrema/sums, the primitives that fold exactly) merged into
+    the finalized table profile; the DuckDB oracle computes the profile
+    DIRECTLY over the whole table, so the gate proves
+    finalize(merge(per-unit partials)) == direct(table) cross-engine.
+    n_chars is integer-summed, so even avg is bit-exact."""
+    from zparse_spark.operators.stats import (
+        column_profile_partials,
+        merge_column_profile_partials,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    partials = column_profile_partials(d, ["n_chars", "lang"], unit_col="source")
+    return merge_column_profile_partials(partials)
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
