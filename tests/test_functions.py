@@ -681,3 +681,23 @@ def test_distinctive_terms_hand_formula(spark):
     # min_count prunes: with min_count=3 'bird' (2 occurrences) is gone
     pruned = distinctive_terms(df, "grp", "text", min_count=3).collect()
     assert not any(r.token == "bird" for r in pruned)
+
+
+def test_mixed_script_audit_flags_homoglyph_tokens(spark):
+    """X141: a token mixing Latin+Cyrillic (or Greek) flags; pure
+    Cyrillic text does NOT (separate scripts in separate tokens are
+    legitimate multilingual text); NULL text out of scope."""
+    from zparse_spark.functions.text import mixed_script_audit
+
+    rows = [
+        ("p1", "d1", "login to pаypal now"),          # Cyrillic а inside Latin token
+        ("p1", "d2", "привет мир hello world"),             # scripts in separate tokens: clean
+        ("p1", "d3", None),
+        ("p2", "d4", "Ηello there"),                   # Greek Η + Latin
+        ("p2", "d5", "plain ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id string, text string")
+    out = {r["partition"]: r for r in mixed_script_audit(df).collect()}
+    assert out["p1"]["n_docs"] == 2 and out["p1"]["n_mixed"] == 1
+    assert out["p1"]["example_doc_id"] == "d1"
+    assert out["p2"]["n_mixed"] == 1 and out["p2"]["example_doc_id"] == "d4"

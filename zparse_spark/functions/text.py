@@ -1093,3 +1093,57 @@ def distinctive_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+# token-level mixed-script pattern: one \S+ run containing BOTH a Latin
+# letter and a Cyrillic/Greek one (either order). Literal codepoint
+# ranges, so the same class means the same thing to Java regex and RE2.
+_MIXED_SCRIPT_RE = (
+    "[A-Za-z][^\\s]*[Ͱ-ϿЀ-ӿ]"
+    "|[Ͱ-ϿЀ-ӿ][^\\s]*[A-Za-z]"
+)
+
+
+def mixed_script_flag(text_col):
+    """True when any single whitespace-delimited token mixes Latin with
+    Cyrillic or Greek letters — the homoglyph-spoofing signature
+    ('pаypal' with a Cyrillic а) that survives NFC normalization
+    (X132 can't see it: the string IS normalized) and PII redaction.
+    Pure regexp — codegen, no Python."""
+    from pyspark.sql import functions as F
+
+    return text_col.rlike(_MIXED_SCRIPT_RE)
+
+
+def mixed_script_audit(
+    df,
+    text_col: str = "text",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """X141: per-partition homoglyph / mixed-script audit — the
+    security companion of the NFC audit: documents whose tokens mix
+    Latin with Cyrillic/Greek codepoints are the classic spoofing and
+    SEO-spam signature a training corpus wants quantified per source
+    (a source whose rate jumps is injecting confusables). Reports
+    count, rate, and the smallest offending doc id per partition.
+
+    Scale shape: ONE map-only rlike fused with the scan (no explode —
+    the token quantifier lives inside the regex), partition-bounded
+    groupBy. The char-class ranges are literal codepoints, so the
+    DuckDB RE2 twin evaluates the identical predicate."""
+    from pyspark.sql import functions as F
+
+    flagged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(partition_col).alias("partition"),
+        F.col(id_col).cast("string").alias("_id"),
+        mixed_script_flag(F.col(text_col)).alias("_bad"),
+    )
+    return flagged.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_bad").cast("int")).alias("n_mixed"),
+        F.round(
+            F.sum(F.col("_bad").cast("int")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mixed_rate"),
+        F.min(F.when(F.col("_bad"), F.col("_id"))).alias("example_doc_id"),
+    )

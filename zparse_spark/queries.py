@@ -660,6 +660,56 @@ def profile_incremental_documents(spark, sf_dir):
 
 
 @register(
+    "corpus_mixed_script_audit",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(doc_id AS BIGINT) % 37 = 0
+                  THEN text || ' pаypal login'
+                  WHEN CAST(doc_id AS BIGINT) % 41 = 0
+                  THEN text || ' Ηello world'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    f AS (
+      SELECT source AS partition, CAST(doc_id AS VARCHAR) AS id,
+             regexp_matches(text,
+               '[A-Za-z][^\\s]*[Ͱ-ϿЀ-ӿ]|[Ͱ-ϿЀ-ӿ][^\\s]*[A-Za-z]') AS bad
+      FROM docs2 WHERE text IS NOT NULL
+    )
+    SELECT partition, count(*) AS n_docs,
+           sum(CASE WHEN bad THEN 1 ELSE 0 END) AS n_mixed,
+           round(sum(CASE WHEN bad THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS mixed_rate,
+           min(CASE WHEN bad THEN id END) AS example_doc_id
+    FROM f GROUP BY 1
+    """,
+)
+def corpus_mixed_script_audit(spark, sf_dir):
+    """X141: homoglyph / mixed-script audit per source with planted
+    confusables (every 37th doc gets a Cyrillic-а 'pаypal', every 41st
+    a Greek-Η 'Ηello' — derived deterministically from doc_id so both
+    engines plant identical positives). One map-only rlike, no explode;
+    partition-bounded groupBy."""
+    from zparse_spark.functions.text import mixed_script_audit
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").cast("long") % 37 == 0,
+            F.concat(F.col("text"), F.lit(" pаypal login")),
+        )
+        .when(
+            F.col("doc_id").cast("long") % 41 == 0,
+            F.concat(F.col("text"), F.lit(" Ηello world")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return mixed_script_audit(planted, "text", "source", "doc_id")
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
