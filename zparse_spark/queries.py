@@ -710,6 +710,93 @@ def corpus_mixed_script_audit(spark, sf_dir):
 
 
 @register(
+    "pipeline_entity_resolution",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT CAST(a.c_custkey AS VARCHAR) AS id_a,
+             CAST(b.c_custkey AS VARCHAR) AS id_b
+      FROM customer a JOIN customer b
+        ON CAST(a.c_custkey AS VARCHAR) < CAST(b.c_custkey AS VARCHAR)
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT comp.node, comp.component, c.c_acctbal AS q, c.c_name
+      FROM comp JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = comp.node
+    ),
+    best AS (
+      SELECT component, node AS rep_id, c_name AS rep_name,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY q DESC, node ASC) AS rk
+      FROM scored
+    )
+    SELECT s.node AS c_custkey, s.c_name AS c_name,
+           b.rep_id AS rep_custkey, b.rep_name AS rep_name,
+           (s.node = b.rep_id) AS is_rep
+    FROM scored s
+    JOIN best b ON b.component = s.component AND b.rk = 1
+    """,
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    """X142: entity resolution END TO END — the composition a reference
+    user runs as one job: (1) blocking + exact fuzzy matching via the
+    deletion-neighborhood edit-distance join (X111, never all-pairs),
+    (2) connected components via the O(log n) large-star/small-star
+    rounds (X12 — name-typo graphs chain, so the propagation variant's
+    O(diameter) is the wrong tool), (3) quality-prior canonical record
+    per entity (X30: argmax account balance, ties to min key). The
+    DuckDB twin is the textbook definition: quadratic levenshtein join
+    + recursive-CTE closure + argmax window — a green row certifies the
+    entire pruned pipeline equals the brute-force semantics."""
+    from zparse_spark.operators.dedup import resolve_duplicate_clusters_star
+    from zparse_spark.operators.editdist import bounded_edit_distance_join
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = bounded_edit_distance_join(
+        c.select("c_custkey", "c_name"), id_col="c_custkey", key_col="c_name", k=1
+    ).select("id_a", "id_b")
+    labels = resolve_duplicate_clusters_star(pairs).withColumnRenamed(
+        "rep_id", "component"
+    )
+    meta = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("q"),
+        F.col("c_name").alias("name"),
+    )
+    scored = labels.join(meta, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("q").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_custkey"),
+            F.col("name").alias("rep_name"),
+        )
+    )
+    return scored.join(F.broadcast(best), "component").select(
+        F.col("doc_id").alias("c_custkey"),
+        F.col("name").alias("c_name"),
+        "rep_custkey",
+        "rep_name",
+        (F.col("doc_id") == F.col("rep_custkey")).alias("is_rep"),
+    )
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
