@@ -113,3 +113,86 @@ def json_schema_profile(df: DataFrame, col: str) -> DataFrame:
         "n",
         F.round(F.col("n") / root_n, 6).alias("row_share"),
     )
+
+
+def _variant_coarse_type(t):
+    """Coarse JSON type class from schema_of_variant's Spark type name —
+    the taxonomy shared with DuckDB's json_type (int/number/string/
+    bool/object/array), so the two engines classify identically."""
+    return (
+        F.when(t.isin("TINYINT", "SMALLINT", "INT", "BIGINT"), "int")
+        .when(t.isin("FLOAT", "DOUBLE") | t.startswith("DECIMAL"), "number")
+        .when(t == "STRING", "string")
+        .when(t == "BOOLEAN", "bool")
+        .when(t.startswith("STRUCT") | t.startswith("OBJECT"), "object")
+        .when(t.startswith("ARRAY"), "array")
+        .otherwise(F.lower(t))
+    )
+
+
+def json_schema_violations(
+    df: DataFrame,
+    col: str,
+    required: dict[str, str],
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """X143: declarative JSON schema rules over an UNDECLARED JSON
+    string column — the table-level generalization of the reference's
+    strict-parser contract (json/parser.rs: type checks + structural
+    well-formedness) for the payload columns real event tables carry:
+
+      J0 MalformedJson        the cell does not parse at all
+      J1 RequiredPathMissing  a required path is absent or JSON null
+      J2 PathTypeMismatch     present but the wrong coarse type class
+
+    ``required`` maps JSON paths to expected classes ('int', 'number',
+    'string', 'bool', 'object', 'array'). NULL cells are out of scope
+    (not-null checks own them). One violation row per (row, fired
+    rule, path).
+
+    Scale shape: ONE map-only projection — try_parse_json once per
+    row, then per-path variant_get/schema_of_variant expressions all
+    riding the same stage (no explode, no Python, no shuffle); the
+    UNION of rule branches stays a single scan via column pruning.
+    Cross-engine: coarse classes mirror DuckDB's json_type taxonomy;
+    J1 counts JSON null as missing on both sides.
+    """
+    ids = [F.col(c) for c in (id_cols or ["event_id"])]
+    base = df.filter(F.col(col).isNotNull()).select(
+        *ids, F.try_parse_json(F.col(col)).alias("_v")
+    )
+    branches = [
+        base.filter(F.col("_v").isNull()).select(
+            *ids,
+            F.lit("J0").alias("rule_id"),
+            F.lit(None).cast("string").alias("path"),
+            F.lit("malformed json").alias("message"),
+        )
+    ]
+    for path, expected in required.items():
+        kv = F.try_variant_get(F.col("_v"), path, "variant")
+        coarse = _variant_coarse_type(F.schema_of_variant(kv))
+        present = F.col("_v").isNotNull() & kv.isNotNull() & ~F.is_variant_null(kv)
+        branches.append(
+            base.filter(
+                F.col("_v").isNotNull() & (kv.isNull() | F.is_variant_null(kv))
+            ).select(
+                *ids,
+                F.lit("J1").alias("rule_id"),
+                F.lit(path).alias("path"),
+                F.lit("required path missing").alias("message"),
+            )
+        )
+        branches.append(
+            base.filter(present & (coarse != expected)).select(
+                *ids,
+                F.lit("J2").alias("rule_id"),
+                F.lit(path).alias("path"),
+                F.concat(
+                    F.lit(f"expected {expected}, got "), coarse
+                ).alias("message"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), branches)

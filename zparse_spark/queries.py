@@ -797,6 +797,59 @@ def pipeline_entity_resolution(spark, sf_dir):
 
 
 @register(
+    "events_json_schema_rules",
+    """
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN '{"k": "str"}'
+                  WHEN event_id % 17 = 0 THEN '{"x": 1}'
+                  WHEN event_id % 19 = 0 THEN 'not json'
+                  WHEN event_id % 23 = 0 THEN '{"k": null}'
+                  WHEN event_id % 29 = 0 THEN '{"k": 1.5}'
+                  ELSE props END AS props
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_id, 'J0' AS rule_id, CAST(NULL AS VARCHAR) AS path,
+           'malformed json' AS message
+    FROM ev WHERE NOT json_valid(props)
+    UNION ALL
+    SELECT event_id, 'J1', '$.k', 'required path missing'
+    FROM ev WHERE json_valid(props)
+      AND (json_extract(props, '$.k') IS NULL OR json_type(props, '$.k') = 'NULL')
+    UNION ALL
+    SELECT event_id, 'J2', '$.k',
+           'expected int, got ' ||
+           CASE json_type(props, '$.k')
+                WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'number'
+                WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
+                WHEN 'ARRAY' THEN 'array' ELSE lower(json_type(props, '$.k')) END
+    FROM ev WHERE json_valid(props)
+      AND json_extract(props, '$.k') IS NOT NULL
+      AND json_type(props, '$.k') NOT IN ('NULL', 'UBIGINT', 'BIGINT')
+    """,
+)
+def events_json_schema_rules(spark, sf_dir):
+    """X143: declarative JSON-path schema rules (J0 malformed /
+    J1 required-missing incl. JSON null / J2 type-mismatch) over the
+    events.props payload column, with violations planted
+    deterministically from event_id (wrong-type string, missing key,
+    malformed cell, JSON null, float-for-int) so both engines inject
+    identical positives. One map-only variant projection, no Python."""
+    from zparse_spark.functions.json_profile import json_schema_violations
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 13 == 0, F.lit('{"k": "str"}'))
+        .when(F.col("event_id") % 17 == 0, F.lit('{"x": 1}'))
+        .when(F.col("event_id") % 19 == 0, F.lit("not json"))
+        .when(F.col("event_id") % 23 == 0, F.lit('{"k": null}'))
+        .when(F.col("event_id") % 29 == 0, F.lit('{"k": 1.5}'))
+        .otherwise(F.col("props")),
+    )
+    return json_schema_violations(ev, "props", {"$.k": "int"}, id_cols=["event_id"])
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
