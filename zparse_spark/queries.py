@@ -5312,6 +5312,78 @@ def corpus_search_bm25(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "corpus_search_ndcg",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS d,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    clean AS (SELECT d, token FROM toks WHERE token <> ''),
+    dl AS (SELECT d, count(*) AS dl FROM clean GROUP BY 1),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (SELECT d, token FROM clean
+             WHERE token IN {repr(_BM25_TERMS)}),
+    tf AS (SELECT d, token, count(*) AS tf FROM hits GROUP BY 1, 2),
+    docfreq AS (SELECT token, count(DISTINCT d) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT tf.d,
+             round(
+               ln(1.0 + (corpus.n - docfreq.df + 0.5) / (docfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl)),
+               6) AS contrib
+      FROM tf JOIN docfreq USING (token) JOIN dl USING (d) CROSS JOIN corpus
+    ),
+    per_doc AS (
+      SELECT d, round(sum(contrib), 6) AS score, count(*) AS n_hit
+      FROM scored GROUP BY d
+    ),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY score DESC, d ASC) AS rank
+      FROM per_doc
+    ),
+    grades AS (SELECT d, count(DISTINCT token) AS grade FROM hits GROUP BY 1),
+    topk AS (
+      SELECT rank, grade FROM ranked JOIN grades USING (d) WHERE rank <= 10
+    ),
+    dcg AS (
+      SELECT count(*) AS n_ranked,
+             round(sum(round((power(2.0, grade) - 1.0) / log2(rank + 1.0), 6)), 6)
+               AS dcg,
+             min(CASE WHEN grade >= 2 THEN rank END) AS first_good
+      FROM topk
+    ),
+    ideal AS (
+      SELECT grade,
+             row_number() OVER (ORDER BY grade DESC, d ASC) AS irank
+      FROM grades
+    ),
+    idcg AS (
+      SELECT round(sum(round((power(2.0, grade) - 1.0) / log2(irank + 1.0), 6)), 6)
+               AS idcg
+      FROM ideal WHERE irank <= 10
+    )
+    SELECT CAST(n_ranked AS BIGINT) AS n_ranked, dcg.dcg AS dcg, idcg.idcg AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg,
+           round(1.0 / first_good, 6) AS mrr
+    FROM dcg, idcg
+    """,
+)
+def corpus_search_ndcg(spark, sf_dir):
+    """X144: nDCG@10 + MRR@10 of the BM25 ranking against the
+    independent deterministic judgment grade = distinct query terms
+    contained (judged corpus-wide, so IDCG can exceed the scorer's
+    picks). Every gain summand rounded before the sum; one trailing
+    division each for nDCG and MRR — bit-matched cross-engine."""
+    from zparse_spark.functions.text import retrieval_ndcg
+
+    return retrieval_ndcg(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Interval-overlap self-join (operators/asof.py interval_overlap_join)
 # ---------------------------------------------------------------------------
