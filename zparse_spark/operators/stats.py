@@ -2148,3 +2148,54 @@ def merge_column_profile_partials(partials: DataFrame) -> DataFrame:
             "null_rate"
         ),
     )
+
+
+def null_rate_drift(
+    df: DataFrame,
+    col: str,
+    partition_col: str = "partition",
+    z_threshold: float = 4.0,
+) -> DataFrame:
+    """X145: cross-sectional null-rate drift — which partitions' null
+    rate for ``col`` is statistically incompatible with the corpus rate
+    (a loader that silently started dropping a field corrupts ONE
+    partition's null rate first; the global profile barely moves). The
+    one-proportion z-score against the pooled rate,
+
+        z = (p_i - p) / sqrt(p * (1 - p) / n_i),
+
+    flags partitions at |z| >= z_threshold. Complements the HISTORY
+    monitor (manifest.violation_rate_regressions compares runs over
+    time); this needs no history — one snapshot, partitions vs pooled.
+
+    Scale shape: ONE groupBy(partition) carrying two integer counts;
+    the pooled rate is a broadcast one-row aggregate OF THE PARTIALS.
+    Exact integer counts, one division chain per partition, round-6
+    output — engine-portable. Degenerate pooled rates (p = 0 or 1 where
+    every deviating partition is infinitely surprising) get z = NULL
+    and flag on ANY deviation from the pooled rate instead.
+    """
+    parts = df.groupBy(F.col(partition_col).alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(col).isNull().cast("long")).alias("n_null"),
+    )
+    pooled = parts.agg(
+        F.sum("n_rows").alias("_tn"), F.sum("n_null").alias("_tnull")
+    )
+    j = parts.crossJoin(F.broadcast(pooled))
+    p = F.col("_tnull") / F.col("_tn")
+    pi = F.col("n_null") / F.col("n_rows")
+    z = (pi - p) / F.sqrt(p * (F.lit(1.0) - p) / F.col("n_rows"))
+    degenerate = (F.col("_tnull") == 0) | (F.col("_tnull") == F.col("_tn"))
+    out = j.select(
+        "partition",
+        "n_rows",
+        "n_null",
+        F.round(pi, 6).alias("null_rate"),
+        F.round(p, 6).alias("pooled_rate"),
+        F.when(~degenerate, F.round(z, 6)).alias("z"),
+        F.when(degenerate, F.col("n_null") * F.col("_tn") != F.col("_tnull") * F.col("n_rows"))
+        .otherwise(F.abs(z) >= z_threshold)
+        .alias("drifted"),
+    )
+    return out.filter(F.col("drifted"))

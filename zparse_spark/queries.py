@@ -850,6 +850,55 @@ def events_json_schema_rules(spark, sf_dir):
 
 
 @register(
+    "drift_null_rate_orders",
+    """
+    WITH o AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders
+    ),
+    parts AS (
+      SELECT o_orderpriority AS partition, count(*) AS n_rows,
+             sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+      FROM o GROUP BY 1
+    ),
+    pooled AS (SELECT sum(n_rows) AS tn, sum(n_null) AS tnull FROM parts)
+    SELECT partition, n_rows, n_null,
+           round(n_null * 1.0 / n_rows, 6) AS null_rate,
+           round(tnull * 1.0 / tn, 6) AS pooled_rate,
+           round((n_null * 1.0 / n_rows - tnull * 1.0 / tn)
+                 / sqrt((tnull * 1.0 / tn) * (1.0 - tnull * 1.0 / tn) / n_rows), 6)
+             AS z,
+           true AS drifted
+    FROM parts, pooled
+    WHERE abs((n_null * 1.0 / n_rows - tnull * 1.0 / tn)
+              / sqrt((tnull * 1.0 / tn) * (1.0 - tnull * 1.0 / tn) / n_rows)) >= 4.0
+    """,
+)
+def drift_null_rate_orders(spark, sf_dir):
+    """X145: per-partition null-rate drift with planted nulls (a ~9%
+    baseline everywhere plus an inflated rate in 1-URGENT, derived
+    deterministically from o_orderkey so both engines plant the same
+    cells): the one-proportion z against the pooled rate flags the
+    poisoned partition, |z| >= 4. One groupBy carrying two integer
+    counts; pooled rate broadcast from the partials."""
+    from zparse_spark.operators.stats import null_rate_drift
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "k",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("long"))
+        .when(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 3 == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("o_custkey")),
+    )
+    return null_rate_drift(o, "k", "o_orderpriority", z_threshold=4.0)
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
