@@ -73,3 +73,38 @@ def test_float_columns_rejected(spark):
     # explicit decimal cast is the documented escape hatch
     ok = table_checksum(df.withColumn("b", F.col("b").cast("decimal(10,2)")))
     assert _one(ok).n_rows == 1
+
+
+def test_bucket_checksum_diff_identical_and_planted(spark):
+    """X146: identical tables diff to EMPTY; an edited row flags only
+    its bucket as 'changed'; a row present on one side only flags
+    'only_left'/'only_right' when its bucket vanishes, 'changed' when
+    the bucket still holds other rows; repartitioning changes nothing."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.checksum import bucket_checksum_diff
+
+    rows = [(f"d{i}", f"text {i}", i) for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id string, text string, n int")
+    assert bucket_checksum_diff(a, a, "doc_id", n_buckets=16).collect() == []
+    assert (
+        bucket_checksum_diff(a.repartition(7), a.repartition(3), "doc_id", 16).collect()
+        == []
+    )
+
+    edited = a.withColumn(
+        "text", F.when(F.col("doc_id") == "d7", F.lit("EDITED")).otherwise(F.col("text"))
+    )
+    d1 = bucket_checksum_diff(a, edited, "doc_id", n_buckets=16).collect()
+    assert len(d1) == 1 and d1[0]["status"] == "changed"
+    assert d1[0]["n_rows_left"] == d1[0]["n_rows_right"]  # same count, content differs
+    assert d1[0]["xor_left"] != d1[0]["xor_right"]
+
+    dropped = a.filter(F.col("doc_id") != "d7")
+    d2 = bucket_checksum_diff(a, dropped, "doc_id", n_buckets=16).collect()
+    assert len(d2) == 1 and d2[0]["status"] == "changed"
+    assert d2[0]["n_rows_left"] == d2[0]["n_rows_right"] + 1
+
+    only = spark.createDataFrame([("z1", "t", 1)], "doc_id string, text string, n int")
+    d3 = bucket_checksum_diff(only, only.limit(0), "doc_id", n_buckets=16).collect()
+    assert len(d3) == 1 and d3[0]["status"] == "only_left"

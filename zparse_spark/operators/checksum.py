@@ -99,3 +99,66 @@ def table_checksum(
     if group_cols:
         return hv.groupBy(*group_cols).agg(*aggs)
     return hv.agg(*aggs)
+
+
+def bucket_checksum_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    n_buckets: int = 1024,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """X146: Merkle-style table diff — compare two snapshots of a
+    10^12-row table WITHOUT shipping rows: hash-bucket both sides on
+    the key (portable md5 bucket, so the bucketing is identical on any
+    engine or cluster layout), reduce each bucket to the X112 checksum
+    triple (n_rows, xor_hash, sum_hash), and join the two bounded
+    digest tables. Equal buckets vanish; what remains is the work list
+    — re-validate / re-replicate / drill into ONLY the differing
+    buckets (recurse with a finer bucket count on the shortlist for
+    row-level attribution). This is how a resumable engine answers "did
+    anything change since the manifest checkpoint" at a cost of two
+    scans + a |buckets|-row join, instead of a row-level anti-join.
+
+    Output: one row per DIFFERING bucket: (bucket, status
+    'changed'/'only_left'/'only_right', per-side row counts and
+    digests). Empty result == content-identical tables (up to the
+    checksum's 60-bit collision bound, doubled by the xor+sum pair).
+
+    Scale shape: each side is ONE map-only hash projection + ONE
+    groupBy(bucket) with map-side combine (the same shuffle a
+    uniqueness check pays, but onto n_buckets cells); the join runs on
+    two n_buckets-row frames. Deterministic: no floats allowed
+    (table_checksum rejects them), bucket id is a pure key function.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).alias("_bucket")
+
+    def digest(df: DataFrame) -> DataFrame:
+        return table_checksum(
+            df.select(bucket, *[c for c in df.columns]), ["_bucket"], cols
+        )
+
+    ca, cb = digest(a), digest(b)
+    j = ca.alias("l").join(cb.alias("r"), "_bucket", "full_outer")
+    same = (
+        F.col("l.n_rows").eqNullSafe(F.col("r.n_rows"))
+        & F.col("l.xor_hash").eqNullSafe(F.col("r.xor_hash"))
+        & F.col("l.sum_hash").eqNullSafe(F.col("r.sum_hash"))
+    )
+    status = (
+        F.when(F.col("r.n_rows").isNull(), "only_left")
+        .when(F.col("l.n_rows").isNull(), "only_right")
+        .otherwise("changed")
+    )
+    return j.filter(~same).select(
+        F.col("_bucket").alias("bucket"),
+        status.alias("status"),
+        F.col("l.n_rows").alias("n_rows_left"),
+        F.col("r.n_rows").alias("n_rows_right"),
+        F.col("l.xor_hash").alias("xor_left"),
+        F.col("r.xor_hash").alias("xor_right"),
+    )

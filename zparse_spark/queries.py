@@ -5262,6 +5262,78 @@ def checksum_documents_by_source(spark, sf_dir):
     return table_checksum(d, group_cols=["source"])
 
 
+def _bucket_diff_oracle_sql(n_buckets: int = 64) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    row = (
+        "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)),"
+        " coalesce(lang, chr(0)), coalesce(CAST(n_chars AS VARCHAR), chr(0)),"
+        " coalesce(source, chr(0)), coalesce(text, chr(0)))"
+    )
+    bkt = f"({_hv_sql('CAST(doc_id AS VARCHAR)')}) % {n_buckets}"
+    digest = f"""
+      SELECT {bkt} AS bucket, count(*) AS n_rows,
+             bit_xor({{h}}) AS xor_hash,
+             CAST(sum(CAST({{h}} AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+               AS sum_hash
+      FROM {{src}} GROUP BY 1"""
+    h = _hv60_sql(row)
+    return f"""
+    WITH rgt_rows AS (
+      SELECT doc_id,
+             CASE WHEN CAST(doc_id AS BIGINT) % 101 = 0
+                  THEN text || ' EDITED' ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE CAST(doc_id AS BIGINT) % 103 <> 0
+    ),
+    dl AS ({digest.format(h=h, src="documents")}),
+    dr AS ({digest.format(h=h, src="rgt_rows")}),
+    j AS (
+      SELECT coalesce(dl.bucket, dr.bucket) AS bucket,
+             dl.n_rows AS nl, dr.n_rows AS nr,
+             dl.xor_hash AS xl, dr.xor_hash AS xr,
+             dl.sum_hash AS sl, dr.sum_hash AS sr
+      FROM dl FULL JOIN dr ON dl.bucket = dr.bucket
+    )
+    SELECT bucket,
+           CASE WHEN nr IS NULL THEN 'only_left'
+                WHEN nl IS NULL THEN 'only_right'
+                ELSE 'changed' END AS status,
+           nl AS n_rows_left, nr AS n_rows_right,
+           xl AS xor_left, xr AS xor_right
+    FROM j
+    WHERE NOT (nl IS NOT DISTINCT FROM nr AND xl IS NOT DISTINCT FROM xr
+               AND sl IS NOT DISTINCT FROM sr)
+    """
+
+
+@register("diff_documents_buckets", _bucket_diff_oracle_sql())
+def diff_documents_buckets(spark, sf_dir):
+    """X146: Merkle-style snapshot diff — documents vs a derived
+    second snapshot (every 101st doc edited, every 103rd dropped,
+    derived from doc_id so both engines build the identical snapshot):
+    64 portable hash buckets reduced to checksum triples per side,
+    full-outer join, ONLY differing buckets emitted. Equal buckets
+    vanish — the 100 TB answer to 'what changed since the checkpoint'
+    without a row-level anti-join."""
+    from zparse_spark.operators.checksum import bucket_checksum_diff
+
+    d = _t(spark, sf_dir, "documents")
+    edited = (
+        d.filter(F.col("doc_id").cast("long") % 103 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id").cast("long") % 101 == 0,
+                F.concat(F.col("text"), F.lit(" EDITED")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return bucket_checksum_diff(d, edited, "doc_id", n_buckets=64)
+
+
+
+
 # ---------------------------------------------------------------------------
 # Gaps-and-islands key continuity (operators/stats.py key_gaps)
 # ---------------------------------------------------------------------------
