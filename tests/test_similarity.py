@@ -411,3 +411,15 @@ def test_centroid_drift_hand_case(spark):
     for lbl in (0, 1):
         assert abs(out2[lbl]["centroid_cosine"] - 1.0) < 1e-6
         assert abs(out2[lbl]["norm_ratio"] - 1.0) < 1e-6
+
+
+def test_centroid_drift_zero_norm_group_is_null_not_nan(spark):
+    from zparse_spark.operators.similarity import centroid_drift
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "label int, embedding array<float>",
+    )
+    out = {r["label"]: r for r in centroid_drift(df, "embedding", "label").collect()}
+    assert out[0]["centroid_cosine"] is None  # undefined, not NaN
+    assert out[1]["centroid_cosine"] is not None

@@ -910,9 +910,18 @@ def centroid_drift(
         .select(
             F.col("grp").alias(group_col),
             "n_vecs",
-            F.round(
-                F.col("dot") / (F.sqrt(F.col("nc")) * F.sqrt(F.col("ng"))), 6
+            # a zero-norm centroid (all-zero vectors in a group, or a
+            # degenerate corpus) has no direction: cosine is undefined,
+            # so emit NULL rather than NaN (embedding_validation's
+            # E4_ZERO_NORM owns flagging the vectors themselves)
+            F.when(
+                (F.col("nc") > 0) & (F.col("ng") > 0),
+                F.round(
+                    F.col("dot") / (F.sqrt(F.col("nc")) * F.sqrt(F.col("ng"))), 6
+                ),
             ).alias("centroid_cosine"),
-            F.round(F.sqrt(F.col("nc")) / F.sqrt(F.col("ng")), 6).alias("norm_ratio"),
+            F.when(
+                F.col("ng") > 0, F.round(F.sqrt(F.col("nc")) / F.sqrt(F.col("ng")), 6)
+            ).alias("norm_ratio"),
         )
     )
