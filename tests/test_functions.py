@@ -740,3 +740,25 @@ def test_json_schema_violations_matrix(spark):
             (11, "J1", "$.s", "required path missing"),
         ]
     )
+
+
+def test_code_switching_audit_hand_case(spark):
+    """X147: a doc with 2 en lines + 1 de line (33% minority) is mixed;
+    a doc with 7 en + 1 de (12.5% < 25%) is not; all-und docs are out
+    of scope (no classified lines)."""
+    from zparse_spark.functions.text import code_switching_audit
+
+    mixed_doc = "the cat and dog\nthe end of it\nder die und das"
+    mostly_en = "\n".join(["the cat and dog"] * 7 + ["der die und das"])
+    unclassified = "zzz qqq\nrrr www"
+    rows = [
+        ("p1", "d1", mixed_doc),
+        ("p1", "d2", mostly_en),
+        ("p1", "d3", unclassified),
+        ("p2", "d4", "el que la los\nthe and is of"),  # 50/50 -> mixed
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id string, text string")
+    out = {r["partition"]: r for r in code_switching_audit(df).collect()}
+    assert out["p1"]["n_docs"] == 2  # d3 has no classified lines
+    assert out["p1"]["n_mixed"] == 1 and out["p1"]["example_doc_id"] == "d1"
+    assert out["p2"]["n_mixed"] == 1 and out["p2"]["example_doc_id"] == "d4"

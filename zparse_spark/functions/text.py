@@ -1215,3 +1215,66 @@ def retrieval_ndcg(
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         F.round(F.lit(1.0) / F.col("_first_good"), 6).alias("mrr"),
     )
+
+
+def code_switching_audit(
+    df,
+    text_col: str = "text",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    min_minor_share: float = 0.25,
+):
+    """X147: code-switching / language-mix audit per partition — docs
+    whose LINES classify into more than one language with a substantial
+    minority share (>= min_minor_share of classified lines) are mixed-
+    language documents: concatenation artifacts, template text wrapping
+    foreign content, or scraped boilerplate — all of which poison
+    per-language training mixtures even when the doc-LEVEL language id
+    looks confident (the majority language wins the doc vote; the
+    minority lines ride along unseen — this looks at the line votes).
+
+    Line classification reuses lang_guess (deterministic marker-word
+    heuristic, SQL-expressible); 'und' lines don't vote. Reports
+    n_docs (docs with >= 1 classified line), n_mixed, rate, smallest
+    mixed doc id.
+
+    Scale shape: one explode per LINE (not token) immediately reduced
+    to per-(doc, lang) conditional counts in a single groupBy(doc) with
+    map-side combine; the mix decision is integer arithmetic on 4
+    counts per doc; final partition groupBy is partition-bounded.
+    """
+    from pyspark.sql import functions as F
+
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(partition_col).alias("partition"),
+            F.col(id_col).cast("string").alias("_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+        )
+        .filter(F.trim(F.col("_line")) != "")
+        .select("partition", "_id", lang_guess(F.col("_line")).alias("_g"))
+    )
+    per_doc = lines.groupBy("partition", "_id").agg(
+        *[
+            F.sum((F.col("_g") == lang).cast("long")).alias(f"_c_{lang}")
+            for lang in _LANG_MARKERS
+        ]
+    )
+    cnts = [F.col(f"_c_{lang}") for lang in _LANG_MARKERS]
+    classified = sum(cnts[1:], cnts[0])
+    dominant = F.greatest(*cnts)
+    mixed = (classified > 0) & (
+        (classified - dominant) >= classified * F.lit(min_minor_share)
+    )
+    flagged = per_doc.select(
+        "partition", "_id", classified.alias("_n"), mixed.alias("_mixed")
+    ).filter(F.col("_n") > 0)
+    return flagged.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_mixed").cast("long")).alias("n_mixed"),
+        F.round(
+            F.sum(F.col("_mixed").cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mixed_rate"),
+        F.min(F.when(F.col("_mixed"), F.col("_id"))).alias("example_doc_id"),
+    )

@@ -899,6 +899,97 @@ def drift_null_rate_orders(spark, sf_dir):
 
 
 @register(
+    "corpus_code_switching_audit",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, source,
+             text ||
+             CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+                  THEN chr(10) || 'der die und das' ELSE '' END ||
+             CASE WHEN CAST(doc_id AS BIGINT) % 11 = 0
+                  THEN chr(10) || 'el que la los' || chr(10) || 'le les des est'
+                  ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+      SELECT source AS partition, CAST(doc_id AS VARCHAR) AS id,
+             unnest(string_split(text, chr(10))) AS line
+      FROM docs2
+    ),
+    nz AS (SELECT partition, id, line FROM lines WHERE trim(line) <> ''),
+    scored AS (
+      SELECT partition, id,
+        len(list_filter(regexp_split_to_array(lower(line), '\\s+'),
+            w -> w IN ('the','and','is','of'))) AS s_en,
+        len(list_filter(regexp_split_to_array(lower(line), '\\s+'),
+            w -> w IN ('el','la','que','los'))) AS s_es,
+        len(list_filter(regexp_split_to_array(lower(line), '\\s+'),
+            w -> w IN ('der','die','und','das'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(line), '\\s+'),
+            w -> w IN ('le','les','des','est'))) AS s_fr
+      FROM nz
+    ),
+    guessed AS (
+      SELECT partition, id,
+        CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'und' END AS g
+      FROM scored
+    ),
+    per_doc AS (
+      SELECT partition, id,
+             sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS c_en,
+             sum(CASE WHEN g = 'es' THEN 1 ELSE 0 END) AS c_es,
+             sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS c_de,
+             sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS c_fr
+      FROM guessed GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT partition, id, (c_en + c_es + c_de + c_fr) AS n,
+             greatest(c_en, c_es, c_de, c_fr) AS dom
+      FROM per_doc
+    ),
+    f AS (
+      SELECT partition, id, (n - dom) >= n * 0.25 AS mixed
+      FROM m WHERE n > 0
+    )
+    SELECT partition, count(*) AS n_docs,
+           sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS n_mixed,
+           round(sum(CASE WHEN mixed THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS mixed_rate,
+           min(CASE WHEN mixed THEN id END) AS example_doc_id
+    FROM f GROUP BY 1
+    """,
+)
+def corpus_code_switching_audit(spark, sf_dir):
+    """X147: code-switching audit per source — line-level lang_guess
+    votes, mixed when the minority classified lines reach 25%. Foreign
+    lines planted deterministically from doc_id (every 7th doc gains a
+    German line, every 11th a Spanish + French line) so both engines
+    build the identical corpus. One line explode -> per-doc conditional
+    counts in one groupBy; integer mix decision."""
+    from zparse_spark.functions.text import code_switching_audit
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id").cast("long") % 7 == 0, F.lit("\nder die und das")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id").cast("long") % 11 == 0,
+                F.lit("\nel que la los\nle les des est"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return code_switching_audit(planted, "text", "source", "doc_id")
+
+
+@register(
     "quantiles_quantity",
     """
     SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
