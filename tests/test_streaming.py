@@ -310,3 +310,65 @@ def test_checksum_stream_equals_batch_digest(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got2 == want
+
+
+def test_cms_stream_equals_batch_sketch(spark, tmp_path):
+    """X148: the incrementally folded CMS after N microbatches is
+    cell-identical to cms_sketch over all rows seen, restart is a
+    no-op, and estimates off the streamed state equal batch estimates."""
+    from zparse_spark.operators.stats import cms_estimate, cms_sketch
+    from zparse_spark.streaming.validate_stream import cms_stream
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"u{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    for j in range(3):
+        df.filter(F.col("id") % 3 == j).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    W, D = 8, 3
+    q = cms_stream(stream, "v", state, width=W, depth=D, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(state).drop("_last_batch").collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in cms_sketch(df, "v", width=W, depth=D).collect()
+    }
+    assert got == want
+
+    # restart over the same source: replayed batches are no-ops
+    stream2 = (
+        spark.readStream.schema("id bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = cms_stream(stream2, "v", state, width=W, depth=D, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(state).drop("_last_batch").collect()
+    }
+    assert got2 == want
+
+    # estimates off the streamed state match batch estimates
+    est_stream = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(
+            spark.read.parquet(state).drop("_last_batch"), df, "v", W, D
+        ).collect()
+    }
+    est_batch = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(cms_sketch(df, "v", W, D), df, "v", W, D).collect()
+    }
+    assert est_stream == est_batch

@@ -280,3 +280,64 @@ def checksum_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+def cms_stream(
+    stream_df: DataFrame,
+    col: str,
+    state_path: str,
+    width: int = 1024,
+    depth: int = 4,
+    checkpoint: str | None = None,
+):
+    """X148: incrementally maintained Count-Min sketch over a stream —
+    the streaming face of the X135 mergeable-sketch story, same
+    discipline as checksum_stream: each microbatch's (depth x width)
+    counter grid is folded into the state grid by the CMS monoid
+    (cell-wise addition), so after ANY prefix of batches the state
+    equals cms_sketch of all rows seen so far — regardless of batch
+    boundaries, arrival order, or restarts (idempotent
+    last-committed-batch guard). A 10^12-row firehose thus keeps a
+    fixed-size, engine-portable frequency summary that any consumer
+    probes with cms_estimate, without ever re-scanning history.
+
+    State table layout: (d, bucket, n) + _last_batch. Merge cost per
+    batch: one groupBy over depth*width + batch-partial cells —
+    independent of batch size beyond the per-batch sketch aggregation.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.stats import cms_sketch
+
+    spark = stream_df.sparkSession
+
+    def _read_state():
+        try:
+            return spark.read.parquet(state_path)
+        except AnalysisException:
+            return None
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = cms_sketch(batch_df, col, width=width, depth=depth)
+        state = _read_state()
+        if state is not None:
+            if state.agg(F.max("_last_batch")).collect()[0][0] >= batch_id:
+                return  # replayed batch after restart: already merged
+            merged = (
+                state.drop("_last_batch")
+                .unionByName(new)
+                .groupBy("d", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = new
+        out = merged.withColumn("_last_batch", F.lit(batch_id))
+        tmp = state_path + "._staging"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
