@@ -420,3 +420,48 @@ def test_cli_checksum_flag(tmp_path, spark):
         ).fetchall())))
     assert digests[0] == digests[1]
     assert {p for p, *_ in digests[0]} == {"p0", "p1"}
+
+
+def test_cli_text_audit_and_exemplars_flags(tmp_path, spark):
+    """X149: --text-audit writes the three text-audit sinks over the
+    rendered training text; --exemplars N writes bounded deterministic
+    example violations per (partition, rule) cell."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = make_docs(
+        spark,
+        [
+            # offset regression -> S1 violations to exemplify; text mixes
+            # Latin + a Cyrillic-a token for the mixed-script audit
+            ("d1", [("text", "login to pаypal now", None, 5),
+                    ("text", "the and is of", None, 0)], "p0"),
+            ("d2", [("text", "plain ascii here", None, 0)], "p0"),
+        ],
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/validate.py",
+         "--documents", dpath, "--out", out,
+         "--text-audit", "--exemplars", "2", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode in (0, 1), r.stderr[-2000:]
+    ms = duckdb.sql(
+        f"SELECT partition, n_mixed FROM read_parquet('{out}/text_audits/mixed_script/*.parquet')"
+    ).fetchall()
+    assert dict(ms)["p0"] == 1
+    for sink in ("code_switching", "nfc"):
+        rows = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/text_audits/{sink}/*.parquet')"
+        ).fetchone()
+        assert rows[0] >= 1
+    ex = duckdb.sql(
+        f"SELECT rule_id, exemplar_rank, n_total FROM read_parquet('{out}/exemplars/*.parquet')"
+    ).fetchall()
+    assert ex and all(rk <= 2 for _, rk, _ in ex)
+    assert any(rule == "S1" for rule, _, _ in ex)

@@ -82,6 +82,19 @@ def main(argv: list[str] | None = None) -> int:
              "plan), media_cooccurrence/ (asset basket pairs) — the "
              "discovery surface next to the pass/fail one",
     )
+    ap.add_argument(
+        "--text-audit", action="store_true",
+        help="also write text_audits/: per-partition mixed-script homoglyph, "
+             "code-switching, and Unicode-NFC audits over the RENDERED "
+             "training text (render_training_text) — the release-gate "
+             "surface next to the pass/fail one",
+    )
+    ap.add_argument(
+        "--exemplars", type=int, default=0, metavar="N",
+        help="also write exemplars/: up to N deterministic example violation "
+             "rows per (partition, rule) cell (portable md5 ranking — resumes "
+             "and reruns select the identical examples)",
+    )
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and revalidate everything")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit supplies it)")
     ap.add_argument(
@@ -244,6 +257,37 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.emit_contract, "w") as fh:
             fh.write(text)
         print(f"contract written: {args.emit_contract}")
+
+    if args.text_audit:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from zparse_spark.functions.text import (
+            code_switching_audit,
+            mixed_script_audit,
+            nfc_audit,
+        )
+        from zparse_spark.operators.canonical import render_training_text
+
+        rendered = render_training_text(docs).select(
+            "partition", "doc_id", F.col("training_text").alias("text")
+        )
+        mixed_script_audit(rendered, "text", "partition", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/text_audits/mixed_script")
+        code_switching_audit(rendered, "text", "partition", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/text_audits/code_switching")
+        nfc_audit(rendered, "text", "partition", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/text_audits/nfc")
+
+    if args.exemplars > 0:
+        from zparse_spark.operators.rules import violation_exemplars
+
+        viol_rows = spark.read.parquet(f"{args.out}/violations")
+        violation_exemplars(viol_rows, n=args.exemplars).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/exemplars")
 
     if args.profile:
         from zparse_spark.operators.canonical import media_cooccurrence, span_layout_profile
