@@ -337,3 +337,65 @@ def test_sample_negatives_properties(spark):
     for r in t:
         got.setdefault(r["doc_id"], set()).add(r["negative_id"])
     assert got == {"a": {"b", "c"}, "b": {"a", "c"}, "c": {"a", "b"}}
+
+
+def test_dsir_fit_score_contract(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.filtering import dsir_fit, dsir_score
+
+    # target (en) docs speak "alpha"; the rest speak "omega"; one probe
+    # doc of each pure profile plus a mixed one
+    rows = (
+        [(i, "alpha beta alpha", "en") for i in range(8)]
+        + [(100 + i, "omega gamma omega", "de") for i in range(8)]
+        + [(200, "alpha alpha alpha alpha", "de"), (201, "omega omega omega omega", "en"),
+           (202, "alpha omega", "fr")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, default = dsir_fit(df, F.col("lang") == "en", n_buckets=64)
+    out = dsir_score(
+        df, model, default, n_buckets=64, keep_cols=("lang",), top_k=100
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+
+    # the target-profile probe outranks the mixed probe which outranks
+    # the anti-target probe, regardless of the probes' own langs
+    assert (
+        by_id[200]["avg_lmr_nats"]
+        > by_id[202]["avg_lmr_nats"]
+        > by_id[201]["avg_lmr_nats"]
+    )
+
+    # exactness: recompute doc 202's integer sum from the model by hand
+    lut = dict(model)
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    expected = sum(lut.get(bucket(t), default) for t in ["alpha", "omega"])
+    assert by_id[202]["sum_lmr"] == expected
+    assert by_id[202]["n_tokens"] == 2
+
+    # model values are the quantized definition: check "alpha"'s bucket
+    # (alpha: tf 20 total, 16 in target; corpus totals below)
+    raw_total = sum(len(t.split()) for _, t, _ in rows)
+    tgt_total = sum(len(t.split()) for _, t, l in rows if l == "en")
+    # alpha tokens: 8 docs x 2 + 4 + 1 = 21 raw; in en: 8 x 2 = 16
+    a_raw, a_tgt = 21, 16
+    want = round(
+        (math.log(a_tgt + 1) - math.log(tgt_total + 64)
+         - math.log(a_raw + 1) + math.log(raw_total + 64)) * 1_000_000
+    )
+    assert abs(lut[bucket("alpha")] - want) <= 1
+
+    # unseen-bucket default only used off-corpus; scoring a foreign doc
+    foreign = spark.createDataFrame(
+        [(900, "zzz_unseen_token", "en")], "doc_id long, text string, lang string"
+    )
+    f_out = dsir_score(foreign, model, default, n_buckets=64).collect()
+    if bucket("zzz_unseen_token") not in lut:
+        assert f_out[0]["sum_lmr"] == default

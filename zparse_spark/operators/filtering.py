@@ -661,3 +661,136 @@ def sample_negatives(
         wr.join(F.broadcast(heads), "bucket")
         .select(F.col("key").alias(key_col), F.posexplode(negs).alias("neg_rank", "negative_id"))
     )
+
+
+def _dsir_bucket(tok, n_buckets: int):
+    """Engine-portable token bucket: first 8 md5 nibbles as an integer,
+    mod n_buckets — the same idiom as hash_unit/cap_hot_buckets, so a
+    SQL twin reproduces the bucketing bit-for-bit."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def dsir_fit(
+    docs: DataFrame,
+    target,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    quant: int = 1_000_000,
+) -> tuple[list[tuple[int, int]], int]:
+    """Fit DSIR-style hashed-unigram importance log-ratios (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): bucket every token into ``n_buckets`` portable md5
+    buckets, count the bucket distribution over the whole corpus (raw)
+    and over the ``target`` predicate's rows, and return per-bucket
+    add-1-smoothed log(p_target/p_raw), quantized to integer micro-nats
+    so the scoring pass aggregates EXACTLY (the only float op is one
+    libm ln per bucket, inside Spark, mirrored by the oracle's ln).
+
+    Returns (model, default) where model is <= n_buckets (bucket, lmr)
+    pairs and default is the unseen-bucket log-ratio (both counts 0) —
+    only reachable when scoring a different corpus than was fit.
+
+    Scale shape: one token-explode -> n_buckets-row groupBy (map-side
+    combined; shuffle payload is tasks x n_buckets rows regardless of
+    corpus size), one collect of <= n_buckets integers — the model is a
+    driver-side artifact exactly like the trained IVF codebook (X13).
+    At 10^12 docs, fit on a hash_sample() slice; scoring is unchanged.
+    """
+    t = F.col(text_col)
+    toks = (
+        docs.filter(t.isNotNull() & (F.trim(t) != ""))
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+            ).alias("token"),
+            target.alias("_tgt"),
+        )
+    )
+    dist = toks.groupBy(_dsir_bucket(F.col("token"), n_buckets).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("raw_n"), F.count_if(F.col("_tgt")).alias("tgt_n")
+    )
+    tot = dist.agg(
+        F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")
+    )
+    lmr = (
+        F.round(
+            (
+                F.log(F.col("tgt_n") + 1)
+                - F.log(F.col("tgt_total") + n_buckets)
+                - F.log(F.col("raw_n") + 1)
+                + F.log(F.col("raw_total") + n_buckets)
+            )
+            * quant
+        )
+        .cast("long")
+        .alias("lmr")
+    )
+    default_col = (
+        F.round(
+            (F.log(F.col("raw_total") + n_buckets) - F.log(F.col("tgt_total") + n_buckets))
+            * quant
+        )
+        .cast("long")
+        .alias("lmr")
+    )
+    rows = dist.crossJoin(F.broadcast(tot)).select("bucket", lmr).collect()
+    default = tot.select(default_col).collect()[0]["lmr"]
+    return [(int(r["bucket"]), int(r["lmr"])) for r in rows], int(default)
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: list[tuple[int, int]],
+    default: int,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang",),
+    top_k: int = 100,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Score every document's DSIR importance (sum over its tokens of
+    the fitted bucket log-ratio, exact integer micro-nats) and return
+    the top_k by length-normalized average log-ratio — the documents
+    whose hashed-unigram profile most resembles the target slice.
+
+    MAP-ONLY: the <= n_buckets model enters as a foldable map literal
+    (Catalyst constant-folds CreateMap of literals once, not per
+    token), each doc folds its token array with aggregate(), and the
+    only shuffle is the top_k TakeOrdered. No Python in the plan."""
+    m = F.map_from_arrays(
+        F.array(*[F.lit(b) for b, _ in model]),
+        F.array(*[F.lit(v) for _, v in model]),
+    )
+    t = F.col(text_col)
+    base = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "").alias("_toks"),
+    )
+    scored = base.select(
+        id_col,
+        *keep_cols,
+        F.size("_toks").alias("n_tokens"),
+        F.aggregate(
+            "_toks",
+            F.lit(0).cast("long"),
+            lambda acc, tk: acc
+            + F.coalesce(
+                F.element_at(m, _dsir_bucket(tk, n_buckets)), F.lit(default)
+            ),
+        ).alias("sum_lmr"),
+    )
+    return (
+        scored.select(
+            id_col,
+            *keep_cols,
+            "n_tokens",
+            "sum_lmr",
+            F.round(F.col("sum_lmr") / (F.col("n_tokens") * float(quant)), 6).alias(
+                "avg_lmr_nats"
+            ),
+        )
+        .orderBy(F.col("avg_lmr_nats").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -6565,3 +6565,69 @@ def corpus_distinctive_terms(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return distinctive_terms(d, "source", "text", top_n=5, alpha=0.5, min_count=10)
+
+
+def _dsir_oracle_sql(n_buckets: int = 256, quant: int = 1_000_000, top_k: int = 100) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql("token")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    bt AS (
+      SELECT doc_id, lang, ({hv} % {n_buckets}) AS bucket FROM toks
+    ),
+    dist AS (
+      SELECT bucket, count(*) AS raw_n,
+             count(*) FILTER (WHERE lang = 'en') AS tgt_n
+      FROM bt GROUP BY bucket
+    ),
+    tot AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total FROM dist),
+    lr AS (
+      SELECT bucket,
+             CAST(round((ln(tgt_n + 1) - ln(tgt_total + {n_buckets})
+                       - ln(raw_n + 1) + ln(raw_total + {n_buckets})) * {quant})
+                  AS BIGINT) AS lmr
+      FROM dist, tot
+    ),
+    scored AS (
+      SELECT bt.doc_id, any_value(bt.lang) AS lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lr.lmr) AS BIGINT) AS sum_lmr
+      FROM bt JOIN lr USING (bucket)
+      GROUP BY bt.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, sum_lmr,
+           round(sum_lmr / (n_tokens * {quant}.0), 6) AS avg_lmr_nats
+    FROM scored
+    ORDER BY avg_lmr_nats DESC, doc_id ASC
+    LIMIT {top_k}
+    """
+
+
+@register("corpus_dsir_weights", _dsir_oracle_sql())
+def corpus_dsir_weights(spark, sf_dir):
+    """X150: DSIR-style importance weighting (Xie et al. 2023) — fit
+    hashed-unigram (256 portable md5 buckets) log-ratios of the
+    target slice (lang='en') vs the whole corpus, add-1 smoothed and
+    quantized to integer micro-nats, then score every document by its
+    exact integer token-sum and return the top-100 by length-
+    normalized average log-ratio: the docs whose n-gram profile most
+    resembles the target, the canonical pretraining-data selection
+    signal. Fit is one token explode -> 256-row map-side-combined
+    groupBy + a 256-integer collect (a driver-side model, like the
+    trained IVF codebook); scoring is MAP-ONLY via a constant-folded
+    map literal, the sole shuffle being the top-k TakeOrdered. The
+    DuckDB twin recomputes fit+score from the definition with an
+    explode-join instead of the map fold — identical integers, so the
+    match certifies both the bucketing and the quantized arithmetic."""
+    from zparse_spark.operators.filtering import dsir_fit, dsir_score
+
+    d = _t(spark, sf_dir, "documents")
+    model, default = dsir_fit(d, F.col("lang") == "en", n_buckets=256)
+    return dsir_score(d, model, default, n_buckets=256, top_k=100)
