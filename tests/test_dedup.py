@@ -501,3 +501,47 @@ def test_incremental_exact_plan_discipline(spark):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # semi probe + hits map
+
+
+def test_winnowing_local_guarantee_and_density(spark):
+    """The MOSS guarantee: two docs sharing a substring of length
+    >= w + k - 1 share at least one fingerprint, even when the rest of
+    the text is completely different; and the fingerprint set is much
+    smaller than the raw k-gram index (density ~2/(w+1))."""
+    from zparse_spark.operators.dedup import winnow_fingerprint_sets
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        ("a", "alpha " * 20 + shared + " omega " * 20),
+        ("b", "zulu " * 25 + shared + " yankee " * 15),
+        ("c", "completely unrelated content with no overlap at all " * 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, w = 8, 4
+    fp = {r["doc_id"]: set(r["fp_set"]) for r in winnow_fingerprint_sets(df, k=k, w=w).collect()}
+    assert fp["a"] & fp["b"], "docs sharing a long substring must share a fingerprint"
+    # density: distinct fingerprints well under the positional k-gram count
+    n_positions = len(" ".join(rows[0][1].split())) - k + 1
+    assert len(fp["a"]) < 0.6 * n_positions
+
+
+def test_winnowing_pairs_hand_case_and_stop_fp(spark):
+    """Pair scoring: a planted near-copy scores >= threshold while an
+    unrelated doc never pairs; max_df drops boilerplate-hot fingerprints
+    without inventing pairs."""
+    from zparse_spark.operators.dedup import winnowing_pairs
+
+    base = "spark group query row data slow small filter customer line the batch value merge"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "entirely different words live here with zero shared runs of text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in winnowing_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    assert all(3 not in pair for pair in got)
+    # stop-fingerprint cap: with max_df=1 every fingerprint shared by the
+    # near-copies is dropped, so no pair survives — caps only remove
+    capped = winnowing_pairs(df, threshold=0.01, max_df=1).collect()
+    assert capped == []

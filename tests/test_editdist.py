@@ -123,3 +123,65 @@ def test_no_python_in_plan(spark):
     plan = bounded_edit_distance_join(df, "id", "k", k=1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_jaro_winkler_matches_duckdb_reference(spark):
+    """Two independent implementations of the JW spec must agree: the
+    Arrow-batched pandas UDF vs DuckDB's built-in, over textbook cases,
+    edge cases, and 300 seeded random pairs."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    pairs = [
+        ("martha", "marhta"),
+        ("dwayne", "duane"),
+        ("dixon", "dicksonx"),
+        ("", ""),
+        ("", "abc"),
+        ("a", "a"),
+        ("abcdefgh", "abcdxxxx"),
+    ] + [
+        (
+            "".join(rng.choice("abcde") for _ in range(rng.randint(0, 10))),
+            "".join(rng.choice("abcde") for _ in range(rng.randint(0, 10))),
+        )
+        for _ in range(300)
+    ]
+    from zparse_spark.operators.editdist import jaro_winkler
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["jw"]
+        for r in df.select("a", "b", jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(got[(a, b)] - want) < 1e-9, (a, b, got[(a, b)], want)
+
+
+def test_jaro_winkler_join_blocks_then_scores(spark):
+    """The join output is the lev<=1 candidate set with a jw column;
+    thresholding keeps only high-similarity survivors and NULL keys
+    never crash the UDF."""
+    from zparse_spark.operators.editdist import jaro_winkler_join
+
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000002"),
+        (3, "Xustomer#000000001"),
+        (4, None),
+        (5, "zz"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = jaro_winkler_join(df, id_col="id", key_col="name", k_block=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["dist"], r["jw"]) for r in out}
+    assert ("1", "2") in pairs and ("1", "3") in pairs
+    # prefix-weighted: the last-char edit (1,2) outranks the first-char edit (1,3)
+    assert pairs[("1", "2")][1] > pairs[("1", "3")][1]
+    # JW(1,2) = 0.977778 (last-char edit, full prefix boost); JW(1,3)
+    # has no common prefix so the boost never applies
+    hi = jaro_winkler_join(df, id_col="id", key_col="name", k_block=1, threshold=0.97).collect()
+    assert {(r["id_a"], r["id_b"]) for r in hi} == {("1", "2")}

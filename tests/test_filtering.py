@@ -399,3 +399,21 @@ def test_dsir_fit_score_contract(spark):
     f_out = dsir_score(foreign, model, default, n_buckets=64).collect()
     if bucket("zzz_unseen_token") not in lut:
         assert f_out[0]["sum_lmr"] == default
+
+
+def test_split_leakage_pairs_flags_cross_split_only(spark):
+    """Only pairs straddling a split boundary survive; pair columns are
+    preserved and the split labels attached."""
+    from zparse_spark.operators.filtering import split_leakage_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8), (5, 6, 0.7)], ["id_a", "id_b", "jaccard"]
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"), (5, "val"), (6, "train")],
+        ["doc_id", "split"],
+    )
+    out = split_leakage_pairs(pairs, splits).collect()
+    got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"]) for r in out}
+    assert got == {(1, 2): ("train", "test"), (5, 6): ("val", "train")}
+    assert all(abs(r["jaccard"]) > 0 for r in out)

@@ -174,3 +174,37 @@ def test_active_users_rolling_distinct(spark):
     # day 9: only u3's window
     assert (out[d(9)].dau, out[d(9)].wau, out[d(9)].stickiness) == (1, 1, 1.0)
     assert out[d(3)].stickiness is not None and out[d(3)].stickiness == 0.0
+
+
+def test_survival_curve_hand_case(spark):
+    """Textbook KM on 5 lifetimes (durations 0,1,1,2,3; the 3 censored):
+    S(0) = 4/5 * ... verified against the hand formula, with the
+    censored key at-risk through its duration but never a death."""
+    import datetime as dt
+
+    from zparse_spark.operators.funnel import survival_curve
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # durations: u1=0 (dies), u2=1 (dies), u3=1 (dies), u4=2 (dies), u5=3
+    # obs_end = base+12 via a lone u6 event; u5's last event at +3 is
+    # 9 days before obs_end (>= 7, uncensored); u6 (dur 0) IS censored
+    for uid, (start, dur) in enumerate(
+        [(0, 0), (0, 1), (0, 1), (0, 2), (0, 3), (12, 0)], start=1
+    ):
+        rows.append((uid, base + dt.timedelta(days=start)))
+        rows.append((uid, base + dt.timedelta(days=start + dur)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["dur_days"]: r for r in survival_curve(df, censor_days=7).collect()}
+    # at-risk: dur>=0: 6, dur>=1: 4 (u1 died at 0, u6 censored at 0), >=2: 2, >=3: 1
+    assert out[0]["n_risk"] == 6 and out[0]["n_events"] == 1
+    assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 2
+    assert out[2]["n_risk"] == 2 and out[2]["n_events"] == 1
+    assert out[3]["n_risk"] == 1 and out[3]["n_events"] == 1
+    s0 = 5 / 6
+    s1 = s0 * (2 / 4)
+    s2 = s1 * (1 / 2)
+    assert abs(out[0]["survival"] - round(s0, 6)) < 1e-9
+    assert abs(out[1]["survival"] - round(s1, 6)) < 1e-9
+    assert abs(out[2]["survival"] - round(s2, 6)) < 1e-9
+    assert out[3]["survival"] == 0.0  # everyone at-risk at 3 dies at 3

@@ -951,3 +951,151 @@ def chunk_dedup(
             )
         ).alias("dedup_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS — Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprint_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint set per document (the MOSS algorithm):
+    md5-hash every POSITIONAL character k-gram of the normalized text,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum, return the distinct selected hashes as ``fp_set``.
+
+    Unlike MinHash (probabilistic, global-similarity) this gives an
+    EXACT local guarantee: any shared substring of length >= w + k - 1
+    contributes at least one identical fingerprint to both documents —
+    the detector a copy of one paragraph inside an otherwise-different
+    document cannot evade. Expected density 2/(w+1) of positions, so the
+    downstream posting-list join shuffles ~(w+1)/2x fewer rows than a
+    full k-gram join.
+
+    Scale shape: map-only JVM higher-order functions (no Python, no
+    explode here). The k-gram hash array is materialized in its OWN
+    projection before the window-min pass — CollapseProject would
+    otherwise inline it (w copies of the md5 ladder per output slot, the
+    X143 re-parse trap). min over md5 hex strings is plain lexicographic
+    comparison, so a DuckDB/any-SQL twin reproduces the selection
+    bit-for-bit (reference parity: zParse's content-equality contract,
+    json/parser.rs span text equality, generalized to local overlap).
+    """
+    norm = normalize_text(F.col(text_col))
+    n = F.length(norm)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.substring(norm, i, F.lit(k))),
+        ),
+    ).otherwise(F.array(F.md5(norm)))
+    # Bind the hash array ONCE as a lambda variable: a staged projection
+    # is NOT enough — CollapseProject inlines it back and the window-min
+    # lambda then re-evaluates the whole md5 ladder per window position
+    # (O(n^2) md5s per doc; measured as a multi-minute hang at sf0.001).
+    # transform over a 1-element array makes `hs` a bound variable, so
+    # the ladder runs exactly once per row no matter how many times the
+    # body references it. (Same family as the dedup.py:178 HOF note and
+    # the X143 variant-parse materialization.)
+    def _winnow(hs):
+        m = F.size(hs)
+        return F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - w + 1),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            ),
+        ).otherwise(F.array(F.array_min(hs)))
+
+    fps = F.flatten(F.transform(F.array(hashes), _winnow))
+    return df.select(F.col(id_col), F.array_distinct(fps).alias("fp_set"))
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 0,
+) -> DataFrame:
+    """Near-duplicate pairs by Jaccard over winnowing fingerprint sets.
+
+    Pipeline: fingerprint sets (map-only) -> postings carrying the set
+    size (one explode) -> inverted-index buckets (ONE groupBy on the
+    fingerprint) -> ordered id pairs within each bucket -> per-pair
+    shared count -> Jaccard. The corpus is fingerprinted exactly once:
+    no self-join (whose two sides would each re-evaluate the lineage)
+    and no per-doc sizes join (n_fp rides on the posting row). Postings
+    are ~2/(w+1) the size of a raw k-gram index; ``max_df > 0`` drops
+    buckets wider than that many documents (stop-fingerprints — site
+    boilerplate would otherwise make one bucket quadratic, the same
+    discipline as the X3 hot-bucket cap). Dropping ubiquitous
+    fingerprints only LOWERS pair scores, never invents a pair.
+
+    Output: (id_a, id_b, shared_fp, n_fp_a, n_fp_b, jaccard) with
+    id_a < id_b, jaccard rounded to 6 decimals, filtered to >= threshold.
+    """
+    fp = winnow_fingerprint_sets(df, id_col, text_col, k, w)
+    # ONE evaluation of the fingerprint lineage: the set size rides on
+    # every posting row, so neither a per-doc sizes join nor a second
+    # side of a self-join ever re-fingerprints the corpus. Pairs come
+    # from grouping the postings by fingerprint (the inverted index) and
+    # emitting ordered id pairs within each bucket — the LSH-bucket
+    # shape, with bucket width = docs sharing that fingerprint.
+    post = fp.select(
+        F.col(id_col).alias("_id"),
+        F.size("fp_set").alias("_n"),
+        F.explode("fp_set").alias("fp"),
+    )
+    buckets = post.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "_n"))).alias("members"),
+    )
+    if max_df > 0:
+        buckets = buckets.filter(F.size("members") <= max_df)
+    pairs = (
+        buckets.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("members"),
+                            lambda a: F.transform(
+                                F.col("members"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"]["_id"] < p["b"]["_id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a._n").alias("n_fp_a"),
+            F.col("p.b._n").alias("n_fp_b"),
+        )
+    )
+    shared = pairs.groupBy("id_a", "id_b", "n_fp_a", "n_fp_b").agg(
+        F.count(F.lit(1)).alias("shared_fp")
+    )
+    jac = F.col("shared_fp").cast("double") / (
+        F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp")
+    )
+    return shared.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        "shared_fp",
+        "n_fp_a",
+        "n_fp_b",
+        F.round(jac, 6).alias("jaccard"),
+    )

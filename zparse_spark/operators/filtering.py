@@ -794,3 +794,36 @@ def dsir_score(
         .orderBy(F.col("avg_lmr_nats").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def split_leakage_pairs(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    key_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs whose two
+    members were assigned to DIFFERENT splits — the leak that silently
+    inflates eval scores (the benchmark-contamination gate X23 checks
+    the corpus against an external benchmark; this checks the corpus
+    against its own frozen eval split).
+
+    Composition contract: ``pairs`` is any verified near-dup pair table
+    (winnowing / MinHash-verified / exact-hash pairs), ``splits`` the
+    deterministic assignment from ``assign_splits`` — both already
+    engine-portable, so the leak set is a pure function of (corpus,
+    seed, dedup parameters). Scale shape: the pair table is tiny
+    relative to the corpus (it is a dedup OUTPUT), so the two split
+    lookups are fact-to-compact joins keyed by doc id; nothing here
+    rescans text. Output keeps every pair column and adds split_a /
+    split_b, filtered to split_a != split_b.
+    """
+    sa = splits.select(F.col(key_col).alias(id_a), F.col(split_col).alias("split_a"))
+    sb = splits.select(F.col(key_col).alias(id_b), F.col(split_col).alias("split_b"))
+    return (
+        pairs.join(sa, id_a)
+        .join(sb, id_b)
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

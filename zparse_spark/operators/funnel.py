@@ -261,3 +261,63 @@ def active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def survival_curve(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival of per-key activity lifetimes — "how long
+    does a user/source/feed stay alive?" with the censoring handled
+    honestly: a key whose last event falls within ``censor_days`` of the
+    observation end may still be active, so it counts as AT-RISK up to
+    its observed duration but never as a death (dropping such keys —
+    or calling them dead — both bias retention short).
+
+    Estimator: S(t) = prod_{t_i <= t} (1 - d_i / n_i) over death times
+    t_i, with d_i = uncensored lifetimes ending at t_i and n_i = keys
+    whose duration >= t_i (censored included until they leave). The
+    cumulative product runs as a window ``product()`` in deterministic
+    duration order on BOTH engines — same association order, so round-6
+    is pure last-ulp insurance; a death time where d == n drives S to
+    exactly 0.0, no log(0) escape hatch needed.
+
+    Scale shape: one groupBy(key) reduces events to lifetimes (the
+    event-volume pass, map-side combined), one groupBy(duration) to the
+    KM table, and the windows run on |distinct durations| rows — a
+    bounded curve table, which is why the unpartitioned window is safe
+    here and nowhere else. The observation end is a broadcast 1-row agg.
+
+    Output: (dur_days, n_risk, n_events, survival) at death times only.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    per = events.groupBy(F.col(key).alias("_k")).agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    end = events.agg(F.max(day).alias("obs_end"))
+    lifetimes = per.crossJoin(F.broadcast(end)).select(
+        F.datediff("last_day", "first_day").alias("dur_days"),
+        (F.datediff("obs_end", "last_day") < censor_days).cast("int").alias("censored"),
+    )
+    tab = lifetimes.groupBy("dur_days").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.when(F.col("censored") == 0, 1).otherwise(0)).alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("dur_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, 0)
+    km = tab.withColumn("n_risk", F.sum("n_ending").over(w_desc)).withColumn(
+        "survival",
+        F.round(
+            F.product(
+                (F.col("n_risk") - F.col("n_events")) / F.col("n_risk")
+            ).over(w_asc),
+            6,
+        ),
+    )
+    return km.filter(F.col("n_events") > 0).select(
+        "dur_days", "n_risk", "n_events", "survival"
+    )

@@ -2290,6 +2290,66 @@ def dedup_ngram_jaccard_documents(spark, sf_dir):
     return ngram_jaccard_pairs(d, cands, k_shingle=3, mode="char", threshold=0.4)
 
 
+_WINNOW_PAIRS_CTES = r"""d AS (
+      SELECT doc_id, lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN list_transform(range(1, length(t) - 8 + 2),
+                                      i -> md5(substring(t, CAST(i AS INT), 8)))
+                  ELSE [md5(t)] END AS hs
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT))))
+                    ELSE [list_min(hs)] END) AS fps
+      FROM h
+    ),
+    post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    sz AS (SELECT doc_id, len(fps) AS n_fp FROM f),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+      FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    wpairs AS (
+      SELECT s.id_a, s.id_b, s.shared_fp, za.n_fp AS n_fp_a, zb.n_fp AS n_fp_b,
+             round(CAST(s.shared_fp AS DOUBLE) / (za.n_fp + zb.n_fp - s.shared_fp), 6) AS jaccard
+      FROM shared s
+      JOIN sz za ON za.doc_id = s.id_a
+      JOIN sz zb ON zb.doc_id = s.id_b
+      WHERE CAST(s.shared_fp AS DOUBLE) / (za.n_fp + zb.n_fp - s.shared_fp) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_winnowing_documents",
+    f"""
+    WITH {_WINNOW_PAIRS_CTES}
+    SELECT id_a, id_b, shared_fp, n_fp_a, n_fp_b, jaccard FROM wpairs
+    """,
+)
+def dedup_winnowing_documents(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup pairs over the WHOLE
+    documents table — the exact-local member of the dedup family:
+    MinHash/SimHash bound global similarity probabilistically, winnowing
+    GUARANTEES any shared run of >= w + k - 1 = 11 normalized chars
+    yields a shared fingerprint. Map-only fingerprinting, one explode,
+    and a posting-list self-join that carries ~2/(w+1) of the raw k-gram
+    index — the selection itself is engine-portable (lexicographic min
+    over md5 hex), so DuckDB rebuilds identical fingerprint sets."""
+    from zparse_spark.operators.dedup import winnowing_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_pairs(d, k=8, w=4, threshold=0.5)
+
+
 # fixed boilerplate paragraphs planted for chunk-level dedup: B60 is 3
 # exact 20-word chunks; B40 is its 40-word prefix (2 chunks), so the
 # planted docs share chunk content at aligned offsets in BOTH engines
@@ -4242,6 +4302,50 @@ def corpus_assign_splits(spark, sf_dir):
     return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _split_leakage_oracle_sql(seed: int = 11) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH {_WINNOW_PAIRS_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {hv} / 4294967296.0 < 0.9 THEN 'train'
+                  WHEN {hv} / 4294967296.0 < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard, a.split AS split_a, b.split AS split_b
+    FROM wpairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    WHERE a.split <> b.split
+    """
+
+
+@register("corpus_split_leakage", _split_leakage_oracle_sql())
+def corpus_split_leakage(spark, sf_dir):
+    """Train/test contamination audit: winnowing near-dup pairs (>= 0.5
+    fingerprint Jaccard) whose members landed in DIFFERENT splits under
+    the frozen deterministic assignment — each row is a document whose
+    near-copy sits in an eval split and silently inflates eval scores.
+    Pure composition of two oracled stages (dedup_winnowing_documents x
+    corpus_assign_splits), so the leak set is a pure function of
+    (corpus, seed, k, w, threshold); the split lookups are two
+    id-keyed joins against a map-only projection — no text rescan."""
+    from zparse_spark.operators.dedup import winnowing_pairs
+    from zparse_spark.operators.filtering import assign_splits, split_leakage_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = winnowing_pairs(d.select("doc_id", "text"), k=8, w=4, threshold=0.5)
+    splits = assign_splits(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id", seed=11
+    )
+    return split_leakage_pairs(
+        pairs.select("id_a", "id_b", "jaccard"), splits.select("doc_id", "split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Line-level boilerplate removal (CCNet-style corpus cleaning)
 # ---------------------------------------------------------------------------
@@ -4991,6 +5095,127 @@ def events_active_users(spark, sf_dir):
 
 
 @register(
+    "events_survival_km",
+    """
+    WITH day AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    per AS (SELECT user_id, min(d) AS fd, max(d) AS ld FROM day GROUP BY 1),
+    oe AS (SELECT max(d) AS obs_end FROM day),
+    lf AS (
+      SELECT date_diff('day', fd, ld) AS dur_days,
+             CASE WHEN date_diff('day', ld, obs_end) < 1 THEN 1 ELSE 0 END AS censored
+      FROM per, oe
+    ),
+    tab AS (
+      SELECT dur_days, count(*) AS n_ending,
+             sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS n_events
+      FROM lf GROUP BY 1
+    ),
+    km AS (
+      SELECT dur_days, n_events,
+             sum(n_ending) OVER (ORDER BY dur_days DESC) AS n_risk
+      FROM tab
+    ),
+    km2 AS (
+      SELECT dur_days, n_risk, n_events,
+             round(product(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+                   OVER (ORDER BY dur_days), 6) AS survival
+      FROM km
+    )
+    SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events, survival
+    FROM km2 WHERE n_events > 0
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier retention curve of user activity lifetimes with
+    honest right-censoring (last event on the observation-end day =
+    still alive: at-risk, never a death — the driver events table is
+    dense, every user active into the final days, so the horizon is one
+    day; a sparser table would use 7+). The cumulative survival
+    product runs as a window product() in identical duration order on
+    both engines — same association order, round-6 is last-ulp
+    insurance. Events reduce to lifetimes in one keyed pass; every
+    window runs on the bounded |distinct durations| curve table."""
+    from zparse_spark.operators.funnel import survival_curve
+
+    return survival_curve(_t(spark, sf_dir, "events"), censor_days=1)
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration: one CTE per step — the textbook
+    definition, no iteration framework, so a green row certifies the
+    Spark loop (cached transition matrix, per-step join+groupBy,
+    lineage checkpointing) against the math itself."""
+    head = """
+    WITH e0 AS (
+      SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+    trans AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outw o ON e.src = o.src),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    """
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             (1.0 - {damping}) / nn.n + {damping} * coalesce(c.s, 0.0) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (SELECT t.dst, sum(r.pr * t.p) AS s
+                 FROM r{i - 1} r JOIN trans t ON t.src = r.node GROUP BY 1) c
+        ON c.dst = n.node
+    )"""
+        )
+    return (
+        head
+        + ",\n".join(steps)
+        + f"\nSELECT node, round(pr, 6) AS pr FROM r{iterations}"
+    )
+
+
+@register("graph_pagerank_suppliers", _pagerank_oracle_sql())
+def graph_pagerank_suppliers(spark, sf_dir):
+    """PageRank over the weighted customer<->supplier bipartite graph
+    (edges = lineitem counts through orders, both directions): the
+    importance prior for source weighting. 5 fixed power steps, d=0.85;
+    the DuckDB oracle is the same recurrence UNROLLED as 5 CTEs, so the
+    iterative machinery (cached transition matrix, one join + one
+    map-side-combined groupBy per step, localCheckpoint lineage
+    truncation) is value-checked against the bare definition for every
+    node. Float sums re-associate across engines; round-6 on ranks of
+    order 1/N absorbs the ~1e-13 drift."""
+    from zparse_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("pr"))
+
+
+@register(
     "corpus_search_conjunctive",
     """
     WITH toks AS (
@@ -5300,6 +5525,36 @@ def dedup_fuzzy_customer_names(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return bounded_edit_distance_join(
         c, id_col="c_custkey", key_col="c_name", k=1
+    )
+
+
+@register(
+    "fuzzy_jw_customer_names",
+    """
+    SELECT CAST(a.c_custkey AS VARCHAR) AS id_a,
+           CAST(b.c_custkey AS VARCHAR) AS id_b,
+           a.c_name AS key_a, b.c_name AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+           round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+    FROM customer a JOIN customer b
+      ON CAST(a.c_custkey AS VARCHAR) < CAST(b.c_custkey AS VARCHAR)
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+      AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.9
+    """,
+)
+def fuzzy_jw_customer_names(spark, sf_dir):
+    """Record-linkage scoring: Jaro-Winkler over the complete lev<=1
+    candidate set. Spark has no built-in JW, so this exercises the one
+    sanctioned Python seat — an Arrow-batched pandas UDF running ONLY on
+    blocked pairs — against DuckDB's INDEPENDENT built-in
+    ``jaro_winkler_similarity``: two implementations of the textbook
+    spec (0.7 boost threshold, prefix cap 4, p=0.1) agreeing to 6
+    decimals row-for-row across every surviving pair."""
+    from zparse_spark.operators.editdist import jaro_winkler_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return jaro_winkler_join(
+        c, id_col="c_custkey", key_col="c_name", k_block=1, threshold=0.9
     )
 
 
