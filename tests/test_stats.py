@@ -1352,3 +1352,68 @@ def test_null_rate_drift_flags_and_degenerate(spark):
     # pooled = 0.5: both partitions deviate strongly but n is tiny; with
     # n_rows=2 z = +-2 < 4 -> empty at the default threshold
     assert got == {} or all(r["z"] is not None for r in got.values())
+
+
+def test_chi2_independence_hand_case(spark):
+    """2x2 hand case: o = [[10, 20], [20, 10]] -> chi2 = 20*... verified
+    against the textbook formula including the zero-cell densification."""
+    import math
+
+    from zparse_spark.operators.stats import chi2_independence
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = chi2_independence(df, "a", "b").collect()[0]
+    # margins 30/30, cols 30/30, n=60 -> every e = 15; chi2 = 4*(5^2/15)
+    want_chi2 = 4 * 25 / 15
+    want_g2 = 2 * (
+        10 * math.log(10 / 15) + 20 * math.log(20 / 15) + 20 * math.log(20 / 15) + 10 * math.log(10 / 15)
+    )
+    assert out["n"] == 60 and out["r"] == 2 and out["c"] == 2 and out["dof"] == 1
+    assert abs(out["chi2"] - round(want_chi2, 6)) < 1e-9
+    assert abs(out["g2"] - round(want_g2, 6)) < 1e-9
+    assert abs(out["cramers_v"] - round(math.sqrt(want_chi2 / 60), 6)) < 1e-9
+
+
+def test_chi2_zero_cell_densified(spark):
+    """A category pair never observed still contributes its expected
+    count to chi2 (the full-grid contract)."""
+    from zparse_spark.operators.stats import chi2_independence
+
+    rows = [("x", "u")] * 5 + [("x", "v")] * 5 + [("y", "u")] * 5  # (y,v) absent
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = chi2_independence(df, "a", "b").collect()[0]
+    # e(y,v) = 5*10/15... wait margins: ra(x)=10, ra(y)=5; cb(u)=10, cb(v)=5; n=15
+    # e(y,v) = 5*5/15 = 5/3; zero cell contributes (0-5/3)^2/(5/3) = 5/3
+    assert out["chi2"] > 0
+    # grid has 4 cells, 3 observed; dof = 1
+    assert out["dof"] == 1 and out["n"] == 15
+
+
+def test_skipping_audit_range_beats_hash(spark):
+    """A value-clustered layout prunes to ~1 file per probe; a key-hash
+    layout touches many files for the same probes."""
+    from zparse_spark.operators.layout import skipping_audit, zone_maps
+
+    rows = [(i, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    ranged = df.select(F.lit("range").alias("layout"), (F.col("v") / 100).cast("int").alias("f"), "v")
+    hashed = df.select(F.lit("hash").alias("layout"), (F.col("k") % 10).alias("f"), "v")
+    zm = (
+        ranged.unionByName(hashed)
+        .groupBy("layout", "f")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.count("v").alias("n_rows"))
+        .withColumnRenamed("f", "file_id")
+    )
+    probes = df.filter(F.col("k") % 97 == 0).select(F.col("v").alias("p"))
+    out = {r["layout"]: r for r in skipping_audit(zm, probes, layout_col="layout").collect()}
+    assert out["range"]["avg_files_hit"] == 1.0
+    # every hash file spans ~the whole range; only the extreme probe
+    # (v=0, below 9 of the 10 file minima) prunes anything
+    assert out["hash"]["avg_files_hit"] > 8.0
+    assert out["range"]["n_files"] == 10 and out["hash"]["n_probes"] == 11
+    # zone_maps helper agrees with the inline groupBy
+    zh = zone_maps(hashed, "v", "f")
+    assert zh.count() == 10

@@ -140,3 +140,87 @@ def file_sizing_plan(
         rec.alias("recommended_files"),
         F.ceil(F.col("n_docs") / rec).cast("long").alias("rows_per_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zone-map / data-skipping effectiveness audit
+# ---------------------------------------------------------------------------
+
+
+def zone_maps(df: DataFrame, col: str, file_col: str) -> DataFrame:
+    """Per-file zone maps (min/max/count of ``col`` under a file
+    assignment) — the statistics Iceberg/Parquet footers keep and the
+    planner prunes with. ONE groupBy on the file id (map-side combined;
+    output is |files| rows). Input ``file_col`` is any deterministic
+    row->file assignment: a real partition/file column, or a candidate
+    layout being evaluated before a rewrite."""
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+        F.count(col).alias("n_rows"),
+    )
+
+
+def skipping_audit(
+    zmaps: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "p",
+    layout_col: str | None = "layout",
+) -> DataFrame:
+    """Data-skipping effectiveness of a layout's zone maps: for each
+    probe value, how many files a point predicate ``col = p`` must scan
+    (files whose [min, max] contains p) — the question "would this
+    clustering survive at scale" answered with numbers instead of
+    vibes. A perfectly clustered layout touches ~1 file per probe; a
+    hash/random layout touches ~all of them, and that ratio is the
+    read amplification a 100 TB table pays on every selective query.
+
+    Plan shape: the zone-map table is |files| rows — it BROADCASTS to
+    the probe side and the containment test is a codegen range
+    predicate, so the audit costs |probes| x |files| comparisons on
+    bounded inputs, never a scan of the data. Output per layout:
+    n_files, n_probes, avg/max files hit, and avg_hit_frac (files hit /
+    files in layout).
+    """
+    keys = [layout_col] if layout_col else []
+    if layout_col:
+        # every probe is evaluated against EVERY layout (zero-hit probes
+        # must count as 0 for their layout, not vanish into a NULL group);
+        # the probe side's layout gets its own name so the join predicate
+        # is unambiguous rather than relying on plan-id disambiguation
+        probes = probes.crossJoin(
+            F.broadcast(
+                zmaps.select(F.col(layout_col).alias("_probe_layout")).distinct()
+            )
+        )
+    cond = (F.col(probe_col) >= F.col("mn")) & (F.col(probe_col) <= F.col("mx"))
+    if layout_col:
+        cond = cond & (F.col("_probe_layout") == F.col(layout_col))
+    hits = (
+        probes.join(F.broadcast(zmaps), cond, "left")
+        .groupBy(
+            *([F.col("_probe_layout").alias(layout_col)] if layout_col else []),
+            F.col(probe_col),
+        )
+        .agg(F.count("file_id").alias("files_hit"))
+    )
+    nf = zmaps.groupBy(*[F.col(k) for k in keys]) if keys else zmaps.groupBy()
+    files_per_layout = nf.agg(F.count(F.lit(1)).alias("n_files"))
+    agg = hits.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.round(F.avg("files_hit"), 6).alias("avg_files_hit"),
+        F.max("files_hit").alias("max_files_hit"),
+    )
+    out = (
+        agg.join(F.broadcast(files_per_layout), keys)
+        if keys
+        else agg.crossJoin(F.broadcast(files_per_layout))
+    )
+    return out.select(
+        *keys,
+        "n_files",
+        "n_probes",
+        "avg_files_hit",
+        "max_files_hit",
+        F.round(F.col("avg_files_hit") / F.col("n_files"), 6).alias("avg_hit_frac"),
+    )

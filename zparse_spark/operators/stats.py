@@ -2199,3 +2199,82 @@ def null_rate_drift(
         .alias("drifted"),
     )
     return out.filter(F.col("drifted"))
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared + G-test (likelihood ratio) + Cramér's V for
+    independence of two categorical columns — the hypothesis-test seat
+    in the drift family (PSI/KL/KS/EMD measure magnitude; this one
+    carries a statistic with a known null distribution and degrees of
+    freedom, so a monitor can alarm at a chosen false-positive rate).
+
+    chi2 sums (o-e)^2/e over the FULL r x c grid — zero-observed cells
+    contribute e, so the grid is densified by crossing the two margins
+    (bounded: category variety squared) and left-joining the observed
+    contingency table. G = 2 * sum o*ln(o/e) over observed cells only
+    (0*ln0 = 0). Cramér's V = sqrt(chi2 / (n * (min(r,c) - 1))).
+
+    Scale shape: ONE groupBy(a, b) over the data (map-side combined,
+    output bounded by variety); margins, the dense grid, and every
+    statistic are arithmetic on that bounded table. Counts stay exact
+    integers until the final float expressions; expected counts and the
+    two statistics are IEEE doubles summed over the bounded grid in one
+    aggregate. NULL categories are excluded (SQL GROUP BY would keep
+    them; a drift test over "value present" pairs is the contract here,
+    matching the drift operators above).
+    """
+    obs = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(obs, ["a", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("ra").cast("double") * F.col("cb") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    return (
+        grid.agg(
+            F.max("n").alias("n"),
+            F.countDistinct("a").alias("r"),
+            F.countDistinct("b").alias("c"),
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+                "_chi2"
+            ),
+            F.sum(
+                F.when(
+                    F.col("o") > 0,
+                    2.0 * F.col("o") * F.log(F.col("o") / F.col("e")),
+                ).otherwise(0.0)
+            ).alias("_g2"),
+        )
+        .select(
+            "n",
+            "r",
+            "c",
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            F.round("_chi2", 6).alias("chi2"),
+            F.round("_g2", 6).alias("g2"),
+            F.round(
+                F.sqrt(
+                    F.col("_chi2")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

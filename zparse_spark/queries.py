@@ -5143,6 +5143,130 @@ def events_survival_km(spark, sf_dir):
     return survival_curve(_t(spark, sf_dir, "events"), censor_days=1)
 
 
+@register(
+    "layout_skipping_audit",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_extendedprice AS p FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    mm AS (SELECT min(p) AS mn, max(p) AS mx FROM li),
+    assigned AS (
+      SELECT 'hash' AS layout, l_orderkey % 32 AS file_id, p FROM li
+      UNION ALL
+      SELECT 'range' AS layout,
+             least(31, CAST(floor((p - mm.mn) / ((mm.mx - mm.mn) / 32.0)) AS BIGINT)) AS file_id,
+             p
+      FROM li, mm
+    ),
+    zm AS (
+      SELECT layout, file_id, min(p) AS mn, max(p) AS mx
+      FROM assigned GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT p FROM li WHERE l_orderkey % 997 = 0),
+    pl AS (SELECT p, layout FROM probes CROSS JOIN (SELECT DISTINCT layout FROM zm)),
+    hits AS (
+      SELECT pl.layout, pl.p, count(zm.file_id) AS files_hit
+      FROM pl LEFT JOIN zm
+        ON zm.layout = pl.layout AND pl.p >= zm.mn AND pl.p <= zm.mx
+      GROUP BY 1, 2
+    ),
+    nf AS (SELECT layout, count(*) AS n_files FROM zm GROUP BY 1)
+    SELECT h.layout, nf.n_files, count(*) AS n_probes,
+           round(avg(h.files_hit), 6) AS avg_files_hit,
+           max(h.files_hit) AS max_files_hit,
+           round(avg(h.files_hit) / nf.n_files, 6) AS avg_hit_frac
+    FROM hits h JOIN nf ON nf.layout = h.layout
+    GROUP BY 1, 2
+    """,
+)
+def layout_skipping_audit(spark, sf_dir):
+    """Zone-map data-skipping effectiveness, hash layout vs range
+    layout over the same column: per-file min/max (what Iceberg footers
+    keep), probed with a deterministic value set — files-hit per point
+    predicate IS the read amplification a selective query pays at
+    100 TB. The range layout should prune to ~1 file per probe while
+    the hash layout touches nearly all 32 — the measured, oracled
+    version of 'cluster your sort keys'. Zone maps and probes are
+    bounded tables; the audit never rescans the data after the one
+    groupBy per layout."""
+    from zparse_spark.operators.layout import skipping_audit, zone_maps
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select("l_orderkey", F.col("l_extendedprice").alias("p"))
+    )
+    mm = li.agg(F.min("p").alias("gmn"), F.max("p").alias("gmx"))
+    hash_files = li.select(
+        F.lit("hash").alias("layout"), (F.col("l_orderkey") % 32).alias("f"), "p"
+    )
+    range_files = li.crossJoin(F.broadcast(mm)).select(
+        F.lit("range").alias("layout"),
+        F.least(
+            F.lit(31),
+            F.floor(
+                (F.col("p") - F.col("gmn")) / ((F.col("gmx") - F.col("gmn")) / 32.0)
+            ),
+        ).alias("f"),
+        "p",
+    )
+    assigned = hash_files.unionByName(range_files)
+    zm = (
+        assigned.groupBy("layout", F.col("f"))
+        .agg(F.min("p").alias("mn"), F.max("p").alias("mx"), F.count("p").alias("n_rows"))
+        .select("layout", F.col("f").alias("file_id"), "mn", "mx", "n_rows")
+    )
+    probes = li.filter(F.col("l_orderkey") % 997 == 0).select("p").distinct()
+    return skipping_audit(zm, probes, probe_col="p", layout_col="layout")
+
+
+@register(
+    "stats_chi2_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    grid AS (
+      SELECT ra.a, cb.b, coalesce(obs.o, 0) AS o,
+             CAST(ra.ra AS DOUBLE) * cb.cb / tot.n AS e, tot.n AS n
+      FROM ra CROSS JOIN cb
+      LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+      CROSS JOIN tot
+    ),
+    s AS (
+      SELECT max(n) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+             sum((o - e) * (o - e) / e) AS chi2r,
+             sum(CASE WHEN o > 0 THEN 2.0 * o * ln(o / e) ELSE 0.0 END) AS g2r
+      FROM grid
+    )
+    SELECT CAST(n AS BIGINT) AS n, r, c, (r - 1) * (c - 1) AS dof,
+           round(chi2r, 6) AS chi2, round(g2r, 6) AS g2,
+           round(sqrt(chi2r / (n * (least(r, c) - 1))), 6) AS cramers_v
+    FROM s
+    """,
+)
+def stats_chi2_orders(spark, sf_dir):
+    """Pearson chi-squared + G-test + Cramér's V for independence of
+    order priority x status — the hypothesis-test seat of the drift
+    family (a statistic with dof and a null distribution, so monitors
+    alarm at a chosen false-positive rate instead of an ad-hoc PSI
+    cut). Full-grid densification (zero cells contribute e), exact
+    integer counts into one bounded-grid aggregate; both engines sum
+    the same <=18 cells."""
+    from zparse_spark.operators.stats import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """Unrolled power iteration: one CTE per step — the textbook
     definition, no iteration framework, so a green row certifies the
