@@ -1417,3 +1417,26 @@ def test_skipping_audit_range_beats_hash(spark):
     # zone_maps helper agrees with the inline groupBy
     zh = zone_maps(hashed, "v", "f")
     assert zh.count() == 10
+
+
+def test_compaction_bins_packing_properties(spark):
+    """Scan packing: bins fill to the target in size-desc order, overflow
+    bounded by one file, deterministic under repartition."""
+    from zparse_spark.operators.layout import compaction_bins
+
+    rows = [("p1", i, b) for i, b in enumerate([900, 800, 300, 200, 100, 50])] + [
+        ("p2", 0, 5000)  # single jumbo file: its own over-target bin
+    ]
+    df = spark.createDataFrame(rows, ["partition", "file_id", "bytes"])
+    out = {(r["partition"], r["bin"]): r for r in compaction_bins(df, 1000).collect()}
+    # p1 order: 900,800,300,200,100,50; exclusive prefixes 0,900,1700,2000,2200,2300
+    # bins: 0 -> [900,800(pre 900<1000? floor(900/1000)=0)], pre 1700 -> bin1...
+    assert out[("p1", 0)]["n_files"] == 2 and out[("p1", 0)]["bin_bytes"] == 1700
+    assert out[("p1", 1)]["bin_bytes"] == 300
+    assert out[("p1", 2)]["n_files"] == 3 and out[("p1", 2)]["bin_bytes"] == 350
+    assert out[("p2", 0)]["over_target"] is True and out[("p2", 0)]["n_files"] == 1
+    rep = {
+        (r["partition"], r["bin"]): r["bin_bytes"]
+        for r in compaction_bins(df.repartition(5), 1000).collect()
+    }
+    assert rep == {k: v["bin_bytes"] for k, v in out.items()}

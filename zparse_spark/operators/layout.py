@@ -17,7 +17,7 @@ manifest/resume machinery.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -223,4 +223,50 @@ def skipping_audit(
         "avg_files_hit",
         "max_files_hit",
         F.round(F.col("avg_files_hit") / F.col("n_files"), 6).alias("avg_hit_frac"),
+    )
+
+
+def compaction_bins(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction plan: group each partition's files into
+    merge bins of ~``target_bytes`` (the Iceberg ``binPack`` rewrite
+    shape). Files are taken in deterministic (size desc, file_id) order
+    and a bin collects files while its exclusive prefix sum is under the
+    target — sequential scan packing, expressible as ONE window cumsum
+    instead of an iterative first-fit loop, with the classic bound that
+    a bin overflows by at most one file. Determinism (the sort key is a
+    total order) means a re-run or another engine emits the identical
+    plan — a resumable compaction job can commit bins independently.
+
+    Input is the FILE MANIFEST (|files| rows), never the data: the plan
+    costs one window over the manifest partitioned by the table
+    partition. Output: (partition, bin, n_files, bin_bytes,
+    over_target) — over_target flags bins a single jumbo file pushed
+    past the target (they are 'already compact'; rewriting them is
+    wasted IO).
+    """
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(bytes_col).desc(), F.col(file_col)
+    )
+    staged = files.withColumn(
+        "_pre", F.coalesce(F.sum(bytes_col).over(w), F.lit(0)) - F.col(bytes_col)
+    ).withColumn("bin", F.floor(F.col("_pre") / F.lit(float(target_bytes))))
+    return (
+        staged.groupBy(partition_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(bytes_col).alias("bin_bytes"),
+        )
+        .select(
+            partition_col,
+            F.col("bin").cast("long").alias("bin"),
+            "n_files",
+            "bin_bytes",
+            (F.col("bin_bytes") > target_bytes).alias("over_target"),
+        )
     )

@@ -5222,6 +5222,48 @@ def layout_skipping_audit(spark, sf_dir):
 
 
 @register(
+    "layout_compaction_bins",
+    """
+    WITH manifest AS (
+      SELECT source AS partition, doc_id % 7 AS file_id,
+             sum(n_chars) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT partition, file_id, bytes,
+             sum(bytes) OVER (PARTITION BY partition
+                              ORDER BY bytes DESC, file_id
+                              ROWS UNBOUNDED PRECEDING) - bytes AS pre
+      FROM manifest
+    )
+    SELECT partition, CAST(floor(pre / 2500.0) AS BIGINT) AS bin,
+           count(*) AS n_files, sum(bytes) AS bin_bytes,
+           sum(bytes) > 2500 AS over_target
+    FROM staged GROUP BY 1, 2
+    """,
+)
+def layout_compaction_bins(spark, sf_dir):
+    """Small-file compaction plan (Iceberg binPack rewrite shape):
+    deterministic scan packing of each partition's file manifest into
+    ~target-byte merge bins via ONE window cumsum — no iterative
+    first-fit loop, bounded one-file overflow, and a total-order sort
+    key so re-runs and other engines emit the identical plan (bins can
+    commit independently on resume). Runs on the manifest (|files|
+    rows), never the data."""
+    from zparse_spark.operators.layout import compaction_bins
+
+    manifest = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.col("source").alias("partition"),
+            (F.col("doc_id") % 7).alias("file_id"),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    return compaction_bins(manifest, target_bytes=2500)
+
+
+@register(
     "stats_chi2_orders",
     """
     WITH obs AS (

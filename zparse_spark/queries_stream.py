@@ -190,3 +190,103 @@ def streaming_violation_rate_windows(spark, sf_dir):
         "rule_id",
         "n_violations",
     ).filter(F.col("rule_id") != "Z_SENTINEL")
+
+
+_SESS_GAP_MS = 6 * 3600 * 1000
+
+_SESSION_STREAM_SQL = f"""WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms
+  FROM read_parquet('{_W}/session_src/*.parquet')
+  WHERE user_id < 1000000000
+),
+seq AS (
+  SELECT user_id, ms,
+         lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+  FROM e
+),
+marked AS (
+  SELECT user_id, ms,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > {_SESS_GAP_MS} THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sess AS (
+  SELECT user_id, ms,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS seq
+  FROM marked
+)
+SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, seq"""
+
+
+@register("streaming_sessionize_equivalence", _SESSION_STREAM_SQL)
+def streaming_sessionize_equivalence(spark, sf_dir):
+    """Streaming gap sessionization (applyInPandasWithState +
+    EventTimeTimeout) must equal BATCH sessionization over the same
+    history — the X82/X158 twin of X14's dedup claim, now oracle-gated:
+    the real events table is delivered as three time-ordered batches
+    (days 1-10 / 11-20 / rest), each an availableNow run resuming the
+    same checkpoint, so sessions span micro-runs through GroupState;
+    sessions still open at end of data are closed by watermark TIMEOUT,
+    driven by two far-future sentinel deliveries (the second run fires
+    the timeouts the first one's watermark armed). DuckDB computes the
+    batch truth (lag/gap/cumsum sessionization to ms precision) from the
+    SAME persisted source, sentinels excluded. State per live user is
+    three longs — the 10^12-doc shape where the history can never be
+    re-scanned per batch."""
+    import shutil as _sh
+
+    from zparse_spark.streaming.stateful import sessionize_stream
+
+    src = f"{_W}/session_src"
+    out = f"{_W}/session_out"
+    ck = f"{_W}/session_ck"
+    for p in (src, out, ck):
+        _sh.rmtree(p, ignore_errors=True)
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    day = F.dayofmonth("ts")
+    batches = [
+        ev.filter(day <= 10),
+        ev.filter((day > 10) & (day <= 20)),
+        ev.filter(day > 20),
+    ]
+    mx = ev.agg(F.max(F.unix_seconds(F.col("ts").cast("timestamp"))).alias("m")).first()["m"]
+    sentinel = 1_000_000_000
+
+    def _sent(offset_s: int):
+        return spark.createDataFrame(
+            [(sentinel,)], "user_id long"
+        ).select("user_id", F.timestamp_seconds(F.lit(mx + offset_s)).alias("ts"))
+
+    def run(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            sessionize_stream(
+                spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(batches[0])
+    run(batches[1])
+    # last real slice rides with sentinel-1 (advances the watermark past
+    # every real last-event + gap); sentinel-2 fires the armed timeouts
+    run(batches[2].unionByName(_sent(30 * 24 * 3600)))
+    run(_sent(31 * 24 * 3600))
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != sentinel)
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    )
