@@ -545,3 +545,18 @@ def test_winnowing_pairs_hand_case_and_stop_fp(spark):
     # near-copies is dropped, so no pair survives — caps only remove
     capped = winnowing_pairs(df, threshold=0.01, max_df=1).collect()
     assert capped == []
+
+
+def test_winnowing_xxhash_production_path(spark):
+    """The xxhash64 production hash (8-byte shuffle keys vs 32-char md5
+    hex) selects different fingerprints but the same planted near-dup
+    pair survives; unrelated docs still never pair."""
+    from zparse_spark.operators.dedup import winnowing_pairs
+
+    base = "spark group query row data slow small filter customer line the batch value merge"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "entirely different words live here with zero shared runs")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in winnowing_pairs(df, threshold=0.5, hash_fn="xxhash64").collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)

@@ -564,3 +564,45 @@ def test_session3_ops_plan_discipline(spark, docs_path):
     p = plan_of(nfc_audit(flat, "text", "grp", "doc_id"))
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_winnowing_plan_no_joins_one_exchange_pair(spark):
+    """Winnowing pairs must never contain a JOIN operator: the corpus is
+    fingerprinted once and pairs come from inverted-index buckets, so
+    the plan is scan -> explode -> Exchange(fp) -> Exchange(pair) with
+    no self-join re-evaluating the md5 ladder."""
+    from zparse_spark.operators.dedup import winnowing_pairs
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    plan = plan_of(winnowing_pairs(df))
+    assert "Join" not in plan
+    # fingerprint bucket groupBy + pair groupBy: exactly two shuffles
+    assert plan.count("Exchange") == 2
+
+
+def test_skipping_audit_broadcasts_zone_maps(spark):
+    """The audit is a broadcast range join on bounded tables — a
+    SortMergeJoin here would mean the zone maps went through a full
+    shuffle, wrong at any scale."""
+    from zparse_spark.operators.layout import skipping_audit
+
+    zm = spark.createDataFrame(
+        [("a", 0, 0.0, 1.0, 10)], ["layout", "file_id", "mn", "mx", "n_rows"]
+    )
+    probes = spark.createDataFrame([(0.5,)], ["p"])
+    plan = plan_of(skipping_audit(zm, probes))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi2_contingency_exchange_reused(spark):
+    """After execution, AQE must REUSE the contingency-table shuffle for
+    the margins/total branches (the data is grouped once, not re-read
+    per branch)."""
+    from zparse_spark.operators.stats import chi2_independence
+
+    df = spark.createDataFrame([("x", "u"), ("x", "v"), ("y", "u")] * 5, ["a", "b"])
+    out = chi2_independence(df, "a", "b")
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or final.count("LocalTableScan") <= 4

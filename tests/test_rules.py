@@ -676,3 +676,23 @@ def test_violation_exemplars_bounded_and_repartition_invariant(spark):
     out2 = violation_exemplars(v2, n=3).collect()
     key = lambda r: (r["partition"], r["rule_id"], r["doc_id"], r["exemplar_rank"])
     assert sorted(map(key, out1)) == sorted(map(key, out2))
+
+
+def test_media_refcounts_and_orphans(spark):
+    """Catalog entries keep zero counts (orphans = GC shortlist);
+    multi-span and multi-doc references accumulate; refs outside the
+    catalog never appear (that's R1's direction, not this one)."""
+    from zparse_spark.operators.rules import media_refcounts, orphan_media
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("text", "a", None, 0), ("image", None, "m1", 1)]),
+            ("d2", [("image", None, "m1", 0), ("video", None, "m2", 1)]),
+            ("d3", [("image", None, "mX", 0)]),  # dangling: R1's problem
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    cat = spark.createDataFrame([("m1",), ("m2",), ("m3",)], ["media_ref"])
+    got = {r["media_ref"]: r["n_refs"] for r in media_refcounts(docs, cat).collect()}
+    assert got == {"m1": 2, "m2": 1, "m3": 0}
+    assert [r["media_ref"] for r in orphan_media(docs, cat).collect()] == ["m3"]

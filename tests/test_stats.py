@@ -1440,3 +1440,77 @@ def test_compaction_bins_packing_properties(spark):
         for r in compaction_bins(df.repartition(5), 1000).collect()
     }
     assert rep == {k: v["bin_bytes"] for k, v in out.items()}
+
+
+def test_contribution_analysis_hand_case(spark):
+    """Hand case: type A rises 100->300, B falls 200->100; total
+    300->400. A explains (300-100)/100 = 2.0 of the +100 move, B
+    explains -1.0; shares and JS terms match the formula."""
+    import math
+
+    from zparse_spark.operators.stats import contribution_analysis
+
+    rows = [
+        ("A", 100.0, "ref"), ("B", 200.0, "ref"),
+        ("A", 300.0, "cur"), ("B", 100.0, "cur"),
+    ]
+    df = spark.createDataFrame(rows, ["d", "m", "period"])
+    out = {r["value"]: r for r in contribution_analysis(df, "d", "m").collect()}
+    a, b = out["A"], out["B"]
+    assert a["explains_frac"] == 2.0 and b["explains_frac"] == -1.0
+    assert abs(a["share_ref"] - round(1 / 3, 6)) < 1e-9
+    assert abs(a["share_cur"] - 0.75) < 1e-9
+    p, q = 1 / 3, 0.75
+    js = 0.5 * (p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q)))
+    assert abs(a["js_surprise"] - round(js, 6)) < 1e-9
+
+
+def test_contribution_analysis_birth_and_death(spark):
+    """A value absent from one period stays in the ranking with measure
+    0 there (births/deaths are the strongest root causes)."""
+    from zparse_spark.operators.stats import contribution_analysis
+
+    rows = [("A", 10.0, "ref"), ("A", 10.0, "cur"), ("NEW", 30.0, "cur"), ("OLD", 5.0, "ref")]
+    df = spark.createDataFrame(rows, ["d", "m", "period"])
+    out = {r["value"]: r for r in contribution_analysis(df, "d", "m").collect()}
+    assert out["NEW"]["measure_ref"] == 0.0 and out["NEW"]["measure_cur"] == 30.0
+    assert out["OLD"]["measure_cur"] == 0.0
+    # totals 15 -> 40: NEW explains 30/25, OLD explains -5/25
+    assert out["NEW"]["explains_frac"] == 1.2 and out["OLD"]["explains_frac"] == -0.2
+
+
+def test_category_drift_births_deaths_and_null(spark):
+    """Births/deaths only (shared categories not emitted); NULL is a
+    trackable category like any other."""
+    from zparse_spark.operators.stats import category_drift
+
+    ref = spark.createDataFrame([("a",), ("a",), ("b",)], ["c"])
+    cur = spark.createDataFrame([("a",), ("x",), ("x",), (None,)], ["c"])
+    out = {(r["status"], r["value"]): (r["n"], r["share"]) for r in category_drift(cur, ref, "c").collect()}
+    assert out[("new", "x")] == (2, 0.5)
+    assert out[("new", None)] == (1, 0.25)
+    assert out[("gone", "b")] == (1, round(1 / 3, 6))
+    assert ("new", "a") not in out and ("gone", "a") not in out
+
+
+def test_seasonal_volume_anomaly_flags_weekday_outlier(spark):
+    """Three normal Mondays at ~100 plus one at 10: the crash Monday
+    flags against its weekday baseline while an always-low Sunday does
+    not (seasonality-aware, unlike a global z-score)."""
+    import datetime as dt
+
+    from zparse_spark.operators.stats import seasonal_volume_anomaly
+
+    rows = []
+    # Mondays 2024-01-01, 08, 15, 22: 100,100,100,10 events
+    for d, n in [(1, 100), (8, 100), (15, 100), (22, 10)]:
+        rows += [(dt.datetime(2024, 1, d, 12, 0),)] * n
+    # Sundays 07, 14, 21: always 5 events (low but NORMAL for Sundays)
+    for d in (7, 14, 21):
+        rows += [(dt.datetime(2024, 1, d, 12, 0),)] * 5
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {str(r["day"]): r for r in seasonal_volume_anomaly(df).collect()}
+    assert out["2024-01-22"]["flagged"] is True
+    assert out["2024-01-22"]["baseline_med"] == 100.0  # median of 100,100,100,10
+    assert all(not out[f"2024-01-{d:02d}"]["flagged"] for d in (7, 14, 21))
+    assert out["2024-01-01"]["flagged"] is False

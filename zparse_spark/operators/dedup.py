@@ -964,6 +964,7 @@ def winnow_fingerprint_sets(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing fingerprint set per document (the MOSS algorithm):
     md5-hash every POSITIONAL character k-gram of the normalized text,
@@ -987,32 +988,46 @@ def winnow_fingerprint_sets(
     bit-for-bit (reference parity: zParse's content-equality contract,
     json/parser.rs span text equality, generalized to local overlap).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
+    hf = F.md5 if hash_fn == "md5" else F.xxhash64
     norm = normalize_text(F.col(text_col))
     n = F.length(norm)
     hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.md5(F.substring(norm, i, F.lit(k))),
+            lambda i: hf(F.substring(norm, i, F.lit(k))),
         ),
-    ).otherwise(F.array(F.md5(norm)))
+    ).otherwise(F.array(hf(norm)))
+
     # Bind the hash array ONCE as a lambda variable: a staged projection
     # is NOT enough — CollapseProject inlines it back and the window-min
-    # lambda then re-evaluates the whole md5 ladder per window position
-    # (O(n^2) md5s per doc; measured as a multi-minute hang at sf0.001).
-    # transform over a 1-element array makes `hs` a bound variable, so
-    # the ladder runs exactly once per row no matter how many times the
-    # body references it. (Same family as the dedup.py:178 HOF note and
-    # the X143 variant-parse materialization.)
+    # body then re-evaluates the whole hash ladder per window position
+    # (O(n^2) hashes per doc; measured as a multi-minute hang at
+    # sf0.001). transform over a 1-element array makes `hs` a bound
+    # variable, so the ladder runs exactly once per row no matter how
+    # many times the body references it. (Same family as the
+    # dedup.py:178 HOF note and the X143 variant-parse materialization.)
+    #
+    # The sliding min itself is w-1 zip_with passes against shifted
+    # slices (mins[j] = least(hs[j..j+s]) after pass s) — measured 2x
+    # faster than per-position slice+array_min at 100k docs, because it
+    # allocates w-1 arrays per DOC instead of one w-slice per POSITION.
+    # Tail positions (j > m-w+1) see a null-padded shorter slice and
+    # fold to partial minima; the final slice discards exactly those.
     def _winnow(hs):
         m = F.size(hs)
-        return F.when(
-            m >= w,
-            F.transform(
-                F.sequence(F.lit(1), m - w + 1),
-                lambda j: F.array_min(F.slice(hs, j, w)),
-            ),
-        ).otherwise(F.array(F.array_min(hs)))
+        mins = hs
+        for s in range(1, w):
+            mins = F.zip_with(
+                mins,
+                F.slice(hs, 1 + s, F.greatest(m - s, F.lit(1))),
+                lambda a, b: F.least(a, F.coalesce(b, a)),
+            )
+        return F.when(m >= w, F.slice(mins, 1, m - w + 1)).otherwise(
+            F.array(F.array_min(hs))
+        )
 
     fps = F.flatten(F.transform(F.array(hashes), _winnow))
     return df.select(F.col(id_col), F.array_distinct(fps).alias("fp_set"))
@@ -1026,6 +1041,7 @@ def winnowing_pairs(
     w: int = 4,
     threshold: float = 0.5,
     max_df: int = 0,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs by Jaccard over winnowing fingerprint sets.
 
@@ -1044,7 +1060,7 @@ def winnowing_pairs(
     Output: (id_a, id_b, shared_fp, n_fp_a, n_fp_b, jaccard) with
     id_a < id_b, jaccard rounded to 6 decimals, filtered to >= threshold.
     """
-    fp = winnow_fingerprint_sets(df, id_col, text_col, k, w)
+    fp = winnow_fingerprint_sets(df, id_col, text_col, k, w, hash_fn=hash_fn)
     # ONE evaluation of the fingerprint lineage: the set size rides on
     # every posting row, so neither a per-doc sizes join nor a second
     # side of a self-join ever re-fingerprints the corpus. Pairs come
@@ -1061,28 +1077,31 @@ def winnowing_pairs(
     )
     if max_df > 0:
         buckets = buckets.filter(F.size("members") <= max_df)
+    # pair generation streams through TWO explodes (anchor member, then
+    # its suffix of the sorted bucket) so peak memory per bucket row is
+    # O(m), never the O(m^2) a nested transform would materialize as one
+    # array — a hot bucket must degrade to more rows, not to an OOM
+    # (measured: a 5k-doc shared-vocabulary bucket killed the executor
+    # under the nested form; this form streams it)
     pairs = (
         buckets.filter(F.size("members") >= 2)
         .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("members"),
-                            lambda a: F.transform(
-                                F.col("members"), lambda b: F.struct(a.alias("a"), b.alias("b"))
-                            ),
-                        )
-                    ),
-                    lambda p: p["a"]["_id"] < p["b"]["_id"],
-                )
-            ).alias("p")
+            F.posexplode("members").alias("_i", "a"),
+            F.col("members"),
         )
         .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.col("p.a._n").alias("n_fp_a"),
-            F.col("p.b._n").alias("n_fp_b"),
+            F.col("a"),
+            F.explode(
+                F.slice(
+                    F.col("members"), F.col("_i") + 2, F.greatest(F.size("members"), F.lit(1))
+                )
+            ).alias("b"),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_fp_a"),
+            F.col("b._n").alias("n_fp_b"),
         )
     )
     shared = pairs.groupBy("id_a", "id_b", "n_fp_a", "n_fp_b").agg(

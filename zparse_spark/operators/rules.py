@@ -1715,3 +1715,51 @@ def violation_exemplars(
         .withColumn("n_total", F.count(F.lit(1)).over(wc))
         .filter(F.col("exemplar_rank") <= n)
     )
+
+
+def media_refcounts(
+    docs: DataFrame,
+    catalog: DataFrame,
+    spans_col: str = "spans",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Reverse referential check: reference counts per CATALOG entry,
+    zero meaning orphan — R1 asks "does every span's media_ref exist?";
+    this asks the storage question "does every catalog payload still
+    have a referent?" (GC candidates, the audit an Iceberg
+    expire/cleanup pass needs before deleting blobs).
+
+    Scale shape: the doc side collapses FIRST — explode spans, filter
+    non-null refs, ONE map-side-combined groupBy(ref) whose output is
+    bounded by |catalog|, never by corpus size; the catalog then LEFT
+    joins that compact count table (orphans keep n_refs = 0). The
+    corpus is scanned once; nothing doc-sized ever shuffles twice.
+    """
+    refs = (
+        docs.select(F.explode(spans_col).alias("_s"))
+        .select(F.col(f"_s.{ref_col}").alias(ref_col))
+        .filter(F.col(ref_col).isNotNull())
+        .groupBy(ref_col)
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    return (
+        catalog.select(ref_col)
+        .distinct()
+        .join(refs, ref_col, "left")
+        .select(ref_col, F.coalesce(F.col("n_refs"), F.lit(0)).alias("n_refs"))
+    )
+
+
+def orphan_media(
+    docs: DataFrame,
+    catalog: DataFrame,
+    spans_col: str = "spans",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Catalog entries no span references (n_refs = 0): the deletion
+    shortlist. See ``media_refcounts`` for the plan shape."""
+    return (
+        media_refcounts(docs, catalog, spans_col, ref_col)
+        .filter(F.col("n_refs") == 0)
+        .select(ref_col)
+    )

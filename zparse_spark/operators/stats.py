@@ -2278,3 +2278,168 @@ def chi2_independence(
             ).alias("cramers_v"),
         )
     )
+
+
+def contribution_analysis(
+    df: DataFrame,
+    dim: str,
+    measure: str,
+    period_col: str = "period",
+    ref_label: str = "ref",
+    cur_label: str = "cur",
+) -> DataFrame:
+    """Root-cause contribution analysis (Adtributor, Bhagwan et al.
+    NSDI 2014, simplified to one dimension): when a monitored total
+    moves between a reference and a current period, rank the dimension
+    values by HOW MUCH of the move they explain — explanatory power
+    (their share of the total delta) and surprise (per-value
+    Jensen-Shannon divergence between the two share distributions,
+    which catches a value whose share shifted even when the net total
+    barely moved).
+
+    Output per dim value: measure_ref/measure_cur, share_ref/share_cur
+    (value's fraction of its period total), delta_share,
+    explains_frac = (cur - ref) / (total_cur - total_ref) (NULL when
+    the totals are equal), and js_surprise; rounded to 6 decimals.
+
+    Scale shape: ONE groupBy(dim, period) over the data (map-side
+    combined, variety-bounded output), reshaped to one row per value
+    with conditional aggregation; period totals ride along via a window
+    over the bounded table. Values absent from one period get measure 0
+    there — births and deaths are the strongest root causes and must
+    not drop out of the ranking.
+    """
+    g = (
+        df.filter(F.col(period_col).isin(ref_label, cur_label))
+        .groupBy(F.col(dim).alias("value"))
+        .agg(
+            F.sum(
+                F.when(F.col(period_col) == ref_label, F.col(measure)).otherwise(0.0)
+            ).alias("m_ref"),
+            F.sum(
+                F.when(F.col(period_col) == cur_label, F.col(measure)).otherwise(0.0)
+            ).alias("m_cur"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = g.withColumn("t_ref", F.sum("m_ref").over(w)).withColumn(
+        "t_cur", F.sum("m_cur").over(w)
+    )
+    p = F.col("m_ref") / F.col("t_ref")
+    q = F.col("m_cur") / F.col("t_cur")
+    js = 0.5 * (
+        F.when(p > 0, p * F.log(2.0 * p / (p + q))).otherwise(0.0)
+        + F.when(q > 0, q * F.log(2.0 * q / (p + q))).otherwise(0.0)
+    )
+    return t.select(
+        "value",
+        F.round("m_ref", 6).alias("measure_ref"),
+        F.round("m_cur", 6).alias("measure_cur"),
+        F.round(p, 6).alias("share_ref"),
+        F.round(q, 6).alias("share_cur"),
+        F.round(q - p, 6).alias("delta_share"),
+        F.round(
+            F.when(
+                F.col("t_cur") != F.col("t_ref"),
+                (F.col("m_cur") - F.col("m_ref")) / (F.col("t_cur") - F.col("t_ref")),
+            ),
+            6,
+        ).alias("explains_frac"),
+        F.round(js, 6).alias("js_surprise"),
+    )
+
+
+def category_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+) -> DataFrame:
+    """New/vanished category detector between two snapshots of a
+    column — the drift monitor PSI/KL cannot express (they compare
+    shares on a SHARED support; a category that did not exist last week
+    is support change, the loudest and most actionable kind: a new
+    upstream producer, a schema code leak, a language id regression).
+
+    Output: (status 'new'|'gone', value, n, share) — 'new' categories
+    with their current count/share, 'gone' with their reference
+    count/share. Unchanged categories are not emitted (bounded output).
+    Two variety-bounded groupBys + a full outer join on the category
+    value; NULL categories are tracked like any other value (a column
+    suddenly going NULL-bearing IS a birth).
+    """
+    c = cur.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n_cur"))
+    r = ref.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n_ref"))
+    wc = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j = (
+        c.join(r, c["value"].eqNullSafe(r["value"]), "full_outer")
+        .select(
+            F.coalesce(c["value"], r["value"]).alias("value"),
+            F.col("n_cur"),
+            F.col("n_ref"),
+        )
+        .withColumn("t_cur", F.sum("n_cur").over(wc))
+        .withColumn("t_ref", F.sum("n_ref").over(wc))
+    )
+    new = j.filter(F.col("n_ref").isNull()).select(
+        F.lit("new").alias("status"),
+        "value",
+        F.col("n_cur").alias("n"),
+        F.round(F.col("n_cur") / F.col("t_cur"), 6).alias("share"),
+    )
+    gone = j.filter(F.col("n_cur").isNull()).select(
+        F.lit("gone").alias("status"),
+        "value",
+        F.col("n_ref").alias("n"),
+        F.round(F.col("n_ref") / F.col("t_ref"), 6).alias("share"),
+    )
+    return new.unionByName(gone)
+
+
+def seasonal_volume_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Weekday-seasonal volume monitor: each day's event count against
+    the MEDIAN count of its own weekday, deviation scored in robust MAD
+    units — the seasonality-aware sibling of the CUSUM monitor (X84):
+    a Sunday that looks like a Sunday is fine even though it would be a
+    3-sigma drop against the all-days baseline; a Tuesday at Sunday
+    volume is the incident.
+
+    Exactness: daily counts are exact integers from ONE groupBy(day)
+    (map-side combined, output = |days| rows); the per-weekday median
+    and MAD use exact interpolated percentiles on that bounded table
+    (the X37 contract — identical halves interpolation in Spark
+    ``percentile`` and DuckDB ``median``); the one float comparison is
+    |n - med| >= z_cut * greatest(mad, 0.5), with the 0.5 floor making
+    a zero-MAD weekday (4 identical weeks) flag any change rather than
+    divide by zero.
+
+    Output per day: (day, dow, n, baseline_med, mad, deviation,
+    flagged) — the full curve, not just alarms, so the oracle checks
+    the baseline math everywhere.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = events.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # dayofweek is 1=Sunday..7=Saturday in both Spark and DuckDB
+    d = daily.withColumn("dow", F.dayofweek("day"))
+    wd = Window.partitionBy("dow")
+    med = F.expr("percentile(n, 0.5)").over(wd)
+    staged = d.withColumn("baseline_med", med)
+    mad = F.expr("percentile(abs(n - baseline_med), 0.5)").over(wd)
+    out = staged.withColumn("mad", mad)
+    dev = (F.col("n") - F.col("baseline_med")) / F.greatest(
+        F.col("mad"), F.lit(0.5)
+    )
+    return out.select(
+        "day",
+        "dow",
+        "n",
+        F.round("baseline_med", 6).alias("baseline_med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(dev, 6).alias("deviation"),
+        (F.abs(dev) >= z_cut).alias("flagged"),
+    )

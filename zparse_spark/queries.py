@@ -5309,6 +5309,139 @@ def stats_chi2_orders(spark, sf_dir):
     )
 
 
+@register(
+    "events_contribution_analysis",
+    """
+    WITH g AS (
+      SELECT event_type AS value,
+             sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-15'
+                      THEN value ELSE 0.0 END) AS m_ref,
+             sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
+                      THEN value ELSE 0.0 END) AS m_cur
+      FROM events
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT *, sum(m_ref) OVER () AS t_ref, sum(m_cur) OVER () AS t_cur FROM g
+    )
+    SELECT value,
+           round(m_ref, 6) AS measure_ref,
+           round(m_cur, 6) AS measure_cur,
+           round(m_ref / t_ref, 6) AS share_ref,
+           round(m_cur / t_cur, 6) AS share_cur,
+           round(m_cur / t_cur - m_ref / t_ref, 6) AS delta_share,
+           round(CASE WHEN t_cur <> t_ref THEN (m_cur - m_ref) / (t_cur - t_ref) END, 6)
+             AS explains_frac,
+           round(0.5 * (
+             CASE WHEN m_ref / t_ref > 0
+                  THEN (m_ref / t_ref) * ln(2.0 * (m_ref / t_ref) / (m_ref / t_ref + m_cur / t_cur))
+                  ELSE 0.0 END
+             + CASE WHEN m_cur / t_cur > 0
+                    THEN (m_cur / t_cur) * ln(2.0 * (m_cur / t_cur) / (m_ref / t_ref + m_cur / t_cur))
+                    ELSE 0.0 END), 6) AS js_surprise
+    FROM t
+    """,
+)
+def events_contribution_analysis(spark, sf_dir):
+    """Root-cause contribution analysis (Adtributor, NSDI 2014): when
+    the monitored total moves between two halves of the month, rank
+    event types by how much of the move each explains (explains_frac)
+    and how surprising its share shift is (per-value Jensen-Shannon
+    term) — the "which segment broke the metric" operator next to the
+    drift family. ONE variety-bounded groupBy over the data; totals via
+    a window on the bounded table."""
+    from zparse_spark.operators.stats import contribution_analysis
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+    )
+    return contribution_analysis(ev, "event_type", "value")
+
+
+@register(
+    "drift_category_births",
+    """
+    WITH cur AS (
+      SELECT CASE WHEN doc_id % 37 = 0 THEN 'tlh' ELSE lang END AS lang
+      FROM documents
+      WHERE lang <> 'de' OR doc_id % 37 = 0
+    ),
+    c AS (SELECT lang AS value, count(*) AS n_cur FROM cur GROUP BY 1),
+    r AS (SELECT lang AS value, count(*) AS n_ref FROM documents GROUP BY 1),
+    j AS (
+      SELECT coalesce(c.value, r.value) AS value, c.n_cur, r.n_ref
+      FROM c FULL OUTER JOIN r ON c.value IS NOT DISTINCT FROM r.value
+    ),
+    tt AS (SELECT *, sum(n_cur) OVER () AS t_cur, sum(n_ref) OVER () AS t_ref FROM j)
+    SELECT 'new' AS status, value, n_cur AS n, round(CAST(n_cur AS DOUBLE) / t_cur, 6) AS share
+    FROM tt WHERE n_ref IS NULL
+    UNION ALL
+    SELECT 'gone' AS status, value, n_ref AS n, round(CAST(n_ref AS DOUBLE) / t_ref, 6) AS share
+    FROM tt WHERE n_cur IS NULL
+    """,
+)
+def drift_category_births(spark, sf_dir):
+    """New/vanished category detector — the support-change drift PSI/KL
+    cannot express: a derived current snapshot plants a new language
+    ('tlh', every 37th doc) and retires one ('de' fully excluded), and
+    the operator must emit exactly those births/deaths with counts and
+    shares. Two variety-bounded groupBys + a null-safe full outer join
+    on the category value."""
+    from zparse_spark.operators.stats import category_drift
+
+    ref = _t(spark, sf_dir, "documents").select("lang")
+    cur = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") != "de") | (F.col("doc_id") % 37 == 0))
+        .select(
+            F.when(F.col("doc_id") % 37 == 0, F.lit("tlh"))
+            .otherwise(F.col("lang"))
+            .alias("lang")
+        )
+    )
+    return category_drift(cur, ref, "lang")
+
+
+@register(
+    "anomaly_events_seasonal",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT day, n, dayofweek(day) + 1 AS dow FROM daily),
+    b AS (
+      SELECT *, median(n) OVER (PARTITION BY dow) AS baseline_med FROM d
+    ),
+    m AS (
+      SELECT *, median(abs(n - baseline_med)) OVER (PARTITION BY dow) AS mad FROM b
+    )
+    SELECT day, dow, n,
+           round(baseline_med, 6) AS baseline_med,
+           round(mad, 6) AS mad,
+           round((n - baseline_med) / greatest(mad, 0.5), 6) AS deviation,
+           abs((n - baseline_med) / greatest(mad, 0.5)) >= 3.0 AS flagged
+    FROM m
+    """,
+)
+def anomaly_events_seasonal(spark, sf_dir):
+    """Weekday-seasonal volume monitor: each day's exact count against
+    its own weekday's median, deviation in robust MAD units — the
+    seasonality-aware sibling of the CUSUM monitor: a Tuesday at Sunday
+    volume flags, a Sunday looking like a Sunday does not. One
+    groupBy(day) over events; medians are exact interpolated
+    percentiles on the bounded day table (DuckDB's dayofweek is
+    0=Sunday, Spark's 1=Sunday — the oracle shifts to Spark's
+    convention)."""
+    from zparse_spark.operators.stats import seasonal_volume_anomaly
+
+    return seasonal_volume_anomaly(_t(spark, sf_dir, "events"))
+
+
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """Unrolled power iteration: one CTE per step — the textbook
     definition, no iteration framework, so a green row certifies the

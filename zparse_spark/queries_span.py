@@ -1318,3 +1318,32 @@ def span_pack_media_cooccurrence(spark, sf_dir):
     from zparse_spark.operators.canonical import media_cooccurrence
 
     return media_cooccurrence(docs, min_count=1)
+
+
+@register(
+    "span_pack_media_orphans",
+    f"""WITH
+docs AS (SELECT doc_id, spans FROM read_parquet('{_W}/span_docs/*.parquet')),
+cat AS (SELECT DISTINCT media_ref FROM read_parquet('{_W}/span_catalog/*.parquet')),
+refs AS (
+  SELECT s.media_ref AS media_ref, count(*) AS n
+  FROM (SELECT unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+  GROUP BY 1
+)
+SELECT c.media_ref, coalesce(r.n, 0) AS n_refs
+FROM cat c LEFT JOIN refs r ON r.media_ref = c.media_ref
+WHERE coalesce(r.n, 0) <= 2""",
+)
+def span_pack_media_orphans(spark, sf_dir):
+    """Reverse referential audit over the span pack: reference counts
+    per CATALOG entry, shortlisted to the cold tail (n_refs <= 2,
+    including true orphans at 0) — R1's mirror image and the audit a
+    payload-GC pass needs before deleting blobs. The corpus collapses
+    to a catalog-bounded count table in one map-side-combined groupBy;
+    the catalog left-joins that compact table, so orphans survive as
+    zeros and nothing doc-sized shuffles twice."""
+    from zparse_spark.operators.rules import media_refcounts
+
+    docs, cat = _pack_input(spark)
+    return media_refcounts(docs, cat).filter(F.col("n_refs") <= 2)
