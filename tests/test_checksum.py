@@ -108,3 +108,43 @@ def test_bucket_checksum_diff_identical_and_planted(spark):
     only = spark.createDataFrame([("z1", "t", 1)], "doc_id string, text string, n int")
     d3 = bucket_checksum_diff(only, only.limit(0), "doc_id", n_buckets=16).collect()
     assert len(d3) == 1 and d3[0]["status"] == "only_left"
+
+
+def test_schema_evolution_classes(spark):
+    """Every change class fires once; unchanged columns are silent;
+    widening is safe, narrowing is breaking."""
+    from zparse_spark.operators.checksum import schema_evolution_report
+
+    old = spark.createDataFrame(
+        [
+            ("keep", "string", True),
+            ("gone", "string", True),
+            ("widen", "int", True),
+            ("narrow", "bigint", True),
+            ("tighten", "string", True),
+            ("relax", "string", False),
+        ],
+        "col_name string, col_type string, nullable boolean",
+    )
+    new = spark.createDataFrame(
+        [
+            ("keep", "string", True),
+            ("widen", "bigint", True),
+            ("narrow", "int", True),
+            ("tighten", "string", False),
+            ("relax", "string", True),
+            ("born_opt", "double", True),
+            ("born_req", "double", False),
+        ],
+        "col_name string, col_type string, nullable boolean",
+    )
+    out = {r["name"]: (r["status"], r["breaking"]) for r in schema_evolution_report(old, new).collect()}
+    assert out == {
+        "gone": ("dropped", True),
+        "widen": ("type_widened", False),
+        "narrow": ("type_changed", True),
+        "tighten": ("nullability_tightened", True),
+        "relax": ("nullability_relaxed", False),
+        "born_opt": ("added_optional", False),
+        "born_req": ("added_required", True),
+    }

@@ -162,3 +162,71 @@ def bucket_checksum_diff(
         F.col("l.xor_hash").alias("xor_left"),
         F.col("r.xor_hash").alias("xor_right"),
     )
+
+
+def schema_evolution_report(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Schema-evolution compatibility gate between two schema snapshots
+    (rows of (col_name, col_type, nullable)) — the check an Iceberg
+    writer runs before committing a schema change, classified by blast
+    radius:
+
+    - added_optional   new nullable column: safe, readers see NULLs
+    - added_required   new non-nullable column: breaks old writers
+    - dropped          column gone: breaks every reader that names it
+    - type_widened     int->bigint / float->double / decimal growth:
+                       safe (every old value representable)
+    - type_changed     anything else: breaking
+    - nullability_relaxed  required -> optional: safe for readers
+    - nullability_tightened optional -> required: breaks old data
+
+    The snapshots are schema-sized (tens of rows): full outer join on
+    the column name, pure classification arithmetic, no data scan —
+    the DATA-level diff lives in checksum/bucket-diff (X112/X146);
+    this is the metadata-level gate next to it.
+    """
+    widen = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+    widen_expr = F.array(
+        *[F.struct(F.lit(a).alias("f"), F.lit(b).alias("t")) for a, b in sorted(widen)]
+    )
+    o = old.select(
+        F.col("col_name").alias("name"),
+        F.lower(F.col("col_type")).alias("t_old"),
+        F.col("nullable").cast("boolean").alias("n_old"),
+    )
+    n = new.select(
+        F.col("col_name").alias("name"),
+        F.lower(F.col("col_type")).alias("t_new"),
+        F.col("nullable").cast("boolean").alias("n_new"),
+    )
+    j = o.join(n, "name", "full_outer")
+    is_widen = F.exists(
+        widen_expr,
+        lambda w: (w["f"] == F.col("t_old")) & (w["t"] == F.col("t_new")),
+    )
+    status = (
+        F.when(F.col("t_old").isNull() & F.col("n_new"), F.lit("added_optional"))
+        .when(F.col("t_old").isNull(), F.lit("added_required"))
+        .when(F.col("t_new").isNull(), F.lit("dropped"))
+        .when(F.col("t_old") == F.col("t_new"),
+              F.when(F.col("n_old") & ~F.col("n_new"), F.lit("nullability_tightened"))
+              .when(~F.col("n_old") & F.col("n_new"), F.lit("nullability_relaxed"))
+              .otherwise(F.lit("unchanged")))
+        .when(is_widen, F.lit("type_widened"))
+        .otherwise(F.lit("type_changed"))
+    )
+    breaking = status.isin("added_required", "dropped", "type_changed", "nullability_tightened")
+    return j.select(
+        "name",
+        "t_old",
+        "t_new",
+        status.alias("status"),
+        breaking.alias("breaking"),
+    ).filter(F.col("status") != "unchanged")

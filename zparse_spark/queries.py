@@ -2350,6 +2350,64 @@ def dedup_winnowing_documents(spark, sf_dir):
     return winnowing_pairs(d, k=8, w=4, threshold=0.5)
 
 
+@register(
+    "dedup_winnowing_quality",
+    f"""
+    WITH {_WINNOW_PAIRS_CTES},
+    wsel AS (SELECT id_a, id_b FROM wpairs WHERE id_a < 200 AND id_b < 200),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 2, 1)),
+               i -> substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 3)
+             )) AS sh
+      FROM documents WHERE doc_id < 200
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM wsel) AS n_winnow,
+           (SELECT count(*) FROM truth t JOIN wsel w
+              ON t.id_a = w.id_a AND t.id_b = w.id_b) AS n_both
+    """,
+)
+def dedup_winnowing_quality(spark, sf_dir):
+    """Candidate-quality harness for winnowing (the X151 analogue of
+    dedup_lsh_candidate_quality): winnowing pairs at fingerprint-Jaccard
+    >= 0.5 vs the EXACT char-3-gram Jaccard >= 0.5 truth on the doc_id
+    < 200 slice — n_true / n_winnow / n_both quantify how the
+    exact-LOCAL guarantee translates to global-similarity recall
+    (winnowing certifies shared runs, not global overlap, so the gap IS
+    the documented semantics, measured not hand-waved). Truth is the
+    quadratic all-pairs definition; Spark computes it via the bounded
+    crossJoin verify stage, DuckDB natively."""
+    from zparse_spark.operators.dedup import ngram_jaccard_pairs, winnowing_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = (
+        winnowing_pairs(d, k=8, w=4, threshold=0.5)
+        .filter((F.col("id_a") < 200) & (F.col("id_b") < 200))
+        .select("id_a", "id_b")
+    )
+    slice_ = d.filter(F.col("doc_id") < 200)
+    ids = slice_.select(F.col("doc_id").alias("id_a"))
+    ids_b = slice_.select(F.col("doc_id").alias("id_b"))
+    cands = ids.crossJoin(ids_b).filter(F.col("id_a") < F.col("id_b"))
+    truth = ngram_jaccard_pairs(slice_, cands, k_shingle=3, mode="char", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    both = truth.join(w, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(w.agg(F.count(F.lit(1)).alias("n_winnow")))
+        .crossJoin(both)
+    )
+
+
 # fixed boilerplate paragraphs planted for chunk-level dedup: B60 is 3
 # exact 20-word chunks; B40 is its 40-word prefix (2 chunks), so the
 # planted docs share chunk content at aligned offsets in BOTH engines
@@ -5440,6 +5498,84 @@ def anomaly_events_seasonal(spark, sf_dir):
     from zparse_spark.operators.stats import seasonal_volume_anomaly
 
     return seasonal_volume_anomaly(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "schema_evolution_documents",
+    """
+    WITH old_s AS (
+      SELECT column_name AS col_name,
+             CASE lower(column_type)
+               WHEN 'varchar' THEN 'string'
+               ELSE lower(column_type) END AS col_type,
+             ("null" = 'YES') AS nullable
+      FROM (DESCRIBE SELECT * FROM documents)
+    ),
+    new_s AS (
+      SELECT * FROM (VALUES
+        ('doc_id', 'bigint', TRUE),
+        ('text', 'string', TRUE),
+        ('source', 'string', FALSE),
+        ('n_chars', 'int', TRUE),
+        ('quality', 'double', TRUE)
+      ) AS t(col_name, col_type, nullable)
+    ),
+    j AS (
+      SELECT coalesce(o.col_name, n.col_name) AS name,
+             o.col_type AS t_old, n.col_type AS t_new,
+             o.nullable AS n_old, n.nullable AS n_new
+      FROM old_s o FULL OUTER JOIN new_s n ON o.col_name = n.col_name
+    ),
+    cls AS (
+      SELECT name, t_old, t_new,
+             CASE
+               WHEN t_old IS NULL AND n_new THEN 'added_optional'
+               WHEN t_old IS NULL THEN 'added_required'
+               WHEN t_new IS NULL THEN 'dropped'
+               WHEN t_old = t_new AND n_old AND NOT n_new THEN 'nullability_tightened'
+               WHEN t_old = t_new AND NOT n_old AND n_new THEN 'nullability_relaxed'
+               WHEN t_old = t_new THEN 'unchanged'
+               WHEN (t_old, t_new) IN (('tinyint','smallint'),('tinyint','int'),
+                                       ('tinyint','bigint'),('smallint','int'),
+                                       ('smallint','bigint'),('int','bigint'),
+                                       ('float','double')) THEN 'type_widened'
+               ELSE 'type_changed'
+             END AS status
+      FROM j
+    )
+    SELECT name, t_old, t_new, status,
+           status IN ('added_required','dropped','type_changed','nullability_tightened')
+             AS breaking
+    FROM cls WHERE status <> 'unchanged'
+    """,
+)
+def schema_evolution_documents(spark, sf_dir):
+    """Schema-evolution compatibility gate: the documents table's LIVE
+    schema (introspected from the parquet footer by each engine
+    independently — Spark's StructType vs DuckDB's DESCRIBE, normalized
+    to one type vocabulary) diffed against a proposed evolved schema
+    that plants one of each change class: a dropped column, an added
+    optional column, a bigint->int narrowing (breaking — not the safe
+    widening direction), and a nullability tightening. Metadata-sized
+    full outer join; the data-level diff is X112/X146's job."""
+    from zparse_spark.operators.checksum import schema_evolution_report
+
+    live = _t(spark, sf_dir, "documents").schema
+    old = spark.createDataFrame(
+        [(f.name, f.dataType.simpleString(), bool(f.nullable)) for f in live.fields],
+        "col_name string, col_type string, nullable boolean",
+    )
+    new = spark.createDataFrame(
+        [
+            ("doc_id", "bigint", True),
+            ("text", "string", True),
+            ("source", "string", False),
+            ("n_chars", "int", True),
+            ("quality", "double", True),
+        ],
+        "col_name string, col_type string, nullable boolean",
+    )
+    return schema_evolution_report(old, new)
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
