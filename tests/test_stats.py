@@ -1514,3 +1514,50 @@ def test_seasonal_volume_anomaly_flags_weekday_outlier(spark):
     assert out["2024-01-22"]["baseline_med"] == 100.0  # median of 100,100,100,10
     assert all(not out[f"2024-01-{d:02d}"]["flagged"] for d in (7, 14, 21))
     assert out["2024-01-01"]["flagged"] is False
+
+
+def test_theil_sen_ignores_one_corrupted_day(spark):
+    """A perfect +2/day ramp with ONE crashed day: least squares bends,
+    the pairwise-slope median stays exactly 2.0 (the operator's reason
+    to exist). Also checks the pair count over the densified grid."""
+    import datetime as dt
+
+    from zparse_spark.operators.stats import theil_sen_trend, volume_trend
+
+    rows = []
+    for i in range(11):  # days 0..10, count = 10 + 2*i, day 5 crashed to 0
+        n = 0 if i == 5 else 10 + 2 * i
+        rows += [(dt.datetime(2024, 3, 1 + i, 9, 0), "a")] * n
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    ts = {r["event_type"]: r for r in theil_sen_trend(df).collect()}
+    assert ts["a"]["n_pairs"] == 55  # C(11,2) on the dense grid
+    assert ts["a"]["ts_slope_per_day"] == 2.0
+    ls = {r["event_type"]: r for r in volume_trend(df).collect()}
+    assert ls["a"]["slope_per_day"] != 2.0  # LS is dragged by the crash
+
+
+def test_mahalanobis_flags_off_ridge_point(spark):
+    """y = 10x cloud plus one point at (25, 10): both marginals are
+    in-range (x mid-cloud, y equals the smallest cloud y) but the pair
+    is far off the covariance ridge — only it crosses the threshold."""
+    from zparse_spark.operators.stats import mahalanobis_outliers
+
+    rows = [(float(x), 10.0 * x, "g") for x in range(1, 51)]
+    rows.append((25.0, 10.0, "g"))
+    df = spark.createDataFrame(rows, ["x", "y", "grp"])
+    out = mahalanobis_outliers(df, "x", "y", "grp", threshold=13.8155).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 51
+    assert r["n_outliers"] == 1
+    assert r["max_md2"] > 13.8155
+
+
+def test_mahalanobis_null_rows_excluded(spark):
+    from zparse_spark.operators.stats import mahalanobis_outliers
+
+    rows = [(float(x), 2.0 * x + 1.0, "g") for x in range(1, 21)]
+    rows += [(None, 5.0, "g"), (3.0, None, "g")]
+    df = spark.createDataFrame(rows, "x double, y double, grp string")
+    r = mahalanobis_outliers(df, "x", "y", "grp").collect()[0]
+    assert r["n_rows"] == 20

@@ -2443,3 +2443,114 @@ def seasonal_volume_anomaly(
         F.round(dev, 6).alias("deviation"),
         (F.abs(dev) >= z_cut).alias("flagged"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key Theil–Sen robust daily-volume trend: the MEDIAN of all
+    pairwise slopes (n_j − n_i)/(x_j − x_i) over the densified day
+    grid — the robust companion of ``volume_trend``'s least-squares
+    slope (one corrupted day drags an LS slope arbitrarily far; the
+    pairwise median has a 29% breakdown point, so a single broken
+    ingest day cannot fake or mask a bleed).
+
+    Exactness contract: daily counts and day indices are exact
+    integers, so every pairwise slope is ONE IEEE division of exact
+    integers — bit-identical cross-engine — and the median is the same
+    interpolated ``percentile`` ↔ ``quantile_cont`` halves rule the
+    rest of the robust family uses.
+
+    Scale shape: the quadratic pair join runs on the DAILY COUNTS
+    table (|days| rows per key, ~365/key/year), never on raw events:
+    one full-data groupBy(day, key), then O(k·d²) arithmetic on a
+    bounded grid — driver-free and shuffle-light. ~90-day windows keep
+    d² ≈ 4k pairs/key; for multi-year spans, cap the window upstream.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = df.select(day.alias("day"), F.col(key).alias("_k")).groupBy(
+        "day", "_k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mm = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .crossJoin(daily.select("_k").distinct())
+    )
+    dense = (
+        grid.join(daily, ["day", "_k"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("x", F.datediff(F.col("day"), F.min("day").over(
+            Window.partitionBy("_k")
+        )).cast("long"))
+        .select("_k", "x", "n")
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._k") == F.col("b._k")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a._k").alias("_k"),
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    return pairs.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope_per_day"),
+    ).select(F.col("_k").alias(key), "n_pairs", "ts_slope_per_day")
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group: str,
+    threshold: float = 13.8155,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen: per-row squared distance
+    md² = [dx dy] Σ⁻¹ [dx dy]ᵀ against the GLOBAL mean/covariance of
+    (x, y), reported per group — the joint-distribution companion of
+    the univariate IQR fence (a lineitem whose price is 3× off for its
+    quantity is invisible to both marginal screens; the covariance
+    ellipse catches it). Default threshold 13.8155 = χ²₂ at 0.999.
+
+    Determinism contract: the five moment parameters (means, variances,
+    covariance) are rounded to 6 decimals BEFORE the per-row distance,
+    so md² is a pure closed-form function of exact column values and
+    identical-to-the-digit parameters in every engine (the round-6
+    moments absorb sum-order ulp drift, the same discipline as the
+    correlation matrix). Closed-form 2×2 inverse — no linalg library.
+
+    Scale shape: pass 1 is one map-combined aggregate (6 running sums);
+    pass 2 re-scans with the 5 broadcast scalars — no shuffle beyond
+    the final tiny per-group rollup.
+    """
+    m = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(x), 6).alias("mx"),
+        F.round(F.avg(y), 6).alias("my"),
+        F.round(F.avg(F.col(x) * F.col(x)) - F.avg(x) * F.avg(x), 6).alias("vxx"),
+        F.round(F.avg(F.col(y) * F.col(y)) - F.avg(y) * F.avg(y), 6).alias("vyy"),
+        F.round(F.avg(F.col(x) * F.col(y)) - F.avg(x) * F.avg(y), 6).alias("vxy"),
+    )
+    j = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).crossJoin(
+        F.broadcast(m)
+    )
+    dx = F.col(x) - F.col("mx")
+    dy = F.col(y) - F.col("my")
+    det = F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")
+    md2 = (
+        dx * dx * F.col("vyy") - F.lit(2.0) * dx * dy * F.col("vxy") + dy * dy * F.col("vxx")
+    ) / det
+    return (
+        j.withColumn("md2", md2)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("md2") > threshold).cast("long")).alias("n_outliers"),
+            F.round(F.max("md2"), 4).alias("max_md2"),
+        )
+    )

@@ -7321,3 +7321,285 @@ def corpus_dsir_weights(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     model, default = dsir_fit(d, F.col("lang") == "en", n_buckets=256)
     return dsir_score(d, model, default, n_buckets=256, top_k=100)
+
+
+@register(
+    "trend_theil_sen_events",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+             t.event_type, d0
+      FROM mm, (SELECT DISTINCT event_type FROM daily) t
+    ), dense AS (
+      SELECT g.event_type, CAST(g.day - g.d0 AS BIGINT) AS x,
+             CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN daily
+        ON g.day = daily.day AND g.event_type = daily.event_type
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND b.x > a.x
+    )
+    SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS ts_slope_per_day
+    FROM pairs GROUP BY 1
+    """,
+)
+def trend_theil_sen_events(spark, sf_dir):
+    """Theil–Sen robust per-type volume trend: median of all pairwise
+    daily slopes on the densified day grid — the 29%-breakdown robust
+    leg next to trend_events_volume's least-squares slope (one
+    corrupted ingest day can swing LS arbitrarily; it moves one row of
+    the pairwise median). Every slope is one IEEE division of exact
+    integers; the median is the interpolated percentile ↔ quantile_cont
+    halves rule. The quadratic pair join runs on the DAILY table
+    (|days|² pairs per key), never on raw events."""
+    from zparse_spark.operators.stats import theil_sen_trend
+
+    return theil_sen_trend(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "outliers_mahalanobis_lineitem",
+    """
+    WITH m AS (
+      SELECT round(avg(l_quantity), 6) AS mx,
+             round(avg(l_extendedprice), 6) AS my,
+             round(avg(l_quantity * l_quantity) - avg(l_quantity) * avg(l_quantity), 6) AS vxx,
+             round(avg(l_extendedprice * l_extendedprice)
+                   - avg(l_extendedprice) * avg(l_extendedprice), 6) AS vyy,
+             round(avg(l_quantity * l_extendedprice)
+                   - avg(l_quantity) * avg(l_extendedprice), 6) AS vxy
+      FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), scored AS (
+      SELECT l_returnflag,
+             ((l_quantity - mx) * (l_quantity - mx) * vyy
+              - 2 * (l_quantity - mx) * (l_extendedprice - my) * vxy
+              + (l_extendedprice - my) * (l_extendedprice - my) * vxx)
+             / (vxx * vyy - vxy * vxy) AS md2
+      FROM lineitem, m
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    )
+    SELECT l_returnflag, count(*) AS n_rows,
+           sum(CAST(md2 > 13.8155 AS BIGINT)) AS n_outliers,
+           round(max(md2), 4) AS max_md2
+    FROM scored GROUP BY 1
+    """,
+)
+def outliers_mahalanobis_lineitem(spark, sf_dir):
+    """Bivariate Mahalanobis screen on (l_quantity, l_extendedprice)
+    per returnflag: a row 3× off the price-for-this-quantity ridge is
+    invisible to BOTH marginal IQR fences but lights up the covariance
+    ellipse. Moment parameters are rounded to 6 decimals before the
+    per-row closed-form distance, so md² is a pure function of exact
+    column values and digit-identical parameters in both engines
+    (operators/stats.py::mahalanobis_outliers; threshold = χ²₂@0.999)."""
+    from zparse_spark.operators.stats import mahalanobis_outliers
+
+    return mahalanobis_outliers(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    )
+
+
+@register(
+    "corpus_zipf_anchors",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (SELECT token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token ASC) AS rnk
+      FROM tf
+    ),
+    top1 AS (SELECT tf AS f1 FROM ranked WHERE rnk = 1)
+    SELECT rnk AS rank_anchor, token, tf,
+           CASE WHEN rnk > 1 THEN round(ln(CAST(f1 AS DOUBLE) / tf) / ln(CAST(rnk AS DOUBLE)), 6) END
+             AS zipf_slope
+    FROM ranked, top1 WHERE rnk IN (1, 10, 100, 1000)
+    """,
+)
+def corpus_zipf_anchors(spark, sf_dir):
+    """Zipf rank-frequency anchors: term frequency at ranks 1/10/100/
+    1000 under the deterministic (tf desc, token asc) total order, and
+    the implied Zipf exponent ln(f₁/f_k)/ln(k) at each anchor — the
+    one-line language-health check (natural corpora sit near 1.0;
+    boilerplate floods or template spam push it far off). Each
+    exponent is a pure function of two EXACT integer frequencies, so
+    no sum-order drift exists; the whole query is one groupBy plus a
+    4-row probe of the ranked vocabulary (rank via one narrow sort of
+    the distinct-term table, not the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk").isin(1, 10, 100, 1000)
+    )
+    top1 = ranked.filter(F.col("rnk") == 1).select(F.col("tf").alias("f1"))
+    return ranked.crossJoin(F.broadcast(top1)).select(
+        F.col("rnk").alias("rank_anchor"),
+        "token",
+        "tf",
+        F.when(
+            F.col("rnk") > 1,
+            F.round(
+                F.log(F.col("f1").cast("double") / F.col("tf"))
+                / F.log(F.col("rnk").cast("double")),
+                6,
+            ),
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "profile_mcv_orders",
+    """
+    WITH long AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    counts AS (
+      SELECT col_name, value, count(*) AS n
+      FROM long WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT col_name, value, n,
+             sum(n) OVER (PARTITION BY col_name) AS tot,
+             row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value ASC) AS rnk
+      FROM counts
+    )
+    SELECT col_name, value, n, round(CAST(n AS DOUBLE) / tot, 6) AS frac, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def profile_mcv_orders(spark, sf_dir):
+    """ANALYZE-style most-common-values profile: top-5 values with
+    frequency fraction per categorical column, long format under the
+    deterministic (n desc, value asc) order — the MCV list a cost
+    model or a drift monitor baselines against (profile_value_patterns
+    covers SHAPE; this covers the actual heavy values). One groupBy on
+    the unpivoted pair stream; the rank window runs on the distinct
+    (column, value) table, never the raw rows."""
+    o = _t(spark, sf_dir, "orders")
+    long = o.select(
+        F.lit("o_orderstatus").alias("col_name"),
+        F.col("o_orderstatus").alias("value"),
+    ).unionByName(
+        o.select(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("o_orderpriority").alias("value"),
+        )
+    )
+    counts = (
+        long.filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("col_name")
+    wr = wp.orderBy(F.col("n").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("tot", F.sum("n").over(wp))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "col_name",
+            "value",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("frac"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "referential_cardinality_orders",
+    """
+    WITH child AS (
+      SELECT l_orderkey, count(*) AS cc FROM lineitem GROUP BY 1
+    ),
+    per_parent AS (
+      SELECT o.o_orderkey, coalesce(c.cc, 0) AS cc
+      FROM orders o LEFT JOIN child c ON o.o_orderkey = c.l_orderkey
+    )
+    SELECT cc AS child_count, count(*) AS n_orders,
+           (cc < 1 OR cc > 7) AS violates_bounds
+    FROM per_parent GROUP BY cc
+    """,
+)
+def referential_cardinality_orders(spark, sf_dir):
+    """Referential CARDINALITY conformance: the orders→lineitem
+    child-count distribution with a declared 1..7 bound — the third
+    leg of referential checking (R1 catches dangling children;
+    profile_inclusion catches orphan direction; this catches a parent
+    with zero or 40 children, which both pass). The child side is one
+    map-combined groupBy on the key; the parent join moves only
+    (key, count) pairs — at 100 TB the shuffle is keys, not rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    child = li.groupBy(F.col("l_orderkey")).agg(F.count(F.lit(1)).alias("cc"))
+    per_parent = (
+        o.select("o_orderkey")
+        .join(child, o["o_orderkey"] == child["l_orderkey"], "left")
+        .select(F.coalesce(F.col("cc"), F.lit(0)).alias("cc"))
+    )
+    return per_parent.groupBy("cc").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        F.col("cc").alias("child_count"),
+        "n_orders",
+        ((F.col("cc") < 1) | (F.col("cc") > 7)).alias("violates_bounds"),
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3
+    HAVING round(sum(l.l_quantity), 2) > 180
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) adapted to the driver
+    schema: three-way join customer⋈orders⋈lineitem, per-order
+    quantity rollup, HAVING on the ROUNDED sum (both engines filter
+    the identical post-round value, so a last-ulp sum cannot flip a
+    row across the threshold), top-100 under the (qty desc, orderkey)
+    total order. Scale shape: the lineitem→orders join pre-aggregates
+    quantity per orderkey BEFORE joining customer, so the wide join
+    moves one row per qualifying order, not one per lineitem."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
