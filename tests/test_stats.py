@@ -1525,8 +1525,8 @@ def test_theil_sen_ignores_one_corrupted_day(spark):
     from zparse_spark.operators.stats import theil_sen_trend, volume_trend
 
     rows = []
-    for i in range(11):  # days 0..10, count = 10 + 2*i, day 5 crashed to 0
-        n = 0 if i == 5 else 10 + 2 * i
+    for i in range(11):  # days 0..10, count = 10 + 2*i, day 9 crashed to 0
+        n = 0 if i == 9 else 10 + 2 * i
         rows += [(dt.datetime(2024, 3, 1 + i, 9, 0), "a")] * n
     df = spark.createDataFrame(rows, ["ts", "event_type"])
     ts = {r["event_type"]: r for r in theil_sen_trend(df).collect()}
@@ -1553,7 +1553,11 @@ def test_mahalanobis_flags_off_ridge_point(spark):
     assert r["max_md2"] > 13.8155
 
 
-def test_mahalanobis_null_rows_excluded(spark):
+def test_mahalanobis_null_rows_and_singular_covariance(spark):
+    """NULL coordinates are excluded from both the moments and the
+    scan; a PERFECTLY collinear cloud (singular covariance — the case
+    that used to divide by zero under ANSI) yields NULL md² for every
+    row: zero outliers, NULL max, no crash."""
     from zparse_spark.operators.stats import mahalanobis_outliers
 
     rows = [(float(x), 2.0 * x + 1.0, "g") for x in range(1, 21)]
@@ -1561,3 +1565,5 @@ def test_mahalanobis_null_rows_excluded(spark):
     df = spark.createDataFrame(rows, "x double, y double, grp string")
     r = mahalanobis_outliers(df, "x", "y", "grp").collect()[0]
     assert r["n_rows"] == 20
+    assert r["n_outliers"] == 0
+    assert r["max_md2"] is None

@@ -2542,15 +2542,25 @@ def mahalanobis_outliers(
     dx = F.col(x) - F.col("mx")
     dy = F.col(y) - F.col("my")
     det = F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")
-    md2 = (
-        dx * dx * F.col("vyy") - F.lit(2.0) * dx * dy * F.col("vxy") + dy * dy * F.col("vxx")
-    ) / det
+    # a singular covariance (perfectly correlated or constant cloud)
+    # has no defined distance: md² is NULL, never a divide-by-zero
+    md2 = F.when(
+        det != 0.0,
+        (
+            dx * dx * F.col("vyy")
+            - F.lit(2.0) * dx * dy * F.col("vxy")
+            + dy * dy * F.col("vxx")
+        )
+        / det,
+    )
     return (
         j.withColumn("md2", md2)
         .groupBy(group)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum((F.col("md2") > threshold).cast("long")).alias("n_outliers"),
+            F.coalesce(
+                F.sum((F.col("md2") > threshold).cast("long")), F.lit(0)
+            ).alias("n_outliers"),
             F.round(F.max("md2"), 4).alias("max_md2"),
         )
     )

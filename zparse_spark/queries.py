@@ -7378,15 +7378,16 @@ def trend_theil_sen_events(spark, sf_dir):
       FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ), scored AS (
       SELECT l_returnflag,
-             ((l_quantity - mx) * (l_quantity - mx) * vyy
-              - 2 * (l_quantity - mx) * (l_extendedprice - my) * vxy
-              + (l_extendedprice - my) * (l_extendedprice - my) * vxx)
-             / (vxx * vyy - vxy * vxy) AS md2
+             CASE WHEN vxx * vyy - vxy * vxy <> 0 THEN
+               ((l_quantity - mx) * (l_quantity - mx) * vyy
+                - 2 * (l_quantity - mx) * (l_extendedprice - my) * vxy
+                + (l_extendedprice - my) * (l_extendedprice - my) * vxx)
+               / (vxx * vyy - vxy * vxy) END AS md2
       FROM lineitem, m
       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag, count(*) AS n_rows,
-           sum(CAST(md2 > 13.8155 AS BIGINT)) AS n_outliers,
+           coalesce(sum(CAST(md2 > 13.8155 AS BIGINT)), 0) AS n_outliers,
            round(max(md2), 4) AS max_md2
     FROM scored GROUP BY 1
     """,
