@@ -1567,3 +1567,43 @@ def test_mahalanobis_null_rows_and_singular_covariance(spark):
     assert r["n_rows"] == 20
     assert r["n_outliers"] == 0
     assert r["max_md2"] is None
+
+
+def test_volume_acf_weekly_pattern_and_constant_series(spark):
+    """A strictly 7-periodic daily series has lag-7 ACF exactly 1.0
+    (every pair identical) and lag-1 well below it; a constant series
+    has zero variance -> NULL ACF instead of a division blow-up."""
+    import datetime as dt
+
+    from zparse_spark.operators.stats import volume_acf
+
+    rows = []
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    for i in range(28):
+        rows += [(d0 + dt.timedelta(days=i), "weekly")] * (10 + (i % 7) * 3)
+        rows += [(d0 + dt.timedelta(days=i), "flat")] * 5
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    out = {(r["event_type"], r["lag"]): r for r in volume_acf(df, lags=(1, 7)).collect()}
+    assert out[("weekly", 7)]["acf"] == 1.0
+    assert out[("weekly", 7)]["n_pairs"] == 21
+    assert out[("weekly", 1)]["acf"] < 0.9
+    assert out[("flat", 1)]["acf"] is None  # zero variance
+    assert out[("flat", 7)]["acf"] is None
+
+
+def test_impute_group_median_audit(spark):
+    from zparse_spark.operators.stats import impute_group_median
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 9.0), ("a", None), ("a", None),
+        ("b", None), ("b", None),
+        ("c", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in impute_group_median(df, "v", "g").collect()}
+    assert out["a"]["n_rows"] == 5 and out["a"]["n_null"] == 2
+    assert out["a"]["median_used"] == 2.0
+    assert out["a"]["mean_before"] == 4.0  # (1+2+9)/3
+    assert out["a"]["mean_after"] == 3.2  # (12 + 2*2)/5
+    assert out["b"]["median_used"] is None and out["b"]["mean_after"] is None
+    assert out["c"]["n_null"] == 0 and out["c"]["mean_after"] == 4.0

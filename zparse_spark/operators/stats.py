@@ -2564,3 +2564,122 @@ def mahalanobis_outliers(
             F.round(F.max("md2"), 4).alias("max_md2"),
         )
     )
+
+
+def volume_acf(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    lags: tuple = (1, 7),
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of the densified daily-count
+    series — the seasonality-STRENGTH number next to the weekday
+    anomaly screen (X163 asks "is today off for a Tuesday?"; this asks
+    "how weekly IS this stream?", the number that decides whether a
+    weekday-conditional baseline is even warranted; lag-1 near 1 means
+    momentum, near 0 means white noise).
+
+    Exactness: the Pearson r of (y_t, y_{t+k}) pairs is computed from
+    six exact BIGINT sums over the dense grid; the only float ops are
+    one correctly-rounded IEEE sqrt and one division of
+    integer-derived doubles — bit-identical cross-engine with no
+    rounding tricks needed (round-6 applied for display only).
+
+    Scale shape: one full-data groupBy(day, key); the lag join and the
+    moment sums run on the bounded daily table (|days| rows per key).
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = df.select(day.alias("day"), F.col(key).alias("_k")).groupBy(
+        "day", "_k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mm = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .crossJoin(daily.select("_k").distinct())
+    )
+    dense = (
+        grid.join(daily, ["day", "_k"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("x", F.datediff(F.col("day"), F.min("day").over(
+            Window.partitionBy("_k")
+        )).cast("long"))
+        .select("_k", "x", "n")
+    )
+    lag_df = dense.sparkSession.createDataFrame(
+        [(int(k),) for k in lags], "lag bigint"
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = a.crossJoin(F.broadcast(lag_df)).join(
+        b,
+        (F.col("a._k") == F.col("b._k"))
+        & (F.col("b.x") == F.col("a.x") + F.col("lag")),
+    ).select(
+        F.col("a._k").alias("_k"),
+        "lag",
+        F.col("a.n").alias("y0"),
+        F.col("b.n").alias("y1"),
+    )
+    g = pairs.groupBy("_k", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("y0").alias("s0"),
+        F.sum("y1").alias("s1"),
+        F.sum(F.col("y0") * F.col("y0")).alias("s00"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("y0") * F.col("y1")).alias("s01"),
+    )
+    var0 = g["m"] * F.col("s00") - F.col("s0") * F.col("s0")
+    var1 = g["m"] * F.col("s11") - F.col("s1") * F.col("s1")
+    cov = g["m"] * F.col("s01") - F.col("s0") * F.col("s1")
+    r = F.when(
+        (var0 > 0) & (var1 > 0),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(var0.cast("double") * var1.cast("double")),
+            6,
+        ),
+    )
+    return g.select(
+        F.col("_k").alias(key),
+        "lag",
+        F.col("m").alias("n_pairs"),
+        r.alias("acf"),
+    )
+
+
+def impute_group_median(
+    df: DataFrame,
+    value: str,
+    group: str,
+) -> DataFrame:
+    """Median imputation audit per group: the per-group interpolated
+    median of the non-null values, how many nulls it would fill, and
+    the group mean before/after the fill — the REPAIR leg for
+    missingness (clamp_outliers repairs out-of-range values; this
+    repairs absent ones, with the same detection-and-repair-share-one-
+    contract discipline: the median is the exact percentile ↔
+    quantile_cont halves rule).
+
+    Returns the AUDIT table (group, n, n_null, median_used,
+    mean_before, mean_after), not the imputed rows — at 100 TB the
+    imputation itself is a map-only broadcast-join rewrite the caller
+    applies; the audit is what the oracle can value-match.
+    """
+    g = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value).isNull().cast("long")).alias("n_null"),
+        F.expr(f"percentile({value}, 0.5)").alias("_med"),
+        F.sum(value).alias("_sum"),
+        F.count(value).alias("_cnt"),
+    )
+    mean_before = F.col("_sum") / F.col("_cnt")
+    mean_after = (
+        F.col("_sum") + F.col("n_null") * F.col("_med")
+    ) / (F.col("_cnt") + F.col("n_null"))
+    return g.select(
+        group,
+        "n_rows",
+        "n_null",
+        F.round("_med", 6).alias("median_used"),
+        F.round(mean_before, 6).alias("mean_before"),
+        F.round(mean_after, 6).alias("mean_after"),
+    )

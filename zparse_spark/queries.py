@@ -7604,3 +7604,77 @@ def tpch_q18_large_orders(spark, sf_dir):
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "trend_acf_events",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+             t.event_type, d0
+      FROM mm, (SELECT DISTINCT event_type FROM daily) t
+    ), dense AS (
+      SELECT g.event_type, CAST(g.day - g.d0 AS BIGINT) AS x,
+             CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN daily
+        ON g.day = daily.day AND g.event_type = daily.event_type
+    ), pairs AS (
+      SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag, a.n AS y0, b.n AS y1
+      FROM dense a
+      CROSS JOIN (VALUES (1), (7)) l(lag)
+      JOIN dense b ON a.event_type = b.event_type AND b.x = a.x + l.lag
+    ), g AS (
+      SELECT event_type, lag, count(*) AS m,
+             sum(y0) AS s0, sum(y1) AS s1,
+             sum(y0 * y0) AS s00, sum(y1 * y1) AS s11, sum(y0 * y1) AS s01
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, m AS n_pairs,
+           CASE WHEN m * s00 - s0 * s0 > 0 AND m * s11 - s1 * s1 > 0 THEN
+             round(CAST(m * s01 - s0 * s1 AS DOUBLE)
+                   / sqrt(CAST(m * s00 - s0 * s0 AS DOUBLE)
+                          * CAST(m * s11 - s1 * s1 AS DOUBLE)), 6)
+           END AS acf
+    FROM g
+    """,
+)
+def trend_acf_events(spark, sf_dir):
+    """Lag-1/lag-7 autocorrelation of each type's daily-count series:
+    the seasonality-STRENGTH number that decides whether X163's
+    weekday-conditional baseline is warranted at all (lag-7 high =
+    weekly rhythm; lag-1 high = momentum; both ~0 = white noise, use a
+    global baseline). Pearson r from six exact BIGINT sums on the
+    dense grid; one IEEE sqrt + one division — bit-identical with no
+    rounding tricks (operators/stats.py::volume_acf)."""
+    from zparse_spark.operators.stats import volume_acf
+
+    return volume_acf(_t(spark, sf_dir, "events"), lags=(1, 7))
+
+
+@register(
+    "repair_impute_value_events",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           sum(CAST(value IS NULL AS BIGINT)) AS n_null,
+           round(quantile_cont(value, 0.5), 6) AS median_used,
+           round(sum(value) / count(value), 6) AS mean_before,
+           round((sum(value) + sum(CAST(value IS NULL AS BIGINT)) * quantile_cont(value, 0.5))
+                 / (count(value) + sum(CAST(value IS NULL AS BIGINT))), 6) AS mean_after
+    FROM events GROUP BY 1
+    """,
+)
+def repair_impute_value_events(spark, sf_dir):
+    """Median-imputation audit for events.value per type — the
+    MISSINGNESS leg of the repair family (repair_clamp fixes
+    out-of-range; this fixes absent, sharing the exact interpolated-
+    percentile contract with the detection side). Returns the audit
+    (median used, fill count, mean shift), not the rewritten rows: at
+    100 TB the rewrite is a map-only broadcast-join the caller applies
+    (operators/stats.py::impute_group_median)."""
+    from zparse_spark.operators.stats import impute_group_median
+
+    return impute_group_median(_t(spark, sf_dir, "events"), "value", "event_type")
