@@ -762,3 +762,29 @@ def test_code_switching_audit_hand_case(spark):
     assert out["p1"]["n_docs"] == 2  # d3 has no classified lines
     assert out["p1"]["n_mixed"] == 1 and out["p1"]["example_doc_id"] == "d1"
     assert out["p2"]["n_mixed"] == 1 and out["p2"]["example_doc_id"] == "d4"
+
+
+def test_char_bigram_lm_catches_scrambled_text(spark):
+    """Scrambling a document's characters preserves its unigram-char
+    multiset but destroys its bigrams: the unigram screen is blind to
+    it, the bigram screen craters. Ten normal docs + one that is a
+    normal doc's text reversed per-word and concatenated oddly."""
+    from zparse_spark.functions.text import char_bigram_logprob_scores
+
+    base = "the quick brown fox jumps over the lazy dog and runs home"
+    scrambled = "eht kciuq nworb xof spmuj revo eht yzal god dna snur emoh"
+    rows = [(i, base) for i in range(10)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_bigram_logprob_scores(df).collect()}
+    normal = out[0]["avg_logprob"]
+    assert out[99]["avg_logprob"] < normal  # reversed bigrams are rare pairs
+    assert out[99]["n_bigrams"] == out[0]["n_bigrams"]
+
+
+def test_char_bigram_lm_short_and_null_docs_excluded(spark):
+    from zparse_spark.functions.text import char_bigram_logprob_scores
+
+    rows = [(1, "hello world"), (2, "x"), (3, None), (4, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = {r["doc_id"] for r in char_bigram_logprob_scores(df).collect()}
+    assert ids == {1}

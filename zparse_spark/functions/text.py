@@ -1278,3 +1278,61 @@ def code_switching_audit(
         ).alias("mixed_rate"),
         F.min(F.when(F.col("_mixed"), F.col("_id"))).alias("example_doc_id"),
     )
+
+
+def char_bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Character-bigram LM quality score: mean joint-bigram
+    log-probability of a document under the corpus's own char-2-gram
+    model — the CONTEXT-sensitive sibling of unigram_logprob_scores.
+    The unigram screen cannot see scrambled or transposed text (same
+    token multiset = same score); impossible character PAIRS ("qx",
+    "zt", digit-letter mash) crater the bigram score immediately, so
+    this is the cheap OCR-garble / mojibake / random-string detector.
+
+    Same determinism contract as the unigram: per-bigram log-probs
+    quantize once to integer micro-nats (round(ln(tf/T)·1e6) BIGINT),
+    per-doc aggregation is exact integer arithmetic, one libm ln per
+    DISTINCT bigram (≤ alphabet², so the model table is tiny and
+    always broadcastable).
+
+    Scale shape: occurrences reduce to distinct (doc, bigram) pairs in
+    the first map-combined groupBy — a document has at most ~1k
+    distinct char bigrams regardless of length, so the pair table is
+    bounded by docs×1k, far below token-level pair tables. No Python.
+    """
+    from pyspark.sql import functions as F
+
+    s = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.lower(F.trim(F.col(text_col))).alias("_s"),
+        )
+        .filter(F.length("_s") >= 2)
+    )
+    grams = s.select(
+        "_doc",
+        F.explode(
+            F.expr("transform(sequence(1, length(_s) - 1), i -> substring(_s, i, 2))")
+        ).alias("g"),
+    )
+    dg = grams.groupBy("_doc", "g").agg(F.count(F.lit(1)).alias("c"))
+    model = dg.groupBy("g").agg(F.sum("c").alias("tf"))
+    total = model.agg(F.sum("tf").alias("_total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "g",
+        F.round(F.log(F.col("tf") / F.col("_total")) * 1e6).cast("long").alias("ulp6"),
+    )
+    return (
+        dg.join(F.broadcast(model), "g")
+        .groupBy("_doc")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("ulp6")).alias("_s2"),
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_bigrams",
+            F.round(F.col("_s2") / (F.col("n_bigrams") * 1e6), 6).alias("avg_logprob"),
+        )
+    )

@@ -7678,3 +7678,38 @@ def repair_impute_value_events(spark, sf_dir):
     from zparse_spark.operators.stats import impute_group_median
 
     return impute_group_median(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
+@register(
+    "corpus_char_bigram_lm",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents
+      WHERE text IS NOT NULL AND length(lower(trim(text))) >= 2
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(s) - 1),
+                                   i -> substr(s, i, 2))) AS g
+      FROM s
+    ),
+    dg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    model AS (SELECT g, sum(c) AS tf FROM dg GROUP BY 1),
+    tot AS (SELECT sum(tf) AS t FROM model),
+    m2 AS (SELECT g, CAST(round(ln(CAST(tf AS DOUBLE) / t) * 1e6) AS BIGINT) AS ulp6
+           FROM model, tot)
+    SELECT dg.doc_id, sum(c) AS n_bigrams,
+           round(CAST(sum(c * ulp6) AS DOUBLE) / (sum(c) * 1e6), 6) AS avg_logprob
+    FROM dg JOIN m2 USING (g) GROUP BY 1
+    """,
+)
+def corpus_char_bigram_lm(spark, sf_dir):
+    """Char-bigram LM quality score per document — the context-
+    sensitive leg of the LM-filter pair (corpus_lm_quality's unigram
+    cannot see scrambled text: same token multiset, same score;
+    impossible character PAIRS crater this one). Micro-nat integer
+    quantization makes the per-doc sum exact cross-engine
+    (functions/text.py::char_bigram_logprob_scores)."""
+    from zparse_spark.functions.text import char_bigram_logprob_scores
+
+    return char_bigram_logprob_scores(_t(spark, sf_dir, "documents"))
