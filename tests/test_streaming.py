@@ -372,3 +372,21 @@ def test_cms_stream_equals_batch_sketch(spark, tmp_path):
         for r in cms_estimate(cms_sketch(df, "v", W, D), df, "v", W, D).collect()
     }
     assert est_stream == est_batch
+
+
+def test_streaming_drift_psi_flags_drifted_window(spark):
+    """End-to-end semantic check on top of the oracle's arithmetic
+    match: the planted drifted window (K1 floods, K4 vanishes) must
+    score strictly higher PSI and KL than both balanced windows, and
+    the late-merged K2 row must be included in window B's count."""
+    from zparse_spark.queries_stream import streaming_drift_psi_windows
+
+    rows = {r["window_start_s"]: r for r in
+            streaming_drift_psi_windows(spark, None).collect()}
+    assert len(rows) == 3
+    a, b, c = (rows[k] for k in sorted(rows))
+    assert b["n_events"] == 16  # 15 in batch 1 + 1 late merge
+    assert c["psi"] > a["psi"] and c["psi"] > b["psi"]
+    assert c["kl"] > a["kl"] and c["kl"] > b["kl"]
+    assert c["psi"] > 0.25  # above D1's default alert threshold
+    assert a["psi"] < 0.25

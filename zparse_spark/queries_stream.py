@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import shutil
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from zparse_spark.queries import register
@@ -289,4 +290,168 @@ def streaming_sessionize_equivalence(spark, sf_dir):
         spark.read.parquet(out)
         .filter(F.col("user_id") != sentinel)
         .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution drift: per-window PSI/KL of the kind mix
+# ---------------------------------------------------------------------------
+
+_D_EPS = 1e-4  # RuleParams.drift_epsilon — the same floor D1 uses
+
+_DRIFT_SQL = f"""WITH inp AS (
+  SELECT CAST(epoch(ts) AS BIGINT) AS e, rule_id, batch
+  FROM read_parquet('{_W}/driftwin_src/*.parquet')
+),
+wm AS (
+  SELECT b.batch,
+         (SELECT max(p.e) FROM inp p WHERE p.batch < b.batch) - {_DELAY_S} AS w
+  FROM (SELECT DISTINCT batch FROM inp) b
+),
+kept AS (
+  SELECT i.e, i.rule_id,
+         CAST(i.e // {_WIN_S} * {_WIN_S} AS BIGINT) AS ws
+  FROM inp i JOIN wm ON i.batch = wm.batch
+  WHERE wm.w IS NULL OR (i.e // {_WIN_S} * {_WIN_S}) + {_WIN_S} > wm.w
+),
+final_wm AS (SELECT max(e) - {_DELAY_S} AS w FROM inp),
+counts AS (
+  SELECT ws, rule_id AS kind, count(*) AS n
+  FROM kept, final_wm
+  WHERE rule_id <> 'Z_SENTINEL' AND ws + {_WIN_S} <= final_wm.w
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT w.ws, d.kind
+  FROM (SELECT DISTINCT ws FROM counts) w, (SELECT DISTINCT kind FROM counts) d
+),
+dense AS (
+  SELECT g.ws, g.kind, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c ON g.ws = c.ws AND g.kind = c.kind
+),
+tot AS (SELECT ws, sum(n) AS t FROM dense GROUP BY 1),
+gl AS (SELECT kind, sum(n) AS gn FROM dense GROUP BY 1),
+gt AS (SELECT sum(n) AS g FROM dense),
+terms AS (
+  SELECT d.ws,
+         CAST(d.n AS DOUBLE) / t.t + {_D_EPS} AS pk,
+         CAST(gl.gn AS DOUBLE) / gt.g + {_D_EPS} AS qk,
+         d.n
+  FROM dense d JOIN tot t ON d.ws = t.ws JOIN gl ON d.kind = gl.kind, gt
+)
+SELECT ws AS window_start_s, ws + {_WIN_S} AS window_end_s,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum((pk - qk) * ln(pk / qk)), 6) AS psi,
+       round(sum(pk * ln(pk / qk)), 6) AS kl
+FROM terms GROUP BY ws"""
+
+
+@register("streaming_drift_psi_windows", _DRIFT_SQL)
+def streaming_drift_psi_windows(spark, sf_dir):
+    """Streaming distribution-drift monitor: per-window PSI and KL of
+    the kind mix against the history-wide mix, computed over the
+    append-mode sink of the SAME certified windowed-count stream as
+    streaming_violation_rate_windows (10-min tumbling, 30-min
+    watermark, three availableNow runs; one late row that merges into
+    a still-open window is planted, so the drift numbers inherit the
+    late-data contract, not just the happy path). Batch side of the
+    claim: D1's exact eps-floored PSI/KL arithmetic on the emitted
+    (window × kind) grid — a drifted window (one kind flooding, one
+    vanishing) must score high in BOTH engines from the SAME emitted
+    set. The DuckDB twin reimplements the per-batch watermark drop
+    rule, the emission rule AND the drift arithmetic."""
+    from zparse_spark.streaming.validate_stream import violation_rate_windows
+
+    src = f"{_W}/driftwin_src"
+    out = f"{_W}/driftwin_out"
+    ckpt = f"{_W}/driftwin_ckpt"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def mk(rows, tag):
+        return spark.createDataFrame(rows, "ts_s long, rule_id string").select(
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "rule_id",
+            F.lit(tag).alias("batch"),
+        )
+
+    def run(df):
+        df.write.mode("append").parquet(src)
+        q = (
+            violation_rate_windows(
+                spark.readStream.schema("ts timestamp, rule_id string, batch int")
+                .parquet(src)
+                .drop("batch"),
+                window_duration="10 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    T = _TW0
+    # window A (T..T+600): balanced 4/4/4/4; window B (T+600..T+1200):
+    # near-balanced 5/4/3/4 (one K2 arrives LATE in batch 2 while B is
+    # still open); window C (T+1200..T+1800): drifted 14/1/1/0 — K1
+    # floods, K4 vanishes
+    def spread(ws_base, kind, n, off):
+        return [(T + ws_base + off + 7 * i, kind) for i in range(n)]
+
+    b1 = (
+        spread(0, "K1", 4, 0) + spread(0, "K2", 4, 100) + spread(0, "K3", 4, 200)
+        + spread(0, "K4", 4, 300)
+        + spread(600, "K1", 5, 0) + spread(600, "K2", 3, 100)
+        + spread(600, "K3", 3, 200) + spread(600, "K4", 4, 300)
+        + spread(1200, "K1", 14, 0) + spread(1200, "K2", 1, 100)
+        + spread(1200, "K3", 1, 200)
+    )
+    run(mk(b1, 1))
+    # batch 2: one late K2 into still-open window B, one K3 into C
+    run(mk([(T + 600 + 150, "K2"), (T + 1200 + 250, "K3")], 2))
+    run(mk([(T + 32400, "Z_SENTINEL")], 3))  # closes every real window
+
+    res = spark.read.parquet(out).filter(F.col("rule_id") != "Z_SENTINEL")
+    counts = res.select(
+        F.col("window_start").cast("long").alias("ws"),
+        F.col("rule_id").alias("kind"),
+        F.col("n_violations").alias("n"),
+    )
+    grid = counts.select("ws").distinct().crossJoin(
+        counts.select("kind").distinct()
+    )
+    dense = grid.join(counts, ["ws", "kind"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    wtot = Window.partitionBy("ws")
+    dense = dense.withColumn("t", F.sum("n").over(wtot))
+    gl = dense.groupBy("kind").agg(F.sum("n").alias("gn"))
+    gt = dense.agg(F.sum("n").alias("g"))
+    j = dense.join(F.broadcast(gl), "kind").crossJoin(F.broadcast(gt))
+    pk = F.col("n").cast("double") / F.col("t") + F.lit(_D_EPS)
+    qk = F.col("gn").cast("double") / F.col("g") + F.lit(_D_EPS)
+    return (
+        j.select(
+            "ws",
+            "n",
+            ((pk - qk) * F.log(pk / qk)).alias("_psi_t"),
+            (pk * F.log(pk / qk)).alias("_kl_t"),
+        )
+        .groupBy("ws")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("_psi_t"), 6).alias("psi"),
+            F.round(F.sum("_kl_t"), 6).alias("kl"),
+        )
+        .select(
+            F.col("ws").alias("window_start_s"),
+            (F.col("ws") + F.lit(_WIN_S)).alias("window_end_s"),
+            "n_events",
+            "psi",
+            "kl",
+        )
     )
