@@ -1607,3 +1607,26 @@ def test_impute_group_median_audit(spark):
     assert out["a"]["mean_after"] == 3.2  # (12 + 2*2)/5
     assert out["b"]["median_used"] is None and out["b"]["mean_after"] is None
     assert out["c"]["n_null"] == 0 and out["c"]["mean_after"] == 4.0
+
+
+def test_expire_snapshots_plan_boundaries(spark):
+    """Files whose newest reference is exactly cutoff-1 are
+    reclaimable; exactly cutoff are retained; a file referenced only
+    once is handled; n_refs and first/last are exact."""
+    from zparse_spark.operators.layout import expire_snapshots_plan
+
+    rows = [
+        (0, "dead_old", 100), (1, "dead_old", 100), (4, "dead_old", 100),
+        (4, "edge_dead", 200),
+        (5, "edge_live", 300),
+        (2, "spans", 400), (7, "spans", 400),
+        (9, "young", 500),
+    ]
+    df = spark.createDataFrame(rows, "snapshot_id int, file_id string, bytes long")
+    out = {r["file_id"]: r for r in expire_snapshots_plan(df, 5).collect()}
+    assert out["dead_old"]["reclaimable"] is True
+    assert out["dead_old"]["n_refs"] == 3 and out["dead_old"]["last_ref"] == 4
+    assert out["edge_dead"]["reclaimable"] is True
+    assert out["edge_live"]["reclaimable"] is False
+    assert out["spans"]["reclaimable"] is False  # retained snapshot 7 still refs it
+    assert out["young"]["reclaimable"] is False

@@ -270,3 +270,42 @@ def compaction_bins(
             (F.col("bin_bytes") > target_bytes).alias("over_target"),
         )
     )
+
+
+def expire_snapshots_plan(
+    refs: DataFrame,
+    cutoff_snapshot: int,
+    snapshot_col: str = "snapshot_id",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Snapshot-expiry GC plan (Iceberg ``expireSnapshots`` shape):
+    given the snapshot→file reference table (one row per (snapshot,
+    file) the manifests record), expiring every snapshot older than
+    ``cutoff_snapshot`` makes a file RECLAIMABLE iff no retained
+    snapshot references it — i.e. its newest reference is below the
+    cutoff. Emits one row per file with its newest/oldest reference,
+    byte size and the verdict, so the caller can both delete and audit
+    (the sibling of compaction_bins: that plans merges of LIVE files,
+    this plans deletion of DEAD ones; both run on the manifest table,
+    never the data).
+
+    Scale shape: ONE map-combined groupBy(file) over the reference
+    table (manifest-sized: millions of rows at 10^12 docs, not
+    trillions) — no join, no window, no driver collect. Pure integer
+    comparisons, exact in any engine.
+    """
+    g = refs.groupBy(file_col).agg(
+        F.max(snapshot_col).alias("last_ref"),
+        F.min(snapshot_col).alias("first_ref"),
+        F.count(F.lit(1)).alias("n_refs"),
+        F.max(bytes_col).alias("bytes"),
+    )
+    return g.select(
+        file_col,
+        "first_ref",
+        "last_ref",
+        "n_refs",
+        "bytes",
+        (F.col("last_ref") < cutoff_snapshot).alias("reclaimable"),
+    )

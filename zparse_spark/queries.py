@@ -7713,3 +7713,63 @@ def corpus_char_bigram_lm(spark, sf_dir):
     from zparse_spark.functions.text import char_bigram_logprob_scores
 
     return char_bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "layout_expire_snapshots",
+    """
+    WITH files AS (
+      SELECT o_orderkey % 200 AS file_id, count(*) * 512 AS bytes
+      FROM orders GROUP BY 1
+    ),
+    f2 AS (
+      SELECT file_id, bytes, file_id % 8 AS add_s, 1 + file_id % 5 AS life
+      FROM files
+    ),
+    refs AS (
+      SELECT file_id, bytes,
+             unnest(generate_series(add_s, least(add_s + life, 9))) AS snapshot_id
+      FROM f2
+    ),
+    g AS (
+      SELECT file_id, min(snapshot_id) AS first_ref, max(snapshot_id) AS last_ref,
+             count(*) AS n_refs, max(bytes) AS bytes
+      FROM refs GROUP BY 1
+    )
+    SELECT file_id, first_ref, last_ref, n_refs, bytes,
+           last_ref < 5 AS reclaimable
+    FROM g
+    """,
+)
+def layout_expire_snapshots(spark, sf_dir):
+    """Snapshot-expiry GC plan over a snapshot→file reference table
+    derived deterministically from orders (file = orderkey mod 200,
+    bytes from its real row count, a staggered add/retire schedule
+    across 10 snapshots): expiring snapshots 0-4 must reclaim exactly
+    the files whose NEWEST reference is below the cutoff — Iceberg's
+    expireSnapshots decision, metadata-sized, one map-combined groupBy
+    (operators/layout.py::expire_snapshots_plan; compaction_bins plans
+    merges of live files, this plans deletion of dead ones)."""
+    from zparse_spark.operators.layout import expire_snapshots_plan
+
+    o = _t(spark, sf_dir, "orders")
+    files = (
+        o.groupBy((F.col("o_orderkey") % 200).alias("file_id"))
+        .agg((F.count(F.lit(1)) * 512).alias("bytes"))
+        .select(
+            "file_id",
+            "bytes",
+            (F.col("file_id") % 8).alias("add_s"),
+            (F.lit(1) + F.col("file_id") % 5).alias("life"),
+        )
+    )
+    refs = files.select(
+        "file_id",
+        "bytes",
+        F.explode(
+            F.sequence(
+                F.col("add_s"), F.least(F.col("add_s") + F.col("life"), F.lit(9))
+            )
+        ).alias("snapshot_id"),
+    )
+    return expire_snapshots_plan(refs, cutoff_snapshot=5)
