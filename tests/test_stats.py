@@ -1630,3 +1630,20 @@ def test_expire_snapshots_plan_boundaries(spark):
     assert out["edge_live"]["reclaimable"] is False
     assert out["spans"]["reclaimable"] is False  # retained snapshot 7 still refs it
     assert out["young"]["reclaimable"] is False
+
+
+def test_zone_overlap_depth_disjoint_and_nested(spark):
+    """Disjoint ranges → depth 0; a file spanning everything overlaps
+    all others; touching endpoints count as overlap (closed ranges —
+    a point probe at the boundary hits both files)."""
+    from zparse_spark.operators.layout import zone_overlap_depth
+
+    rows = [
+        ("L", 0, 0.0, 10.0, 5),
+        ("L", 1, 10.0, 20.0, 5),   # touches file 0 at 10.0
+        ("L", 2, 30.0, 40.0, 5),   # disjoint from 0 and 1
+        ("L", 3, 0.0, 100.0, 5),   # spans everything
+    ]
+    df = spark.createDataFrame(rows, "layout string, file_id int, mn double, mx double, n_rows long")
+    out = {r["file_id"]: r["overlap_depth"] for r in zone_overlap_depth(df).collect()}
+    assert out == {0: 2, 1: 2, 2: 1, 3: 3}

@@ -309,3 +309,39 @@ def expire_snapshots_plan(
         "bytes",
         (F.col("last_ref") < cutoff_snapshot).alias("reclaimable"),
     )
+
+
+def zone_overlap_depth(
+    zmaps: DataFrame,
+    layout_col: str | None = "layout",
+) -> DataFrame:
+    """Clustering-depth audit over a zone-map table: for each file,
+    how many OTHER files' [min, max] ranges intersect its own — the
+    Iceberg/Delta "overlap depth" metric that decides when a re-sort
+    (cluster_by_zorder + compaction_bins) pays for itself. A perfectly
+    range-clustered layout has depth 0 everywhere (disjoint ranges →
+    every point predicate prunes to one file); a hash layout has depth
+    ≈ |files|−1 (every range spans the domain). skipping_audit
+    measures the symptom per PROBE; this measures the cause per FILE,
+    with no probe set needed.
+
+    Scale shape: the quadratic interval join runs on the ZONE-MAP
+    table (|files| rows — thousands of manifests at 10^12 docs, never
+    data); intersection is the standard half-open test
+    a.mn <= b.mx AND b.mn <= a.mx, self-pairs excluded.
+    """
+    key = [layout_col] if layout_col else []
+    a, b = zmaps.alias("a"), zmaps.alias("b")
+    cond = (
+        (F.col("a.mn") <= F.col("b.mx"))
+        & (F.col("b.mn") <= F.col("a.mx"))
+        & (F.col("a.file_id") != F.col("b.file_id"))
+    )
+    for k in key:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    overlaps = a.join(b, cond, "left").groupBy(
+        *[F.col(f"a.{k}").alias(k) for k in key],
+        F.col("a.file_id").alias("file_id"),
+        F.col("a.n_rows").alias("n_rows"),
+    ).agg(F.count(F.col("b.file_id")).alias("overlap_depth"))
+    return overlaps

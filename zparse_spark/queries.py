@@ -7773,3 +7773,82 @@ def layout_expire_snapshots(spark, sf_dir):
         ).alias("snapshot_id"),
     )
     return expire_snapshots_plan(refs, cutoff_snapshot=5)
+
+
+@register(
+    "layout_overlap_depth",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_extendedprice AS p FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    mm AS (SELECT min(p) AS mn, max(p) AS mx FROM li),
+    assigned AS (
+      SELECT 'hash' AS layout, l_orderkey % 32 AS file_id, p FROM li
+      UNION ALL
+      SELECT 'range' AS layout,
+             least(31, CAST(floor((p - mm.mn) / ((mm.mx - mm.mn) / 32.0)) AS BIGINT)) AS file_id,
+             p
+      FROM li, mm
+    ),
+    zm AS (
+      SELECT layout, file_id, min(p) AS mn, max(p) AS mx, count(p) AS n_rows
+      FROM assigned GROUP BY 1, 2
+    ),
+    depth AS (
+      SELECT a.layout, a.file_id, a.n_rows, count(b.file_id) AS overlap_depth
+      FROM zm a LEFT JOIN zm b
+        ON a.layout = b.layout AND a.mn <= b.mx AND b.mn <= a.mx
+           AND a.file_id <> b.file_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT layout, count(*) AS n_files,
+           round(avg(overlap_depth), 6) AS avg_depth,
+           max(overlap_depth) AS max_depth,
+           CAST(sum(CAST(overlap_depth = 0 AS BIGINT)) AS BIGINT) AS n_disjoint
+    FROM depth GROUP BY 1
+    """,
+)
+def layout_overlap_depth(spark, sf_dir):
+    """Clustering-depth audit, hash vs range layout over the same
+    column: per-file count of OTHER files whose [min,max] intersects
+    it — the CAUSE metric behind layout_skipping_audit's symptom
+    (files-hit per probe). Range layout must come out fully disjoint
+    (depth 0 everywhere), hash layout fully overlapped (depth 31) —
+    the number an Iceberg table-maintenance job thresholds to decide a
+    re-sort. Quadratic interval join on the 64-row zone table
+    (operators/layout.py::zone_overlap_depth)."""
+    from zparse_spark.operators.layout import zone_maps, zone_overlap_depth
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select("l_orderkey", F.col("l_extendedprice").alias("p"))
+    )
+    mm = li.agg(F.min("p").alias("gmn"), F.max("p").alias("gmx"))
+    hash_files = li.select(
+        F.lit("hash").alias("layout"), (F.col("l_orderkey") % 32).alias("f"), "p"
+    )
+    range_files = li.crossJoin(F.broadcast(mm)).select(
+        F.lit("range").alias("layout"),
+        F.least(
+            F.lit(31),
+            F.floor(
+                (F.col("p") - F.col("gmn")) / ((F.col("gmx") - F.col("gmn")) / 32.0)
+            ),
+        ).alias("f"),
+        "p",
+    )
+    zm = (
+        hash_files.unionByName(range_files)
+        .groupBy("layout", F.col("f"))
+        .agg(F.min("p").alias("mn"), F.max("p").alias("mx"), F.count("p").alias("n_rows"))
+        .select("layout", F.col("f").alias("file_id"), "mn", "mx", "n_rows")
+    )
+    depth = zone_overlap_depth(zm, layout_col="layout")
+    return depth.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.round(F.avg("overlap_depth"), 6).alias("avg_depth"),
+        F.max("overlap_depth").alias("max_depth"),
+        F.sum((F.col("overlap_depth") == 0).cast("long")).alias("n_disjoint"),
+    )
