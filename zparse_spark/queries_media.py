@@ -536,3 +536,74 @@ def span_pack_media_rule(spark, sf_dir):
     )
     viol = eng.violations(docs, media_verdicts=decode_verdicts(pay))
     return viol.filter(F.col("rule_id") == "M1")
+
+
+# ---------------------------------------------------------------------------
+# Payload-level content dedup: identical bytes under multiple refs
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_DEDUP_SQL = f"""WITH pay AS (
+  SELECT media_ref, media_kind, hex(payload) AS hx, octet_length(payload) AS nb
+  FROM read_parquet('{_W}/media_payloads/*.parquet')
+),
+planted AS (
+  SELECT media_ref, media_kind, hx, nb FROM pay
+  UNION ALL
+  SELECT 'dup_' || media_ref, media_kind, hx, nb
+  FROM pay WHERE substr(media_ref, length(media_ref), 1) = '0'
+),
+grouped AS (
+  SELECT sha256(hx) AS content_sha, media_kind,
+         count(*) AS n_refs,
+         min(nb) AS n_bytes,
+         string_agg(media_ref, ',' ORDER BY media_ref) AS refs
+  FROM planted GROUP BY 1, 2
+)
+SELECT content_sha, media_kind, n_refs, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST((n_refs - 1) * n_bytes AS BIGINT) AS reclaimable_bytes,
+       refs
+FROM grouped WHERE n_refs > 1"""
+
+
+@register("media_payload_dedup", _PAYLOAD_DEDUP_SQL)
+def media_payload_dedup(spark, sf_dir):
+    """Payload-level content dedup across the media catalog: identical
+    payload BYTES stored under different media_refs (re-uploads, crawl
+    mirrors) found by one groupBy on the content hash — the binary-
+    modality twin of dedup_exact_documents, and the storage-reclaim
+    number an Iceberg rewrite would bank ((n_refs−1)·bytes per group).
+    Duplicates are planted deterministically (every ref ending in '0'
+    re-keyed under dup_*) in BOTH engines from the same persisted
+    payload parquet; the hash is sha256 over the HEX of the exact
+    bytes (the established portable-hash trick), so a green row
+    certifies byte-level grouping, not metadata matching. Scale shape:
+    map-side hash per payload, one shuffle of (hash, ref) pairs — no
+    payload bytes move after the map stage at 10^12 docs (project the
+    hash FIRST, shuffle 32-byte digests, never blobs)."""
+    pay = _media_input(spark).select(
+        "media_ref",
+        "media_kind",
+        F.sha2(F.hex("payload"), 256).alias("content_sha"),
+        F.octet_length("payload").cast("long").alias("nb"),
+    )
+    dups = pay.filter(F.col("media_ref").endswith("0")).withColumn(
+        "media_ref", F.concat(F.lit("dup_"), F.col("media_ref"))
+    )
+    planted = pay.unionByName(dups)
+    return (
+        planted.groupBy("content_sha", "media_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.min("nb").alias("n_bytes"),
+            F.array_join(F.array_sort(F.collect_list("media_ref")), ",").alias("refs"),
+        )
+        .filter(F.col("n_refs") > 1)
+        .select(
+            "content_sha",
+            "media_kind",
+            "n_refs",
+            "n_bytes",
+            ((F.col("n_refs") - 1) * F.col("n_bytes")).alias("reclaimable_bytes"),
+            "refs",
+        )
+    )
