@@ -1647,3 +1647,43 @@ def test_zone_overlap_depth_disjoint_and_nested(spark):
     df = spark.createDataFrame(rows, "layout string, file_id int, mn double, mx double, n_rows long")
     out = {r["file_id"]: r["overlap_depth"] for r in zone_overlap_depth(df).collect()}
     assert out == {0: 2, 1: 2, 2: 1, 3: 3}
+
+
+def test_ewma_control_chart_exact_dyadic(spark):
+    """Hand-checkable first days: day0 ewma = y0; day1 ewma =
+    (2*y1 + y0)/3; day2 = (4*y2 + 2*y1 + y0)/7. A level shift at day 8
+    shows a large positive residual that decays as the level absorbs."""
+    import datetime as dt
+
+    from zparse_spark.operators.stats import ewma_control_chart
+
+    counts = [8, 12, 10, 10, 10, 10, 10, 10, 40, 40, 40]
+    rows = []
+    for i, n in enumerate(counts):
+        rows += [(dt.datetime(2024, 5, 1 + i, 10, 0), "a")] * n
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    out = {str(r["day"]): r for r in ewma_control_chart(df, window_days=30).collect()}
+    assert out["2024-05-01"]["ewma"] == 8.0
+    assert out["2024-05-01"]["residual"] is None
+    assert out["2024-05-02"]["ewma"] == round((2 * 12 + 8) / 3, 6)
+    assert out["2024-05-03"]["ewma"] == round((4 * 10 + 2 * 12 + 8) / 7, 6)
+    shift_day, next_day = out["2024-05-09"], out["2024-05-10"]
+    assert shift_day["residual"] > 29  # 40 vs ~10 baseline
+    assert 0 < next_day["residual"] < shift_day["residual"]  # absorbing
+
+
+def test_gini_concentration_extremes_and_ties(spark):
+    """All-equal values → Gini 0; one entity holding everything →
+    (n-1)/n; tie order cannot matter (equal values commute)."""
+    from zparse_spark.operators.stats import gini_concentration
+
+    rows = (
+        [("eq", 100)] * 4
+        + [("conc", 0), ("conc", 0), ("conc", 0), ("conc", 1000)]
+        + [("single", 7)]
+    )
+    df = spark.createDataFrame(rows, "g string, cents long")
+    out = {r["g"]: r for r in gini_concentration(df, "cents", "g").collect()}
+    assert out["eq"]["gini"] == 0.0
+    assert out["conc"]["gini"] == 0.75  # (n-1)/n with n=4
+    assert out["single"]["gini"] is None  # n=1: undefined, not a crash

@@ -2683,3 +2683,117 @@ def impute_group_median(
         F.round(mean_before, 6).alias("mean_before"),
         F.round(mean_after, 6).alias("mean_after"),
     )
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 30,
+) -> DataFrame:
+    """Per-key EWMA control chart over the densified daily-count
+    series with DYADIC weights w_i ∝ 2^{-i} (α = 1/2) — the smoothed
+    baseline + one-step-ahead residual that catches slow level shifts
+    CUSUM's reset logic and the weekday screen both miss.
+
+    Exactness contract (the reason for dyadic α): the weighted sum
+    Σ y_{t-i}·2^{L-i} over the trailing window (L = min(t, W)) is
+    EXACT BIGINT arithmetic — shiftleft, no libm pow — normalized by
+    the exact integer 2^{L+1}−1, so the smoothed value is ONE IEEE
+    division of identical integers in every engine: bit-identical,
+    like the regression/ACF family, with no per-term float sums at
+    all. Daily counts up to ~2^25 with W=30 stay within int64.
+
+    Scale shape: one full-data groupBy(day, key); the windowed join
+    (each day pulls ≤ W+1 prior days) runs on the bounded daily table.
+    Residual = y_t − ewma_{t−1} (the forecast miss, NULL on day 0).
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = df.select(day.alias("day"), F.col(key).alias("_k")).groupBy(
+        "day", "_k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mm = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        mm.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .crossJoin(daily.select("_k").distinct())
+    )
+    dense = (
+        grid.join(daily, ["day", "_k"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("x", F.datediff(F.col("day"), F.min("day").over(
+            Window.partitionBy("_k")
+        )).cast("long"))
+        .select("_k", "day", "x", "n")
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    w = F.lit(window_days)
+    pairs = a.join(
+        b,
+        (F.col("a._k") == F.col("b._k"))
+        & (F.col("b.x") <= F.col("a.x"))
+        & (F.col("b.x") >= F.col("a.x") - w),
+    )
+    lcap = F.least(F.col("a.x"), w.cast("long"))
+    staged = pairs.select(
+        F.col("a._k").alias("_k"),
+        F.col("a.day").alias("day"),
+        F.col("a.x").alias("x"),
+        F.col("a.n").alias("n"),
+        lcap.alias("_l"),
+        (lcap - (F.col("a.x") - F.col("b.x"))).cast("int").alias("_shift"),
+        F.col("b.n").alias("_bn"),
+    )
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), _shift)") * F.col("_bn")
+    g = staged.groupBy("_k", "day", "x", "n", "_l").agg(F.sum(term).alias("_num"))
+    denom = (
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_l + 1 AS INT))") - F.lit(1)
+    ).cast("double")
+    ewma = F.col("_num").cast("double") / denom
+    out = g.select(
+        F.col("_k").alias(key),
+        "day",
+        "n",
+        F.round(ewma, 6).alias("ewma"),
+    )
+    wk = Window.partitionBy(key).orderBy("day")
+    return out.withColumn(
+        "residual", F.round(F.col("n") - F.lag("ewma").over(wk), 6)
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_cents: str,
+    group: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of an exact-integer value column —
+    the concentration audit ("does 1% of customers carry 60% of
+    revenue?", "is one source 90% of the corpus?") that a mean/stddev
+    profile cannot express. Formula on values sorted ascending with
+    rank i = 1..n: G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i).
+
+    Exactness contract: the caller supplies the value ALREADY in exact
+    integer units (cents, bytes, counts — e.g. round(sum, 2)·100 cast
+    to BIGINT), so every sum is exact integer arithmetic and ties in x
+    cannot perturb Σ i·x_i (equal values commute under any tie order);
+    ONE IEEE division at the end — bit-identical cross-engine.
+
+    Scale shape: one sort-within-group window (rank) over the
+    per-entity rollup (entities, not raw rows), then one groupBy.
+    """
+    wr = Window.partitionBy(group).orderBy(F.col(value_cents).asc())
+    ranked = df.withColumn("_i", F.row_number().over(wr))
+    g = ranked.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_cents).alias("_sx"),
+        F.sum(F.col("_i") * F.col(value_cents)).alias("_six"),
+    )
+    gini = F.when(
+        (F.col("_sx") > 0) & (F.col("n") > 1),
+        F.round(
+            (2 * F.col("_six") - (F.col("n") + 1) * F.col("_sx")).cast("double")
+            / (F.col("n") * F.col("_sx")).cast("double"),
+            6,
+        ),
+    )
+    return g.select(group, "n", F.col("_sx").alias("total"), gini.alias("gini"))

@@ -7852,3 +7852,101 @@ def layout_overlap_depth(spark, sf_dir):
         F.max("overlap_depth").alias("max_depth"),
         F.sum((F.col("overlap_depth") == 0).cast("long")).alias("n_disjoint"),
     )
+
+
+@register(
+    "anomaly_events_ewma",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+             t.event_type, d0
+      FROM mm, (SELECT DISTINCT event_type FROM daily) t
+    ), dense AS (
+      SELECT g.event_type, g.day, CAST(g.day - g.d0 AS BIGINT) AS x,
+             CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN daily
+        ON g.day = daily.day AND g.event_type = daily.event_type
+    ), pairs AS (
+      SELECT a.event_type, a.day, a.x, a.n, least(a.x, 30) AS l,
+             b.n AS bn, a.x - b.x AS lag_i
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND b.x <= a.x AND b.x >= a.x - 30
+    ), g AS (
+      SELECT event_type, day, x, n, l,
+             sum((CAST(1 AS BIGINT) << CAST(l - lag_i AS INT)) * bn) AS num
+      FROM pairs GROUP BY 1, 2, 3, 4, 5
+    ), e AS (
+      SELECT event_type, day, n,
+             round(CAST(num AS DOUBLE)
+                   / CAST((CAST(1 AS BIGINT) << CAST(l + 1 AS INT)) - 1 AS DOUBLE),
+                   6) AS ewma
+      FROM g
+    )
+    SELECT event_type, day, n, ewma,
+           round(n - lag(ewma) OVER (PARTITION BY event_type ORDER BY day), 6)
+             AS residual
+    FROM e
+    """,
+)
+def anomaly_events_ewma(spark, sf_dir):
+    """EWMA control chart (α=1/2, 30-day window) per event type — the
+    slow-level-shift detector next to CUSUM and the weekday screen.
+    Dyadic weights make the whole smoother EXACT integer arithmetic
+    (shiftleft sums, one trailing division): bit-identical
+    cross-engine with no per-term float accumulation at all
+    (operators/stats.py::ewma_control_chart). Residual = today's count
+    minus yesterday's smoothed level, the one-step forecast miss."""
+    from zparse_spark.operators.stats import ewma_control_chart
+
+    return ewma_control_chart(_t(spark, sf_dir, "events"), window_days=30)
+
+
+@register(
+    "profile_gini_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents ASC) AS i
+      FROM rev
+    ),
+    g AS (
+      SELECT c_mktsegment, count(*) AS n, sum(cents) AS sx, sum(i * cents) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n, sx AS total,
+           CASE WHEN sx > 0 AND n > 1 THEN
+             round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                   / CAST(n * sx AS DOUBLE), 6) END AS gini
+    FROM g
+    """,
+)
+def profile_gini_customer_revenue(spark, sf_dir):
+    """Gini concentration of per-customer revenue within each market
+    segment — the inequality audit a mean/stddev profile cannot
+    express (the number that answers "does 1% of the corpus carry 60%
+    of the tokens" when pointed at sources). Revenue is fixed to exact
+    CENTS before ranking, so every sum is exact integer arithmetic,
+    ties commute, and the single trailing division is bit-identical
+    (operators/stats.py::gini_concentration)."""
+    from zparse_spark.operators.stats import gini_concentration
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    return gini_concentration(rev, "cents", "c_mktsegment")
