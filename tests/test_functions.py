@@ -788,3 +788,20 @@ def test_char_bigram_lm_short_and_null_docs_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ids = {r["doc_id"] for r in char_bigram_logprob_scores(df).collect()}
     assert ids == {1}
+
+
+def test_readability_scores_hand_checked(spark):
+    """'the cat sat.' = 3 words, 1 sentence, 3 syllable groups:
+    flesch = 206.835 - 1.015*3 - 84.6*1. Empty text scores NULL with
+    zero words; missing sentence punctuation floors sentences at 1."""
+    from zparse_spark.functions.text import readability_scores
+
+    rows = [(1, "The cat sat."), (2, ""), (3, "no punctuation here"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    assert out[1]["n_words"] == 3 and out[1]["n_sentences"] == 1
+    assert out[1]["n_syllables"] == 3
+    assert out[1]["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 4)
+    assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
+    assert out[3]["n_sentences"] == 1  # floored
+    assert 4 not in out  # null text excluded

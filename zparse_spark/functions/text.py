@@ -1336,3 +1336,41 @@ def char_bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id
             F.round(F.col("_s2") / (F.col("n_bigrams") * 1e6), 6).alias("avg_logprob"),
         )
     )
+
+
+def readability_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch-style readability per document from three exact integer
+    counts — words (whitespace runs), sentences ([.!?]+ runs, floored
+    at 1), and vowel-group syllable proxies ([aeiouy]+ runs per word)
+    — the classic corpus-quality filter signal (very low = legalese /
+    run-on OCR; implausibly high = word salad of short tokens; both
+    are cut candidates a length filter misses).
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Every count is an exact integer from regexp matching, the two
+    ratios and the final affine combination are plain IEEE arithmetic
+    on those integers — deterministic cross-engine at round-4. Pure
+    codegen expressions (regexp_count), no explode, no Python: the
+    whole scorer is a map-only projection.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.lower(F.trim(F.col(text_col)))
+    words = F.when(s == "", F.lit(0)).otherwise(
+        F.regexp_count(s, F.lit(r"\S+"))
+    )
+    sentences = F.greatest(F.regexp_count(s, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(s, F.lit(r"[aeiouy]+"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(words > 0, F.round(score, 4)).alias("flesch"),
+    )

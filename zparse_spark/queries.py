@@ -7950,3 +7950,43 @@ def profile_gini_customer_revenue(spark, sf_dir):
         )
     )
     return gini_concentration(rev, "cents", "c_mktsegment")
+
+
+@register(
+    "doc_readability_scores",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s = '' THEN 0
+                       ELSE len(regexp_extract_all(s, '\\S+')) END AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(s, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(s, '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM s
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END AS flesch
+    FROM c
+    """,
+)
+def doc_readability_scores(spark, sf_dir):
+    """Flesch-style readability per document from three exact integer
+    regexp counts (words, sentence enders, vowel-group syllable
+    proxies) — the corpus-quality filter signal a pure length screen
+    misses in both directions. Map-only codegen projection, no
+    explode, no Python (functions/text.py::readability_scores)."""
+    from zparse_spark.functions.text import readability_scores
+
+    out = readability_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        "flesch",
+    )
