@@ -560,3 +560,31 @@ def test_winnowing_xxhash_production_path(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in winnowing_pairs(df, threshold=0.5, hash_fn="xxhash64").collect()}
     assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_winnowing_containment_finds_embedded_quote(spark):
+    """A short doc verbatim-embedded in a long doc must surface with
+    containment ~1.0 from the short side while its Jaccard stays far
+    below any pair threshold — the relation winnowing_pairs at 0.5
+    cannot emit. Unrelated docs must not pair at 0.8."""
+    from zparse_spark.operators.dedup import winnowing_containment, winnowing_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    page = (
+        "breaking news from the city council meeting yesterday evening "
+        + quote
+        + " officials said the budget vote would follow next week after review "
+        "with further commentary from residents and local business owners alike"
+    )
+    df = spark.createDataFrame(
+        [("quote", quote), ("page", page), ("other", "completely unrelated text about quantum chemistry simulations")],
+        "doc_id string, text string",
+    )
+    out = winnowing_containment(df, threshold=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r["id_a"], r["id_b"]} == {"page", "quote"}
+    # quote is lexicographically > page, so quote is id_b
+    assert r["containment_b_in_a"] >= 0.9  # quote inside page
+    assert r["jaccard"] < 0.5  # invisible to the symmetric pair op
+    assert winnowing_pairs(df, threshold=0.5).count() == 0

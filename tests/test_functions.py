@@ -805,3 +805,60 @@ def test_readability_scores_hand_checked(spark):
     assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
     assert out[3]["n_sentences"] == 1  # floored
     assert 4 not in out  # null text excluded
+
+
+def test_vocab_growth_curve_nested_and_beta(spark):
+    """Prefixes are nested (V, T, n_docs all monotone non-decreasing),
+    the final row covers the whole corpus exactly (T = total tokens,
+    V = exact distinct vocabulary), and beta is NULL on the first row
+    and ~ln-ratio between rows where both V and T strictly grow."""
+    import math
+
+    from zparse_spark.functions.text import vocab_growth_curve
+
+    rows = [
+        (i, f"tok{i} tok{i % 7} shared common word{i % 31} filler text here")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_growth_curve(df, fractions=(0.25, 0.5, 1.0), seed=0).collect()
+    assert [r["fraction"] for r in out] == [0.25, 0.5, 1.0]
+    for a, b in zip(out, out[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["n_tokens"] <= b["n_tokens"]
+        assert a["n_vocab"] <= b["n_vocab"]
+    last = out[-1]
+    assert last["n_docs"] == 200
+    assert last["n_tokens"] == 200 * 8
+    # exact vocabulary: tok0..tok199 (tok0..tok6 shared with the mod-7
+    # forms), word0..word30, + 5 literals
+    vocab = set()
+    for _, t in rows:
+        vocab.update(t.split())
+    assert last["n_vocab"] == len(vocab)
+    assert out[0]["beta"] is None
+    mid = out[1]
+    if mid["beta"] is not None:
+        expect = math.log(mid["n_vocab"] / out[0]["n_vocab"]) / math.log(
+            mid["n_tokens"] / out[0]["n_tokens"]
+        )
+        assert abs(mid["beta"] - round(expect, 6)) < 1e-9
+
+
+def test_vocab_growth_curve_beta_separates_template_from_ids(spark):
+    """The signal the curve exists for: a template flood (same tokens
+    repeated) drives beta toward 0; unique-id spill keeps beta at ~1."""
+    from zparse_spark.functions.text import vocab_growth_curve
+
+    template = spark.createDataFrame(
+        [(i, "the same nav footer terms privacy") for i in range(300)],
+        "doc_id long, text string",
+    )
+    ids = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(300)],
+        "doc_id long, text string",
+    )
+    bt = vocab_growth_curve(template, fractions=(0.5, 1.0)).collect()[-1]["beta"]
+    bi = vocab_growth_curve(ids, fractions=(0.5, 1.0)).collect()[-1]["beta"]
+    assert bt is None or bt < 0.1  # V stops growing -> beta NULL or ~0
+    assert bi is not None and bi > 0.95

@@ -1687,3 +1687,64 @@ def test_gini_concentration_extremes_and_ties(spark):
     assert out["eq"]["gini"] == 0.0
     assert out["conc"]["gini"] == 0.75  # (n-1)/n with n=4
     assert out["single"]["gini"] is None  # n=1: undefined, not a crash
+
+
+def test_simpson_audit_detects_planted_paradox(spark):
+    """Textbook Simpson construction: within each of two groups y falls
+    as x rises (r_group < 0), but group B sits at both higher x AND
+    higher y, so the pooled correlation is positive — every group must
+    flag sign_flip. Degenerate group (zero x-variance) gets NULL r and
+    NULL flag, never an error."""
+    from zparse_spark.operators.stats import simpson_audit
+
+    rows = (
+        # group A: x in 0..9, y = 100 - 5x  (falling)
+        [("A", x, 100 - 5 * x) for x in range(10)]
+        # group B: x in 100..109, y = 1000 - 5*(x-100)  (falling, but
+        # far above/right of A -> pooled slope is positive)
+        + [("B", 100 + x, 1000 - 5 * x) for x in range(10)]
+        + [("C", 5, 17), ("C", 5, 23)]  # zero x-variance
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in simpson_audit(df, "x", "y", "g").collect()}
+    assert out["A"]["r_group"] == -1.0 and out["B"]["r_group"] == -1.0
+    assert out["A"]["r_pooled"] > 0.9
+    assert out["A"]["sign_flip"] is True and out["B"]["sign_flip"] is True
+    assert out["C"]["r_group"] is None and out["C"]["sign_flip"] is None
+
+
+def test_simpson_audit_moments_exact_at_cents_scale(spark):
+    """The decimal(38,0) moment path: 100k-cent values whose squared
+    sums overflow BIGINT must still produce a finite 6dp r (regression
+    for the long-overflow first cut)."""
+    from zparse_spark.operators.stats import simpson_audit
+
+    n = 500
+    rows = [("g", i, 10_000_000 + 7 * i) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = simpson_audit(df, "y", "y", "g").collect()[0]
+    assert out["r_group"] == 1.0  # perfectly self-correlated, exactly
+
+
+def test_magnitude_profile_flags_units_mixup(spark):
+    """A 50/50 dollars-vs-cents mixture (3 decades apart) flags; a
+    clean single-decade group does not; sub-unit values fold to decade
+    -1; zeros/NULLs are excluded from the mass."""
+    from zparse_spark.operators.stats import magnitude_profile
+
+    rows = (
+        [("mixed", 500.0)] * 5 + [("mixed", 500_000.0)] * 5
+        + [("clean", 420.0)] * 9 + [("clean", 980.0)]
+        + [("tiny", 0.25)] * 3 + [("tiny", 2.5)]
+        + [("clean", 0.0), ("clean", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in magnitude_profile(df, "v", "g").collect()}
+    m = out["mixed"]
+    assert m["split_flag"] is True
+    assert {m["top_decade"], m["second_decade"]} == {2, 5}
+    assert m["top_share"] == 0.5 and m["second_share"] == 0.5
+    c = out["clean"]
+    assert c["split_flag"] is False and c["n_values"] == 10  # 0/NULL excluded
+    t = out["tiny"]
+    assert t["top_decade"] == -1 and t["split_flag"] is False

@@ -1118,3 +1118,69 @@ def winnowing_pairs(
         "n_fp_b",
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+def winnowing_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.8,
+    max_df: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ASYMMETRIC containment over winnowing fingerprint sets:
+    containment(A in B) = |FP(A) ∩ FP(B)| / |FP(A)| — the
+    quote-inclusion detector Jaccard structurally misses. A 200-char
+    paragraph fully embedded in a 20k-char page has Jaccard ≈ 0.01
+    (never crosses any sane pair threshold) but containment ≈ 1.0 from
+    the small side: exactly the "my doc is inside that doc" relation a
+    training-data pipeline needs for quote/mirror/aggregator handling,
+    and the directional evidence the keep-rule wants (drop the
+    contained copy, keep the superset).
+
+    Implementation: winnowing_pairs at threshold 0 already emits
+    (shared_fp, n_fp_a, n_fp_b) for every pair sharing >= 1 fingerprint
+    — the bucketed inverted-index pipeline (dedup.py:1036), corpus
+    fingerprinted exactly once, no self-join, hot buckets capped by
+    ``max_df``. Containment is two trailing divisions on those counts;
+    pairs are kept when EITHER direction >= ``threshold`` while the
+    Jaccard may be arbitrarily low (the interesting rows are precisely
+    the low-Jaccard high-containment ones). The local guarantee carries
+    over: every shared run >= w + k - 1 chars of A also in B
+    contributes identical fingerprints to both sets, so near-total
+    verbatim inclusion cannot score low.
+
+    Scale shape: identical to winnowing_pairs — the only change is the
+    trailing filter, so the 10x scale-tier evidence for X151 covers
+    this operator's plan shape verbatim.
+
+    Reference parity: the reference dedups nothing (single-doc parser,
+    crates/zparse/src); containment is part of the corpus surface this
+    engine adds per the round instructions.
+    """
+    pairs = winnowing_pairs(
+        df, id_col, text_col, k, w,
+        threshold=0.0, max_df=max_df, hash_fn=hash_fn,
+    )
+    c_ab = F.col("shared_fp").cast("double") / F.col("n_fp_a")
+    c_ba = F.col("shared_fp").cast("double") / F.col("n_fp_b")
+    return (
+        pairs.withColumn("containment_a_in_b", F.round(c_ab, 6))
+        .withColumn("containment_b_in_a", F.round(c_ba, 6))
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            "jaccard",
+            "containment_a_in_b",
+            "containment_b_in_a",
+        )
+    )

@@ -2797,3 +2797,167 @@ def gini_concentration(
         ),
     )
     return g.select(group, "n", F.col("_sx").alias("total"), gini.alias("gini"))
+
+
+def simpson_audit(
+    df: DataFrame,
+    x_cents: str,
+    y_cents: str,
+    group: str,
+) -> DataFrame:
+    """Simpson's-paradox audit: per-group Pearson correlation of two
+    exact-integer columns next to the POOLED correlation, with a flag
+    on every group whose association runs OPPOSITE the pooled sign —
+    the confounded-metric trap ("discount helps revenue overall" while
+    it hurts within every segment) that a single corr matrix
+    (stats_correlation_lineitem) structurally cannot show, because the
+    pooled number is the only one it has.
+
+    Exactness contract (same as gini_concentration stats.py:2764): the
+    caller supplies BOTH columns already in exact integer units, so all
+    six moment sums (n, Sx, Sy, Sxx, Syy, Sxy) are exact BIGINT
+    arithmetic; each r is then one sqrt + one division on those exact
+    integers, rounded to 6dp — bit-identical cross-engine. Degenerate
+    groups (zero variance in either column, n < 2) get NULL r, never an
+    ANSI error.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy carrying the
+    six sums per group; the pooled moments fold from the per-group
+    partials (a second agg over the BOUNDED group table — the raw data
+    is scanned once), broadcast back as a 1-row cross join. No window,
+    no second scan, no Python.
+    """
+    # moment sums and the r numerator/variances run in DECIMAL(38,0) —
+    # Σy² of a cents column overflows BIGINT at ~60k rows already, and
+    # n·Σxy / (Σy)² grow ~n²; decimal(38,0) is exact to 10^38 (a billion
+    # rows of 10^9-unit values), the same headroom DuckDB gets for free
+    # from its HUGEINT sum — both engines stay exact to the final
+    # cast-to-double, so the rounded r is bit-identical.
+    x = F.col(x_cents).cast("decimal(18,0)")
+    y = F.col(y_cents).cast("decimal(18,0)")
+    base = df.filter(F.col(x_cents).isNotNull() & F.col(y_cents).isNotNull())
+    per = base.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x.cast("decimal(19,0)") * x).alias("_sxx"),
+        F.sum(y.cast("decimal(19,0)") * y).alias("_syy"),
+    )
+
+    def _r(n, sx, sy, sxx, syy, sxy):
+        nd = n.cast("decimal(38,0)")
+        vx = nd * sxx - sx.cast("decimal(38,0)") * sx
+        vy = nd * syy - sy.cast("decimal(38,0)") * sy
+        num = nd * sxy - sx.cast("decimal(38,0)") * sy
+        return F.when(
+            (n >= 2) & (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        )
+
+    pooled = per.agg(
+        F.sum("n").alias("pn"),
+        F.sum("_sx").alias("psx"),
+        F.sum("_sy").alias("psy"),
+        F.sum("_sxx").alias("psxx"),
+        F.sum("_syy").alias("psyy"),
+        F.sum("_sxy").alias("psxy"),
+    ).select(
+        _r(
+            F.col("pn"), F.col("psx"), F.col("psy"),
+            F.col("psxx"), F.col("psyy"), F.col("psxy"),
+        ).alias("r_pooled")
+    )
+    rg = _r(
+        F.col("n"), F.col("_sx"), F.col("_sy"),
+        F.col("_sxx"), F.col("_syy"), F.col("_sxy"),
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            group,
+            "n",
+            rg.alias("r_group"),
+            "r_pooled",
+            F.when(
+                rg.isNotNull() & F.col("r_pooled").isNotNull(),
+                (rg * F.col("r_pooled")) < 0,
+            ).alias("sign_flip"),
+        )
+    )
+
+
+def magnitude_profile(
+    df: DataFrame,
+    value: str,
+    group: str,
+    min_share: float = 0.2,
+    min_gap: int = 3,
+) -> DataFrame:
+    """Unit-consistency audit via decimal-magnitude modes: per group,
+    the two heaviest decades of |value| and a flag when BOTH carry >=
+    ``min_share`` of the group's mass while sitting >= ``min_gap``
+    decades apart — the signature of a units mixup (cents loaded into a
+    dollars column, bytes into KB, ms into s) that mean/stddev/quantile
+    profiles smear into "high variance" instead of naming.
+
+    The decade is computed EXACTLY, never via float log10: for
+    |v| >= 1 it is length(string(floor(|v|))) - 1 (digit count of the
+    integer part); 0 < |v| < 1 folds to decade -1 ("sub-unit"); zeros
+    and NULLs carry no magnitude and are excluded (their count is
+    reported). Integer string length is deterministic on every engine;
+    log10(10^k) on a double is not.
+
+    Scale shape (100 TB): one map-side-combined groupBy on
+    (group, decade) — at most ~20 decades per group survive the partial
+    agg — then rank windows on that BOUNDED table. The raw column is
+    scanned once; nothing global touches row-cardinality data.
+    """
+    v = F.abs(F.col(value))
+    decade = F.when(
+        v >= 1, F.length(F.floor(v).cast("bigint").cast("string")) - 1
+    ).otherwise(F.lit(-1))
+    counts = (
+        df.filter(F.col(value).isNotNull() & (v > 0))
+        .groupBy(F.col(group).alias("g"), decade.alias("decade"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy("g")
+    wr = Window.partitionBy("g").orderBy(F.col("n").desc(), F.col("decade").asc())
+    ranked = counts.select(
+        "g",
+        "decade",
+        "n",
+        F.sum("n").over(wg).alias("n_group"),
+        F.row_number().over(wr).alias("_rk"),
+    ).filter(F.col("_rk") <= 2)
+    top = ranked.groupBy("g", "n_group").agg(
+        F.max(F.when(F.col("_rk") == 1, F.col("decade"))).alias("top_decade"),
+        F.max(F.when(F.col("_rk") == 1, F.col("n"))).alias("_top_n"),
+        F.max(F.when(F.col("_rk") == 2, F.col("decade"))).alias("second_decade"),
+        F.max(F.when(F.col("_rk") == 2, F.col("n"))).alias("_second_n"),
+    )
+    top_share = F.round(F.col("_top_n").cast("double") / F.col("n_group"), 6)
+    second_share = F.when(
+        F.col("_second_n").isNotNull(),
+        F.round(F.col("_second_n").cast("double") / F.col("n_group"), 6),
+    )
+    flag = F.coalesce(
+        (F.col("_second_n").cast("double") / F.col("n_group") >= F.lit(min_share))
+        & (F.col("_top_n").cast("double") / F.col("n_group") >= F.lit(min_share))
+        & (F.abs(F.col("top_decade") - F.col("second_decade")) >= F.lit(min_gap)),
+        F.lit(False),
+    )
+    return top.select(
+        F.col("g").alias(group),
+        F.col("n_group").alias("n_values"),
+        "top_decade",
+        top_share.alias("top_share"),
+        "second_decade",
+        second_share.alias("second_share"),
+        flag.alias("split_flag"),
+    )

@@ -7990,3 +7990,276 @@ def doc_readability_scores(spark, sf_dir):
         F.col("n_syllables").cast("long").alias("n_syllables"),
         "flesch",
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth, Simpson's-paradox audit, magnitude/unit
+# audit, winnowing containment (X182-X185)
+# ---------------------------------------------------------------------------
+
+
+def _heaps_oracle_sql(seed: int = 0) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+    WITH du AS (
+      SELECT {hv} / 4294967296.0 AS u, text FROM documents
+    ),
+    tk AS (
+      SELECT u, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM du WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT u, token FROM tk WHERE token <> ''),
+    firstu AS (SELECT token, min(u) AS fu FROM tok GROUP BY token),
+    grid AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 1.0]) AS fraction),
+    curve AS (
+      SELECT g.fraction,
+             (SELECT count(*) FROM du WHERE du.u < g.fraction) AS n_docs,
+             (SELECT count(*) FROM tok WHERE tok.u < g.fraction) AS n_tokens,
+             (SELECT count(*) FROM firstu WHERE firstu.fu < g.fraction) AS n_vocab
+      FROM grid g
+    ),
+    lagd AS (
+      SELECT fraction, n_docs, n_tokens, n_vocab,
+             lag(n_vocab) OVER (ORDER BY fraction) AS pv,
+             lag(n_tokens) OVER (ORDER BY fraction) AS pt
+      FROM curve
+    )
+    SELECT fraction, n_docs, n_tokens, n_vocab,
+           CASE WHEN pv IS NOT NULL AND pv > 0 AND pt > 0
+                     AND n_vocab > pv AND n_tokens > pt
+                THEN round(ln(CAST(n_vocab AS DOUBLE) / pv)
+                           / ln(CAST(n_tokens AS DOUBLE) / pt), 6) END AS beta
+    FROM lagd
+    """
+
+
+@register("corpus_heaps_curve", _heaps_oracle_sql())
+def corpus_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (X182): V and T at nested
+    deterministic hash-prefix samples of the corpus plus the implied
+    exponent beta between consecutive prefixes — the corpus-health
+    signal per-doc scorers can't see (template floods push beta to 0,
+    id/binary spill toward 1). Prefix membership is hash_unit(doc_id)
+    < f (filtering.py:141), NEVER a global sort; V_j/T_j come from
+    interval-bucketing two bounded aggregates
+    (functions/text.py::vocab_growth_curve)."""
+    from zparse_spark.functions.text import vocab_growth_curve
+
+    return vocab_growth_curve(
+        _t(spark, sf_dir, "documents"), fractions=(0.1, 0.25, 0.5, 0.75, 1.0), seed=0
+    )
+
+
+_SIMPSON_SQL = """
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    per AS (
+      SELECT grp, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM base GROUP BY grp
+    ),
+    pooled AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy
+      FROM per
+    ),
+    pr AS (
+      SELECT CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             END AS r_pooled
+      FROM pooled
+    )
+    SELECT per.grp AS l_returnflag, per.n,
+           CASE WHEN per.n >= 2 AND per.n * per.sxx - per.sx * per.sx > 0
+                     AND per.n * per.syy - per.sy * per.sy > 0
+                THEN round(CAST(per.n * per.sxy - per.sx * per.sy AS DOUBLE)
+                           / sqrt(CAST(per.n * per.sxx - per.sx * per.sx AS DOUBLE)
+                                  * CAST(per.n * per.syy - per.sy * per.sy AS DOUBLE)), 6)
+           END AS r_group,
+           pr.r_pooled,
+           CASE WHEN per.n >= 2 AND per.n * per.sxx - per.sx * per.sx > 0
+                     AND per.n * per.syy - per.sy * per.sy > 0
+                     AND pr.r_pooled IS NOT NULL
+                THEN (round(CAST(per.n * per.sxy - per.sx * per.sy AS DOUBLE)
+                            / sqrt(CAST(per.n * per.sxx - per.sx * per.sx AS DOUBLE)
+                                   * CAST(per.n * per.syy - per.sy * per.sy AS DOUBLE)), 6)
+                      * pr.r_pooled) < 0
+           END AS sign_flip
+    FROM per, pr
+"""
+
+
+@register("stats_simpson_lineitem", _SIMPSON_SQL)
+def stats_simpson_lineitem(spark, sf_dir):
+    """Simpson's-paradox audit (X183): per-group Pearson r of
+    (quantity, extendedprice cents) next to the POOLED r, flagging
+    groups whose association runs opposite the pooled sign — the
+    confounded-metric trap a single corr matrix can't show. Six exact
+    BIGINT moment sums per group in ONE map-side-combined groupBy;
+    pooled moments fold from the bounded per-group table
+    (operators/stats.py::simpson_audit)."""
+    from zparse_spark.operators.stats import simpson_audit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    return simpson_audit(li, "x", "y", "l_returnflag")
+
+
+_MAGNITUDE_SQL = """
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+                  THEN o_totalprice * 100 ELSE o_totalprice END AS v
+      FROM orders
+    ),
+    nz AS (SELECT grp, abs(v) AS av FROM base WHERE v IS NOT NULL AND abs(v) > 0),
+    dec AS (
+      SELECT grp,
+             CASE WHEN av >= 1
+                  THEN length(CAST(CAST(floor(av) AS BIGINT) AS VARCHAR)) - 1
+                  ELSE -1 END AS decade
+      FROM nz
+    ),
+    counts AS (SELECT grp, decade, count(*) AS n FROM dec GROUP BY grp, decade),
+    ranked AS (
+      SELECT grp, decade, n,
+             sum(n) OVER (PARTITION BY grp) AS n_group,
+             row_number() OVER (PARTITION BY grp ORDER BY n DESC, decade ASC) AS rk
+      FROM counts
+    ),
+    top AS (
+      SELECT grp, n_group,
+             max(CASE WHEN rk = 1 THEN decade END) AS top_decade,
+             max(CASE WHEN rk = 1 THEN n END) AS top_n,
+             max(CASE WHEN rk = 2 THEN decade END) AS second_decade,
+             max(CASE WHEN rk = 2 THEN n END) AS second_n
+      FROM ranked WHERE rk <= 2 GROUP BY grp, n_group
+    )
+    SELECT grp AS o_orderpriority, n_group AS n_values,
+           top_decade,
+           round(CAST(top_n AS DOUBLE) / n_group, 6) AS top_share,
+           second_decade,
+           CASE WHEN second_n IS NOT NULL
+                THEN round(CAST(second_n AS DOUBLE) / n_group, 6) END AS second_share,
+           coalesce(CAST(second_n AS DOUBLE) / n_group >= 0.2
+                    AND CAST(top_n AS DOUBLE) / n_group >= 0.2
+                    AND abs(top_decade - second_decade) >= 3, FALSE) AS split_flag
+    FROM top
+"""
+
+
+@register("audit_magnitude_orders", _MAGNITUDE_SQL)
+def audit_magnitude_orders(spark, sf_dir):
+    """Unit-consistency audit (X184): per-priority decimal-magnitude
+    modes of |o_totalprice|, with a planted cents-into-dollars mixup
+    (URGENT ∧ even orderkey scaled ×100) that must trip split_flag —
+    two >=20%-mass decades >=3 apart is the signature of a units
+    mixup that variance smears into noise. Decades are EXACT integer
+    digit counts, never float log10; one map-side-combined groupBy on
+    (group, decade), windows only on that bounded table
+    (operators/stats.py::magnitude_profile)."""
+    from zparse_spark.operators.stats import magnitude_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0),
+            F.col("o_totalprice") * 100,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    return magnitude_profile(o, "v", "o_orderpriority", min_share=0.2, min_gap=3)
+
+
+_CONTAIN_CTES = r"""inp AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT 'q_' || CAST(doc_id AS VARCHAR), substr(text, 40, 160)
+      FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 240
+    ),
+    d AS (
+      SELECT doc_id, lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS t
+      FROM inp
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN list_transform(range(1, length(t) - 8 + 2),
+                                      i -> md5(substring(t, CAST(i AS INT), 8)))
+                  ELSE [md5(t)] END AS hs
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT))))
+                    ELSE [list_min(hs)] END) AS fps
+      FROM h
+    ),
+    post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    sz AS (SELECT doc_id, len(fps) AS n_fp FROM f),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+      FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cpairs AS (
+      SELECT s.id_a, s.id_b, s.shared_fp, za.n_fp AS n_fp_a, zb.n_fp AS n_fp_b,
+             round(CAST(s.shared_fp AS DOUBLE) / (za.n_fp + zb.n_fp - s.shared_fp), 6) AS jaccard,
+             round(CAST(s.shared_fp AS DOUBLE) / za.n_fp, 6) AS containment_a_in_b,
+             round(CAST(s.shared_fp AS DOUBLE) / zb.n_fp, 6) AS containment_b_in_a
+      FROM shared s
+      JOIN sz za ON za.doc_id = s.id_a
+      JOIN sz zb ON zb.doc_id = s.id_b
+    )"""
+
+
+@register(
+    "dedup_containment_documents",
+    f"""
+    WITH {_CONTAIN_CTES}
+    SELECT * FROM cpairs
+    WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
+    """,
+)
+def dedup_containment_documents(spark, sf_dir):
+    """Asymmetric containment over winnowing fingerprints (X185):
+    |FP(A)∩FP(B)| / |FP(A)| — the quote-inclusion relation Jaccard
+    structurally misses (a 160-char excerpt inside a 550-char page has
+    tiny Jaccard but ~1.0 containment from the excerpt side). Planted
+    'q_<id>' excerpt docs (substr 40..200 of every 9th long doc) must
+    surface with high containment_a_in_b. Same bucketed inverted-index
+    pipeline as X151 — only the trailing filter changes
+    (operators/dedup.py::winnowing_containment)."""
+    from zparse_spark.operators.dedup import winnowing_containment
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 9 == 0) & (F.length("text") >= 240))
+        .select(
+            F.concat(F.lit("q_"), F.col("doc_id").cast("string")).alias("doc_id"),
+            F.substring("text", 40, 160).alias("text"),
+        )
+    )
+    return winnowing_containment(
+        d.unionByName(planted), k=8, w=4, threshold=0.8
+    )

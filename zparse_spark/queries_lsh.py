@@ -979,3 +979,92 @@ def dedup_yield_report(spark, sf_dir):
             (F.col("cluster_size") - 1) * F.col("n_clusters") / F.lit(int(total)), 6
         ).alias("removed_share"),
     )
+
+
+# --- Cluster label-consistency audit (X186) ----------------------------
+
+
+def _label_audit_oracle_sql() -> str:
+    """Same recursive-CTE closure as the cluster twin, then each
+    component's label variety is counted after the planted 'dup_' copies
+    are relabeled (lang='xx', source='planted') — every planted
+    component must surface as mixed."""
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+pairs AS (
+  {pairs_select}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT c.node, c.component,
+         CASE WHEN c.node LIKE 'dup_%' THEN 'xx' ELSE d.lang END AS lang,
+         CASE WHEN c.node LIKE 'dup_%' THEN 'planted' ELSE d.source END AS source
+  FROM comp c
+  JOIN documents d
+    ON CAST(d.doc_id AS VARCHAR) = replace(c.node, 'dup_', '')
+)
+SELECT component, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       min(lang) AS lang_min, max(lang) AS lang_max
+FROM labeled
+GROUP BY component
+HAVING count(DISTINCT lang) > 1 OR count(DISTINCT source) > 1"""
+
+
+@register("dedup_cluster_label_audit", _label_audit_oracle_sql())
+def dedup_cluster_label_audit(spark, sf_dir):
+    """Metadata-consistency audit over near-dup clusters (X186):
+    components whose members DISAGREE on lang or source — mislabeled
+    metadata, crawler mirrors filed under different sources, or (as
+    planted here: the 'dup_' copies carry lang='xx'/source='planted')
+    corrupted label propagation. The keep-rule needs this list: picking
+    a representative from a label-mixed cluster silently picks its
+    metadata too. Pure composition of two oracled stages — md5-MinHash
+    pairs → min-label components (X12 family) — plus ONE groupBy on the
+    cluster-membership table (O(paired docs), never the corpus) with a
+    broadcast-friendly join back to labels."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup, resolve_duplicate_clusters
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED
+    )
+    comp = resolve_duplicate_clusters(pairs)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("base_id"), "lang", "source"
+    )
+    is_planted = F.col("doc_id").startswith("dup_")
+    labeled = (
+        comp.withColumn("base_id", F.regexp_replace("doc_id", "^dup_", ""))
+        .join(base, "base_id")
+        .select(
+            F.col("rep_id").alias("component"),
+            F.when(is_planted, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+            F.when(is_planted, F.lit("planted"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+    )
+    out = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("lang").alias("lang_min"),
+        F.max("lang").alias("lang_max"),
+    )
+    return out.filter((F.col("n_langs") > 1) | (F.col("n_sources") > 1))
