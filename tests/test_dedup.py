@@ -588,3 +588,29 @@ def test_winnowing_containment_finds_embedded_quote(spark):
     assert r["containment_b_in_a"] >= 0.9  # quote inside page
     assert r["jaccard"] < 0.5  # invisible to the symmetric pair op
     assert winnowing_pairs(df, threshold=0.5).count() == 0
+
+
+def test_pair_threshold_sweep_hand_case(spark):
+    """Hand-checkable curve: pairs at scores .95/.80/.55/.30 over docs
+    a-e. n_pairs(t) counts pairs >= t; n_docs(t) counts docs whose MAX
+    pair >= t (doc c's .55 pair must not re-count it at .8 where its
+    .80 pair already does... i.e. docs count once via their max)."""
+    from zparse_spark.operators.dedup import pair_threshold_sweep
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.95),
+            ("b", "c", 0.80),
+            ("c", "d", 0.55),
+            ("d", "e", 0.30),
+            ("a", "e", None),  # unscored pair: dropped
+        ],
+        "id_a string, id_b string, jaccard double",
+    )
+    out = {r["threshold"]: r for r in pair_threshold_sweep(pairs).collect()}
+    assert set(out) == {round(k / 20, 6) for k in range(10, 21)}
+    assert out[0.95]["n_pairs"] == 1 and out[0.95]["n_docs"] == 2  # a,b
+    assert out[0.8]["n_pairs"] == 2 and out[0.8]["n_docs"] == 3  # a,b,c
+    assert out[0.55]["n_pairs"] == 3 and out[0.55]["n_docs"] == 4  # +d
+    assert out[0.5]["n_pairs"] == 3 and out[0.5]["n_docs"] == 4  # .30 below grid
+    assert out[1.0]["n_pairs"] == 0 and out[1.0]["n_docs"] == 0

@@ -1184,3 +1184,71 @@ def winnowing_containment(
             "containment_b_in_a",
         )
     )
+
+
+def pair_threshold_sweep(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score: str = "jaccard",
+    step: int = 20,
+    min_bin: int = 10,
+) -> DataFrame:
+    """Threshold-calibration sweep over a scored pair table: for every
+    candidate threshold t = k/step (k = min_bin..step), how many pairs
+    score >= t and how many DOCS are touched by at least one such pair
+    — the sensitivity curve a dedup owner reads before committing a
+    verify threshold to a 100 TB run ("0.80 removes 4% of the corpus,
+    0.70 removes 19%" is a decision; a single-threshold yield report is
+    not). Calibrate on a bounded slice, apply the chosen t globally —
+    the same sample-then-commit discipline as the X13 trained codebook.
+
+    Both curves are cumulative counts over a BOUNDED bin table: pairs
+    bin by floor(score*step) (one groupBy), docs bin by each doc's MAX
+    pair score (pairs explode to 2 rows -> one groupBy(doc) -> one
+    groupBy(bin)), and the >=t cumulatives are windows over <=step+1
+    rows. Nothing beyond the pair table itself is ever re-scanned, and
+    the pair table only streams through two small groupBys — safe even
+    when the sweep input is the full verified pair set.
+
+    Binning note: floor(score*step) on the same IEEE double is
+    identical cross-engine; a pair AT a bin edge lands in the upper bin
+    on both sides. NULL scores are dropped (a pair with no score is not
+    evidence at any threshold).
+    """
+    p = pairs.filter(F.col(score).isNotNull()).select(
+        F.col(id_a).alias("_a"), F.col(id_b).alias("_b"), F.col(score).alias("_s")
+    )
+    pbin = F.least(F.floor(F.col("_s") * step).cast("int"), F.lit(step))
+    pair_bins = p.select(pbin.alias("bin")).groupBy("bin").count()
+    doc_bins = (
+        p.select(F.explode(F.array("_a", "_b")).alias("_id"), F.col("_s"))
+        .groupBy("_id")
+        .agg(F.max("_s").alias("_m"))
+        .select(
+            F.least(F.floor(F.col("_m") * step).cast("int"), F.lit(step)).alias("bin")
+        )
+        .groupBy("bin")
+        .count()
+    )
+    grid = pairs.sparkSession.createDataFrame(
+        [(k,) for k in range(min_bin, step + 1)], "bin int"
+    )
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        grid.join(pair_bins.withColumnRenamed("count", "_np"), "bin", "left")
+        .join(doc_bins.withColumnRenamed("count", "_nd"), "bin", "left")
+        .select(
+            "bin",
+            F.sum(F.coalesce(F.col("_np"), F.lit(0))).over(w).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_nd"), F.lit(0))).over(w).alias("n_docs"),
+        )
+    )
+    return curve.select(
+        F.round(F.col("bin").cast("double") / step, 6).alias("threshold"),
+        "n_pairs",
+        "n_docs",
+    )

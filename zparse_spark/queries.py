@@ -8263,3 +8263,145 @@ def dedup_containment_documents(spark, sf_dir):
     return winnowing_containment(
         d.unionByName(planted), k=8, w=4, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold-calibration sweep + freshness audit (X187-X188)
+# ---------------------------------------------------------------------------
+
+
+_SWEEP_SQL = r"""
+    WITH inp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra mutant tokens appended here'
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 2, 1)),
+               i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i, 3)
+             )) AS sh
+      FROM inp
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    pb AS (
+      SELECT least(CAST(floor(j * 20) AS INT), 20) AS bin, count(*) AS np
+      FROM pairs GROUP BY 1
+    ),
+    dm AS (
+      SELECT id, max(j) AS m FROM (
+        SELECT id_a AS id, j FROM pairs UNION ALL SELECT id_b, j FROM pairs
+      ) GROUP BY id
+    ),
+    db AS (
+      SELECT least(CAST(floor(m * 20) AS INT), 20) AS bin, count(*) AS nd
+      FROM dm GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(10, 21)) AS bin),
+    curve AS (
+      SELECT g.bin,
+             sum(coalesce(pb.np, 0)) OVER (ORDER BY g.bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pairs,
+             sum(coalesce(db.nd, 0)) OVER (ORDER BY g.bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_docs
+      FROM grid g
+      LEFT JOIN pb ON pb.bin = g.bin
+      LEFT JOIN db ON db.bin = g.bin
+    )
+    SELECT round(CAST(bin AS DOUBLE) / 20, 6) AS threshold, n_pairs, n_docs
+    FROM curve
+"""
+
+
+@register("dedup_threshold_sweep", _SWEEP_SQL)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Threshold-calibration sweep (X187): pairs and touched docs at
+    every candidate verify threshold 0.5..1.0, from ONE scoring pass
+    over a bounded calibration slice (doc_id < 200 + planted partial
+    mutants spreading the mid-range) — the sensitivity curve that turns
+    'pick 0.8' into a measured decision before committing the threshold
+    to a 100 TB run. Cumulatives are windows over a <=21-row bin table
+    (operators/dedup.py::pair_threshold_sweep)."""
+    from zparse_spark.operators.dedup import ngram_jaccard_pairs, pair_threshold_sweep
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mut = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" extra mutant tokens appended here")).alias("text"),
+    )
+    d = base.select("doc_id", "text").unionByName(mut)
+    ids = d.select(F.col("doc_id").alias("id_a"))
+    ids_b = d.select(F.col("doc_id").alias("id_b"))
+    cands = ids.crossJoin(ids_b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = ngram_jaccard_pairs(d, cands, k_shingle=3, mode="char", threshold=0.0)
+    return pair_threshold_sweep(pairs, step=20, min_bin=10)
+
+
+_FRESH_SQL = """
+    WITH inp AS (
+      SELECT event_type, ts FROM events
+      UNION ALL
+      SELECT 'legacy_import', ts - INTERVAL 20 DAY FROM events
+      WHERE event_type = 'click'
+    ),
+    g AS (SELECT max(ts) AS gmax FROM inp),
+    per AS (
+      SELECT event_type, count(*) AS n, max(ts) AS last_ts
+      FROM inp GROUP BY event_type
+    )
+    SELECT per.event_type, per.n, per.last_ts,
+           (epoch_us(g.gmax) - epoch_us(per.last_ts)) // 3600000000 AS lag_hours,
+           ((epoch_us(g.gmax) - epoch_us(per.last_ts)) // 3600000000) >= 72 AS stale
+    FROM per, g
+"""
+
+
+@register("audit_freshness_events", _FRESH_SQL)
+def audit_freshness_events(spark, sf_dir):
+    """Ingestion-freshness audit (X188): per event type, the lag from
+    its newest event to the stream's global high-water mark — the
+    silently-dead-feed detector (a type whose loader stopped three
+    weeks ago still has rows, counts, and healthy distributions; only
+    its lag betrays it — planted here as 'legacy_import', a 20-day-old
+    shadow of click). Deterministic: anchored to the data's OWN max,
+    never wall-clock now(). Lag is exact integer microsecond
+    arithmetic floor-divided to hours. Two tiny aggs: one
+    map-side-combined groupBy(type) + a 1-row global max broadcast
+    back — nothing rescans the events."""
+    ev = _t(spark, sf_dir, "events")
+    inp = ev.select("event_type", "ts").unionByName(
+        ev.filter(F.col("event_type") == "click").select(
+            F.lit("legacy_import").alias("event_type"),
+            (F.col("ts") - F.expr("INTERVAL 20 DAYS")).alias("ts"),
+        )
+    )
+    per = inp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+    g = inp.agg(F.max("ts").alias("_gmax"))
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast's tz
+    # interpretation cancels in the difference, so the lag is exact
+    lag = F.floor(
+        (
+            F.unix_micros(F.col("_gmax").cast("timestamp"))
+            - F.unix_micros(F.col("last_ts").cast("timestamp"))
+        )
+        / F.lit(3600000000)
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            "last_ts",
+            lag.alias("lag_hours"),
+            (lag >= 72).alias("stale"),
+        )
+    )

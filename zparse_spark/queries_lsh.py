@@ -1068,3 +1068,101 @@ def dedup_cluster_label_audit(spark, sf_dir):
         F.max("lang").alias("lang_max"),
     )
     return out.filter((F.col("n_langs") > 1) | (F.col("n_sources") > 1))
+
+
+# --- Dedup token yield: the before/after-dedup TOKEN count (X189) -------
+
+
+def _token_yield_oracle_sql() -> str:
+    """Recursive-CTE closure over the md5-MinHash pairs (the X12 twin),
+    then token mass before vs after keeping one representative per
+    component (min id) plus every unpaired doc."""
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+pairs AS (
+  {pairs_select}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM input
+),
+kept AS (
+  SELECT t.doc_id, t.n_tok
+  FROM tok t LEFT JOIN comp c ON c.node = t.doc_id
+  WHERE c.node IS NULL OR c.node = c.rep
+)
+SELECT (SELECT count(*) FROM tok) AS n_docs_total,
+       (SELECT count(*) FROM kept) AS n_docs_kept,
+       (SELECT sum(n_tok) FROM tok) AS tokens_total,
+       (SELECT sum(n_tok) FROM kept) AS tokens_kept,
+       round(CAST((SELECT sum(n_tok) FROM kept) AS DOUBLE)
+             / (SELECT sum(n_tok) FROM tok), 6) AS token_yield"""
+
+
+@register("dedup_token_yield", _token_yield_oracle_sql())
+def dedup_token_yield(spark, sf_dir):
+    """Effective dataset size after dedup, in TOKENS (X189): total
+    whitespace-token mass vs the mass surviving one-representative-
+    per-component — the number a training-data team actually quotes
+    (docs removed is vanity; tokens removed is epochs). Composition of
+    oracled stages: md5-MinHash pairs → min-label components (X12) →
+    anti-join keep set; token counts are the build_vocabulary
+    tokenization in a map-only projection, and the final figure is one
+    global agg of two bounded legs. At 100 TB the corpus is scanned
+    once for tokens and once for shingles — the component table is
+    O(paired docs)."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup, resolve_duplicate_clusters
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED
+    )
+    comp = resolve_duplicate_clusters(pairs)
+    tok = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("n_tok"),
+    )
+    kept = (
+        tok.join(comp, "doc_id", "left")
+        .filter(F.col("rep_id").isNull() | (F.col("doc_id") == F.col("rep_id")))
+        .select("n_tok")
+    )
+    total = tok.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("n_tok").alias("tokens_total"),
+    )
+    keep = kept.agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+    return total.crossJoin(keep).select(
+        "n_docs_total",
+        "n_docs_kept",
+        "tokens_total",
+        "tokens_kept",
+        F.round(
+            F.col("tokens_kept").cast("double") / F.col("tokens_total"), 6
+        ).alias("token_yield"),
+    )
