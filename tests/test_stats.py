@@ -1748,3 +1748,50 @@ def test_magnitude_profile_flags_units_mixup(spark):
     assert c["split_flag"] is False and c["n_values"] == 10  # 0/NULL excluded
     t = out["tiny"]
     assert t["top_decade"] == -1 and t["split_flag"] is False
+
+
+def test_source_influence_algebra(spark):
+    """Hand case for the jackknife recombination: corpus of two
+    sources, A = {10, 20}, B = {60}. mean_all = 30; without A = 60,
+    without B = 15 -> influence(A) = -30, influence(B) = +15. A corpus
+    with ONE source emits nothing (leave-one-out undefined)."""
+    import zparse_spark.queries as q
+
+    df = spark.createDataFrame(
+        [("A", 10), ("A", 20), ("B", 60)], "source string, n_chars long"
+    )
+
+    class _FakeReader:
+        def parquet(self, path):
+            return df
+
+    class _FakeSpark:
+        read = _FakeReader()
+
+    out = {r["source"]: r for r in q.audit_source_influence(_FakeSpark(), "x").collect()}
+    assert out["A"]["influence"] == -30.0 and out["A"]["mean_excl"] == 60.0
+    assert out["B"]["influence"] == 15.0 and out["B"]["mean_excl"] == 15.0
+
+
+def test_embedding_dim_profile_detects_collapse(spark):
+    """Collapse detector: dim 0 varies (+-1), dims 1-2 constant ->
+    dim 0 must hold ~100% of the trace; constant dims have variance 0.
+    Exact micro-unit quantization makes the shares exact."""
+    import zparse_spark.queries as q
+
+    df = spark.createDataFrame(
+        [([float(1 if i % 2 else -1), 0.5, -0.25],) for i in range(40)],
+        "embedding array<double>",
+    )
+
+    class _FakeReader:
+        def parquet(self, path):
+            return df
+
+    class _FakeSpark:
+        read = _FakeReader()
+
+    out = {r["dim"]: r for r in q.embedding_dim_profile(_FakeSpark(), "x").collect()}
+    assert out[0]["share_of_trace"] == 1.0 and out[0]["variance"] == 1.0
+    assert out[1]["variance"] == 0.0 and out[1]["mean"] == 0.5
+    assert out[2]["share_of_trace"] == 0.0

@@ -8405,3 +8405,136 @@ def audit_freshness_events(spark, sf_dir):
             (lag >= 72).alias("stale"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-influence jackknife + embedding dimension profile (X190-X191)
+# ---------------------------------------------------------------------------
+
+
+_INFLUENCE_SQL = """
+    WITH per AS (
+      SELECT source, count(*) AS n, sum(n_chars) AS t
+      FROM documents GROUP BY source
+    ),
+    g AS (SELECT sum(n) AS gn, sum(t) AS gt FROM per)
+    SELECT per.source, per.n AS n_docs,
+           round(CAST(per.t AS DOUBLE) / per.n, 6) AS mean_source,
+           round(CAST(g.gt - per.t AS DOUBLE) / (g.gn - per.n), 6) AS mean_excl,
+           round(CAST(g.gt AS DOUBLE) / g.gn
+                 - CAST(g.gt - per.t AS DOUBLE) / (g.gn - per.n), 6) AS influence
+    FROM per, g
+    WHERE g.gn > per.n
+"""
+
+
+@register("audit_source_influence", _INFLUENCE_SQL)
+def audit_source_influence(spark, sf_dir):
+    """Leave-one-out source influence (X190): how much each source
+    MOVES the corpus-wide mean doc length — the jackknife robustness
+    check for any headline corpus metric ("is our average quality
+    carried by one crawl?"). influence_s = mean_all − mean_without_s,
+    recombined ALGEBRAICALLY from exact integer (count, sum) partials:
+    one map-side-combined groupBy(source), the global totals fold from
+    that bounded table and broadcast back — the corpus is scanned once,
+    and no per-source rescan ever happens (the naive jackknife is
+    |sources| scans; this is the same number exactly)."""
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("t"))
+    )
+    g = per.agg(F.sum("n").alias("gn"), F.sum("t").alias("gt"))
+    mean_excl = (F.col("gt") - F.col("t")).cast("double") / (
+        F.col("gn") - F.col("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .filter(F.col("gn") > F.col("n"))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("t").cast("double") / F.col("n"), 6).alias("mean_source"),
+            F.round(mean_excl, 6).alias("mean_excl"),
+            F.round(
+                F.col("gt").cast("double") / F.col("gn") - mean_excl, 6
+            ).alias("influence"),
+        )
+    )
+
+
+_DIM_PROFILE_SQL = """
+    WITH q AS (
+      SELECT u.dim - 1 AS dim, CAST(round(u.x * 1000000) AS BIGINT) AS xq
+      FROM (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+      ) u
+    ),
+    per AS (
+      SELECT dim, count(*) AS n, sum(xq) AS s, sum(xq * xq) AS ss
+      FROM q GROUP BY dim
+    ),
+    v AS (
+      SELECT dim, n,
+             round(CAST(s AS DOUBLE) / n / 1000000, 6) AS mean,
+             (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) AS vnum,
+             CAST(n AS HUGEINT) * n AS vden
+      FROM per
+    ),
+    tr AS (SELECT sum(CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE)) AS trace FROM v)
+    SELECT v.dim, v.n, v.mean,
+           round(CAST(v.vnum AS DOUBLE) / CAST(v.vden AS DOUBLE) / 1e12, 6) AS variance,
+           round((CAST(v.vnum AS DOUBLE) / CAST(v.vden AS DOUBLE)) / tr.trace, 6)
+             AS share_of_trace
+    FROM v, tr
+"""
+
+
+@register("embedding_dim_profile", _DIM_PROFILE_SQL)
+def embedding_dim_profile(spark, sf_dir):
+    """Per-dimension embedding profile (X191): mean, variance and each
+    dimension's SHARE of the total variance (trace) — the dimensional-
+    collapse detector for embedding health (a healthy encoder spreads
+    variance; one dimension hogging the trace means the ANN distances
+    are effectively 1-D and recall claims are fiction). Values are
+    quantized to exact integer micro-units BEFORE summing (the X150
+    micro-nat discipline) so every moment is exact DECIMAL/HUGEINT
+    arithmetic — float sum order can never flip a 6dp digit
+    cross-engine. One posexplode (bounded: 64 dims/row) + ONE
+    map-side-combined groupBy(dim); the trace folds from the 64-row
+    table."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    q = e.select(
+        "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("xq")
+    )
+    per = q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s"),
+        F.sum(F.col("xq").cast("decimal(19,0)") * F.col("xq")).alias("ss"),
+    )
+    vnum = (
+        F.col("n").cast("decimal(38,0)") * F.col("ss")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    vden = F.col("n").cast("decimal(38,0)") * F.col("n")
+    v = per.select(
+        "dim",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / 1000000, 6).alias("mean"),
+        (vnum.cast("double") / vden.cast("double")).alias("_var"),
+    )
+    tr = v.agg(F.sum("_var").alias("_trace"))
+    return (
+        v.crossJoin(F.broadcast(tr))
+        .select(
+            "dim",
+            "n",
+            "mean",
+            F.round(F.col("_var") / 1e12, 6).alias("variance"),
+            F.round(F.col("_var") / F.col("_trace"), 6).alias("share_of_trace"),
+        )
+    )
