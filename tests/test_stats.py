@@ -1795,3 +1795,27 @@ def test_embedding_dim_profile_detects_collapse(spark):
     assert out[0]["share_of_trace"] == 1.0 and out[0]["variance"] == 1.0
     assert out[1]["variance"] == 0.0 and out[1]["mean"] == 0.5
     assert out[2]["share_of_trace"] == 0.0
+
+
+def test_mwu_drift_hand_cases(spark):
+    """Exact hand cases on a 4-bin grid: complete separation gives
+    r = ±1 with U at its extremes; a fully-tied table has zero
+    tie-corrected variance -> z NULL (never a divide blow-up)."""
+    from zparse_spark.operators.stats import mwu_drift_scores
+
+    sep = spark.createDataFrame(
+        [("A", 0.5), ("A", 1.5), ("B", 2.5), ("B", 3.5)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in mwu_drift_scores(sep, "v", "g", 0.0, 4.0, 4).collect()}
+    assert int(out["A"]["two_u"]) == 0 and out["A"]["r_rank_biserial"] == -1.0
+    assert int(out["B"]["two_u"]) == 8 and out["B"]["r_rank_biserial"] == 1.0
+    assert out["A"]["z"] < 0 < out["B"]["z"]
+
+    tied = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 1.0)],
+        "g string, v double",
+    )
+    t = {r["g"]: r for r in mwu_drift_scores(tied, "v", "g", 0.0, 4.0, 4).collect()}
+    assert int(t["A"]["two_u"]) == 4  # U = nA*nB/2: pure midrank ties
+    assert t["A"]["r_rank_biserial"] == 0.0 and t["A"]["z"] is None

@@ -2961,3 +2961,122 @@ def magnitude_profile(
         second_share.alias("second_share"),
         flag.alias("split_flag"),
     )
+
+
+def mwu_drift_scores(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Binned two-sample Mann–Whitney U per group (group vs the REST of
+    the table): the RANK-location drift test that completes the numeric
+    drift family — KS sees the max CDF gap, EMD the transported mass,
+    PSI/KL the density ratio; MWU answers the monitoring question those
+    don't: "does this group's distribution sit systematically
+    higher/lower than everything else, and is the shift bigger than
+    chance?" with a significance scale (z) and an effect size
+    (rank-biserial r) that are robust to outliers a mean-shift test
+    chases.
+
+    Exactness: U is computed from the binned counts with the standard
+    midrank tie treatment — every element of the group beats all
+    complement elements in LOWER bins and half the complement elements
+    in ITS bin, so 2U = Σ_b b_b·(2·cumA_<b + a_b) is EXACT integer
+    arithmetic (the ×2 absorbs the half-tie), accumulated in
+    DECIMAL(38,0) (2U ≤ nA·nB ~ 10^24 at 10^12 rows — BIGINT dies at
+    ~10^18, DuckDB's HUGEINT twin matches). The normal approximation
+    uses the exact tie-corrected variance: Var U = nA·nB/12·[(n+1) −
+    T/(n(n−1))], T = Σ(t³−t) over bins (t = the bin's TOTAL count —
+    identical for every group, folded once from the global bin table).
+    z and r are two trailing float expressions over those exact
+    integers, rounded to 6dp.
+
+    Scale shape: ONE groupBy(group, bin) scan (map-side combined,
+    |groups|×n_bins rows), the global bin table folds from it and
+    broadcasts back; windows run per group on the densified
+    ≤n_bins-row frames. Same [lo, hi] fixed-grid contract as
+    ks_drift_scores (edges from a prior stats pass; out-of-range
+    clamps into the edge bins).
+    """
+    step = (hi - lo) / n_bins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / step).cast("long"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    grid = counts.select("grp").distinct().crossJoin(F.broadcast(bins))
+    dense = grid.join(counts, ["grp", "bin"], "left").select(
+        "grp", "bin", F.coalesce("n", F.lit(0)).alias("b")
+    )
+    gd = F.col("gn").cast("decimal(38,0)")
+    glob = (
+        dense.groupBy("bin")
+        .agg(F.sum("b").alias("gn"))
+        .select(
+            "bin",
+            "gn",
+            (gd * F.col("gn") * F.col("gn") - gd).alias("_t3t"),
+        )
+    )
+    j = dense.join(F.broadcast(glob), "bin").select(
+        "grp", "bin", "b", (F.col("gn") - F.col("b")).alias("a")
+    )
+    w_before = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = j.select(
+        "grp",
+        "b",
+        "a",
+        (
+            F.col("b").cast("decimal(38,0)")
+            * (
+                2 * F.coalesce(F.sum("a").over(w_before), F.lit(0)) + F.col("a")
+            ).cast("decimal(38,0)")
+        ).alias("_2u"),
+    )
+    per = terms.groupBy("grp").agg(
+        F.sum("b").alias("nb"),
+        F.sum("a").alias("na"),
+        F.sum("_2u").alias("two_u"),
+    )
+    tglob = glob.agg(F.sum("_t3t").alias("_T"))
+    nA, nB = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = F.col("na") + F.col("nb")
+    nd = n.cast("double")
+    var_u = (
+        nA
+        * nB
+        * ((nd + 1.0) - F.col("_T").cast("double") / (nd * (nd - 1.0)))
+        / 12.0
+    )
+    num = F.col("two_u").cast("double") - nA * nB
+    z = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0) & (var_u > 0),
+        F.round(num / (2.0 * F.sqrt(var_u)), 6),
+    )
+    r = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(num / (nA * nB), 6),
+    )
+    return (
+        per.crossJoin(F.broadcast(tglob))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("nb").alias("n_group"),
+            F.col("na").alias("n_rest"),
+            "two_u",
+            r.alias("r_rank_biserial"),
+            z.alias("z"),
+        )
+    )

@@ -8538,3 +8538,97 @@ def embedding_dim_profile(spark, sf_dir):
             F.round(F.col("_var") / F.col("_trace"), 6).alias("share_of_trace"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned Mann-Whitney rank drift (X192)
+# ---------------------------------------------------------------------------
+
+
+_MWU_SQL = """
+    WITH inp AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+      UNION ALL
+      SELECT '9-SHIFTED', o_totalprice * 1.5 FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    vals AS (
+      SELECT g,
+             least(greatest(CAST(floor((v - 0.0) / 18750.0) AS BIGINT), 0), 31) AS bin
+      FROM inp WHERE v IS NOT NULL
+    ),
+    counts AS (SELECT g, bin, count(*) AS b FROM vals GROUP BY 1, 2),
+    grid AS (SELECT gg.g, r.bin
+             FROM (SELECT DISTINCT g FROM counts) gg, range(32) r(bin)),
+    dense AS (SELECT grid.g, grid.bin, coalesce(c.b, 0) AS b
+              FROM grid LEFT JOIN counts c ON c.g = grid.g AND c.bin = grid.bin),
+    gbin AS (SELECT bin, sum(b) AS gn FROM dense GROUP BY bin),
+    tg AS (SELECT sum(CAST(gn AS HUGEINT) * gn * gn - gn) AS T FROM gbin),
+    j AS (SELECT d.g, d.bin, d.b, gl.gn - d.b AS a
+          FROM dense d JOIN gbin gl ON gl.bin = d.bin),
+    terms AS (
+      SELECT g, b, a,
+             CAST(b AS HUGEINT)
+               * (2 * coalesce(sum(a) OVER (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + a)
+               AS u2
+      FROM j
+    ),
+    per AS (
+      SELECT g, sum(b) AS nb, sum(a) AS na, sum(u2) AS two_u
+      FROM terms GROUP BY g
+    )
+    SELECT per.g AS o_orderpriority,
+           per.nb AS n_group, per.na AS n_rest,
+           CAST(per.two_u AS BIGINT) AS two_u,
+           CASE WHEN per.na > 0 AND per.nb > 0 THEN
+             round((CAST(per.two_u AS DOUBLE) - CAST(per.na AS DOUBLE) * per.nb)
+                   / (CAST(per.na AS DOUBLE) * per.nb), 6) END AS r_rank_biserial,
+           CASE WHEN per.na > 0 AND per.nb > 0 AND
+                     CAST(per.na AS DOUBLE) * per.nb
+                     * ((CAST(per.na + per.nb AS DOUBLE) + 1.0)
+                        - CAST(tg.T AS DOUBLE)
+                          / (CAST(per.na + per.nb AS DOUBLE)
+                             * (CAST(per.na + per.nb AS DOUBLE) - 1.0)))
+                     / 12.0 > 0 THEN
+             round((CAST(per.two_u AS DOUBLE) - CAST(per.na AS DOUBLE) * per.nb)
+                   / (2.0 * sqrt(CAST(per.na AS DOUBLE) * per.nb
+                       * ((CAST(per.na + per.nb AS DOUBLE) + 1.0)
+                          - CAST(tg.T AS DOUBLE)
+                            / (CAST(per.na + per.nb AS DOUBLE)
+                               * (CAST(per.na + per.nb AS DOUBLE) - 1.0)))
+                       / 12.0)), 6) END AS z
+    FROM per, tg
+"""
+
+
+@register("drift_mwu_totalprice", _MWU_SQL)
+def drift_mwu_totalprice(spark, sf_dir):
+    """Binned Mann-Whitney rank drift (X192): each priority's
+    o_totalprice vs the rest, with a planted '9-SHIFTED' group (x1.5
+    prices) that must show z >> 0 while the organic priorities sit near
+    the null — the rank-location leg of the drift family (KS: max CDF
+    gap; EMD: transported mass; PSI/KL: density ratio; MWU: is the
+    shift bigger than chance, outlier-robustly). 2U and the
+    tie-corrected variance are exact DECIMAL/HUGEINT integer arithmetic
+    from ONE groupBy(group,bin) scan
+    (operators/stats.py::mwu_drift_scores)."""
+    from zparse_spark.operators.stats import mwu_drift_scores
+
+    o = _t(spark, sf_dir, "orders")
+    inp = o.select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 11 == 0).select(
+            F.lit("9-SHIFTED").alias("g"),
+            (F.col("o_totalprice") * 1.5).alias("v"),
+        )
+    )
+    out = mwu_drift_scores(inp, "v", "g", lo=0.0, hi=600000.0, n_bins=32)
+    return out.select(
+        F.col("g").alias("o_orderpriority"),
+        "n_group",
+        "n_rest",
+        F.col("two_u").cast("bigint").alias("two_u"),
+        "r_rank_biserial",
+        "z",
+    )
