@@ -465,3 +465,44 @@ def test_cli_text_audit_and_exemplars_flags(tmp_path, spark):
     ).fetchall()
     assert ex and all(rk <= 2 for _, rk, _ in ex)
     assert any(rule == "S1" for rule, _, _ in ex)
+
+
+def test_expectation_suite_verdicts_and_contract(spark):
+    """All seven kinds verified on a hand table (dup key, null rate
+    over bound, median in band, row count over, bad value, min ok, max
+    over); unknown kind and unknown table raise at plan time."""
+    import pytest
+
+    from zparse_spark.operators.expectations import expectation_suite
+
+    o = spark.createDataFrame(
+        [(1, "O", 100.0), (2, "F", 250.0), (3, "X", None), (3, "O", 900.0)],
+        "k long, status string, price double",
+    )
+    spec = [
+        {"rule_id": "E1", "table": "o", "kind": "unique", "column": "k"},
+        {"rule_id": "E2", "table": "o", "kind": "null_rate_max",
+         "column": "price", "max_rate": 0.2},
+        {"rule_id": "E3", "table": "o", "kind": "quantile_band",
+         "column": "price", "p": 0.5, "lo": 100, "hi": 300},
+        {"rule_id": "E4", "table": "o", "kind": "row_count_between", "lo": 1, "hi": 3},
+        {"rule_id": "E5", "table": "o", "kind": "accepted_values",
+         "column": "status", "values": ["O", "F"]},
+        {"rule_id": "E6", "table": "o", "kind": "min_at_least",
+         "column": "price", "lo": 0},
+        {"rule_id": "E7", "table": "o", "kind": "max_at_most",
+         "column": "price", "hi": 500},
+    ]
+    out = {r["rule_id"]: r for r in expectation_suite({"o": o}, spec).collect()}
+    assert out["E1"]["observed"] == 1.0 and out["E1"]["passed"] is False
+    assert out["E2"]["observed"] == 0.25 and out["E2"]["passed"] is False
+    assert out["E3"]["observed"] == 250.0 and out["E3"]["passed"] is True
+    assert out["E4"]["observed"] == 4.0 and out["E4"]["passed"] is False
+    assert out["E5"]["observed"] == 1.0 and out["E5"]["passed"] is False
+    assert out["E6"]["passed"] is True and out["E7"]["passed"] is False
+
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        expectation_suite({"o": o}, [{"rule_id": "X", "table": "o", "kind": "nope"}])
+    with pytest.raises(ValueError, match="unknown table"):
+        expectation_suite({"o": o}, [{"rule_id": "X", "table": "zz", "kind": "unique",
+                                      "column": "k"}])

@@ -8632,3 +8632,110 @@ def drift_mwu_totalprice(spark, sf_dir):
         "r_rank_biserial",
         "z",
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite (X193)
+# ---------------------------------------------------------------------------
+
+
+_SUITE_SQL = """
+    WITH oagg AS (
+      SELECT count(*) AS n,
+             count(DISTINCT o_orderkey) AS d1, count(o_orderkey) AS c1,
+             count(o_custkey) AS c2,
+             quantile_cont(o_totalprice, 0.95) AS q3,
+             count(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS b4
+      FROM orders
+    ),
+    lagg AS (
+      SELECT count(*) AS n, min(l_quantity) AS m5, max(l_quantity) AS m6
+      FROM lineitem
+    ),
+    dagg AS (
+      SELECT count(*) AS n, count(lang) AS c7,
+             quantile_cont(n_chars, 0.5) AS q8
+      FROM documents
+    )
+    SELECT 'E1' AS rule_id, 'orders' AS "table", 'o_orderkey' AS "column",
+           'unique' AS kind, CAST(c1 - d1 AS DOUBLE) AS observed,
+           0.0 AS bound_lo, 0.0 AS bound_hi, c1 = d1 AS passed FROM oagg
+    UNION ALL
+    SELECT 'E2', 'orders', 'o_custkey', 'null_rate_max',
+           round(CAST(n - c2 AS DOUBLE) / greatest(n, 1), 6),
+           NULL, 0.02, round(CAST(n - c2 AS DOUBLE) / greatest(n, 1), 6) <= 0.02
+    FROM oagg
+    UNION ALL
+    SELECT 'E3', 'orders', 'o_totalprice', 'quantile_band',
+           round(CAST(q3 AS DOUBLE), 6), 150000.0, 400000.0,
+           round(CAST(q3 AS DOUBLE), 6) >= 150000.0
+             AND round(CAST(q3 AS DOUBLE), 6) <= 400000.0 FROM oagg
+    UNION ALL
+    SELECT 'E4', 'orders', 'o_orderstatus', 'accepted_values',
+           CAST(b4 AS DOUBLE), 0.0, 0.0, b4 = 0 FROM oagg
+    UNION ALL
+    SELECT 'E5', 'lineitem', NULL, 'row_count_between',
+           CAST(n AS DOUBLE), 1000.0, 1000000000.0,
+           n >= 1000 AND n <= 1000000000 FROM lagg
+    UNION ALL
+    SELECT 'E6', 'lineitem', 'l_quantity', 'min_at_least',
+           CAST(m5 AS DOUBLE), 0.0, NULL, m5 >= 0.0 FROM lagg
+    UNION ALL
+    SELECT 'E7', 'lineitem', 'l_quantity', 'max_at_most',
+           CAST(m6 AS DOUBLE), NULL, 25.0, m6 <= 25.0 FROM lagg
+    UNION ALL
+    SELECT 'E8', 'documents', 'lang', 'null_rate_max',
+           round(CAST(n - c7 AS DOUBLE) / greatest(n, 1), 6),
+           NULL, 0.5, round(CAST(n - c7 AS DOUBLE) / greatest(n, 1), 6) <= 0.5
+    FROM dagg
+    UNION ALL
+    SELECT 'E9', 'documents', 'n_chars', 'quantile_band',
+           round(CAST(q8 AS DOUBLE), 6), 100.0, 500.0,
+           round(CAST(q8 AS DOUBLE), 6) >= 100.0
+             AND round(CAST(q8 AS DOUBLE), 6) <= 500.0 FROM dagg
+"""
+
+
+@register("contract_expectation_suite", _SUITE_SQL)
+def contract_expectation_suite(spark, sf_dir):
+    """Declarative expectation suite (X193): the table-level altitude
+    of the contract family — the reference enforces per-document
+    strictness (json/parser.rs), the rule pack enforces per-row/span
+    rules, and this runs the release-gate suite over AGGREGATE facts
+    (uniqueness, null-rate bounds, exact p95/p50 bands, row-count
+    bounds, accepted values, min/max bounds) in the uniform verdict
+    schema. K expectations on a table compile into ONE agg pass
+    (conditional aggregates + exact interpolated percentiles in the
+    same agg, materialized once); K tables = K scans, never K x |suite|
+    (operators/expectations.py::expectation_suite). E7's deliberate
+    tight bound (l_quantity <= 25, real max 50) keeps a planted FAIL in
+    the gate so a silently-all-green suite cannot masquerade as
+    health."""
+    from zparse_spark.operators.expectations import expectation_suite
+
+    tables = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+        "documents": _t(spark, sf_dir, "documents"),
+    }
+    spec = [
+        {"rule_id": "E1", "table": "orders", "kind": "unique", "column": "o_orderkey"},
+        {"rule_id": "E2", "table": "orders", "kind": "null_rate_max",
+         "column": "o_custkey", "max_rate": 0.02},
+        {"rule_id": "E3", "table": "orders", "kind": "quantile_band",
+         "column": "o_totalprice", "p": 0.95, "lo": 150000.0, "hi": 400000.0},
+        {"rule_id": "E4", "table": "orders", "kind": "accepted_values",
+         "column": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"rule_id": "E5", "table": "lineitem", "kind": "row_count_between",
+         "lo": 1000, "hi": 1000000000},
+        {"rule_id": "E6", "table": "lineitem", "kind": "min_at_least",
+         "column": "l_quantity", "lo": 0.0},
+        {"rule_id": "E7", "table": "lineitem", "kind": "max_at_most",
+         "column": "l_quantity", "hi": 25.0},
+        {"rule_id": "E8", "table": "documents", "kind": "null_rate_max",
+         "column": "lang", "max_rate": 0.5},
+        {"rule_id": "E9", "table": "documents", "kind": "quantile_band",
+         "column": "n_chars", "p": 0.5, "lo": 100.0, "hi": 500.0},
+    ]
+    return expectation_suite(tables, spec)
