@@ -506,3 +506,21 @@ def test_expectation_suite_verdicts_and_contract(spark):
     with pytest.raises(ValueError, match="unknown table"):
         expectation_suite({"o": o}, [{"rule_id": "X", "table": "zz", "kind": "unique",
                                       "column": "k"}])
+
+
+def test_expectation_suite_composite_unique(spark):
+    """Composite-key uniqueness: (a, b) pairs duplicate once -> one
+    dup row observed; rows with ANY null key part are excluded from
+    both counts (the count(DISTINCT (a,b)) SQL-twin convention)."""
+    from zparse_spark.operators.expectations import expectation_suite
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, None), (None, 1)],
+        "a long, b long",
+    )
+    out = expectation_suite(
+        {"t": df},
+        [{"rule_id": "U", "table": "t", "kind": "unique", "column": ["a", "b"]}],
+    ).collect()[0]
+    assert out["column"] == "a,b"
+    assert out["observed"] == 1.0 and out["passed"] is False

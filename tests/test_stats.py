@@ -1819,3 +1819,32 @@ def test_mwu_drift_hand_cases(spark):
     t = {r["g"]: r for r in mwu_drift_scores(tied, "v", "g", 0.0, 4.0, 4).collect()}
     assert int(t["A"]["two_u"]) == 4  # U = nA*nB/2: pure midrank ties
     assert t["A"]["r_rank_biserial"] == 0.0 and t["A"]["z"] is None
+
+
+def test_psi_null_band_deterministic_and_shrinks_with_n(spark):
+    """The null band is a pure function of the keys (re-run identical)
+    and tightens as the corpus grows (10x docs -> smaller max |PSI|):
+    the property that makes folklore thresholds wrong at both ends."""
+    import zparse_spark.queries as q
+
+    def fake(df):
+        class _R:
+            def parquet(self, path):
+                return df
+
+        class _S:
+            read = _R()
+
+        return _S()
+
+    rows = [(i, ["en", "de", "es", "fr"][i % 4]) for i in range(400)]
+    small = spark.createDataFrame(rows, "doc_id long, lang string")
+    big = spark.createDataFrame(
+        [(i * 10 + k, l) for (i, l) in rows for k in range(10)],
+        "doc_id long, lang string",
+    )
+    s1 = {r["seed"]: r["psi"] for r in q.drift_psi_null_band(fake(small), "x").collect()}
+    s2 = {r["seed"]: r["psi"] for r in q.drift_psi_null_band(fake(small), "x").collect()}
+    assert s1 == s2  # deterministic in the keys
+    b = {r["seed"]: r["psi"] for r in q.drift_psi_null_band(fake(big), "x").collect()}
+    assert max(b.values()) < max(s1.values())  # noise shrinks with n

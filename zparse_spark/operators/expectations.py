@@ -81,8 +81,20 @@ def expectation_suite(tables: dict[str, DataFrame], spec: list[dict]) -> DataFra
         for i, e in enumerate(exps):
             c = e.get("column")
             if e["kind"] == "unique":
-                aggs.append(F.count_distinct(F.col(c)).alias(f"__d{i}"))
-                aggs.append(F.count(F.col(c)).alias(f"__c{i}"))
+                # composite keys: pass a list — distinctness over the
+                # struct, presence = every part non-null (the SQL-twin
+                # convention count(DISTINCT (a, b)) also drops a row iff
+                # any part is NULL, matched here explicitly)
+                cols = c if isinstance(c, (list, tuple)) else [c]
+                all_present = F.lit(True)
+                for cc in cols:
+                    all_present = all_present & F.col(cc).isNotNull()
+                aggs.append(
+                    F.count_distinct(
+                        F.when(all_present, F.struct(*[F.col(cc) for cc in cols]))
+                    ).alias(f"__d{i}")
+                )
+                aggs.append(F.count(F.when(all_present, 1)).alias(f"__c{i}"))
             elif e["kind"] == "null_rate_max":
                 aggs.append(F.count(F.col(c)).alias(f"__c{i}"))
             elif e["kind"] == "quantile_band":
@@ -144,11 +156,14 @@ def expectation_suite(tables: dict[str, DataFrame], spec: list[dict]) -> DataFra
                 observed = F.col(f"__m{i}").cast("double")
                 lo, hi = F.lit(None).cast("double"), F.lit(float(e["hi"]))
                 passed = F.col(f"__m{i}") <= float(e["hi"])
+            col_label = (
+                ",".join(c) if isinstance(c, (list, tuple)) else c
+            )
             rows.append(
                 one.select(
                     F.lit(rid).alias("rule_id"),
                     F.lit(tname).alias("table"),
-                    F.lit(c).cast("string").alias("column"),
+                    F.lit(col_label).cast("string").alias("column"),
                     F.lit(kind).alias("kind"),
                     observed.alias("observed"),
                     lo.alias("bound_lo"),

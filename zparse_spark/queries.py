@@ -8650,7 +8650,10 @@ _SUITE_SQL = """
       FROM orders
     ),
     lagg AS (
-      SELECT count(*) AS n, min(l_quantity) AS m5, max(l_quantity) AS m6
+      SELECT count(*) AS n, min(l_quantity) AS m5, max(l_quantity) AS m6,
+             count(DISTINCT (l_orderkey, l_linenumber)) AS d10,
+             count(CASE WHEN l_orderkey IS NOT NULL
+                        AND l_linenumber IS NOT NULL THEN 1 END) AS c10
       FROM lineitem
     ),
     dagg AS (
@@ -8694,6 +8697,9 @@ _SUITE_SQL = """
            round(CAST(q8 AS DOUBLE), 6), 100.0, 500.0,
            round(CAST(q8 AS DOUBLE), 6) >= 100.0
              AND round(CAST(q8 AS DOUBLE), 6) <= 500.0 FROM dagg
+    UNION ALL
+    SELECT 'E10', 'lineitem', 'l_orderkey,l_linenumber', 'unique',
+           CAST(c10 - d10 AS DOUBLE), 0.0, 0.0, c10 = d10 FROM lagg
 """
 
 
@@ -8737,5 +8743,118 @@ def contract_expectation_suite(spark, sf_dir):
          "column": "lang", "max_rate": 0.5},
         {"rule_id": "E9", "table": "documents", "kind": "quantile_band",
          "column": "n_chars", "p": 0.5, "lo": 100.0, "hi": 500.0},
+        {"rule_id": "E10", "table": "lineitem", "kind": "unique",
+         "column": ["l_orderkey", "l_linenumber"]},
     ]
     return expectation_suite(tables, spec)
+
+
+# ---------------------------------------------------------------------------
+# PSI null-band calibration (X194)
+# ---------------------------------------------------------------------------
+
+
+def _psi_null_oracle_sql(n_seeds: int = 8, eps: float = 1e-4) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(seed AS VARCHAR)")
+    return f"""
+    WITH seeded AS (
+      SELECT d.lang, s.seed,
+             CASE WHEN {hv} / 4294967296.0 < 0.5 THEN 1 ELSE 0 END AS in_a
+      FROM documents d, range({n_seeds}) s(seed)
+      WHERE d.lang IS NOT NULL
+    ),
+    counts AS (
+      SELECT seed, lang,
+             sum(in_a) AS ca, sum(1 - in_a) AS cb
+      FROM seeded GROUP BY seed, lang
+    ),
+    tot AS (
+      SELECT seed, sum(ca) AS ta, sum(cb) AS tb FROM counts GROUP BY seed
+    ),
+    terms AS (
+      SELECT c.seed, t.ta, t.tb,
+             CAST(round(
+               ((CASE WHEN t.ta > 0 THEN CAST(c.ca AS DOUBLE) / t.ta ELSE 0 END + {eps!r})
+                - (CASE WHEN t.tb > 0 THEN CAST(c.cb AS DOUBLE) / t.tb ELSE 0 END + {eps!r}))
+               * ln(((CASE WHEN t.ta > 0 THEN CAST(c.ca AS DOUBLE) / t.ta ELSE 0 END + {eps!r}))
+                    / ((CASE WHEN t.tb > 0 THEN CAST(c.cb AS DOUBLE) / t.tb ELSE 0 END + {eps!r})))
+               * 1000000000) AS BIGINT) AS nano
+      FROM counts c JOIN tot t ON t.seed = c.seed
+    )
+    SELECT seed, max(ta) AS n_a, max(tb) AS n_b,
+           round(CAST(sum(nano) AS DOUBLE) / 1000000000, 6) AS psi
+    FROM terms GROUP BY seed
+    """
+
+
+@register("drift_psi_null_band", _psi_null_oracle_sql())
+def drift_psi_null_band(spark, sf_dir):
+    """PSI null-band calibration (X194): the PSI of the lang mix
+    between two DETERMINISTIC hash-halves of the same corpus, for 8
+    disjoint seeds — an empirical answer to "what PSI is just noise for
+    OUR data?" that replaces the 0.1/0.2 folklore thresholds with a
+    data-calibrated band (observed drift above max(null band) is
+    signal; inside it, sampling noise). Same eps-floored D1 arithmetic
+    as the drift rule; every PSI term is quantized to integer
+    nano-units PRE-SUM (the X150 discipline) so the per-seed sum is
+    order-independent and bit-identical cross-engine. ONE scan: the
+    seed fan-out rides an 8-element explode, everything after the
+    groupBy(seed, lang) is bounded."""
+    n_seeds, eps = 8, 1e-4
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    seeded = d.select(
+        "lang", F.explode(F.array(*[F.lit(s) for s in range(n_seeds)])).alias("seed"),
+        "doc_id",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("seed").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(0x100000000)
+    )
+    seeded = seeded.select(
+        "seed", "lang", F.when(u < 0.5, F.lit(1)).otherwise(F.lit(0)).alias("in_a")
+    )
+    counts = seeded.groupBy("seed", "lang").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    tot = counts.groupBy("seed").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    j = counts.join(F.broadcast(tot), "seed")
+    pa = (
+        F.when(F.col("ta") > 0, F.col("ca").cast("double") / F.col("ta")).otherwise(
+            F.lit(0.0)
+        )
+        + eps
+    )
+    pb = (
+        F.when(F.col("tb") > 0, F.col("cb").cast("double") / F.col("tb")).otherwise(
+            F.lit(0.0)
+        )
+        + eps
+    )
+    nano = F.round((pa - pb) * F.log(pa / pb) * 1000000000).cast("bigint")
+    return (
+        j.select("seed", "ta", "tb", nano.alias("nano"))
+        .groupBy("seed")
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.round(F.sum("nano").cast("double") / 1000000000, 6).alias("psi"),
+        )
+    )
