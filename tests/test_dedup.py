@@ -614,3 +614,24 @@ def test_pair_threshold_sweep_hand_case(spark):
     assert out[0.55]["n_pairs"] == 3 and out[0.55]["n_docs"] == 4  # +d
     assert out[0.5]["n_pairs"] == 3 and out[0.5]["n_docs"] == 4  # .30 below grid
     assert out[1.0]["n_pairs"] == 0 and out[1.0]["n_docs"] == 0
+
+
+def test_weighted_jaccard_charges_repetition(spark):
+    """The discriminating case: "the the the the cat" vs "the cat" has
+    set-Jaccard 1.0 (same token SET) but weighted Jaccard 0.4 —
+    Σmin = min(4,1)+min(1,1) = 2, Σmax = 4+1 = 5. Disjoint docs get 0
+    and the threshold prunes them."""
+    from zparse_spark.operators.dedup import weighted_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [("a", "the the the the cat"), ("b", "the cat"), ("c", "dog fox")],
+        "doc_id string, text string",
+    )
+    ids = d.selectExpr("doc_id AS id_a")
+    cands = ids.crossJoin(d.selectExpr("doc_id AS id_b")).filter("id_a < id_b")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           weighted_jaccard_pairs(d, cands, threshold=0.0).collect()}
+    ab = out[("a", "b")]
+    assert ab["w_inter"] == 2 and ab["w_union"] == 5 and ab["w_jaccard"] == 0.4
+    assert out[("a", "c")]["w_jaccard"] == 0.0
+    assert weighted_jaccard_pairs(d, cands, threshold=0.3).count() == 1

@@ -417,3 +417,22 @@ def test_split_leakage_pairs_flags_cross_split_only(spark):
     got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"]) for r in out}
     assert got == {(1, 2): ("train", "test"), (5, 6): ("val", "train")}
     assert all(abs(r["jaccard"]) > 0 for r in out)
+
+
+def test_chunk_documents_exact_blocks(spark):
+    """17 tokens at max 8 -> chunks of 8/8/1, order preserved,
+    reassembly equals the normalized token stream; empty/null docs emit
+    zero chunks."""
+    from zparse_spark.operators.filtering import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(17))
+    d = spark.createDataFrame(
+        [("a", "  " + text.replace(" t9", "   t9") + " "), ("e", ""), ("n", None)],
+        "doc_id string, text string",
+    )
+    out = sorted(
+        chunk_documents(d, max_tokens=8).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["doc_id"] for r in out] == ["a", "a", "a"]
+    assert [r["n_tokens"] for r in out] == [8, 8, 1]
+    assert " ".join(r["chunk_text"] for r in out) == text

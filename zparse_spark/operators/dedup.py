@@ -1252,3 +1252,63 @@ def pair_threshold_sweep(
         "n_pairs",
         "n_docs",
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Weighted (multiset) Jaccard over whitespace tokens for CANDIDATE
+    pairs: J_w = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)) —
+    the repetition-aware seat of the similarity family. Set Jaccard
+    (ngram_jaccard_pairs) sees "the the the the cat" and "the cat" as
+    near-identical (same token SET); the weighted form scores them
+    0.4, which is what a dedup keep-rule actually wants when template
+    spam repeats a small vocabulary. Token counts are exact integers;
+    the score is one trailing division rounded to 6dp.
+
+    Scale shape: candidates come from a bounded generator (LSH bands,
+    winnowing buckets, blocking) — this op never self-joins the corpus.
+    One explode → groupBy(doc, token) count (map-side combined), the
+    candidate pair table joins that count table twice (id_a side,
+    id_b side) and merges per (pair, token) with a full-outer —
+    work is O(Σ_pairs |vocab_a ∪ vocab_b|), the problem's lower bound.
+    """
+    cnt = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = cands.join(cnt.withColumnRenamed("_id", "id_a"), "id_a").select(
+        "id_a", "id_b", "token", F.col("c").alias("ca")
+    )
+    b = cands.join(cnt.withColumnRenamed("_id", "id_b"), "id_b").select(
+        "id_a", "id_b", "token", F.col("c").alias("cb")
+    )
+    merged = a.join(b, ["id_a", "id_b", "token"], "full_outer").select(
+        "id_a",
+        "id_b",
+        F.least(F.coalesce("ca", F.lit(0)), F.coalesce("cb", F.lit(0))).alias("_mn"),
+        F.greatest(F.coalesce("ca", F.lit(0)), F.coalesce("cb", F.lit(0))).alias("_mx"),
+    )
+    out = merged.groupBy("id_a", "id_b").agg(
+        F.sum("_mn").alias("w_inter"), F.sum("_mx").alias("w_union")
+    )
+    jw = F.when(
+        F.col("w_union") > 0,
+        F.round(F.col("w_inter").cast("double") / F.col("w_union"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select("id_a", "id_b", "w_inter", "w_union", jw.alias("w_jaccard")).filter(
+        F.col("w_jaccard") >= threshold
+    )

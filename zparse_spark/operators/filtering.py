@@ -827,3 +827,60 @@ def split_leakage_pairs(
         .join(sb, id_b)
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking for context-window construction: every
+    document becomes ceil(n_tokens / max_tokens) chunks of consecutive
+    whitespace tokens, order-preserving, deterministically keyed by
+    (doc_id, chunk_id) — the standard block-prep step between the
+    admission filter and the pack/shuffle stages of a training-set
+    build. Whitespace is normalized to single spaces in the chunk text
+    (the build_vocabulary tokenization); documents with no tokens emit
+    zero chunks.
+
+    Scale shape: MAP-ONLY until the unavoidable output explode — the
+    token array, the chunk count, and every chunk's slice are
+    higher-order functions over one projection (tokens bound once as a
+    lambda variable — same CollapseProject trap as winnowing's hash
+    ladder, dedup.py:1004), and the posexplode emits exactly the
+    output rows. No shuffle, no window, no Python; the plan is a scan
+    plus Generate.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    # bind the token array once (HOF variable) so the per-chunk slices
+    # do not re-tokenize per chunk after CollapseProject inlining
+    def _chunks(ts):
+        n = F.size(ts)
+        n_chunks = F.ceil(n.cast("double") / max_tokens).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_id"),
+                    F.least(n - i * max_tokens, F.lit(max_tokens)).alias("n_tokens"),
+                    F.array_join(
+                        F.slice(ts, i * max_tokens + 1, max_tokens), " "
+                    ).alias("chunk_text"),
+                ),
+            ),
+        ).otherwise(F.array())
+    chunks = F.flatten(F.transform(F.array(toks), _chunks))
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("_ch"))
+        .select(
+            id_col,
+            F.col("_ch.chunk_id").alias("chunk_id"),
+            F.col("_ch.n_tokens").alias("n_tokens"),
+            F.col("_ch.chunk_text").alias("chunk_text"),
+        )
+    )

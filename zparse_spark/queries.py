@@ -8858,3 +8858,134 @@ def drift_psi_null_band(spark, sf_dir):
             F.round(F.sum("nano").cast("double") / 1000000000, 6).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (multiset) Jaccard (X195)
+# ---------------------------------------------------------------------------
+
+
+_WJACCARD_SQL = r"""
+    WITH inp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+      UNION ALL
+      SELECT doc_id + 5000,
+             text || ' ' || repeat(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '')[1] || ' ', 30)
+      FROM documents WHERE doc_id < 120 AND doc_id % 7 = 0
+    ),
+    tok AS (
+      SELECT doc_id, token, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM inp
+      ) GROUP BY doc_id, token
+    ),
+    n AS (SELECT doc_id, sum(c) AS ntok FROM tok GROUP BY doc_id),
+    ids AS (SELECT DISTINCT doc_id FROM inp),
+    prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, sum(least(ta.c, tb.c)) AS w_inter
+      FROM prs p
+      JOIN tok ta ON ta.doc_id = p.id_a
+      JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           coalesce(i.w_inter, 0) AS w_inter,
+           na.ntok + nb.ntok - coalesce(i.w_inter, 0) AS w_union,
+           round(CAST(coalesce(i.w_inter, 0) AS DOUBLE)
+                 / (na.ntok + nb.ntok - coalesce(i.w_inter, 0)), 6) AS w_jaccard
+    FROM prs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN n na ON na.doc_id = p.id_a
+    JOIN n nb ON nb.doc_id = p.id_b
+    WHERE round(CAST(coalesce(i.w_inter, 0) AS DOUBLE)
+                / (na.ntok + nb.ntok - coalesce(i.w_inter, 0)), 6) >= 0.3
+"""
+
+
+@register("dedup_weighted_jaccard_documents", _WJACCARD_SQL)
+def dedup_weighted_jaccard_documents(spark, sf_dir):
+    """Weighted multiset Jaccard (X195): the repetition-aware seat of
+    the similarity family — set Jaccard scores a template-spam balloon
+    (one token repeated 30x, planted as the doc_id+5000 twins) as
+    near-identical to its source; the weighted form charges every
+    repeated occurrence, which is what a keep-rule wants for spam.
+    Exact integer token counts, one trailing division; candidates here
+    are the bounded slice's all-pairs (production: LSH/winnowing
+    buckets feed the same operator)
+    (operators/dedup.py::weighted_jaccard_pairs)."""
+    from zparse_spark.operators.dedup import weighted_jaccard_pairs
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    first_tok = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )[0]
+    balloon = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat(
+            "text", F.lit(" "), F.repeat(F.concat(first_tok, F.lit(" ")), 30)
+        ).alias("text"),
+    )
+    d = base.select("doc_id", "text").unionByName(balloon)
+    ids = d.select(F.col("doc_id").alias("id_a"))
+    ids_b = d.select(F.col("doc_id").alias("id_b"))
+    cands = ids.crossJoin(ids_b).filter(F.col("id_a") < F.col("id_b"))
+    return weighted_jaccard_pairs(d, cands, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (X196)
+# ---------------------------------------------------------------------------
+
+
+_CHUNK_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents WHERE doc_id < 300
+    ),
+    c AS (
+      SELECT doc_id, ts, CAST(ceil(len(ts) / 16.0) AS INT) AS nch
+      FROM toks WHERE len(ts) > 0
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(range(nch), i -> struct_pack(
+               chunk_id := i,
+               n_tokens := least(len(ts) - i * 16, 16),
+               chunk_text := array_to_string(list_slice(ts, i * 16 + 1, i * 16 + 16), ' ')
+             ))) AS u
+      FROM c
+    )
+    SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens, u.chunk_text
+    FROM ex
+"""
+
+
+@register("corpus_chunk_documents", _CHUNK_SQL)
+def corpus_chunk_documents(spark, sf_dir):
+    """Fixed-size token chunking (X196): each doc becomes order-
+    preserving 16-token context blocks keyed (doc_id, chunk_id) — the
+    block-prep step between admission filtering and pack/shuffle in a
+    training-set build. MAP-ONLY until the unavoidable output explode:
+    token array, chunk count and every slice are HOFs over one
+    projection with the array bound once (the CollapseProject trap,
+    dedup.py:1004); plan = scan + Generate, no shuffle, no Python
+    (operators/filtering.py::chunk_documents)."""
+    from zparse_spark.operators.filtering import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = chunk_documents(d, max_tokens=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "chunk_text",
+    )
