@@ -8989,3 +8989,43 @@ def corpus_chunk_documents(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "chunk_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted-join equivalence (X197)
+# ---------------------------------------------------------------------------
+
+
+_SALTED_SQL = """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_salted_equivalence", _SALTED_SQL)
+def join_salted_equivalence(spark, sf_dir):
+    """Salted-join equivalence (X197): the skew-resilient join the
+    north rule names — the big side spread over 16 salt sub-keys, the
+    dimension side replicated to match — must produce EXACTLY the plain
+    join's aggregate (salting redistributes rows, never changes the
+    relation). DuckDB's twin is the plain join, so this green row is
+    the end-to-end certificate for the salting path that was previously
+    pytest-only (operators/skew.py::salted_join; the rand salt is
+    harmless to correctness because the replicated side carries every
+    salt value). Revenue in exact cents so the sum is integer-exact."""
+    from zparse_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "c_custkey", n_salts=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
