@@ -9029,3 +9029,105 @@ def join_salted_equivalence(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expectation-suite regression diff (X198)
+# ---------------------------------------------------------------------------
+
+
+_SUITE_DIFF_SQL = """
+    WITH oldagg AS (
+      SELECT count(*) AS n, count(DISTINCT doc_id) AS d, count(doc_id) AS c,
+             count(lang) AS cl, quantile_cont(n_chars, 0.5) AS q
+      FROM documents
+    ),
+    newagg AS (
+      SELECT count(*) AS n, count(DISTINCT doc_id) AS d, count(doc_id) AS c,
+             count(CASE WHEN doc_id % 3 = 0 THEN lang END) AS cl,
+             quantile_cont(n_chars, 0.5) AS q
+      FROM documents
+    ),
+    oldv AS (
+      SELECT 'E1' AS rule_id, 'unique' AS kind,
+             CAST(c - d AS DOUBLE) AS observed, c = d AS passed FROM oldagg
+      UNION ALL
+      SELECT 'E2', 'null_rate_max',
+             round(CAST(n - cl AS DOUBLE) / greatest(n, 1), 6),
+             round(CAST(n - cl AS DOUBLE) / greatest(n, 1), 6) <= 0.5 FROM oldagg
+      UNION ALL
+      SELECT 'E3', 'quantile_band', round(CAST(q AS DOUBLE), 6),
+             round(CAST(q AS DOUBLE), 6) >= 100.0
+               AND round(CAST(q AS DOUBLE), 6) <= 500.0 FROM oldagg
+      UNION ALL
+      SELECT 'E4', 'row_count_between', CAST(n AS DOUBLE),
+             n >= 100 AND n <= 1000000000 FROM oldagg
+    ),
+    newv AS (
+      SELECT 'E1' AS rule_id, 'unique' AS kind,
+             CAST(c - d AS DOUBLE) AS observed, c = d AS passed FROM newagg
+      UNION ALL
+      SELECT 'E2', 'null_rate_max',
+             round(CAST(n - cl AS DOUBLE) / greatest(n, 1), 6),
+             round(CAST(n - cl AS DOUBLE) / greatest(n, 1), 6) <= 0.5 FROM newagg
+      UNION ALL
+      SELECT 'E3', 'quantile_band', round(CAST(q AS DOUBLE), 6),
+             round(CAST(q AS DOUBLE), 6) >= 100.0
+               AND round(CAST(q AS DOUBLE), 6) <= 500.0 FROM newagg
+      UNION ALL
+      SELECT 'E4', 'row_count_between', CAST(n AS DOUBLE),
+             n >= 100 AND n <= 1000000000 FROM newagg
+    )
+    SELECT o.rule_id, o.kind,
+           o.observed AS observed_old, n.observed AS observed_new,
+           o.passed AS passed_old, n.passed AS passed_new,
+           o.passed <> n.passed AS flipped
+    FROM oldv o JOIN newv n ON n.rule_id = o.rule_id
+"""
+
+
+@register("contract_suite_regression", _SUITE_DIFF_SQL)
+def contract_suite_regression(spark, sf_dir):
+    """Expectation-suite regression diff (X198): the same suite run on
+    the last snapshot and the candidate snapshot, joined on rule_id —
+    the release gate's actual question is not "is the suite green" but
+    "WHAT FLIPPED since the version we shipped" (a long-red expectation
+    is known debt; a fresh flip is the regression). Planted: the new
+    snapshot nulls lang on 2/3 of docs, so the null-rate expectation
+    must flip red while uniqueness/quantile/row-count hold. Two 1-row
+    agg passes (one per snapshot) + a |suite|-row join — scan cost is
+    exactly two suite runs, the diff is free."""
+    from zparse_spark.operators.expectations import expectation_suite
+
+    old = _t(spark, sf_dir, "documents")
+    new = old.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.col("lang")).alias("lang"),
+        "source",
+        "n_chars",
+    )
+    spec = [
+        {"rule_id": "E1", "table": "documents", "kind": "unique", "column": "doc_id"},
+        {"rule_id": "E2", "table": "documents", "kind": "null_rate_max",
+         "column": "lang", "max_rate": 0.5},
+        {"rule_id": "E3", "table": "documents", "kind": "quantile_band",
+         "column": "n_chars", "p": 0.5, "lo": 100.0, "hi": 500.0},
+        {"rule_id": "E4", "table": "documents", "kind": "row_count_between",
+         "lo": 100, "hi": 1000000000},
+    ]
+    o = expectation_suite({"documents": old}, spec).select(
+        "rule_id", "kind",
+        F.col("observed").alias("observed_old"),
+        F.col("passed").alias("passed_old"),
+    )
+    nw = expectation_suite({"documents": new}, spec).select(
+        "rule_id",
+        F.col("observed").alias("observed_new"),
+        F.col("passed").alias("passed_new"),
+    )
+    return o.join(nw, "rule_id").select(
+        "rule_id", "kind", "observed_old", "observed_new",
+        "passed_old", "passed_new",
+        (F.col("passed_old") != F.col("passed_new")).alias("flipped"),
+    )
