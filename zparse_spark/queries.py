@@ -9131,3 +9131,78 @@ def contract_suite_regression(spark, sf_dir):
         "passed_old", "passed_new",
         (F.col("passed_old") != F.col("passed_new")).alias("flipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-coverage / OOV-rate audit (X199)
+# ---------------------------------------------------------------------------
+
+
+_OOV_SQL = r"""
+    WITH tok AS (
+      SELECT source, token FROM (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+      )
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS tf FROM tok GROUP BY token
+        ORDER BY tf DESC, token ASC LIMIT 500
+      )
+    )
+    SELECT t.source,
+           count(*) AS n_tokens,
+           count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+           round(CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.source
+"""
+
+
+@register("corpus_oov_rate", _OOV_SQL)
+def corpus_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit (X199): per-source share of token
+    occurrences falling OUTSIDE a frozen top-500 vocabulary — the
+    question a tokenizer owner asks of every new crawl ("how much of
+    this is byte-fallback?"), which the continuous LM scores
+    deliberately smooth over (an OOV token has a probability; a frozen
+    tokenizer has a cliff). Deterministic vocab: tf desc, token asc —
+    a TakeOrdered, never a global sort. Two passes over the token
+    stream (vocab fit + coverage scan), the join side is the bounded
+    vocab (broadcast), per-source rates from exact integer counts."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                        r"\s+",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("token"),
+        )
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(500)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
