@@ -9206,3 +9206,116 @@ def corpus_oov_rate(spark, sf_dir):
             6,
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BH-FDR control over the drift alarms (X200)
+# ---------------------------------------------------------------------------
+
+
+def _phi_tail_sql(z: str) -> str:
+    """Two-sided normal p-value 2(1-Phi(|z|)) via the Abramowitz-Stegun
+    26.2.17 polynomial — plain exp + arithmetic, identical text in both
+    engines, |error| < 7.5e-8 (far below the 6dp rounding)."""
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    pdf = f"(exp(-({az} * {az}) / 2.0) / sqrt(2.0 * pi()))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return f"round(least(2.0 * {pdf} * {poly}, 1.0), 6)"
+
+
+_FDR_SQL = f"""
+    WITH mwu AS ({{mwu_sql}}),
+    scored AS (
+      SELECT o_orderpriority, z, {_phi_tail_sql('z')} AS p
+      FROM mwu WHERE z IS NOT NULL
+    ),
+    ranked AS (
+      SELECT o_orderpriority, z, p,
+             row_number() OVER (ORDER BY p ASC, o_orderpriority ASC) AS rk,
+             count(*) OVER () AS m
+      FROM scored
+    ),
+    flag AS (
+      SELECT *, round(CAST(rk AS DOUBLE) / m * 0.05, 6) AS bh_threshold,
+             CASE WHEN p <= CAST(rk AS DOUBLE) / m * 0.05 THEN rk END AS hit
+      FROM ranked
+    ),
+    kmax AS (SELECT coalesce(max(hit), 0) AS k FROM flag)
+    SELECT f.o_orderpriority, f.z, f.p, f.rk AS rank, f.bh_threshold,
+           f.rk <= kmax.k AS significant
+    FROM flag f, kmax
+"""
+
+
+@register("drift_mwu_fdr", _FDR_SQL.format(mwu_sql=_MWU_SQL))
+def drift_mwu_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over the drift alarms (X200): at
+    10^12-doc scale a monitor runs thousands of group x metric tests
+    per day — at alpha=0.05 that is hundreds of guaranteed false
+    alarms, the failure mode that teaches operators to ignore the
+    dashboard. BH step-up (rank p ascending, alarm iff rank <=
+    max{{k: p_(k) <= k*q/m}}) caps the EXPECTED FALSE SHARE of fired
+    alarms at q=5%. p-values come from the MWU z via the
+    Abramowitz-Stegun normal-tail polynomial — plain exp+arithmetic
+    written identically in both engines (no erf built-in exists in
+    either), |err| < 7.5e-8. All ranking/threshold work on the bounded
+    per-group table. At this n (16k rows/group) even the organic
+    groups' small contamination shifts reach significance — the
+    classic large-n caveat, honestly visible here: BH controls the
+    false-discovery SHARE among alarms, and pairing it with the
+    rank-biserial effect size (r ~ 0.32 planted vs |r| < 0.06 organic)
+    is what separates actionable drift from significant-but-tiny."""
+    from pyspark.sql import Window
+
+    from zparse_spark.operators.stats import mwu_drift_scores
+
+    o = _t(spark, sf_dir, "orders")
+    inp = o.select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 11 == 0).select(
+            F.lit("9-SHIFTED").alias("g"),
+            (F.col("o_totalprice") * 1.5).alias("v"),
+        )
+    )
+    mwu = mwu_drift_scores(inp, "v", "g", lo=0.0, hi=600000.0, n_bins=32)
+    z = F.col("z")
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    pdf = F.exp(-(az * az) / 2.0) / F.sqrt(F.lit(2.0) * F.lit(3.141592653589793))
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    p = F.round(F.least(2.0 * pdf * poly, F.lit(1.0)), 6)
+    scored = mwu.filter(z.isNotNull()).select(
+        F.col("g").alias("o_orderpriority"), "z", p.alias("p")
+    )
+    wr = Window.orderBy(F.col("p").asc(), F.col("o_orderpriority").asc())
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("_m"),
+    )
+    thr = F.col("rank").cast("double") / F.col("_m") * 0.05
+    flagged = ranked.select(
+        "*",
+        F.round(thr, 6).alias("bh_threshold"),
+        F.when(F.col("p") <= thr, F.col("rank")).alias("_hit"),
+    )
+    kmax = flagged.agg(F.coalesce(F.max("_hit"), F.lit(0)).alias("_k"))
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            "o_orderpriority",
+            "z",
+            "p",
+            "rank",
+            "bh_threshold",
+            (F.col("rank") <= F.col("_k")).alias("significant"),
+        )
+    )
