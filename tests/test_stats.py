@@ -1848,3 +1848,19 @@ def test_psi_null_band_deterministic_and_shrinks_with_n(spark):
     assert s1 == s2  # deterministic in the keys
     b = {r["seed"]: r["psi"] for r in q.drift_psi_null_band(fake(big), "x").collect()}
     assert max(b.values()) < max(s1.values())  # noise shrinks with n
+
+
+def test_median_ci_hand_case(spark):
+    """n=25 values 1..25: median 13; rank convention gives
+    l = floor(12.5 - 4.9) = 7, u = ceil(13.5 + 4.9) = 19 -> the CI is
+    the 7th/19th order stats = 7 and 19 exactly (values from the
+    data). Singleton group -> NULL bounds, median still emitted."""
+    from zparse_spark.operators.stats import median_ci
+
+    rows = [("g", float(i)) for i in range(1, 26)] + [("s", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in median_ci(df, "v", "g").collect()}
+    g = out["g"]
+    assert g["median"] == 13.0 and g["ci_lo"] == 7.0 and g["ci_hi"] == 19.0
+    s = out["s"]
+    assert s["median"] == 42.0 and s["ci_lo"] is None and s["ci_hi"] is None

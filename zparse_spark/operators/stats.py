@@ -3080,3 +3080,57 @@ def mwu_drift_scores(
             z.alias("z"),
         )
     )
+
+
+def median_ci(
+    df: DataFrame,
+    value: str,
+    group: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Exact order-statistic confidence band for the per-group median:
+    the profile family reports "median = 212"; this answers "212 ± how
+    much?" WITHOUT distributional assumptions — the binomial argument
+    gives P(x_(l) <= true median <= x_(u)) ~ 95% for l/u set a
+    z*sqrt(n)/2 ranks either side of n/2. Convention (documented, both
+    engines identical): l = max(1, floor(n/2 - z*sqrt(n)/2)),
+    u = min(n, ceil(n/2 + 1 + z*sqrt(n)/2)); bounds are the EXACT
+    values at those ranks (order statistics, not interpolations), so
+    every emitted number is a value that actually occurs in the data.
+    The median itself uses the house interpolated-percentile contract.
+
+    Scale shape: ONE sort-within-group window (row_number — the same
+    cost any exact per-group percentile pays), ranks-of-interest join
+    back from the bounded per-group (n, l, u) table; no global sort.
+    Groups with n < 2 emit NULL bounds.
+    """
+    wr = Window.partitionBy(group).orderBy(F.col(value).asc())
+    ranked = df.filter(F.col(value).isNotNull()).select(
+        group, F.col(value).alias("_v"), F.row_number().over(wr).alias("_rn")
+    )
+    wg = Window.partitionBy(group)
+    ranked = ranked.withColumn("_n", F.count(F.lit(1)).over(wg))
+    nd = F.col("_n").cast("double")
+    lo_rk = F.greatest(F.lit(1), F.floor(nd / 2 - z * F.sqrt(nd) / 2).cast("int"))
+    hi_rk = F.least(F.col("_n"), F.ceil(nd / 2 + 1 + z * F.sqrt(nd) / 2).cast("int"))
+    marked = ranked.select(
+        group,
+        "_v",
+        "_rn",
+        "_n",
+        lo_rk.alias("_lo_rk"),
+        hi_rk.alias("_hi_rk"),
+    )
+    agg = marked.groupBy(group).agg(
+        F.max("_n").alias("n"),
+        F.expr("percentile(_v, 0.5)").alias("_med"),
+        F.max(F.when(F.col("_rn") == F.col("_lo_rk"), F.col("_v"))).alias("_lo"),
+        F.max(F.when(F.col("_rn") == F.col("_hi_rk"), F.col("_v"))).alias("_hi"),
+    )
+    return agg.select(
+        group,
+        "n",
+        F.round(F.col("_med").cast("double"), 6).alias("median"),
+        F.when(F.col("n") >= 2, F.round(F.col("_lo").cast("double"), 6)).alias("ci_lo"),
+        F.when(F.col("n") >= 2, F.round(F.col("_hi").cast("double"), 6)).alias("ci_hi"),
+    )

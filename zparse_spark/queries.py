@@ -9319,3 +9319,256 @@ def drift_mwu_fdr(spark, sf_dir):
             (F.col("rank") <= F.col("_k")).alias("significant"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Median order-statistic CI (X201)
+# ---------------------------------------------------------------------------
+
+
+_MEDIAN_CI_SQL = """
+    WITH v AS (
+      SELECT o_orderpriority AS g, o_totalprice AS _v FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, _v,
+             row_number() OVER (PARTITION BY g ORDER BY _v ASC) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ),
+    marked AS (
+      SELECT g, _v, rn, n,
+             greatest(1, CAST(floor(CAST(n AS DOUBLE) / 2
+                 - 1.96 * sqrt(CAST(n AS DOUBLE)) / 2) AS INT)) AS lo_rk,
+             least(n, CAST(ceil(CAST(n AS DOUBLE) / 2 + 1
+                 + 1.96 * sqrt(CAST(n AS DOUBLE)) / 2) AS INT)) AS hi_rk
+      FROM ranked
+    )
+    SELECT g AS o_orderpriority, max(n) AS n,
+           round(CAST(quantile_cont(_v, 0.5) AS DOUBLE), 6) AS median,
+           CASE WHEN max(n) >= 2 THEN
+             round(CAST(max(CASE WHEN rn = lo_rk THEN _v END) AS DOUBLE), 6) END AS ci_lo,
+           CASE WHEN max(n) >= 2 THEN
+             round(CAST(max(CASE WHEN rn = hi_rk THEN _v END) AS DOUBLE), 6) END AS ci_hi
+    FROM marked GROUP BY g
+"""
+
+
+@register("quantiles_median_ci", _MEDIAN_CI_SQL)
+def quantiles_median_ci(spark, sf_dir):
+    """Order-statistic median CI (X201): "median = X ± what?" with no
+    distributional assumption — binomial rank bounds z·sqrt(n)/2 either
+    side of n/2, emitted as EXACT order statistics (values that occur
+    in the data). One sort-within-group window, same cost as any exact
+    per-group percentile; bounded everything after
+    (operators/stats.py::median_ci)."""
+    from zparse_spark.operators.stats import median_ci
+
+    return median_ci(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture coverage estimate (X202) + hash-bootstrap SE (X203)
+# ---------------------------------------------------------------------------
+
+
+def _capture_oracle_sql() -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    h1 = _hv_sql("CAST(doc_id AS VARCHAR) || ':101'")
+    h2 = _hv_sql("CAST(doc_id AS VARCHAR) || ':202'")
+    return f"""
+    WITH flags AS (
+      SELECT doc_id,
+             {h1} / 4294967296.0 < 0.4 AS in_a,
+             {h2} / 4294967296.0 < 0.4 AS in_b
+      FROM documents
+    ),
+    c AS (
+      SELECT count(*) AS n_true,
+             count(CASE WHEN in_a THEN 1 END) AS n1,
+             count(CASE WHEN in_b THEN 1 END) AS n2,
+             count(CASE WHEN in_a AND in_b THEN 1 END) AS m
+      FROM flags
+    )
+    SELECT n_true, n1, n2, m,
+           round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6)
+             AS chapman_estimate,
+           round((CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1 - n_true)
+                 / n_true, 6) AS rel_error
+    FROM c
+    """
+
+
+@register("corpus_capture_recapture", _capture_oracle_sql())
+def corpus_capture_recapture(spark, sf_dir):
+    """Capture-recapture corpus-coverage estimate (X202): two
+    independent deterministic hash-"crawls" (40% each, disjoint seeds)
+    and their exact-id overlap give the Chapman estimator
+    N = (n1+1)(n2+1)/(m+1) - 1 of the TOTAL population — the answer to
+    "how much of the web did our two crawls actually see?" that no
+    single-crawl count can give; here the truth is known, so rel_error
+    is emitted as the estimator's own calibration. One scan, two hash
+    flags, a 1-row aggregate, one trailing division."""
+    from zparse_spark.operators.filtering import hash_unit
+
+    d = _t(spark, sf_dir, "documents").select(
+        hash_unit("doc_id", 101).alias("u1"), hash_unit("doc_id", 202).alias("u2")
+    )
+    flags = d.select(
+        (F.col("u1") < 0.4).alias("in_a"), (F.col("u2") < 0.4).alias("in_b")
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count(F.when(F.col("in_a"), 1)).alias("n1"),
+        F.count(F.when(F.col("in_b"), 1)).alias("n2"),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1)).alias("m"),
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return c.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.round(est, 6).alias("chapman_estimate"),
+        F.round((est - F.col("n_true")) / F.col("n_true"), 6).alias("rel_error"),
+    )
+
+
+def _bootstrap_oracle_sql(n_reps: int = 8) -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql("CAST(doc_id AS VARCHAR) || ':b' || CAST(rep AS VARCHAR)")
+    return f"""
+    WITH seeded AS (
+      SELECT d.n_chars, r.rep, {hv} / 4294967296.0 AS u
+      FROM documents d, range({n_reps}) r(rep)
+    ),
+    w AS (
+      SELECT rep, n_chars,
+             CASE WHEN u < 0.367879441 THEN 0
+                  WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2
+                  WHEN u < 0.981011843 THEN 3
+                  WHEN u < 0.996340153 THEN 4
+                  ELSE 5 END AS wt
+      FROM seeded
+    ),
+    reps AS (
+      SELECT rep, sum(wt) AS n_eff, sum(CAST(wt AS BIGINT) * n_chars) AS s
+      FROM w GROUP BY rep
+    ),
+    means AS (
+      SELECT rep, round(CAST(s AS DOUBLE) / n_eff, 6) AS mean_rep FROM reps
+    ),
+    moments AS (
+      SELECT count(*) AS k, sum(mean_rep) AS sm, sum(mean_rep * mean_rep) AS sm2
+      FROM means
+    ),
+    base AS (
+      SELECT count(*) AS n, sum(n_chars) AS t,
+             sum(CAST(n_chars AS BIGINT) * n_chars) AS t2
+      FROM documents
+    )
+    SELECT base.n,
+           round(CAST(base.t AS DOUBLE) / base.n, 6) AS mean,
+           round(sqrt((moments.sm2 - moments.sm * moments.sm / moments.k)
+                      / (moments.k - 1)), 6) AS bootstrap_se,
+           round(sqrt((CAST(base.t2 AS DOUBLE)
+                       - CAST(base.t AS DOUBLE) * base.t / base.n)
+                      / (base.n - 1) / base.n), 6) AS analytic_se
+    FROM base, moments
+    """
+
+
+@register("stats_bootstrap_se", _bootstrap_oracle_sql())
+def stats_bootstrap_se(spark, sf_dir):
+    """Deterministic Poisson-bootstrap standard error (X203): 8
+    resampling replicates of the corpus-mean doc length in ONE scan —
+    each row's weight per replicate is a Poisson(1) draw taken from the
+    INVERSE CDF of a hash-uniform (a 6-step CASE ladder, identical text
+    in both engines; truncated at 5, mass 6e-4), so the whole bootstrap
+    is a pure function of the keys: re-runs, resumes and other engines
+    produce the identical SE. Emitted beside the analytic SE
+    (sd/sqrt(n)) as its own calibration — for the mean they must agree
+    to within bootstrap noise; the bootstrap's value is every statistic
+    for which NO analytic formula exists (the engine's medians, Ginis,
+    drift scores), and this query certifies the machinery. Replicate
+    sums are exact integers; per-replicate means rounded pre-variance
+    (the portable-float contract)."""
+    n_reps = 8
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(*[F.lit(r) for r in range(n_reps)])).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":b"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(0x100000000)
+    )
+    wt = (
+        F.when(u < 0.367879441, 0)
+        .when(u < 0.735758882, 1)
+        .when(u < 0.919698603, 2)
+        .when(u < 0.981011843, 3)
+        .when(u < 0.996340153, 4)
+        .otherwise(5)
+    )
+    w = seeded.select("rep", "n_chars", wt.alias("wt"))
+    reps = w.groupBy("rep").agg(
+        F.sum("wt").alias("n_eff"),
+        F.sum(F.col("wt").cast("bigint") * F.col("n_chars")).alias("s"),
+    )
+    means = reps.select(
+        F.round(F.col("s").cast("double") / F.col("n_eff"), 6).alias("mean_rep")
+    )
+    moments = means.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("mean_rep").alias("sm"),
+        F.sum(F.col("mean_rep") * F.col("mean_rep")).alias("sm2"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("t"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars")).alias("t2"),
+    )
+    return base.crossJoin(F.broadcast(moments)).select(
+        "n",
+        F.round(F.col("t").cast("double") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("sm2") - F.col("sm") * F.col("sm") / F.col("k"))
+                / (F.col("k") - 1)
+            ),
+            6,
+        ).alias("bootstrap_se"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("t2").cast("double")
+                    - F.col("t").cast("double") * F.col("t") / F.col("n")
+                )
+                / (F.col("n") - 1)
+                / F.col("n")
+            ),
+            6,
+        ).alias("analytic_se"),
+    )
