@@ -1347,3 +1347,91 @@ def span_pack_media_orphans(spark, sf_dir):
 
     docs, cat = _pack_input(spark)
     return media_refcounts(docs, cat).filter(F.col("n_refs") <= 2)
+
+
+# --- R1 "did-you-mean" repair suggestions (X204) -----------------------
+
+
+@register(
+    "span_pack_ref_suggestions",
+    f"""WITH cat AS (
+  SELECT DISTINCT media_ref FROM read_parquet('{_W}/span_catalog/*.parquet')
+),
+ghost AS (
+  SELECT DISTINCT s.media_ref AS dangling
+  FROM (SELECT unnest(spans) AS s
+        FROM read_parquet('{_W}/span_docs/*.parquet'))
+  WHERE s.media_ref IS NOT NULL
+    AND s.media_ref NOT IN (SELECT media_ref FROM cat)
+),
+typos AS (
+  SELECT substr(media_ref, 1, 3) || substr(media_ref, 5) AS dangling
+  FROM cat WHERE substr(media_ref, length(media_ref), 1) = '3'
+),
+dangling AS (SELECT dangling FROM ghost UNION SELECT dangling FROM typos),
+best AS (
+  SELECT d.dangling, c.media_ref AS suggestion,
+         levenshtein(d.dangling, c.media_ref) AS dist,
+         row_number() OVER (PARTITION BY d.dangling
+           ORDER BY levenshtein(d.dangling, c.media_ref) ASC, c.media_ref ASC) AS rk
+  FROM dangling d JOIN cat c ON levenshtein(d.dangling, c.media_ref) <= 1
+)
+SELECT d.dangling AS media_ref, b.suggestion, b.dist
+FROM dangling d LEFT JOIN best b ON b.dangling = d.dangling AND b.rk = 1""",
+)
+def span_pack_ref_suggestions(spark, sf_dir):
+    """R1 'did-you-mean' repair suggestions (X204): every dangling
+    media_ref resolved against the catalog at edit distance <= 1 —
+    the repair leg between 'drop the span' (repair_dangling_refs) and
+    'fail the doc': a TYPO'D ref (planted: catalog keys ending in '3'
+    with their 4th character deleted) is recoverable and gets its
+    unique suggestion; a fabricated ref (the fixture's ghost_* class)
+    matches nothing and surfaces with a NULL suggestion — the queue a
+    human actually triages. Scale path: deletion-neighborhood variant
+    hashes on BOTH sides (editdist.py:55 — k=1 neighborhood provably
+    covers one substitution/insert/delete), so the join is
+    |variants| x equi-hash, never dangling x catalog; the DuckDB twin
+    IS the quadratic brute force, so the green row certifies the
+    pruned pipeline end to end (the X142 discipline). Argmin is
+    (dist, suggestion) — deterministic."""
+    from zparse_spark.operators.editdist import deletion_variants
+
+    docs, cat = _pack_input(spark)
+    ghost = (
+        docs.select(F.explode("spans").alias("s"))
+        .select(F.col("s.media_ref").alias("dangling"))
+        .filter(F.col("dangling").isNotNull())
+        .join(cat.select(F.col("media_ref").alias("dangling")), "dangling", "left_anti")
+        .distinct()
+    )
+    typos = cat.filter(F.substring(F.col("media_ref"), -1, 1) == "3").select(
+        F.concat(
+            F.substring("media_ref", 1, 3),
+            F.expr("substring(media_ref, 5)"),
+        ).alias("dangling")
+    )
+    dangling = ghost.unionByName(typos).distinct()
+    dv = dangling.select(
+        "dangling", F.explode(deletion_variants(F.col("dangling"), k=1)).alias("_v")
+    ).select("dangling", F.md5("_v").alias("_vh"))
+    cv = cat.select(
+        "media_ref", F.explode(deletion_variants(F.col("media_ref"), k=1)).alias("_v")
+    ).select("media_ref", F.md5("_v").alias("_vh"))
+    cand = (
+        dv.join(cv, "_vh")
+        .select("dangling", "media_ref")
+        .distinct()
+        .withColumn("dist", F.levenshtein("dangling", "media_ref").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dangling").orderBy(
+        F.col("dist").asc(), F.col("media_ref").asc()
+    )
+    best = cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return dangling.join(best, "dangling", "left").select(
+        F.col("dangling").alias("media_ref"),
+        F.col("media_ref").alias("suggestion"),
+        "dist",
+    )
