@@ -1166,3 +1166,111 @@ def dedup_token_yield(spark, sf_dir):
             F.col("tokens_kept").cast("double") / F.col("tokens_total"), 6
         ).alias("token_yield"),
     )
+
+
+# --- Cluster churn across thresholds (X205) ----------------------------
+
+
+def _cluster_churn_oracle_sql() -> str:
+    """Dual-threshold closure over ONE verified-pair table: the lo
+    clusters that are unions of >1 hi clusters — possible because the
+    verified pair sets are nested (same candidates, j >= 0.3 vs 0.8)."""
+    head, _, _ = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    half = (
+        "array_to_string(list_slice("
+        "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1, "
+        "greatest(CAST(floor(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) / 2.0) AS INT), 3)), ' ')"
+    )
+    head = head.replace(
+        "SELECT 'dup_' || doc_id, text FROM base WHERE CAST(doc_id AS BIGINT) % 10 = 0",
+        "SELECT 'dup_' || doc_id, text FROM base WHERE CAST(doc_id AS BIGINT) % 10 = 0\n"
+        f"  UNION ALL\n  SELECT 'part_' || doc_id, {half} FROM base "
+        "WHERE CAST(doc_id AS BIGINT) % 10 = 0",
+        1,
+    )
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+p_lo AS (SELECT id_a, id_b FROM ver WHERE round(j, 6) >= 0.3),
+p_hi AS (SELECT id_a, id_b FROM ver WHERE round(j, 6) >= 0.8),
+e_lo AS (SELECT id_a AS src, id_b AS dst FROM p_lo
+         UNION SELECT id_b, id_a FROM p_lo),
+n_lo AS (SELECT DISTINCT src AS node FROM e_lo),
+r_lo(node, r) AS (
+  SELECT node, node FROM n_lo
+  UNION
+  SELECT e.src, r_lo.r FROM e_lo e JOIN r_lo ON r_lo.node = e.dst
+),
+c_lo AS (SELECT node, min(r) AS comp FROM r_lo GROUP BY node),
+e_hi AS (SELECT id_a AS src, id_b AS dst FROM p_hi
+         UNION SELECT id_b, id_a FROM p_hi),
+n_hi AS (SELECT DISTINCT src AS node FROM e_hi),
+r_hi(node, r) AS (
+  SELECT node, node FROM n_hi
+  UNION
+  SELECT e.src, r_hi.r FROM e_hi e JOIN r_hi ON r_hi.node = e.dst
+),
+c_hi AS (SELECT node, min(r) AS comp FROM r_hi GROUP BY node),
+joined AS (
+  SELECT l.node, l.comp AS comp_lo, coalesce(h.comp, l.node) AS comp_hi
+  FROM c_lo l LEFT JOIN c_hi h ON h.node = l.node
+)
+SELECT comp_lo AS cluster_lo, count(*) AS n_docs,
+       count(DISTINCT comp_hi) AS n_subclusters_hi,
+       min(node) AS sample_doc
+FROM joined GROUP BY comp_lo
+HAVING count(DISTINCT comp_hi) > 1"""
+
+
+@register("dedup_cluster_churn", _cluster_churn_oracle_sql())
+def dedup_cluster_churn(spark, sf_dir):
+    """Cluster churn across thresholds (X205): which t=0.3 clusters
+    are UNIONS of multiple t=0.8 clusters — the sensitivity report a
+    dedup owner reads next to the X187 pair sweep before loosening the
+    threshold ("0.3 would merge the excerpt with its source family").
+    Planted 'part_<id>' half-documents sit at mid-range Jaccard to
+    their originals: paired at 0.3, separate at 0.8 — every planted
+    family must surface as one merge. ONE pipeline run: the verified
+    pair table carries jaccard, both thresholds are filters on it
+    (nested by construction), and both closures run on the O(paired
+    docs) edge sets. Both engines verify the SAME banded candidate set,
+    so low-jaccard banding recall — honestly partial — cancels in the
+    comparison."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup, resolve_duplicate_clusters
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    norm = F.split(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))),
+        " ",
+    )
+    half_n = F.greatest(F.floor(F.size(norm) / 2.0).cast("int"), F.lit(3))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    part = base.filter(F.col("doc_id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("part_"), F.col("doc_id")).alias("doc_id"),
+        F.array_join(F.slice(norm, 1, half_n), " ").alias("text"),
+    )
+    d2 = d.unionByName(part)
+    pairs_lo = minhash_dedup(
+        d2, threshold=0.3, hash_fn="md5", max_bucket=0, seed=_SEED
+    )
+    pairs_hi = pairs_lo.filter(F.col("jaccard") >= 0.8)
+    c_lo = resolve_duplicate_clusters(pairs_lo).select(
+        F.col("doc_id").alias("node"), F.col("rep_id").alias("comp_lo")
+    )
+    c_hi = resolve_duplicate_clusters(pairs_hi).select(
+        F.col("doc_id").alias("node"), F.col("rep_id").alias("comp_hi")
+    )
+    joined = c_lo.join(c_hi, "node", "left").select(
+        "node", "comp_lo", F.coalesce("comp_hi", F.col("node")).alias("comp_hi")
+    )
+    return (
+        joined.groupBy(F.col("comp_lo").alias("cluster_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("comp_hi").alias("n_subclusters_hi"),
+            F.min("node").alias("sample_doc"),
+        )
+        .filter(F.col("n_subclusters_hi") > 1)
+    )
