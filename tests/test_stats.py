@@ -1864,3 +1864,26 @@ def test_median_ci_hand_case(spark):
     assert g["median"] == 13.0 and g["ci_lo"] == 7.0 and g["ci_hi"] == 19.0
     s = out["s"]
     assert s["median"] == 42.0 and s["ci_lo"] is None and s["ci_hi"] is None
+
+
+def test_changepoint_day_localizes_planted_shift(spark):
+    """20 days at 10/day, then 20 at 30/day: the argmax split must be
+    day 20 exactly (the regime edge), with the SSE reduction equal to
+    the closed form n_l*n_r/n*(mean_r-mean_l)^2 = 10*20*20/40 = 4000.
+    A short series (< 3 days) emits nothing."""
+    import datetime
+
+    from zparse_spark.operators.stats import changepoint_day
+
+    rows = []
+    for d in range(40):
+        per = 10 if d < 20 else 30
+        for k in range(per):
+            rows.append(("g", datetime.datetime(2024, 3, 1 + d % 28, k % 24, 0, 0)
+                         + datetime.timedelta(days=28 * (d // 28))))
+    rows += [("tiny", datetime.datetime(2024, 3, 1)), ("tiny", datetime.datetime(2024, 3, 2))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["g"]: r for r in changepoint_day(df, "ts", "g").collect()}
+    assert out["g"]["change_day"] == datetime.date(2024, 3, 20)
+    assert out["g"]["sse_reduction"] == 4000.0
+    assert "tiny" not in out

@@ -9572,3 +9572,75 @@ def stats_bootstrap_se(spark, sf_dir):
             6,
         ).alias("analytic_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint estimation (X206)
+# ---------------------------------------------------------------------------
+
+
+_CHANGEPOINT_SQL = """
+    WITH inp AS (
+      SELECT event_type AS g, ts FROM events
+      UNION ALL
+      SELECT 'surge', ts FROM events
+      WHERE event_type = 'view'
+      UNION ALL
+      SELECT 'surge', ts FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) >= DATE '2024-01-16'
+    ),
+    daily AS (
+      SELECT g, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM inp GROUP BY g, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT g, day, n,
+             sum(n) OVER (PARTITION BY g ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS i,
+             sum(n) OVER (PARTITION BY g) AS tot,
+             count(*) OVER (PARTITION BY g) AS m
+      FROM daily
+    ),
+    cand AS (
+      SELECT g, day,
+             round(CAST(cl * cl AS DOUBLE) / i
+                   + CAST((tot - cl) * (tot - cl) AS DOUBLE) / (m - i)
+                   - CAST(tot * tot AS DOUBLE) / m, 6) AS gain
+      FROM pre WHERE i < m AND m >= 3
+    ),
+    best AS (
+      SELECT g, day, gain,
+             row_number() OVER (PARTITION BY g ORDER BY gain DESC, day ASC) AS rk
+      FROM cand
+    )
+    SELECT g AS event_type, day AS change_day, gain AS sse_reduction
+    FROM best WHERE rk = 1
+"""
+
+
+@register("trend_changepoint_events", _CHANGEPOINT_SQL)
+def trend_changepoint_events(spark, sf_dir):
+    """Single-changepoint estimate per event type (X206): CUSUM/EWMA
+    say WHETHER the level shifted; this names WHEN — the binary-
+    segmentation argmax of the between-segment SSE reduction, all exact
+    BIGINT prefix arithmetic on the bounded daily table, 6dp-rounded
+    before the argmax (ties → earliest day, deterministic). Planted
+    'surge' type doubles its volume from Jan 16 and must localize the
+    split at the regime edge (operators/stats.py::changepoint_day)."""
+    from zparse_spark.operators.stats import changepoint_day
+
+    ev = _t(spark, sf_dir, "events")
+    inp = ev.select(F.col("event_type").alias("g"), "ts").unionByName(
+        ev.filter(F.col("event_type") == "view").select(
+            F.lit("surge").alias("g"), "ts"
+        )
+    ).unionByName(
+        ev.filter(
+            (F.col("event_type") == "view")
+            & (F.to_date("ts") >= F.lit("2024-01-16").cast("date"))
+        ).select(F.lit("surge").alias("g"), "ts")
+    )
+    return changepoint_day(inp, "ts", "g").select(
+        F.col("g").alias("event_type"), "change_day", "sse_reduction"
+    )

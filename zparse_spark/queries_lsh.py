@@ -1274,3 +1274,81 @@ def dedup_cluster_churn(spark, sf_dir):
         )
         .filter(F.col("n_subclusters_hi") > 1)
     )
+
+
+# --- Near-dup transitivity audit (X207) --------------------------------
+
+
+def _transitivity_oracle_sql() -> str:
+    """Open/closed wedge counts over the verified pair graph — the SQL
+    twin joins the edge list to itself on the shared endpoint and
+    probes the closing edge."""
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+pairs AS (
+  {pairs_select}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+wedges AS (
+  SELECT e1.a AS x, e1.b AS mid, e2.b AS y
+  FROM edges e1 JOIN edges e2 ON e2.a = e1.b AND e1.a < e2.b
+),
+probed AS (
+  SELECT w.x, w.mid, w.y,
+         EXISTS (SELECT 1 FROM edges e WHERE e.a = w.x AND e.b = w.y) AS closed
+  FROM wedges w
+)
+SELECT count(*) AS n_wedges,
+       count(CASE WHEN closed THEN 1 END) AS n_closed,
+       round(CAST(count(CASE WHEN closed THEN 1 END) AS DOUBLE)
+             / greatest(count(*), 1), 6) AS transitivity
+FROM probed"""
+
+
+@register("dedup_transitivity_audit", _transitivity_oracle_sql())
+def dedup_transitivity_audit(spark, sf_dir):
+    """Near-dup transitivity audit (X207): the share of wedges
+    (a~b~c) whose closing edge a~c is ALSO a verified pair — the
+    number that justifies (or indicts) connected-component cluster
+    resolution: CC treats similarity as transitive, and at
+    transitivity ~1 that is faithful; low transitivity means CC is
+    chaining unrelated docs through hubs and the keep-rule is deleting
+    non-duplicates. Wedge generation is one self-join of the bounded
+    verified EDGE list on the shared endpoint (O(Σ deg²) — at 100 TB
+    run it on the X3-capped pair graph where per-node degree is
+    bounded); the closing probe is one more equi-join. Exact integer
+    counts, one trailing division."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    ).distinct()
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("mid"))
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "mid").filter(F.col("x") < F.col("y"))
+    closing = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), F.lit(True).alias("_closed")
+    )
+    probed = wedges.join(closing, ["x", "y"], "left")
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count(F.when(F.col("_closed"), 1)).alias("n_closed"),
+        F.round(
+            F.count(F.when(F.col("_closed"), 1)).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("transitivity"),
+    )
