@@ -9644,3 +9644,99 @@ def trend_changepoint_events(spark, sf_dir):
     return changepoint_day(inp, "ts", "g").select(
         F.col("g").alias("event_type"), "change_day", "sse_reduction"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding kNN label-noise audit (X208)
+# ---------------------------------------------------------------------------
+
+
+_LABEL_NOISE_SQL = """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            (x, i) -> x + CASE WHEN i - 1 = label THEN 3.0 ELSE 0.0 END) AS v,
+             CASE WHEN vec_id % 25 = 0 THEN (label + 1) % 10 ELSE label END AS label
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, b.vec_id AS nb, b.label AS nb_label,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM base a, base b WHERE a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, label, nb_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS rk
+      FROM scored
+    )
+    SELECT vec_id, label,
+           count(CASE WHEN nb_label = label THEN 1 END) AS n_agree,
+           round(CAST(count(CASE WHEN nb_label = label THEN 1 END) AS DOUBLE) / 5, 6)
+             AS agreement,
+           count(CASE WHEN nb_label = label THEN 1 END) <= 1 AS suspect
+    FROM ranked WHERE rk <= 5
+    GROUP BY vec_id, label
+"""
+
+
+@register("embedding_label_noise", _LABEL_NOISE_SQL)
+def embedding_label_noise(spark, sf_dir):
+    """kNN label-noise audit (X208): each point's share of its 5
+    nearest neighbors agreeing with its OWN label — the standard
+    mislabeled-example detector for classifier training data (a point
+    whose neighborhood outvotes its label is a labeling error or an
+    ambiguous example; both belong in review before training). The
+    fixture's embeddings are near-random, so class structure is
+    PLANTED deterministically (dim[label] boosted — note DuckDB's
+    lambda index is 1-based vs Spark's 0-based, aligned explicitly)
+    and every 25th label is flipped: flipped points must surface as
+    suspects. Brute-force neighbors here (bounded fixture); at scale
+    the same audit runs over the IVF/LSH candidate lists (X4/X13) —
+    agreement needs candidates, not exact ranks."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(i == F.col("label"), F.lit(3.0)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+        F.when(F.col("vec_id") % 25 == 0, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label"))
+        .alias("label"),
+    )
+    a = base.select(
+        F.col("vec_id"), F.col("label"), F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("vec_id").alias("nb"), F.col("label").alias("nb_label"),
+        F.col("v").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with("va", "va", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+        )
+    )
+    nb_ = F.sqrt(
+        F.aggregate(
+            F.zip_with("vb", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+        )
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("nb"))
+        .select("vec_id", "label", "nb", "nb_label", (dot / (na * nb_)).alias("cos"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nb").asc())
+    top = scored.withColumn("_rk", F.row_number().over(wr)).filter(F.col("_rk") <= 5)
+    agree = F.count(F.when(F.col("nb_label") == F.col("label"), 1))
+    return top.groupBy("vec_id", "label").agg(
+        agree.alias("n_agree"),
+        F.round(agree.cast("double") / 5, 6).alias("agreement"),
+        (agree <= 1).alias("suspect"),
+    )
