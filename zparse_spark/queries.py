@@ -9740,3 +9740,80 @@ def embedding_label_noise(spark, sf_dir):
         F.round(agree.cast("double") / 5, 6).alias("agreement"),
         (agree <= 1).alias("suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (X209)
+# ---------------------------------------------------------------------------
+
+
+_HILL_SQL = """
+    WITH act AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    topk AS (
+      SELECT CAST(n AS DOUBLE) AS x,
+             row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk
+      FROM act
+    ),
+    kth AS (SELECT x AS xk FROM topk WHERE rk = 101),
+    hill AS (
+      SELECT count(*) AS k,
+             sum(CAST(round(ln(t.x / kth.xk) * 1000000000) AS BIGINT)) AS s_nano
+      FROM topk t, kth WHERE t.rk <= 100
+    )
+    SELECT hill.k,
+           round(CAST(s_nano AS DOUBLE) / 1000000000 / hill.k, 6) AS hill_mean_log_excess,
+           CASE WHEN s_nano > 0 THEN
+             round(hill.k / (CAST(s_nano AS DOUBLE) / 1000000000), 6) END AS tail_index_alpha
+    FROM hill
+"""
+
+
+@register("stats_hill_tail_index", _HILL_SQL)
+def stats_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator (X209) over per-user activity counts:
+    alpha = k / Σ ln(x_(i)/x_(k+1)) on the top-k order statistics — the
+    quantitative answer to "how heavy is this key's tail?" that every
+    partitioning decision in this engine consumes qualitatively
+    (skew_profile names the hottest key; Hill says whether the WHOLE
+    tail is power-law, i.e. whether salting one key is enough or the
+    distribution itself fights equal-width partitioning; alpha <= 2 ~
+    infinite variance). Top-(k+1) is a TakeOrdered, the estimator is
+    one bounded agg; ties contribute equal log terms so tie order
+    cannot move the sum."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    topk = act.select(
+        F.col("n").cast("double").alias("x"), F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") <= 101)
+    kth = topk.filter(F.col("rk") == 101).select(F.col("x").alias("xk"))
+    hill = (
+        topk.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.round(F.log(F.col("x") / F.col("xk")) * 1000000000).cast("bigint")
+            ).alias("s_nano"),
+        )
+    )
+    # log terms quantized to integer nano-units PRE-SUM (X150
+    # discipline): a 100-term float sum is partition-order-dependent in
+    # the last ulp, and a 6dp round at a boundary would flip cross-engine
+    s = F.col("s_nano").cast("double") / 1000000000
+    return hill.select(
+        "k",
+        F.round(s / F.col("k"), 6).alias("hill_mean_log_excess"),
+        F.when(F.col("s_nano") > 0, F.round(F.col("k") / s, 6)).alias(
+            "tail_index_alpha"
+        ),
+    )
