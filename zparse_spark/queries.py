@@ -9817,3 +9817,99 @@ def stats_hill_tail_index(spark, sf_dir):
             "tail_index_alpha"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition drift (X210)
+# ---------------------------------------------------------------------------
+
+
+_MARKOV_DRIFT_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type,
+             CAST(ts AS DATE) < DATE '2024-01-16' AS early
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type, early
+      FROM seq WHERE next_type IS NOT NULL
+    ),
+    counts AS (
+      SELECT from_type, to_type,
+             count(CASE WHEN early THEN 1 END) AS ce,
+             count(CASE WHEN NOT early THEN 1 END) AS cl
+      FROM tr GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, sum(ce) AS te, sum(cl) AS tl
+      FROM counts GROUP BY from_type
+    ),
+    terms AS (
+      SELECT c.from_type, t.te, t.tl,
+             CAST(round(
+               ((CASE WHEN t.te > 0 THEN CAST(c.ce AS DOUBLE) / t.te ELSE 0 END + 0.0001)
+                - (CASE WHEN t.tl > 0 THEN CAST(c.cl AS DOUBLE) / t.tl ELSE 0 END + 0.0001))
+               * ln(((CASE WHEN t.te > 0 THEN CAST(c.ce AS DOUBLE) / t.te ELSE 0 END + 0.0001))
+                    / ((CASE WHEN t.tl > 0 THEN CAST(c.cl AS DOUBLE) / t.tl ELSE 0 END + 0.0001)))
+               * 1000000000) AS BIGINT) AS nano
+      FROM counts c JOIN tot t ON t.from_type = c.from_type
+    )
+    SELECT from_type, max(te) AS n_early, max(tl) AS n_late,
+           round(CAST(sum(nano) AS DOUBLE) / 1000000000, 6) AS psi
+    FROM terms GROUP BY from_type
+"""
+
+
+@register("drift_markov_transitions", _MARKOV_DRIFT_SQL)
+def drift_markov_transitions(spark, sf_dir):
+    """Markov transition drift (X210): per from-state PSI between the
+    early and late halves' NEXT-event distributions — behavior-change
+    detection at the sequence level (volume drift says "more clicks";
+    this says "clicks now lead somewhere else", which volume and
+    per-type mixes both miss). Transitions from one lead() window per
+    user (ordered ts, event_id tie-break); the drift arithmetic is
+    D1's eps-floored PSI with nano-unit pre-sum quantization (X194
+    discipline). One window pass + two bounded groupBys — transition
+    variety is |types|², never row-scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.to_date("ts") < F.lit("2024-01-16").cast("date")).alias("early"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.when(F.col("early"), 1)).alias("ce"),
+        F.count(F.when(~F.col("early"), 1)).alias("cl"),
+    )
+    tot = counts.groupBy("from_type").agg(
+        F.sum("ce").alias("te"), F.sum("cl").alias("tl")
+    )
+    j = counts.join(F.broadcast(tot), "from_type")
+    eps = 0.0001
+    pe = (
+        F.when(F.col("te") > 0, F.col("ce").cast("double") / F.col("te")).otherwise(
+            F.lit(0.0)
+        )
+        + eps
+    )
+    pl = (
+        F.when(F.col("tl") > 0, F.col("cl").cast("double") / F.col("tl")).otherwise(
+            F.lit(0.0)
+        )
+        + eps
+    )
+    nano = F.round((pe - pl) * F.log(pe / pl) * 1000000000).cast("bigint")
+    return (
+        j.select("from_type", "te", "tl", nano.alias("nano"))
+        .groupBy("from_type")
+        .agg(
+            F.max("te").alias("n_early"),
+            F.max("tl").alias("n_late"),
+            F.round(F.sum("nano").cast("double") / 1000000000, 6).alias("psi"),
+        )
+    )
