@@ -1435,3 +1435,41 @@ def span_pack_ref_suggestions(spark, sf_dir):
         F.col("media_ref").alias("suggestion"),
         "dist",
     )
+
+
+# --- Within-doc duplicate media_ref rule (X211) ------------------------
+
+
+@register(
+    "span_pack_intradoc_dup_refs",
+    f"""WITH sp AS (
+  SELECT partition, doc_id, s.media_ref AS media_ref
+  FROM (SELECT partition, doc_id, unnest(spans) AS s
+        FROM read_parquet('{_W}/span_docs/*.parquet'))
+  WHERE s.media_ref IS NOT NULL
+)
+SELECT partition, doc_id, media_ref, count(*) AS n_spans
+FROM sp GROUP BY partition, doc_id, media_ref
+HAVING count(*) > 1""",
+)
+def span_pack_intradoc_dup_refs(spark, sf_dir):
+    """Within-document duplicate media_ref audit (X211): the same
+    payload embedded twice in ONE document — neither U1 (doc_id
+    uniqueness) nor R1 (catalog existence) can see it, yet for a
+    training corpus it is the doc-internal twin of media dedup (a
+    page rendering the same image twice inflates media tokens exactly
+    like repeated text inflates text tokens). One explode + one
+    map-side-combined groupBy(doc, ref); output is violation-sparse."""
+    from pyspark.sql import functions as F
+
+    docs, _cat = _pack_input(spark)
+    sp = (
+        docs.select("partition", "doc_id", F.explode("spans").alias("s"))
+        .select("partition", "doc_id", F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+    )
+    return (
+        sp.groupBy("partition", "doc_id", "media_ref")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .filter(F.col("n_spans") > 1)
+    )
