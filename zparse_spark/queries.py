@@ -9913,3 +9913,90 @@ def drift_markov_transitions(spark, sf_dir):
             F.round(F.sum("nano").cast("double") / 1000000000, 6).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz concentration curve (X212)
+# ---------------------------------------------------------------------------
+
+
+_LORENZ_SQL = """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey,
+             CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents ASC, c_custkey ASC) AS i,
+             count(*) OVER (PARTITION BY seg) AS n,
+             sum(cents) OVER (PARTITION BY seg) AS tot,
+             sum(cents) OVER (PARTITION BY seg ORDER BY cents ASC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    decile AS (
+      SELECT seg, CAST(ceil(i * 10.0 / n) AS INT) AS decile,
+             max(i) AS i_hi, max(n) AS n, max(cum) AS cum_hi, max(tot) AS tot
+      FROM ranked GROUP BY seg, CAST(ceil(i * 10.0 / n) AS INT)
+    )
+    SELECT seg AS c_mktsegment, decile,
+           round(CAST(i_hi AS DOUBLE) / n, 6) AS pop_share,
+           round(CAST(cum_hi AS DOUBLE) / tot, 6) AS value_share
+    FROM decile
+"""
+
+
+@register("profile_lorenz_customer_revenue", _LORENZ_SQL)
+def profile_lorenz_customer_revenue(spark, sf_dir):
+    """Lorenz concentration curve (X212): per segment, the cumulative
+    revenue share held by the bottom d/10 of customers — the CURVE
+    behind the X180 Gini number, i.e. the literal "the top 10% of
+    customers carry 1−value_share(9) of revenue" statement a single
+    coefficient compresses away. Exact cents, the same
+    sort-within-group window Gini pays, reduced to 10 points per group
+    by a bounded decile rollup (max of cum at each decile's upper
+    rank)."""
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents"))
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        F.col("c_mktsegment").alias("seg"),
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+        F.sum("cents")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    dec = (
+        ranked.groupBy(
+            "seg", F.ceil(F.col("i") * 10.0 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(
+            F.max("i").alias("i_hi"),
+            F.max("n").alias("n"),
+            F.max("cum").alias("cum_hi"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    return dec.select(
+        F.col("seg").alias("c_mktsegment"),
+        "decile",
+        F.round(F.col("i_hi").cast("double") / F.col("n"), 6).alias("pop_share"),
+        F.round(F.col("cum_hi").cast("double") / F.col("tot"), 6).alias("value_share"),
+    )
