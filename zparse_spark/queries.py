@@ -10000,3 +10000,81 @@ def profile_lorenz_customer_revenue(spark, sf_dir):
         F.round(F.col("i_hi").cast("double") / F.col("n"), 6).alias("pop_share"),
         F.round(F.col("cum_hi").cast("double") / F.col("tot"), 6).alias("value_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tail-vs-median trend (X213)
+# ---------------------------------------------------------------------------
+
+
+_TAIL_TREND_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+             round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, day, p50, p90,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             round((b.p50 - a.p50) / (b.i - a.i), 6) AS s50,
+             round((b.p90 - a.p90) / (b.i - a.i), 6) AS s90
+      FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.i > a.i
+    )
+    SELECT event_type,
+           round(CAST(quantile_cont(s50, 0.5) AS DOUBLE), 6) AS slope_p50,
+           round(CAST(quantile_cont(s90, 0.5) AS DOUBLE), 6) AS slope_p90
+    FROM pairs GROUP BY event_type
+"""
+
+
+@register("trend_tail_vs_median", _TAIL_TREND_SQL)
+def trend_tail_vs_median(spark, sf_dir):
+    """Tail-vs-median trend (X213): Theil–Sen slopes of the DAILY p50
+    and p90 of event value, per type — the monitoring question a mean
+    trend can't answer: "is the TAIL growing faster than the typical
+    value?" (a p90 slope outrunning p50 means the distribution is
+    stretching — fraud spikes, runaway payloads — while the median
+    says all-clear). Exact interpolated percentiles per day (one
+    groupBy over the scan), then the X166 pairwise-median machinery on
+    the BOUNDED day grid — per-day quantiles rounded 6dp before
+    pairing so both engines difference identical numbers."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+    wi = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "p50", "p90", F.row_number().over(wi).alias("i")
+    )
+    a = idx.select(
+        "event_type",
+        F.col("i").alias("ia"),
+        F.col("p50").alias("pa50"),
+        F.col("p90").alias("pa90"),
+    )
+    b = idx.select(
+        "event_type",
+        F.col("i").alias("ib"),
+        F.col("p50").alias("pb50"),
+        F.col("p90").alias("pb90"),
+    )
+    pairs = a.join(b, "event_type").filter(F.col("ib") > F.col("ia")).select(
+        "event_type",
+        F.round((F.col("pb50") - F.col("pa50")) / (F.col("ib") - F.col("ia")), 6).alias("s50"),
+        F.round((F.col("pb90") - F.col("pa90")) / (F.col("ib") - F.col("ia")), 6).alias("s90"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.round(F.expr("percentile(s50, 0.5)"), 6).alias("slope_p50"),
+        F.round(F.expr("percentile(s90, 0.5)"), 6).alias("slope_p90"),
+    )
