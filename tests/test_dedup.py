@@ -635,3 +635,37 @@ def test_weighted_jaccard_charges_repetition(spark):
     assert ab["w_inter"] == 2 and ab["w_union"] == 5 and ab["w_jaccard"] == 0.4
     assert out[("a", "c")]["w_jaccard"] == 0.0
     assert weighted_jaccard_pairs(d, cands, threshold=0.3).count() == 1
+
+
+def test_kcore_peel_keeps_clique_drops_star(spark):
+    """A 5-clique survives the k=3 peel intact (degree 4 each); a
+    star with 5 leaves — hub degree 5, well above k — peels COMPLETELY
+    because its leaves (degree 1) go first: exactly the dense-vs-hub
+    distinction raw degree cannot make. Fixpoint reached within the
+    6-round contract (5th and 6th rounds identical)."""
+    from pyspark.sql import functions as F
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    star = [("hub", f"leaf{i}") for i in range(5)]
+    pairs = spark.createDataFrame(clique + star, "id_a string, id_b string")
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = []
+    for _ in range(6):
+        keep = (
+            edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3).select("a")
+        )
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(edges.count())
+    survivors = {r["a"] for r in edges.select("a").distinct().collect()}
+    assert survivors == {f"c{i}" for i in range(5)}
+    assert counts[-1] == counts[-2]  # fixpoint within the round budget

@@ -1352,3 +1352,106 @@ def dedup_transitivity_audit(spark, sf_dir):
             6,
         ).alias("transitivity"),
     )
+
+
+# --- k-core hub detection over the near-dup graph (X214) ---------------
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    """Uncapped boiler-planted pair graph (the 40-clique), then a
+    bounded-round k-core peel unrolled as CTE stages — each round drops
+    nodes whose remaining degree < k and the edges touching them."""
+    head, _, final = (
+        _MINHASH_SQL.replace(_SHINGLE_CTE, _BOILER_SHINGLE_CTE, 1)
+    ).rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    # every stage is MATERIALIZED: DuckDB would otherwise inline e{p}
+    # into each of its three references per round, re-expanding the whole
+    # MinHash pipeline 3^rounds times (the SQL face of the same lineage
+    # trap the Spark side checkpoints away)
+    stages = [
+        f"""e0 AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        stages.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT a FROM e{p} GROUP BY a HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN k{r} ka ON ka.a = e.a
+  JOIN k{r} kb ON kb.a = e.b
+)"""
+        )
+    chain = ",\n".join(stages)
+    return f"""{head},
+pairs AS MATERIALIZED (
+  {pairs_select}
+),
+{chain}
+SELECT a AS doc_id, count(*) AS core_degree
+FROM e{rounds} GROUP BY a"""
+
+
+@register("dedup_kcore_hubs", _kcore_oracle_sql())
+def dedup_kcore_hubs(spark, sf_dir):
+    """k-core hub detection (X214): nodes surviving the degree->=3 peel
+    of the verified near-dup graph — the DENSE-substructure detector
+    that degree alone misses (a doc with 3 independent neighbors peels
+    away once they do; a boilerplate CLIQUE survives every round). The
+    planted 40-copy boilerplate family is the positive: it must emerge
+    as the complete 3-core while planted dup PAIRS (degree 1) and
+    organic near-dups peel out. Bounded-round contract: 6 unrolled
+    peel rounds, identical in both engines; on this graph the peel
+    converges in round 1 (clique vs forest) and the pytest asserts the
+    fixpoint. Each round is one degree groupBy + one semi-join on the
+    EDGE list — O(edges) per round, never touching the corpus."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    boiler = spark.range(_N_BOILER).select(
+        F.concat(F.lit("boiler_"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+            "doc_id"
+        ),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    d = base.unionByName(boiler)
+    pairs = minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        # materialize BEFORE the peel: each round references edges three
+        # times (degree + two semi-joins), so an unmaterialized lineage
+        # re-evaluates the whole MinHash pipeline 3^rounds times — the
+        # same lineage trap as X12's checkpointed propagation. The edge
+        # list is O(pairs), trivially checkpointable every round.
+        .localCheckpoint(eager=True)
+    )
+    k = 3
+    for _ in range(6):
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("a")
+        )
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
