@@ -10078,3 +10078,117 @@ def trend_tail_vs_median(spark, sf_dir):
         F.round(F.expr("percentile(s50, 0.5)"), 6).alias("slope_p50"),
         F.round(F.expr("percentile(s90, 0.5)"), 6).alias("slope_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source containment matrix (X215)
+# ---------------------------------------------------------------------------
+
+
+_SOURCE_CONTAIN_SQL = r"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+             lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN list_transform(range(1, length(t) - 8 + 2),
+                                      i -> md5(substring(t, CAST(i AS INT), 8)))
+                  ELSE [md5(t)] END AS hs
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT))))
+                    ELSE [list_min(hs)] END) AS fps
+      FROM h
+    ),
+    post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    sz AS (SELECT doc_id, len(fps) AS n_fp FROM f),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+      FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT CASE WHEN CAST(s.shared_fp AS DOUBLE) / za.n_fp
+                       >= CAST(s.shared_fp AS DOUBLE) / zb.n_fp
+                  THEN s.id_a ELSE s.id_b END AS contained_id,
+             CASE WHEN CAST(s.shared_fp AS DOUBLE) / za.n_fp
+                       >= CAST(s.shared_fp AS DOUBLE) / zb.n_fp
+                  THEN s.id_b ELSE s.id_a END AS container_id,
+             greatest(round(CAST(s.shared_fp AS DOUBLE) / za.n_fp, 6),
+                      round(CAST(s.shared_fp AS DOUBLE) / zb.n_fp, 6)) AS containment
+      FROM shared s
+      JOIN sz za ON za.doc_id = s.id_a
+      JOIN sz zb ON zb.doc_id = s.id_b
+    )
+    SELECT dc.source AS contained_source, db.source AS container_source,
+           count(*) AS n_pairs,
+           round(avg(containment), 6) AS avg_containment
+    FROM directed x
+    JOIN d dc ON dc.doc_id = x.contained_id
+    JOIN d db ON db.doc_id = x.container_id
+    WHERE containment >= 0.6
+    GROUP BY dc.source, db.source
+"""
+
+
+@register("dedup_source_containment_matrix", _SOURCE_CONTAIN_SQL)
+def dedup_source_containment_matrix(spark, sf_dir):
+    """Cross-source containment matrix (X215): directional
+    quote-inclusion aggregated by source pair — WHO COPIES FROM WHOM,
+    the provenance question behind scraper-vs-origin disputes and the
+    keep-rule's source priority ("prefer the container's source" is
+    wrong when the container is the aggregator). The containment
+    DIRECTION (X185) picks contained = the side with the higher share
+    of its fingerprints covered; pairs >= 0.6 roll up to (contained
+    source, container source) with counts and mean containment. Same
+    winnowing pipeline shape as X151/X185 — the matrix is one extra
+    bounded groupBy."""
+    from zparse_spark.operators.dedup import winnowing_containment
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    )
+    pairs = winnowing_containment(
+        d.select("doc_id", "text"), k=8, w=4, threshold=0.0
+    ).filter(
+        F.greatest("containment_a_in_b", "containment_b_in_a") >= 0.6
+    )
+    a_contained = F.col("containment_a_in_b") >= F.col("containment_b_in_a")
+    directed = pairs.select(
+        F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "contained_id"
+        ),
+        F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "container_id"
+        ),
+        F.greatest("containment_a_in_b", "containment_b_in_a").alias("containment"),
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        directed.join(
+            src.select(
+                F.col("doc_id").alias("contained_id"),
+                F.col("source").alias("contained_source"),
+            ),
+            "contained_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("container_id"),
+                F.col("source").alias("container_source"),
+            ),
+            "container_id",
+        )
+    )
+    return j.groupBy("contained_source", "container_source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("containment"), 6).alias("avg_containment"),
+    )
