@@ -1455,3 +1455,78 @@ def dedup_kcore_hubs(spark, sf_dir):
     return edges.groupBy(F.col("a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+# --- Dedup drop explanations (X216) ------------------------------------
+
+
+def _drop_explain_oracle_sql() -> str:
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    return f"""{head.replace("WITH", "WITH RECURSIVE", 1)},
+pairs AS (
+  {pairs_select}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst, jaccard FROM pairs
+  UNION
+  SELECT id_b, id_a, jaccard FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+dropped AS (SELECT node, rep FROM comp WHERE node <> rep),
+best AS (
+  SELECT d.node, d.rep, e.dst AS via_doc, e.jaccard,
+         row_number() OVER (PARTITION BY d.node
+           ORDER BY e.jaccard DESC, e.dst ASC) AS rk
+  FROM dropped d JOIN edges e ON e.src = d.node
+)
+SELECT node AS doc_id, rep AS kept_id, via_doc, jaccard AS via_jaccard
+FROM best WHERE rk = 1"""
+
+
+@register("dedup_drop_explanations", _drop_explain_oracle_sql())
+def dedup_drop_explanations(spark, sf_dir):
+    """Dedup drop explanations (X216): one provenance row per DROPPED
+    document — which representative replaced it, through WHICH verified
+    pair (the doc's strongest edge) at what Jaccard. This is the
+    artifact an appeal/takedown/debugging flow actually needs: "doc X
+    was removed" is unactionable; "doc X was removed as a 0.93
+    near-dup of doc Y, kept as Z" is reviewable, and at 10^12 scale
+    it is the ONLY way to audit a keep-rule without re-running the
+    pipeline. Composition of oracled stages (pairs -> components) plus
+    one argmax window on the O(paired docs) edge table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from zparse_spark.operators.dedup import minhash_dedup, resolve_duplicate_clusters
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED
+    )
+    comp = resolve_duplicate_clusters(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("rep_id"))
+    edges = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("via_doc"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("via_doc"), "jaccard"
+        )
+    )
+    j = dropped.join(edges, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("via_doc").asc()
+    )
+    best = j.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return best.select(
+        "doc_id",
+        F.col("rep_id").alias("kept_id"),
+        "via_doc",
+        F.col("jaccard").alias("via_jaccard"),
+    )
