@@ -10192,3 +10192,110 @@ def dedup_source_containment_matrix(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("containment"), 6).alias("avg_containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day p95 heatmap (X217) + dedup review sampler (X218)
+# ---------------------------------------------------------------------------
+
+
+_HOURLY_P95_SQL = """
+    SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS n,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50_value,
+           round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, CAST(hour(ts) AS INT)
+"""
+
+
+@register("events_hourly_p95_value", _HOURLY_P95_SQL)
+def events_hourly_p95_value(spark, sf_dir):
+    """Hour-of-day × type p50/p95 heatmap (X217): the canonical ops
+    latency/value artifact — a daily mean hides the 3am batch window
+    that doubles p95 while p50 sleeps; the (24 × types) grid shows it.
+    One groupBy over the scan with exact interpolated percentiles;
+    the grid is bounded, the sort cost is percentile's own."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
+    )
+
+
+def _review_sample_oracle_sql() -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    hv = _hv_sql("CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) || ':7'")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 2, 1)),
+               i -> substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 3)
+             )) AS sh
+      FROM documents WHERE doc_id < 200
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    banded AS (
+      SELECT id_a, id_b, jaccard,
+             CAST(floor(jaccard * 20) AS INT) AS band,
+             row_number() OVER (
+               PARTITION BY CAST(floor(jaccard * 20) AS INT)
+               ORDER BY {hv} ASC, id_a ASC, id_b ASC) AS rk
+      FROM pairs WHERE jaccard >= 0.3
+    )
+    SELECT band, id_a, id_b, jaccard, rk
+    FROM banded WHERE rk <= 3
+    """
+
+
+@register("dedup_review_sample", _review_sample_oracle_sql())
+def dedup_review_sample(spark, sf_dir):
+    """Deterministic dedup review sampler (X218): up to 3 pairs per
+    0.05-Jaccard band, selected by md5 hash order — the human-QA
+    labeling budget allocated EVENLY across the similarity range
+    instead of wherever volume piles up (band-stratified labels are
+    what calibrates the X187 threshold sweep into precision/recall).
+    Hash-ordered selection is a pure function of the pair keys: the
+    reviewed set is stable across runs, resumes and engines. One
+    rank window per band on the bounded scored-pair table."""
+    from pyspark.sql import Window
+
+    from zparse_spark.operators.dedup import ngram_jaccard_pairs
+    from zparse_spark.operators.filtering import hash_unit
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    ids = d.select(F.col("doc_id").alias("id_a"))
+    ids_b = d.select(F.col("doc_id").alias("id_b"))
+    cands = ids.crossJoin(ids_b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = ngram_jaccard_pairs(d, cands, k_shingle=3, mode="char", threshold=0.3)
+    band = F.floor(F.col("jaccard") * 20).cast("int")
+    u = hash_unit(
+        F.concat(
+            F.col("id_a").cast("string"), F.lit("|"), F.col("id_b").cast("string")
+        ),
+        7,
+    )
+    w = Window.partitionBy(band).orderBy(
+        u.asc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.select(
+            band.alias("band"), "id_a", "id_b", "jaccard",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
