@@ -524,3 +524,35 @@ def test_expectation_suite_composite_unique(spark):
     ).collect()[0]
     assert out["column"] == "a,b"
     assert out["observed"] == 1.0 and out["passed"] is False
+
+
+def test_grouped_expectation_suite_names_worst_group(spark):
+    """One group with 100% nulls must fail the suite AND be named as
+    worst_group while the pooled rate would pass; a healthy spec line
+    on the same pass stays green. Unknown kind raises."""
+    import pytest
+
+    from zparse_spark.operators.expectations import grouped_expectation_suite
+
+    rows = (
+        [("a", "en", 100)] * 9 + [("a", None, 100)]
+        + [("b", None, 500)] * 5
+    )
+    df = spark.createDataFrame(rows, "src string, lang string, n long")
+    spec = [
+        {"rule_id": "G1", "table": "t", "by": "src", "kind": "null_rate_max",
+         "column": "lang", "max_rate": 0.2},
+        {"rule_id": "G2", "table": "t", "by": "src", "kind": "row_count_min",
+         "min_rows": 3},
+        {"rule_id": "G3", "table": "t", "by": "src", "kind": "mean_between",
+         "column": "n", "lo": 50.0, "hi": 600.0},
+    ]
+    out = {r["rule_id"]: r for r in grouped_expectation_suite({"t": df}, spec).collect()}
+    g1 = out["G1"]
+    assert g1["passed"] is False and g1["worst_group"] == "b"
+    assert g1["worst_observed"] == 1.0 and g1["n_failing"] == 1
+    assert out["G2"]["passed"] is True and out["G3"]["passed"] is True
+
+    with pytest.raises(ValueError, match="unknown grouped"):
+        grouped_expectation_suite({"t": df}, [{"rule_id": "X", "table": "t",
+                                               "by": "src", "kind": "nope"}])

@@ -177,3 +177,110 @@ def expectation_suite(tables: dict[str, DataFrame], spec: list[dict]) -> DataFra
         out = frame if out is None else out.unionByName(frame)
     assert out is not None, "empty expectation spec"
     return out
+
+
+def grouped_expectation_suite(
+    tables: dict[str, DataFrame], spec: list[dict]
+) -> DataFrame:
+    """Per-GROUP expectations — the release-gate difference between
+    "the table is fine" and "this source is poisoned": a corpus-wide
+    null rate of 1% passes while one source sits at 80% nulls; the
+    grouped form bounds EVERY group and reports the worst offender.
+
+    Spec entries add ``by`` (the group column) to a subset of the flat
+    suite's kinds:
+      {"rule_id": "G1", "table": "documents", "by": "source",
+       "kind": "null_rate_max", "column": "lang", "max_rate": 0.1}
+      {"rule_id": "G2", "table": "orders", "by": "o_orderpriority",
+       "kind": "row_count_min", "min_rows": 100}
+      {"rule_id": "G3", "table": "documents", "by": "source",
+       "kind": "mean_between", "column": "n_chars", "lo": 100, "hi": 600}
+
+    Verdict schema: (rule_id, table, by, column, kind, n_groups,
+    n_failing, worst_group, worst_observed, passed) — passed iff NO
+    group violates. Scale shape: expectations sharing (table, by)
+    compile into ONE map-side-combined groupBy (conditional aggregates
+    per expectation); the verdict rows project from the bounded
+    per-group table.
+    """
+    kinds = ("null_rate_max", "row_count_min", "mean_between")
+    for e in spec:
+        if e["kind"] not in kinds:
+            raise ValueError(f"unknown grouped expectation kind: {e['kind']!r}")
+        if e["table"] not in tables:
+            raise ValueError(f"expectation {e['rule_id']}: unknown table {e['table']!r}")
+
+    by_key: dict[tuple, list[dict]] = {}
+    for e in spec:
+        by_key.setdefault((e["table"], e["by"]), []).append(e)
+
+    out: DataFrame | None = None
+    for (tname, by), exps in by_key.items():
+        df = tables[tname]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, e in enumerate(exps):
+            c = e.get("column")
+            if e["kind"] == "null_rate_max":
+                aggs.append(F.count(F.col(c)).alias(f"__c{i}"))
+            elif e["kind"] == "mean_between":
+                aggs.append(F.sum(F.col(c)).alias(f"__s{i}"))
+                aggs.append(F.count(F.col(c)).alias(f"__c{i}"))
+        per = df.groupBy(F.col(by).alias("__g")).agg(*aggs)
+
+        for i, e in enumerate(exps):
+            rid, kind, c = e["rule_id"], e["kind"], e.get("column")
+            if kind == "null_rate_max":
+                observed = F.round(
+                    (F.col("__n") - F.col(f"__c{i}")).cast("double")
+                    / F.greatest(F.col("__n"), F.lit(1)),
+                    6,
+                )
+                bad = observed > float(e["max_rate"])
+            elif kind == "row_count_min":
+                observed = F.col("__n").cast("double")
+                bad = F.col("__n") < int(e["min_rows"])
+            else:  # mean_between
+                observed = F.round(
+                    F.col(f"__s{i}").cast("double")
+                    / F.greatest(F.col(f"__c{i}"), F.lit(1)),
+                    6,
+                )
+                bad = (observed < float(e["lo"])) | (observed > float(e["hi"]))
+            scored = per.select(
+                "__g", observed.alias("__obs"), bad.alias("__bad")
+            )
+            # worst group: max observed among failing (null_rate/mean high
+            # side), else the max observed overall — deterministic tie to
+            # min group label
+            from pyspark.sql import Window
+
+            w = Window.orderBy(
+                F.col("__bad").desc(), F.col("__obs").desc(), F.col("__g").asc()
+            )
+            ranked = scored.select(
+                "*", F.row_number().over(w).alias("__rk")
+            )
+            verdict = ranked.groupBy().agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.count(F.when(F.col("__bad"), 1)).alias("n_failing"),
+                F.max(F.when(F.col("__rk") == 1, F.col("__g").cast("string"))).alias(
+                    "worst_group"
+                ),
+                F.max(F.when(F.col("__rk") == 1, F.col("__obs"))).alias(
+                    "worst_observed"
+                ),
+            ).select(
+                F.lit(rid).alias("rule_id"),
+                F.lit(tname).alias("table"),
+                F.lit(by).alias("by"),
+                F.lit(c).cast("string").alias("column"),
+                F.lit(kind).alias("kind"),
+                "n_groups",
+                "n_failing",
+                "worst_group",
+                "worst_observed",
+                (F.col("n_failing") == 0).alias("passed"),
+            )
+            out = verdict if out is None else out.unionByName(verdict)
+    assert out is not None, "empty grouped expectation spec"
+    return out

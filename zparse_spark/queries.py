@@ -10299,3 +10299,107 @@ def dedup_review_sample(spark, sf_dir):
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped expectation suite (X219)
+# ---------------------------------------------------------------------------
+
+
+_GROUPED_SUITE_SQL = """
+    WITH snap AS (
+      SELECT source,
+             CASE WHEN source = 'src7' THEN NULL ELSE lang END AS lang,
+             n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT source AS g, count(*) AS n, count(lang) AS c_lang,
+             sum(n_chars) AS s_chars, count(n_chars) AS c_chars
+      FROM snap GROUP BY source
+    ),
+    g1s AS (
+      SELECT g, round(CAST(n - c_lang AS DOUBLE) / greatest(n, 1), 6) AS obs,
+             round(CAST(n - c_lang AS DOUBLE) / greatest(n, 1), 6) > 0.1 AS bad
+      FROM per
+    ),
+    g1r AS (
+      SELECT g, obs, bad,
+             row_number() OVER (ORDER BY bad DESC, obs DESC, g ASC) AS rk
+      FROM g1s
+    ),
+    g1 AS (
+      SELECT 'G1' AS rule_id, 'documents' AS "table", 'source' AS "by",
+             'lang' AS "column", 'null_rate_max' AS kind,
+             count(*) AS n_groups,
+             count(CASE WHEN bad THEN 1 END) AS n_failing,
+             max(CASE WHEN rk = 1 THEN g END) AS worst_group,
+             max(CASE WHEN rk = 1 THEN obs END) AS worst_observed,
+             count(CASE WHEN bad THEN 1 END) = 0 AS passed
+      FROM g1r
+    ),
+    g2s AS (SELECT g, CAST(n AS DOUBLE) AS obs, n < 10 AS bad FROM per),
+    g2r AS (
+      SELECT g, obs, bad,
+             row_number() OVER (ORDER BY bad DESC, obs DESC, g ASC) AS rk
+      FROM g2s
+    ),
+    g2 AS (
+      SELECT 'G2', 'documents', 'source', NULL, 'row_count_min',
+             count(*), count(CASE WHEN bad THEN 1 END),
+             max(CASE WHEN rk = 1 THEN g END),
+             max(CASE WHEN rk = 1 THEN obs END),
+             count(CASE WHEN bad THEN 1 END) = 0
+      FROM g2r
+    ),
+    g3s AS (
+      SELECT g, round(CAST(s_chars AS DOUBLE) / greatest(c_chars, 1), 6) AS obs,
+             round(CAST(s_chars AS DOUBLE) / greatest(c_chars, 1), 6) < 100
+               OR round(CAST(s_chars AS DOUBLE) / greatest(c_chars, 1), 6) > 600 AS bad
+      FROM per
+    ),
+    g3r AS (
+      SELECT g, obs, bad,
+             row_number() OVER (ORDER BY bad DESC, obs DESC, g ASC) AS rk
+      FROM g3s
+    ),
+    g3 AS (
+      SELECT 'G3', 'documents', 'source', 'n_chars', 'mean_between',
+             count(*), count(CASE WHEN bad THEN 1 END),
+             max(CASE WHEN rk = 1 THEN g END),
+             max(CASE WHEN rk = 1 THEN obs END),
+             count(CASE WHEN bad THEN 1 END) = 0
+      FROM g3r
+    )
+    SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
+"""
+
+
+@register("contract_grouped_suite", _GROUPED_SUITE_SQL)
+def contract_grouped_suite(spark, sf_dir):
+    """Grouped expectation suite (X219): per-GROUP bounds with
+    worst-offender reporting — the release-gate difference between
+    "the table is fine" (corpus null rate 5%) and "src7 is poisoned"
+    (its lang nulled 100%, planted): the flat suite X193 passes the
+    pooled number while this names the group. All expectations
+    sharing (table, by) compile into ONE map-side-combined groupBy;
+    verdicts project from the bounded per-group table
+    (operators/expectations.py::grouped_expectation_suite)."""
+    from zparse_spark.operators.expectations import grouped_expectation_suite
+
+    snap = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("source") == "src7", F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "n_chars",
+    )
+    spec = [
+        {"rule_id": "G1", "table": "documents", "by": "source",
+         "kind": "null_rate_max", "column": "lang", "max_rate": 0.1},
+        {"rule_id": "G2", "table": "documents", "by": "source",
+         "kind": "row_count_min", "min_rows": 10},
+        {"rule_id": "G3", "table": "documents", "by": "source",
+         "kind": "mean_between", "column": "n_chars", "lo": 100.0, "hi": 600.0},
+    ]
+    return grouped_expectation_suite({"documents": snap}, spec)
