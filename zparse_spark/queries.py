@@ -10403,3 +10403,180 @@ def contract_grouped_suite(spark, sf_dir):
          "kind": "mean_between", "column": "n_chars", "lo": 100.0, "hi": 600.0},
     ]
     return grouped_expectation_suite({"documents": snap}, spec)
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed corpus version id (X220) + chunk-level split leakage (X221)
+# ---------------------------------------------------------------------------
+
+
+_VERSION_ID_SQL = """
+    WITH row_h AS (
+      SELECT md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '<NULL>')
+                 || '|' || coalesce(lang, '<NULL>')
+                 || '|' || coalesce(source, '<NULL>')) AS h
+      FROM documents
+    ),
+    buckets AS (
+      SELECT CAST(ascii(substr(h, 1, 1)) AS INT) * 16
+             + CASE WHEN ascii(substr(h, 2, 1)) >= 97
+                    THEN ascii(substr(h, 2, 1)) - 87
+                    ELSE ascii(substr(h, 2, 1)) - 48 END AS b,
+             md5(string_agg(h, '' ORDER BY h)) AS bh,
+             count(*) AS n
+      FROM row_h GROUP BY 1
+    )
+    SELECT count(*) AS n_buckets, sum(n) AS n_docs,
+           md5(string_agg(bh, '' ORDER BY b)) AS version_id
+    FROM buckets
+"""
+
+
+@register("corpus_version_id", _VERSION_ID_SQL)
+def corpus_version_id(spark, sf_dir):
+    """Content-addressed corpus version id (X220): ONE hex string that
+    names the exact corpus contents, order- and partitioning-
+    independent — the dataset-card field that turns "trained on the
+    August crawl" into a verifiable claim ("trained on corpus
+    a3f9..."). Two-level Merkle fold: per-row md5 over the canonical
+    field serialization, rows grouped into 256+ hash-prefix buckets
+    whose sorted-concat digests fold (sorted by bucket) into the root —
+    the only sort is within buckets of ~n/256 hashes and over the
+    bounded bucket table (the X146 checksum shape, reduced to one
+    root). Any single changed/added/dropped row changes the id."""
+    row_h = _t(spark, sf_dir, "documents").select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.coalesce(F.col("text"), F.lit("<NULL>")),
+                F.coalesce(F.col("lang"), F.lit("<NULL>")),
+                F.coalesce(F.col("source"), F.lit("<NULL>")),
+            )
+        ).alias("h")
+    )
+    nib = lambda i: F.when(
+        F.ascii(F.substring("h", i, 1)) >= 97, F.ascii(F.substring("h", i, 1)) - 87
+    ).otherwise(F.ascii(F.substring("h", i, 1)) - 48)
+    bucket = (F.ascii(F.substring("h", 1, 1)) * 16 + nib(2)).cast("int")
+    buckets = (
+        row_h.groupBy(bucket.alias("b"))
+        .agg(
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias("bh"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    root = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("b"), F.col("bh")))
+                    ),
+                    lambda s: s["bh"],
+                ),
+            )
+        ).alias("version_id"),
+    )
+    return root
+
+
+_CHUNK_LEAK_SQL = r"""
+    WITH inp AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+    ),
+    su AS (
+      SELECT doc_id, text,
+             ({HV}) / 4294967296.0 AS uv
+      FROM inp
+    ),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN uv < 0.8 THEN 'train'
+                  WHEN uv < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM su
+    ),
+    toks AS (
+      SELECT doc_id, split,
+             list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+                         x -> x <> '') AS ts
+      FROM sp
+    ),
+    c AS (SELECT doc_id, split, ts, CAST(ceil(len(ts) / 16.0) AS INT) AS nch
+          FROM toks WHERE len(ts) > 0),
+    chunks AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(nch),
+               i -> md5(array_to_string(list_slice(ts, i * 16 + 1, i * 16 + 16), ' '))))
+               AS ch
+      FROM c
+    ),
+    leak AS (
+      SELECT ch, count(DISTINCT split) AS n_splits,
+             count(DISTINCT doc_id) AS n_docs,
+             array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+      FROM chunks GROUP BY ch
+      HAVING count(DISTINCT split) > 1
+    )
+    SELECT count(*) AS n_leaked_chunks,
+           sum(n_docs) AS n_doc_slots,
+           count(CASE WHEN splits LIKE '%test%' THEN 1 END) AS n_touching_test
+    FROM leak
+"""
+
+
+def _chunk_leak_sql() -> str:
+    from zparse_spark.queries_lsh import _hv_sql
+
+    return _CHUNK_LEAK_SQL.replace(
+        "{HV}", _hv_sql("CAST(doc_id AS VARCHAR) || ':0'")
+    )
+
+
+@register("corpus_chunk_split_leakage", _chunk_leak_sql())
+def corpus_chunk_split_leakage(spark, sf_dir):
+    """Chunk-level split leakage (X221): EXACT 16-token blocks shared
+    across train/val/test — the contamination X153's winnowing audit
+    bounds probabilistically, measured exactly at the block granularity
+    a next-token loss actually leaks through (an eval doc whose chunks
+    appear verbatim in train is memorization, not generalization;
+    planted re-keyed duplicates land in different splits by hash and
+    must surface). Chunks via the X196 HOF pipeline, chunk identity =
+    md5 of the joined block, leakage = one groupBy(chunk hash)
+    carrying distinct-split counts; the summary row is what a
+    release gate thresholds on."""
+    from zparse_spark.operators.filtering import assign_splits, chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inp = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    sp = assign_splits(
+        inp, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", seed=0
+    )
+    ch = chunk_documents(sp.select("doc_id", "text"), max_tokens=16).select(
+        "doc_id", F.md5("chunk_text").alias("ch")
+    )
+    j = ch.join(sp.select("doc_id", "split"), "doc_id")
+    leak = (
+        j.groupBy("ch")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+    return leak.agg(
+        F.count(F.lit(1)).alias("n_leaked_chunks"),
+        F.sum("n_docs").alias("n_doc_slots"),
+        F.count(F.when(F.col("splits").contains("test"), 1)).alias(
+            "n_touching_test"
+        ),
+    )
