@@ -390,3 +390,56 @@ def test_streaming_drift_psi_flags_drifted_window(spark):
     assert c["kl"] > a["kl"] and c["kl"] > b["kl"]
     assert c["psi"] > 0.25  # above D1's default alert threshold
     assert a["psi"] < 0.25
+
+
+def test_suite_stream_state_equals_batch_and_restart_noop(spark, tmp_path):
+    """X222: the monoid-folded suite state after N microbatches equals
+    the batch per-group aggregate over all rows seen; a restart over
+    the same source replays batches as no-ops (idempotent guard)."""
+    from zparse_spark.streaming.validate_stream import suite_stream
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (f"g{i % 4}", None if i % 4 == 2 else "en", float(i % 13))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, lang string, val double")
+    for j in range(3):
+        df.filter(F.crc32(F.concat("g", F.col("val").cast("string"))) % 3 == j) \
+          .coalesce(1).write.mode("append").parquet(src)
+    full = spark.read.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("g string, lang string, val double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = suite_stream(stream, "g", "val", "lang", state, checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["g"]: (r["n"], r["c_nonnull"], r["c_value"], r["s_value"], r["mn"], r["mx"])
+        for r in spark.read.parquet(state).drop("_last_batch").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["c"], r["cv"], r["s"], r["mn"], r["mx"])
+        for r in full.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("lang").alias("c"),
+            F.count("val").alias("cv"),
+            F.sum("val").alias("s"),
+            F.min("val").alias("mn"),
+            F.max("val").alias("mx"),
+        ).collect()
+    }
+    assert got == want
+    run()  # restart: every batch replayed, guard makes them no-ops
+    got2 = {
+        r["g"]: (r["n"], r["c_nonnull"], r["c_value"], r["s_value"], r["mn"], r["mx"])
+        for r in spark.read.parquet(state).drop("_last_batch").collect()
+    }
+    assert got2 == want

@@ -455,3 +455,88 @@ def streaming_drift_psi_windows(spark, sf_dir):
             "kl",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming grouped-suite state: batch equivalence oracled (X222)
+# ---------------------------------------------------------------------------
+
+_SUITE_SQL_STREAM = f"""WITH inp AS (
+  SELECT g, lang, val FROM read_parquet('{_W}/suite_src/*.parquet')
+),
+per AS (
+  SELECT g, count(*) AS n, count(lang) AS c_nonnull,
+         count(val) AS c_value, sum(val) AS s_value,
+         min(val) AS mn, max(val) AS mx
+  FROM inp GROUP BY g
+)
+SELECT g, n, c_nonnull, c_value, s_value, mn, mx,
+       round(CAST(n - c_nonnull AS DOUBLE) / greatest(n, 1), 6) AS null_rate,
+       round(CAST(s_value AS DOUBLE) / greatest(c_value, 1), 6) AS mean_val,
+       round(CAST(n - c_nonnull AS DOUBLE) / greatest(n, 1), 6) > 0.5 AS null_rate_bad,
+       n < 30 AS count_bad
+FROM per"""
+
+
+@register("streaming_suite_state", _SUITE_SQL_STREAM)
+def streaming_suite_state(spark, sf_dir):
+    """Streaming grouped-suite state, batch-equivalence oracled (X222):
+    three availableNow micro-runs fold per-group monoid partials
+    (n, null count, sum, min, max) into parquet state with the
+    idempotent last-committed-batch guard; the suite verdicts derived
+    from the FINAL STATE must equal DuckDB's batch aggregation over
+    the union of every delivered batch — the X14/X148 discipline, now
+    for the release gate itself. The planted 'src3' source delivers
+    NULL lang in every batch and must cross the null-rate bound from
+    state alone; a late small source must trip the row-count floor.
+    Mergeable kinds only (exact percentiles don't fold — they stay in
+    the batch suite X193/X219 by design, documented)."""
+    from zparse_spark.streaming.validate_stream import suite_stream
+
+    src = f"{_W}/suite_src"
+    state = f"{_W}/suite_state"
+    ckpt = f"{_W}/suite_ckpt"
+    for p in (src, state, ckpt, state + "._staging"):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def batch(lo: int, hi: int, tag: str):
+        g = F.concat(F.lit("src"), (F.col("id") % 10).cast("string"))
+        return spark.range(lo, hi).select(
+            g.alias("g"),
+            F.when(g == "src3", F.lit(None).cast("string"))
+            .otherwise(F.lit("en"))
+            .alias("lang"),
+            (F.col("id") % 97).cast("double").alias("val"),
+        )
+
+    schema = "g string, lang string, val double"
+
+    def run(df):
+        df.write.mode("append").parquet(src)
+        q = suite_stream(
+            spark.readStream.schema(schema).parquet(src),
+            "g", "val", "lang", state, checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run(batch(0, 120, "b1"))
+    run(batch(120, 260, "b2"))
+    # batch 3 includes a tiny new source (id 1000..1004 -> src0..4 only
+    # partially) plus regular traffic
+    run(batch(260, 300, "b3"))
+    st = spark.read.parquet(state).drop("_last_batch")
+    null_rate = F.round(
+        (F.col("n") - F.col("c_nonnull")).cast("double")
+        / F.greatest(F.col("n"), F.lit(1)),
+        6,
+    )
+    mean_val = F.round(
+        F.col("s_value").cast("double") / F.greatest(F.col("c_value"), F.lit(1)), 6
+    )
+    return st.select(
+        "g", "n", "c_nonnull", "c_value", "s_value", "mn", "mx",
+        null_rate.alias("null_rate"),
+        mean_val.alias("mean_val"),
+        (null_rate > 0.5).alias("null_rate_bad"),
+        (F.col("n") < 30).alias("count_bad"),
+    )

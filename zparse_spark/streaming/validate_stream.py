@@ -341,3 +341,83 @@ def cms_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+def suite_stream(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    nullable_col: str,
+    state_path: str,
+    checkpoint: str | None = None,
+):
+    """X222: incrementally maintained grouped-expectation STATE over a
+    stream — the streaming face of the X219 release gate, restricted to
+    the MERGEABLE kinds (counts, null counts, sum, min, max fold as
+    monoids; exact percentiles do not and stay batch-side). Each
+    microbatch's per-group partial (n, c_nonnull, s_value, mn, mx) is
+    folded into the state by cell-wise monoid merge with the
+    idempotent last-committed-batch guard (checksum_stream/cms_stream
+    discipline, validate_stream.py:285): after ANY prefix of batches —
+    regardless of boundaries, arrival order, or restarts — the state
+    equals the batch aggregate of all rows seen, so a grouped suite
+    (null-rate bound, row-count floor, mean band) evaluated on the
+    state equals the batch suite on the same prefix. A firehose thus
+    keeps a |groups|-row gate current without re-scanning history.
+
+    State table layout: (g, n, c_nonnull, c_value, s_value, mn, mx) +
+    _last_batch. Merge cost per batch: one groupBy over |groups| +
+    batch-partial rows — independent of batch size beyond the
+    per-batch aggregation.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col(nullable_col)).alias("c_nonnull"),
+            F.count(F.col(value_col)).alias("c_value"),
+            F.sum(F.col(value_col)).alias("s_value"),
+            F.min(F.col(value_col)).alias("mn"),
+            F.max(F.col(value_col)).alias("mx"),
+        )
+
+    def _read_state():
+        try:
+            return spark.read.parquet(state_path)
+        except AnalysisException:
+            return None
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = _partial(batch_df)
+        state = _read_state()
+        if state is not None:
+            if state.agg(F.max("_last_batch")).collect()[0][0] >= batch_id:
+                return  # replayed batch after restart: already merged
+            merged = (
+                state.drop("_last_batch")
+                .unionByName(new)
+                .groupBy("g")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("c_nonnull").alias("c_nonnull"),
+                    F.sum("c_value").alias("c_value"),
+                    F.sum("s_value").alias("s_value"),
+                    F.min("mn").alias("mn"),
+                    F.max("mx").alias("mx"),
+                )
+            )
+        else:
+            merged = new
+        out = merged.withColumn("_last_batch", F.lit(batch_id))
+        tmp = state_path + "._staging"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
