@@ -556,3 +556,74 @@ def test_grouped_expectation_suite_names_worst_group(spark):
     with pytest.raises(ValueError, match="unknown grouped"):
         grouped_expectation_suite({"t": df}, [{"rule_id": "X", "table": "t",
                                                "by": "src", "kind": "nope"}])
+
+
+def test_cli_suite_flag_gates_exit_code(tmp_path, spark):
+    """--suite runs flat + grouped expectations against the documents
+    table and extras, writes expectations/ sinks, and a failed
+    expectation fails the exit code even when every rule cell passes;
+    a passing suite leaves exit 0."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    docs = make_docs(
+        spark,
+        [
+            ("d1", [("text", "clean a", None, 0)], "p0"),
+            ("d2", [("text", "clean b", None, 5)], "p0"),
+        ],
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    extra = spark.createDataFrame(
+        [("s1", 10), ("s1", 20), ("s2", None)], "src string, v long"
+    )
+    epath = str(tmp_path / "extra")
+    extra.write.parquet(epath)
+
+    spec = [
+        {"rule_id": "E1", "table": "documents", "kind": "unique",
+         "column": "doc_id"},
+        {"rule_id": "E2", "table": "extra", "kind": "row_count_between",
+         "lo": 1, "hi": 2},  # 3 rows -> FAILS
+        {"rule_id": "G1", "table": "extra", "by": "src",
+         "kind": "null_rate_max", "column": "v", "max_rate": 0.5},  # s2 fails
+    ]
+    spath = str(tmp_path / "suite.json")
+    with open(spath, "w") as fh:
+        _json.dump(spec, fh)
+
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/validate.py",
+         "--documents", dpath, "--out", out,
+         "--suite", spath, "--suite-table", f"extra={epath}",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 1, r.stderr[-2000:]
+    assert "failed expectations: 2" in r.stdout
+    flat = dict(duckdb.sql(
+        f"SELECT rule_id, passed FROM read_parquet('{out}/expectations/*.parquet')"
+    ).fetchall())
+    assert flat == {"E1": True, "E2": False}
+    grp = duckdb.sql(
+        f"SELECT rule_id, worst_group, passed FROM "
+        f"read_parquet('{out}/expectations_grouped/*.parquet')"
+    ).fetchall()
+    assert grp == [("G1", "s2", False)]
+
+    # green suite -> exit 0
+    with open(spath, "w") as fh:
+        _json.dump([spec[0]], fh)
+    out2 = str(tmp_path / "out2")
+    r2 = subprocess.run(
+        [_sys.executable, "/root/repo/validate.py",
+         "--documents", dpath, "--out", out2,
+         "--suite", spath, "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]

@@ -111,6 +111,18 @@ def main(argv: list[str] | None = None) -> int:
              "must reproduce it bit-for-bit",
     )
     ap.add_argument(
+        "--suite", metavar="SPEC.json",
+        help="run a declarative expectation suite (flat + grouped entries; "
+             "grouped = entries with a 'by' key) against the documents table "
+             "and any --suite-table extras; verdicts land in expectations/ "
+             "(and expectations_grouped/), and any failed expectation fails "
+             "the exit code alongside error-severity rule cells",
+    )
+    ap.add_argument(
+        "--suite-table", action="append", default=[], metavar="NAME=PATH",
+        help="extra parquet table exposed to --suite under NAME — repeatable",
+    )
+    ap.add_argument(
         "--check", action="append", default=[], metavar="ID:LEVEL:PREDICATE",
         help="user CHECK constraint, e.g. K1:span:'offset >= 0' — repeatable; "
              "LEVEL is doc|span; predicate is Spark SQL, NULL passes (ANSI CHECK). "
@@ -326,6 +338,34 @@ def main(argv: list[str] | None = None) -> int:
         repaired.write.mode("overwrite").parquet(f"{args.out}/repaired_documents")
         repair_log.write.mode("overwrite").parquet(f"{args.out}/repair_log")
 
+    n_suite_fail = 0
+    if args.suite:
+        import json as _json
+
+        from zparse_spark.operators.expectations import (
+            expectation_suite,
+            grouped_expectation_suite,
+        )
+
+        with open(args.suite) as fh:
+            suite_spec = _json.load(fh)
+        tables = {"documents": docs}
+        for kv in args.suite_table:
+            name, _, path = kv.partition("=")
+            tables[name] = spark.read.parquet(path)
+        flat_spec = [e for e in suite_spec if "by" not in e]
+        grouped_spec = [e for e in suite_spec if "by" in e]
+        if flat_spec:
+            flat_v = expectation_suite(tables, flat_spec)
+            flat_v.write.mode("overwrite").parquet(f"{args.out}/expectations")
+            n_suite_fail += flat_v.filter("NOT passed").count()
+        if grouped_spec:
+            grp_v = grouped_expectation_suite(tables, grouped_spec)
+            grp_v.write.mode("overwrite").parquet(
+                f"{args.out}/expectations_grouped"
+            )
+            n_suite_fail += grp_v.filter("NOT passed").count()
+
     n_viol = viol.count()
     n_fail = verdicts.filter("NOT passed").count()
     # exit code keys on ERROR-severity cells only: warn-rule violations
@@ -337,9 +377,10 @@ def main(argv: list[str] | None = None) -> int:
     print(f"validated partitions: {len(done)} (resumed past {Manifest(args.out)._read_rows().__len__() - len(done)})")
     print(f"violations: {n_viol}; failing (partition, rule) cells: {n_fail}"
           f" ({n_error_cells} error-severity)"
-          + (f"; waived: {n_waived}" if args.waivers else ""))
+          + (f"; waived: {n_waived}" if args.waivers else "")
+          + (f"; failed expectations: {n_suite_fail}" if args.suite else ""))
     spark.stop()
-    return 0 if n_error_cells == 0 else 1
+    return 0 if n_error_cells == 0 and n_suite_fail == 0 else 1
 
 
 if __name__ == "__main__":
