@@ -10580,3 +10580,163 @@ def corpus_chunk_split_leakage(spark, sf_dir):
             "n_touching_test"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-score agreement (Spearman) (X224) + trimmed mean (X225)
+# ---------------------------------------------------------------------------
+
+
+_SPEARMAN_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS a,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS b
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT row_number() OVER (ORDER BY a ASC, doc_id ASC) AS ra,
+             row_number() OVER (ORDER BY b ASC, doc_id ASC) AS rb
+      FROM s
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+             sum(CAST(ra AS HUGEINT) * ra) AS saa,
+             sum(CAST(rb AS HUGEINT) * rb) AS sbb,
+             sum(CAST(ra AS HUGEINT) * rb) AS sab
+      FROM r
+    )
+    SELECT n,
+           CASE WHEN n >= 2
+                     AND CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa > 0
+                     AND CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb > 0
+                THEN round(CAST(CAST(n AS HUGEINT) * sab
+                                - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                           / sqrt(CAST(CAST(n AS HUGEINT) * saa
+                                       - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                                  * CAST(CAST(n AS HUGEINT) * sbb
+                                         - CAST(sb AS HUGEINT) * sb AS DOUBLE)), 6)
+           END AS spearman_rho
+    FROM m
+"""
+
+
+@register("stats_score_agreement", _SPEARMAN_SQL)
+def stats_score_agreement(spark, sf_dir):
+    """Quality-signal agreement (X224): Spearman rank correlation
+    between two per-doc signals (here char length vs token count) —
+    the redundancy question every filter pipeline owner faces: two
+    scores at rho ~ 1 gate the same documents and one can be dropped;
+    rho near 0 means they buy independent coverage. Ranks are
+    row_number under a DETERMINISTIC total order (value, doc_id) —
+    documented tie semantics, identical both engines — so rho is
+    Pearson on exact integer rank sums (the X183 DECIMAL discipline;
+    rank² sums overflow BIGINT at ~2M rows). One sort per signal, one
+    1-row moment agg."""
+    from pyspark.sql import Window
+
+    s = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.length("text").alias("a"),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("b"),
+        )
+    )
+    wa = Window.orderBy(F.col("a").asc(), F.col("doc_id").asc())
+    wb = Window.orderBy(F.col("b").asc(), F.col("doc_id").asc())
+    r = s.select(
+        F.row_number().over(wa).alias("ra"), F.row_number().over(wb).alias("rb")
+    )
+    ra = F.col("ra").cast("decimal(19,0)")
+    rb = F.col("rb").cast("decimal(19,0)")
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(ra * ra).alias("saa"),
+        F.sum(rb * rb).alias("sbb"),
+        F.sum(ra * rb).alias("sab"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    va = nd * F.col("saa") - F.col("sa").cast("decimal(38,0)") * F.col("sa")
+    vb = nd * F.col("sbb") - F.col("sb").cast("decimal(38,0)") * F.col("sb")
+    num = nd * F.col("sab") - F.col("sa").cast("decimal(38,0)") * F.col("sb")
+    rho = F.when(
+        (F.col("n") >= 2) & (va > 0) & (vb > 0),
+        F.round(num.cast("double") / F.sqrt(va.cast("double") * vb.cast("double")), 6),
+    )
+    return m.select("n", rho.alias("spearman_rho"))
+
+
+_TRIMMED_SQL = """
+    WITH b AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    q AS (
+      SELECT g,
+             round(CAST(quantile_cont(v, 0.05) AS DOUBLE), 6) AS lo,
+             round(CAST(quantile_cont(v, 0.95) AS DOUBLE), 6) AS hi
+      FROM b GROUP BY g
+    )
+    SELECT b.g AS o_orderpriority,
+           count(*) AS n_total,
+           count(CASE WHEN b.v >= q.lo AND b.v <= q.hi THEN 1 END) AS n_kept,
+           round(CAST(sum(CAST(round(b.v * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100, 6) AS mean_raw,
+           round(CAST(sum(CASE WHEN b.v >= q.lo AND b.v <= q.hi
+                               THEN CAST(round(b.v * 100) AS BIGINT) END) AS DOUBLE)
+                 / count(CASE WHEN b.v >= q.lo AND b.v <= q.hi THEN 1 END) / 100,
+                 6) AS mean_trimmed
+    FROM b JOIN q ON q.g = b.g
+    GROUP BY b.g
+"""
+
+
+@register("stats_trimmed_mean", _TRIMMED_SQL)
+def stats_trimmed_mean(spark, sf_dir):
+    """Per-group 5/95 trimmed mean (X225): the robust-location leg
+    between the mean (outlier-hostage) and the median (throws away 98%
+    of the data) — the default a metrics pipeline should quote for
+    skewed value columns. Exact interpolated percentile bounds
+    (rounded 6dp so the keep set is identical cross-engine), then the
+    trimmed sum in exact integer cents; the raw mean is emitted beside
+    it so the trim's effect is visible. Two passes: one percentile
+    agg, one conditional rescan with the bounds broadcast."""
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v"))
+    )
+    q = b.groupBy("g").agg(
+        F.round(F.expr("percentile(v, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(v, 0.95)"), 6).alias("hi"),
+    )
+    j = b.join(F.broadcast(q), "g")
+    kept = (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    return j.groupBy(F.col("g").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.round(
+            F.sum(F.round(F.col("v") * 100).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / 100,
+            6,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(F.when(kept, F.round(F.col("v") * 100).cast("bigint"))).cast(
+                "double"
+            )
+            / F.count(F.when(kept, 1))
+            / 100,
+            6,
+        ).alias("mean_trimmed"),
+    )
