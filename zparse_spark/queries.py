@@ -10740,3 +10740,100 @@ def stats_trimmed_mean(spark, sf_dir):
             6,
         ).alias("mean_trimmed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy diverse seeds (X226)
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_oracle_sql(rounds: int = 8) -> str:
+    parts = [
+        """inp AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+c1 AS (SELECT vec_id, v FROM inp ORDER BY vec_id ASC LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT i.vec_id, i.v,
+         round(1 - list_cosine_similarity(i.v, c1.v), 6) AS dist
+  FROM inp i, c1
+)"""
+    ]
+    for r in range(2, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (SELECT vec_id FROM d{p} ORDER BY dist DESC, vec_id ASC LIMIT 1),
+v{r} AS (SELECT i.v FROM inp i, p{r} WHERE i.vec_id = p{r}.vec_id),
+d{r} AS MATERIALIZED (
+  SELECT d.vec_id, d.v,
+         least(d.dist, round(1 - list_cosine_similarity(d.v, v{r}.v), 6)) AS dist
+  FROM d{p} d, v{r}
+)"""
+        )
+    sel = ["SELECT 1 AS round, vec_id FROM c1"] + [
+        f"SELECT {r}, vec_id FROM p{r}" for r in range(2, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+chosen AS ({' UNION ALL '.join(sel)}),
+radius AS (SELECT round(max(dist), 6) AS coverage_radius FROM d{rounds})
+SELECT c.round, c.vec_id, r.coverage_radius
+FROM chosen c, radius r"""
+    )
+
+
+@register("embedding_kcenter_seeds", _kcenter_oracle_sql())
+def embedding_kcenter_seeds(spark, sf_dir):
+    """k-center greedy diverse seeds (X226): 8 farthest-point rounds
+    over cosine distance — the maximally-spread subset an eval-set or
+    annotation budget wants (random sampling oversamples dense
+    regions; greedy k-center guarantees every point is within the
+    reported coverage_radius of a seed, a 2-approximation of the
+    optimal cover). Deterministic: distances rounded 6dp BEFORE each
+    argmax, ties to min vec_id, seed = min id. Each round is one
+    bounded argmax + one map rescan against ONE literal vector
+    (collected driver-side — 8 rows total, the X13 codebook
+    discipline); the DuckDB twin unrolls the same 8 rounds as
+    MATERIALIZED CTEs (the X214 inlining discipline)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=True)
+
+    def dist_to(vec: list) -> "F.Column":
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        dot = F.aggregate(
+            F.zip_with("v", lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nv = F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        nl = float(sum(x * x for x in vec)) ** 0.5
+        return F.round(1 - dot / (nv * F.lit(nl)), 6)
+
+    first = e.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    chosen = [(1, first["vec_id"])]
+    cur = e.select("vec_id", "v", dist_to(list(first["v"])).alias("dist"))
+    cur = cur.localCheckpoint(eager=True)
+    for r in range(2, 9):
+        far = (
+            cur.orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, far["vec_id"]))
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least(F.col("dist"), dist_to(list(far["v"]))).alias("dist"),
+        ).localCheckpoint(eager=True)
+    radius = cur.agg(F.round(F.max("dist"), 6).alias("coverage_radius"))
+    chosen_df = spark.createDataFrame(chosen, "round int, vec_id long")
+    return chosen_df.crossJoin(F.broadcast(radius))
