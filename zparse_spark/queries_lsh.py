@@ -1530,3 +1530,106 @@ def dedup_drop_explanations(spark, sf_dir):
         "via_doc",
         F.col("jaccard").alias("via_jaccard"),
     )
+
+
+# --- Near-dup pair diff profile (X228) ---------------------------------
+
+
+def _pair_diff_oracle_sql() -> str:
+    head, _, final = _MINHASH_SQL.rpartition("\nSELECT id_a")
+    pairs_select = "SELECT id_a" + final
+    return f"""{head},
+pairs AS (
+  {pairs_select}
+),
+texts AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM input
+),
+j AS (
+  SELECT p.id_a, p.id_b, p.jaccard, ta.t AS t_a, tb.t AS t_b
+  FROM pairs p
+  JOIN texts ta ON ta.doc_id = p.id_a
+  JOIN texts tb ON tb.doc_id = p.id_b
+),
+m AS (
+  SELECT id_a, id_b, jaccard,
+         length(t_a) AS len_a, length(t_b) AS len_b,
+         len(list_filter(range(1, least(length(t_a), length(t_b)) + 1),
+             i -> substring(t_a, 1, CAST(i AS INT)) = substring(t_b, 1, CAST(i AS INT))))
+           AS prefix_len,
+         len(list_filter(range(1, least(length(t_a), length(t_b)) + 1),
+             i -> substring(t_a, length(t_a) - CAST(i AS INT) + 1, CAST(i AS INT))
+                  = substring(t_b, length(t_b) - CAST(i AS INT) + 1, CAST(i AS INT))))
+           AS suffix_len
+  FROM j
+)
+SELECT id_a, id_b, jaccard, len_a, len_b, prefix_len, suffix_len,
+       CASE WHEN prefix_len = least(len_a, len_b) THEN 'appended_tail'
+            WHEN suffix_len = least(len_a, len_b) THEN 'prepended_head'
+            WHEN prefix_len + suffix_len >= least(len_a, len_b) THEN 'middle_edit'
+            ELSE 'scattered' END AS diff_class
+FROM m"""
+
+
+@register("dedup_pair_diff_profile", _pair_diff_oracle_sql())
+def dedup_pair_diff_profile(spark, sf_dir):
+    """Near-dup pair diff profile (X228): WHERE verified near-dups
+    differ — common-prefix and common-suffix lengths classify each pair
+    as appended_tail (SEO spam glued after a copy), prepended_head
+    (attribution banners), middle_edit, or scattered (true paraphrase)
+    — the interpretability layer that turns "0.9 Jaccard" into an
+    actionable fix at the SOURCE (strip the tail template, keep the
+    doc). Prefix/suffix lengths are monotone-predicate counts over a
+    bounded position range computed with HOFs in both engines —
+    exact integers, no Python; runs only on the O(pairs) verified
+    table, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from zparse_spark.operators.dedup import minhash_dedup
+
+    d = _docs_with_planted(spark, sf_dir, F)
+    pairs = minhash_dedup(
+        d, threshold=_JACCARD_T, hash_fn="md5", max_bucket=0, seed=_SEED
+    )
+    texts = d.select("doc_id", F.coalesce("text", F.lit("")).alias("t"))
+    j = (
+        pairs.join(
+            texts.select(F.col("doc_id").alias("id_a"), F.col("t").alias("t_a")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("id_b"), F.col("t").alias("t_b")),
+            "id_b",
+        )
+    )
+    # prefix/suffix predicate counts as expr-level HOF lambdas (the
+    # python-side F.substring requires literal lengths)
+    m = j.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.length("t_a").alias("len_a"),
+        F.length("t_b").alias("len_b"),
+        F.expr(
+            "size(filter(sequence(1, least(length(t_a), length(t_b))), "
+            "i -> substring(t_a, 1, i) = substring(t_b, 1, i)))"
+        ).alias("prefix_len"),
+        F.expr(
+            "size(filter(sequence(1, least(length(t_a), length(t_b))), "
+            "i -> substring(t_a, length(t_a) - i + 1, i) "
+            "= substring(t_b, length(t_b) - i + 1, i)))"
+        ).alias("suffix_len"),
+    )
+    cls = (
+        F.when(F.col("prefix_len") == F.least("len_a", "len_b"), "appended_tail")
+        .when(F.col("suffix_len") == F.least("len_a", "len_b"), "prepended_head")
+        .when(
+            F.col("prefix_len") + F.col("suffix_len") >= F.least("len_a", "len_b"),
+            "middle_edit",
+        )
+        .otherwise("scattered")
+    )
+    return m.select(
+        "id_a", "id_b", "jaccard", "len_a", "len_b", "prefix_len", "suffix_len",
+        cls.alias("diff_class"),
+    )

@@ -1473,3 +1473,63 @@ def span_pack_intradoc_dup_refs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_spans"))
         .filter(F.col("n_spans") > 1)
     )
+
+
+# --- Interleave run-length structure profile (X227) --------------------
+
+
+@register(
+    "span_pack_run_lengths",
+    f"""WITH sp AS (
+  SELECT partition, doc_id, s.kind AS kind,
+         row_number() OVER (PARTITION BY partition, doc_id
+                            ORDER BY s.offset) AS pos
+  FROM (SELECT partition, doc_id, unnest(spans) AS s
+        FROM read_parquet('{_W}/span_docs/*.parquet'))
+),
+grp AS (
+  SELECT partition, doc_id, kind, pos,
+         pos - row_number() OVER (PARTITION BY partition, doc_id, kind
+                                  ORDER BY pos) AS island
+  FROM sp
+),
+runs AS (
+  SELECT partition, kind, count(*) AS run_len
+  FROM grp GROUP BY partition, doc_id, kind, island
+)
+SELECT partition, kind, run_len, count(*) AS n_runs
+FROM runs GROUP BY partition, kind, run_len""",
+)
+def span_pack_run_lengths(spark, sf_dir):
+    """Interleave STRUCTURE profile (X227): the distribution of
+    same-kind run lengths per partition — the shape signal the
+    kind-mix drift rule (D1) cannot see: two partitions with identical
+    30% media share look the same to D1 whether media arrives as
+    singletons woven through text (healthy interleave) or as one
+    glued block (a concatenation bug in the assembler). Classic
+    gaps-and-islands: position minus per-kind position is constant
+    within a run; runs then reduce to a bounded (partition, kind,
+    run_len) histogram. One explode + two windows partitioned by doc —
+    per-doc frames are span-count bounded."""
+    from pyspark.sql import Window, functions as F
+
+    docs, _cat = _pack_input(spark)
+    sp = docs.select(
+        "partition", "doc_id", F.posexplode("spans").alias("_i", "s")
+    ).select(
+        "partition", "doc_id", F.col("s.kind").alias("kind"), F.col("s.offset").alias("offset")
+    )
+    wd = Window.partitionBy("partition", "doc_id").orderBy("offset")
+    wk = Window.partitionBy("partition", "doc_id", "kind").orderBy("offset")
+    grp = sp.select(
+        "partition",
+        "doc_id",
+        "kind",
+        (F.row_number().over(wd) - F.row_number().over(wk)).alias("island"),
+    )
+    runs = grp.groupBy("partition", "doc_id", "kind", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("partition", "kind", "run_len").agg(
+        F.count(F.lit(1)).alias("n_runs")
+    )
