@@ -607,3 +607,162 @@ def media_payload_dedup(spark, sf_dir):
             "refs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual dHash image near-dup (X229)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_bits(byte_fn, idiv: str) -> str:
+    """Shared 8x8 dHash structure, parameterized only by the engine's
+    hex-byte extractor and integer-division token: luminance (exact
+    r+g+b integer sum, no division) point-sampled on a 9x8 grid
+    (x_i = i*w//9, y_j = j*h//8, bottom-up BMP row addressing), each
+    bit = right neighbor brighter, emitted as a 64-char '0'/'1'
+    string (portable: no sign games with 64-bit packing)."""
+
+    def lum(i: int, j: int) -> str:
+        po = (
+            f"(off + (h - 1 - (({j})*h {idiv} 8)) * stride"
+            f" + 3*(({i})*w {idiv} 9))"
+        )
+        return (
+            f"({byte_fn(po)} + {byte_fn(f'({po})+1')} + {byte_fn(f'({po})+2')})"
+        )
+
+    bits = []
+    for j in range(8):
+        for i in range(8):
+            bits.append(
+                f"(CASE WHEN {lum(i + 1, j)} > {lum(i, j)} THEN '1' ELSE '0' END)"
+            )
+    return "(" + " || ".join(bits) + ")"
+
+
+def _dhash_oracle_sql() -> str:
+    valid = (
+        f"{_le16('26')} = 1 AND {_le16('28')} = 24 AND {_le32('30')} = 0"
+    )
+    tweak_pos = "(2 * (off + (h - 2) * stride) + 1)"
+    return f"""
+    WITH base AS (
+      SELECT media_ref, hex(payload) AS hx
+      FROM read_parquet('{_W}/media_payloads/*.parquet')
+    ),
+    bmp AS (
+      SELECT media_ref, hx FROM base
+      WHERE substr(hx, 1, 4) = '424D' AND substr(hx, 1, 8) <> '5A564944'
+        AND length(hx) // 2 >= 54 AND {valid}
+    ),
+    dims AS (
+      SELECT media_ref, hx, {_le32('18')} AS w, {_le32('22')} AS h,
+             {_le32('10')} AS off
+      FROM bmp
+    ),
+    d2 AS (
+      SELECT media_ref, hx, w, h, off, ((3 * w + 3) // 4) * 4 AS stride
+      FROM dims
+      WHERE w > 0 AND h > 0
+        AND off + ((3 * w + 3) // 4) * 4 * h <= length(hx) // 2
+    ),
+    tweak AS (
+      SELECT 'tweak_' || media_ref AS media_ref,
+             substr(hx, 1, {tweak_pos} - 1)
+               || (CASE WHEN substr(hx, {tweak_pos}, 2) = 'FF'
+                        THEN '00' ELSE 'FF' END)
+               || substr(hx, {tweak_pos} + 2) AS hx,
+             w, h, off, stride
+      FROM d2 WHERE h = 16
+    ),
+    allp AS (SELECT * FROM d2 UNION ALL SELECT * FROM tweak),
+    hashes AS (
+      SELECT media_ref, {_dhash_bits(_byte, '//')} AS dhash FROM allp
+    )
+    SELECT dhash, count(*) AS n_payloads,
+           array_to_string(list_sort(list(media_ref)), ',') AS refs
+    FROM hashes GROUP BY dhash HAVING count(*) > 1
+    """
+
+
+@register("media_dhash_near_dup", _dhash_oracle_sql())
+def media_dhash_near_dup(spark, sf_dir):
+    """Perceptual dHash image near-dup (X229): byte-DIFFERENT payloads
+    with the same 8x8 gradient hash — the multimodal twin of text
+    near-dup that X178's byte-exact grouping structurally misses
+    (re-encoded/retouched copies of the same image). Planted: every
+    h=16 BMP gets a 'tweak_' twin with one pixel byte flipped in an
+    UNSAMPLED row (point sampling makes it provably hash-invisible),
+    so each must land in its original's group while its sha differs.
+    The ENTIRE pipeline is hex-string integer arithmetic generated
+    from ONE shared structure (_dhash_bits) for both engines — Spark
+    runs it as whole-stage-codegen expressions (conv/substring), DuckDB
+    via the ascii-nibble extractor; no Python, no codec library, no
+    explode. At 100 TB the hash is one map-only projection and the
+    grouping shuffles 64-char keys."""
+    from pyspark.sql import functions as F
+
+    def sp_byte(o: str) -> str:
+        return (
+            f"(CAST(conv(substring(hx, CAST(2*({o})+1 AS INT), 2), 16, 10)"
+            f" AS BIGINT))"
+        )
+
+    def sp_le16(o: str) -> str:
+        return f"({sp_byte(o)} + 256 * {sp_byte(f'({o})+1')})"
+
+    def sp_le32(o: str) -> str:
+        return (
+            f"({sp_byte(o)} + 256 * {sp_byte(f'({o})+1')} "
+            f"+ 65536 * {sp_byte(f'({o})+2')} + 16777216 * {sp_byte(f'({o})+3')})"
+        )
+
+    base = _media_input(spark).select(
+        "media_ref", F.hex("payload").alias("hx")
+    )
+    bmp = base.filter(
+        (F.expr("substring(hx, 1, 4)") == "424D")
+        & (F.expr("substring(hx, 1, 8)") != "5A564944")
+        & (F.length("hx") / 2 >= 54)
+        & F.expr(
+            f"{sp_le16('26')} = 1 AND {sp_le16('28')} = 24 AND {sp_le32('30')} = 0"
+        )
+    )
+    dims = bmp.select(
+        "media_ref",
+        "hx",
+        F.expr(sp_le32("18")).alias("w"),
+        F.expr(sp_le32("22")).alias("h"),
+        F.expr(sp_le32("10")).alias("off"),
+    )
+    d2 = dims.withColumn(
+        "stride", F.expr("((3 * w + 3) div 4) * 4")
+    ).filter(
+        (F.col("w") > 0)
+        & (F.col("h") > 0)
+        & F.expr("off + stride * h <= length(hx) div 2")
+    )
+    tweak_pos = "(2 * (off + (h - 2) * stride) + 1)"
+    tweak = d2.filter(F.col("h") == 16).select(
+        F.concat(F.lit("tweak_"), F.col("media_ref")).alias("media_ref"),
+        F.expr(
+            f"concat(substring(hx, 1, {tweak_pos} - 1), "
+            f"CASE WHEN substring(hx, {tweak_pos}, 2) = 'FF' THEN '00' ELSE 'FF' END, "
+            f"substring(hx, {tweak_pos} + 2))"
+        ).alias("hx"),
+        "w", "h", "off", "stride",
+    )
+    allp = d2.unionByName(tweak)
+    hashes = allp.select(
+        "media_ref", F.expr(_dhash_bits(sp_byte, "div")).alias("dhash")
+    )
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.array_join(F.array_sort(F.collect_list("media_ref")), ",").alias(
+                "refs"
+            ),
+        )
+        .filter(F.col("n_payloads") > 1)
+    )
