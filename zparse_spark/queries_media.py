@@ -766,3 +766,127 @@ def media_dhash_near_dup(spark, sf_dir):
         )
         .filter(F.col("n_payloads") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio amplitude-contour perceptual hash (X230)
+# ---------------------------------------------------------------------------
+
+
+def _contour_bits(byte_fn, idiv: str) -> str:
+    """Shared 16-bit amplitude-contour structure (the WAV twin of
+    _dhash_bits): |sample| point-sampled at 17 positions
+    (pos_s = s*n IDIV 17, byte offset 44 + 2*pos), each bit = next
+    sampled amplitude strictly louder; signed 16-bit LE decode and
+    abs() in exact integer arithmetic, emitted as a 16-char '0'/'1'
+    string."""
+
+    def amp(s: int) -> str:
+        off = f"(44 + 2 * (({s}) * n {idiv} 17))"
+        raw = f"({byte_fn(off)} + 256 * {byte_fn(f'({off})+1')})"
+        signed = f"(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
+        return f"(abs({signed}))"
+
+    bits = []
+    for s in range(16):
+        bits.append(
+            f"(CASE WHEN {amp(s + 1)} > {amp(s)} THEN '1' ELSE '0' END)"
+        )
+    return "(" + " || ".join(bits) + ")"
+
+
+def _contour_oracle_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT media_ref, hex(payload) AS hx
+      FROM read_parquet('{_W}/media_payloads/*.parquet')
+    ),
+    wav AS (
+      SELECT media_ref, hx, ({_le32('40')}) // 2 AS n
+      FROM base
+      WHERE substr(hx, 1, 8) = '52494646' AND length(hx) // 2 >= 44
+        AND substr(hx, 17, 8) = '57415645'
+        AND {_le16('20')} = 1 AND {_le16('22')} = 1 AND {_le16('34')} = 16
+        AND 44 + {_le32('40')} <= length(hx) // 2
+        AND ({_le32('40')}) // 2 >= 34
+    ),
+    tweak AS (
+      SELECT 'tweak_' || media_ref AS media_ref,
+             substr(hx, 1, 92)
+               || (CASE WHEN substr(hx, 93, 2) = 'FF' THEN '00' ELSE 'FF' END)
+               || substr(hx, 95) AS hx,
+             n
+      FROM wav
+    ),
+    allp AS (SELECT * FROM wav UNION ALL SELECT * FROM tweak),
+    hashes AS (
+      SELECT media_ref, {_contour_bits(_byte, '//')} AS contour FROM allp
+    )
+    SELECT contour, count(*) AS n_payloads,
+           array_to_string(list_sort(list(media_ref)), ',') AS refs
+    FROM hashes GROUP BY contour HAVING count(*) > 1
+    """
+
+
+@register("media_contour_near_dup", _contour_oracle_sql())
+def media_contour_near_dup(spark, sf_dir):
+    """Audio amplitude-contour near-dup (X230): the WAV twin of the
+    X229 image dHash — byte-different payloads whose 16-step loudness
+    contour matches (re-encoded/volume-tweaked copies of the same
+    clip). Planted: every valid WAV gets a 'tweak_' twin with sample
+    index 1 flipped — index 1 is provably unsampled for n >= 34 (the
+    17-point grid starts at 0 and jumps to n//17 >= 2), so the twin is
+    hash-invisible while its sha differs. Same shared-structure
+    discipline as X229: ONE generator emits both engines' integer
+    expressions (incl. the signed 16-bit decode); map-only at scale."""
+    from pyspark.sql import functions as F
+
+    def sp_byte(o: str) -> str:
+        return (
+            f"(CAST(conv(substring(hx, CAST(2*({o})+1 AS INT), 2), 16, 10)"
+            f" AS BIGINT))"
+        )
+
+    def sp_le16(o: str) -> str:
+        return f"({sp_byte(o)} + 256 * {sp_byte(f'({o})+1')})"
+
+    def sp_le32(o: str) -> str:
+        return (
+            f"({sp_byte(o)} + 256 * {sp_byte(f'({o})+1')} "
+            f"+ 65536 * {sp_byte(f'({o})+2')} + 16777216 * {sp_byte(f'({o})+3')})"
+        )
+
+    base = _media_input(spark).select("media_ref", F.hex("payload").alias("hx"))
+    wav = base.filter(
+        (F.expr("substring(hx, 1, 8)") == "52494646")
+        & F.expr("length(hx) div 2 >= 44")
+        & (F.expr("substring(hx, 17, 8)") == "57415645")
+        & F.expr(
+            f"{sp_le16('20')} = 1 AND {sp_le16('22')} = 1 AND {sp_le16('34')} = 16"
+        )
+        & F.expr(f"44 + {sp_le32('40')} <= length(hx) div 2")
+        & F.expr(f"({sp_le32('40')}) div 2 >= 34")
+    ).select(
+        "media_ref", "hx", F.expr(f"({sp_le32('40')}) div 2").alias("n")
+    )
+    tweak = wav.select(
+        F.concat(F.lit("tweak_"), F.col("media_ref")).alias("media_ref"),
+        F.expr(
+            "concat(substring(hx, 1, 92), "
+            "CASE WHEN substring(hx, 93, 2) = 'FF' THEN '00' ELSE 'FF' END, "
+            "substring(hx, 95))"
+        ).alias("hx"),
+        "n",
+    )
+    allp = wav.unionByName(tweak)
+    hashes = allp.select(
+        "media_ref", F.expr(_contour_bits(sp_byte, "div")).alias("contour")
+    )
+    return (
+        hashes.groupBy("contour")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.array_join(F.array_sort(F.collect_list("media_ref")), ",").alias("refs"),
+        )
+        .filter(F.col("n_payloads") > 1)
+    )
