@@ -72,9 +72,14 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def _connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = _connect()
+    n_since_connect = 0
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
@@ -90,9 +95,28 @@ def main() -> int:
             print(f"  {name:40s} rows={len(srows):7d}  (rows-only, no oracle)")
             results[name] = {"rows": len(srows), "oracle": False, "spark_sec": spark_s}
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        # a single long-lived connection accumulates allocator state
+        # across hundreds of heavy CTE queries and can hit DuckDB's
+        # memory limit with a tiny allocation (observed at query ~70 of
+        # a 262-query run); reconnecting is cheap (views only) and
+        # resets the arena — done proactively every 40 queries and
+        # reactively once on an OOM
+        if n_since_connect >= 40:
+            con.close()
+            con = _connect()
+            n_since_connect = 0
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except duckdb.OutOfMemoryException:
+            con.close()
+            con = _connect()
+            n_since_connect = 0
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        n_since_connect += 1
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
         sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
