@@ -74,6 +74,14 @@ def main() -> int:
 
     def _connect():
         c = duckdb.connect()
+        # explicit modest budget: this sandbox runs with a 63 GB commit
+        # limit and no swap, and DuckDB's default limit (80% of the
+        # 125 GB RAM) lets its buffer reservations race the 16 GB Spark
+        # driver JVM over CommitLimit — observed as "Failed to allocate
+        # block of 4096 bytes" ~70 heavy queries into a full-registry
+        # run while `free` showed 120 GB unused
+        c.execute("SET memory_limit='12GB'")
+        c.execute("SET threads TO 8")
         for t in TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
