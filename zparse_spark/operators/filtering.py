@@ -336,14 +336,16 @@ def contamination_flags(
     equi-join — never an all-pairs comparison. Output: (id, n_hits =
     distinct probe shingles found) for contaminated docs only; anti-join
     the result against the corpus to drop them."""
-    from zparse_spark.operators.dedup import shingles
+    from zparse_spark.operators.dedup import shingle_sets
 
-    doc_sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k=k_shingle)).alias("s")
+    doc_sh = shingle_sets(docs, id_col, text_col, k=k_shingle).select(
+        id_col, F.explode("sh").alias("s")
     )
-    probe_sh = probes.select(
-        F.explode(shingles(F.col(probe_text_col), k=k_shingle)).alias("s")
-    ).distinct()
+    probe_sh = (
+        shingle_sets(probes, probes.columns[0], probe_text_col, k=k_shingle)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
     return (
         doc_sh.join(probe_sh, "s")
         .groupBy(id_col)

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zparse_spark.operators.dedup import shingles
+from zparse_spark.operators.dedup import shingle_sets
 
 _EPS = 1e-9  # FP slack: prune strictly less, never a boundary pair
 
@@ -48,9 +48,11 @@ def _freq_ordered_sets(
 ) -> DataFrame:
     """(_id, toks) with toks = distinct word-k-shingles sorted by
     (global document frequency asc, token asc)."""
-    sets = df.select(
-        F.col(id_col).cast("string").alias("_id"),
-        shingles(F.col(text_col), k=k_shingle, mode="word").alias("sh"),
+    sets = shingle_sets(
+        df.select(F.col(id_col).cast("string").alias("_id"), F.col(text_col)),
+        "_id",
+        text_col,
+        k=k_shingle,
     )
     tok = sets.select("_id", F.explode("sh").alias("s"))
     freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
