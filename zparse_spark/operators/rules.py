@@ -364,11 +364,32 @@ def span_rule_violations(
         F.lit(0).cast("long"),
         lambda acc, s: acc + F.coalesce(F.octet_length(s["text"]), F.lit(0)),
     )
-    ex = docs.select(
+    # Two-step select: the per-doc scalars must be computed BELOW the
+    # Generate. A single select puts every non-generator column in the
+    # projection ABOVE the Generate (ExtractGenerator), where the
+    # interpreted total-bytes aggregate re-runs once per EXPLODED SPAN
+    # instead of once per doc (r6 plan audit: `aggregate(coalesce(spans,
+    # []), ...)` in the post-Generate Project) — ~|spans| duplicated
+    # folds per doc. The pre-projection pins them per doc (the Generate
+    # between the projections blocks CollapseProject from re-inlining).
+    # The zip itself stays INLINE in posexplode: aliasing it to a column
+    # makes InferFiltersFromGenerate add a `size(zip) > 0` filter on the
+    # bare attribute, which pushdown re-expands below the pre-projection
+    # — duplicating the zip AND the Arrow line/col stage at the scan
+    # (observed: 4 ArrowEvalPython nodes). With the PythonUDF visible
+    # inside the generator expression the rule skips the inference.
+    pre = docs.select(
         "partition",
         "doc_id",
+        "spans",
         n_spans.alias("_n_spans"),
         total_bytes.alias("_total_bytes"),
+    )
+    ex = pre.select(
+        "partition",
+        "doc_id",
+        "_n_spans",
+        "_total_bytes",
         F.posexplode(zipped).alias("span_pos", "z"),
     ).select(
         "partition",
@@ -462,13 +483,28 @@ def span_rule_violations(
             ]
         )
     )
+    # Pre-filter on "any rule fired" BEFORE the item-array build: the
+    # struct construction, array_compact (a RuntimeReplaceable filter
+    # HOF, interpreted) and the second Generate cost ~2 s per 1M clean
+    # span rows that emit nothing (r6 measurement: viol_arr projection
+    # +0.8 s, its explode +1.3 s). The disjunction re-tests each
+    # predicate once per row — comparisons plus the gated regexes, far
+    # cheaper than building throwaway arrays — and the explode then
+    # runs on actual violations only. Output rows are identical: the
+    # filter keeps exactly the rows whose viol_arr is non-empty.
+    import functools
+    import operator
+
+    fired = functools.reduce(
+        operator.or_, (F.coalesce(cond, F.lit(False)) for cond, _ in checks)
+    )
     # Explode matched items FIRST, carry the (cheap scalar) message
     # inputs through, and only THEN build the message strings: after the
     # filter implied by explode(array_compact(...)), these expressions
     # run on actual violations only — a vanishing fraction of rows. The
     # span text does NOT ride through the explode (S5-S7 messages are
     # constants), so no text bytes move past the scan stage.
-    matched = ex.select(
+    matched = ex.filter(fired).select(
         "partition",
         "doc_id",
         F.col("kind").alias("_span_kind"),
