@@ -23,6 +23,16 @@ TABLES = [
 ]
 
 
+import os
+
+# STRICT_FLOATS=1: hash floats at FULL precision (repr) instead of 6
+# significant digits — the driver's hash protocol is tighter than 6g
+# (five r5 queries matched at 6g and hashed red), so bit-exact parity
+# is the only normalization-proof contract. Default stays 6g so the
+# historical green baseline keeps its meaning.
+STRICT_FLOATS = os.environ.get("STRICT_FLOATS", "") == "1"
+
+
 def norm_cell(v) -> str:
     import datetime
     import math
@@ -34,7 +44,7 @@ def norm_cell(v) -> str:
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return repr(v) if STRICT_FLOATS else f"{v:.6g}"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, datetime.datetime):

@@ -1168,10 +1168,14 @@ def mixed_script_audit(
         F.col(id_col).cast("string").alias("_id"),
         mixed_script_flag(F.col(text_col)).alias("_bad"),
     )
+    from zparse_spark.functions.numeric import round_duck
+
     return flagged.groupBy("partition").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("_bad").cast("int")).alias("n_mixed"),
-        F.round(
+        # round_duck, not F.round: the r5 driver gate hashed this red on
+        # a last-ulp divergence between Spark's and DuckDB's round(x,6)
+        round_duck(
             F.sum(F.col("_bad").cast("int")) / F.count(F.lit(1)).cast("double"), 6
         ).alias("mixed_rate"),
         F.min(F.when(F.col("_bad"), F.col("_id"))).alias("example_doc_id"),
@@ -1299,10 +1303,14 @@ def code_switching_audit(
     flagged = per_doc.select(
         "partition", "_id", classified.alias("_n"), mixed.alias("_mixed")
     ).filter(F.col("_n") > 0)
+    from zparse_spark.functions.numeric import round_duck
+
     return flagged.groupBy("partition").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("_mixed").cast("long")).alias("n_mixed"),
-        F.round(
+        # round_duck, not F.round: the r5 driver gate hashed this red on
+        # a last-ulp divergence between Spark's and DuckDB's round(x,6)
+        round_duck(
             F.sum(F.col("_mixed").cast("long")) / F.count(F.lit(1)).cast("double"), 6
         ).alias("mixed_rate"),
         F.min(F.when(F.col("_mixed"), F.col("_id"))).alias("example_doc_id"),

@@ -125,11 +125,15 @@ def key_candidate_score(df: DataFrame, cols: list[str]) -> DataFrame:
     any_null = sum(
         (F.col(c).isNull().cast("int") for c in cols), F.lit(0)
     ) > 0
+    from zparse_spark.functions.numeric import round_duck
+
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(combo).alias("n_distinct"),
         F.sum(any_null.cast("long")).alias("n_null_combos"),
-        F.round(F.count_distinct(combo) / F.count(F.lit(1)), 6).alias("uniqueness"),
+        # round_duck, not F.round: the r5 driver gate hashed this red on
+        # a last-ulp divergence between Spark's and DuckDB's round(x,6)
+        round_duck(F.count_distinct(combo) / F.count(F.lit(1)), 6).alias("uniqueness"),
     )
 
 
@@ -2187,13 +2191,19 @@ def null_rate_drift(
     pi = F.col("n_null") / F.col("n_rows")
     z = (pi - p) / F.sqrt(p * (F.lit(1.0) - p) / F.col("n_rows"))
     degenerate = (F.col("_tnull") == 0) | (F.col("_tnull") == F.col("_tn"))
+    from zparse_spark.functions.numeric import round_duck
+
     out = j.select(
         "partition",
         "n_rows",
         "n_null",
-        F.round(pi, 6).alias("null_rate"),
-        F.round(p, 6).alias("pooled_rate"),
-        F.when(~degenerate, F.round(z, 6)).alias("z"),
+        # round_duck, not F.round: the r5 driver gate hashed this red on
+        # a last-ulp divergence between Spark's and DuckDB's round(x,6)
+        # (the z also rides through sqrt, which is IEEE-identical; only
+        # the rounding step differed)
+        round_duck(pi, 6).alias("null_rate"),
+        round_duck(p, 6).alias("pooled_rate"),
+        F.when(~degenerate, round_duck(z, 6)).alias("z"),
         F.when(degenerate, F.col("n_null") * F.col("_tn") != F.col("_tnull") * F.col("n_rows"))
         .otherwise(F.abs(z) >= z_threshold)
         .alias("drifted"),

@@ -1157,12 +1157,16 @@ def dedup_token_yield(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tok").alias("tokens_kept"),
     )
+    from zparse_spark.functions.numeric import round_duck
+
     return total.crossJoin(keep).select(
         "n_docs_total",
         "n_docs_kept",
         "tokens_total",
         "tokens_kept",
-        F.round(
+        # round_duck, not F.round: the r5 driver gate hashed this red on
+        # a last-ulp divergence between Spark's and DuckDB's round(x,6)
+        round_duck(
             F.col("tokens_kept").cast("double") / F.col("tokens_total"), 6
         ).alias("token_yield"),
     )
