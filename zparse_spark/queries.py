@@ -7446,8 +7446,15 @@ def corpus_zipf_anchors(spark, sf_dir):
         .filter(F.col("token") != "")
     )
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    # partial top-k + driver merge); the row_number window then ranks the
+    # BOUNDED 1000-row result. The previous partitionless window ranked
+    # the entire vocabulary through one Exchange SinglePartition + full
+    # Sort (r5 verdict item 2 — measured, the plan had no
+    # WindowGroupLimit). Same total order, identical output rows.
+    top = tf.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(1000)
     w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
-    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+    ranked = top.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk").isin(1, 10, 100, 1000)
     )
     top1 = ranked.filter(F.col("rnk") == 1).select(F.col("tf").alias("f1"))
@@ -9791,8 +9798,12 @@ def stats_hill_tail_index(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # TakeOrdered(101) first, then rank the bounded result — the
+    # partitionless window alone ranked the whole user domain through
+    # one Exchange SinglePartition (r5 verdict item 2). Identical rows.
+    top101 = act.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(101)
     wr = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    topk = act.select(
+    topk = top101.select(
         F.col("n").cast("double").alias("x"), F.row_number().over(wr).alias("rk")
     ).filter(F.col("rk") <= 101)
     kth = topk.filter(F.col("rk") == 101).select(F.col("x").alias("xk"))
@@ -10650,11 +10661,34 @@ def stats_score_agreement(spark, sf_dir):
             ).alias("b"),
         )
     )
-    wa = Window.orderBy(F.col("a").asc(), F.col("doc_id").asc())
-    wb = Window.orderBy(F.col("b").asc(), F.col("doc_id").asc())
-    r = s.select(
-        F.row_number().over(wa).alias("ra"), F.row_number().over(wb).alias("rb")
-    )
+    # Distributed global ranking (r5 verdict item 2: the two
+    # partitionless row_number windows ranked the ENTIRE documents
+    # table through one Exchange SinglePartition each — the corpus-
+    # sized single-reducer sort). token_budget_pack's bucket
+    # discipline instead: the integer signal value IS the bucket, so
+    # rank = (# rows in strictly smaller buckets, a prefix sum over
+    # the bounded per-value count table) + row_number WITHIN the
+    # value partition ordered by doc_id — equal to the global
+    # row_number under (value, doc_id) by construction, with every
+    # window partitioned and parallel. The only global ordering ever
+    # materialized is over the per-value count frame (bounded by the
+    # signal's domain — doc lengths/token counts, not docs).
+    def _ranked(sdf, val, out):
+        counts = sdf.groupBy(F.col(val).alias("_bv")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        woff = Window.orderBy("_bv").rowsBetween(Window.unboundedPreceding, -1)
+        off = counts.select(
+            "_bv", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+        )
+        win = Window.partitionBy(F.col(val)).orderBy(F.col("doc_id").asc())
+        return (
+            sdf.join(F.broadcast(off), F.col(val) == F.col("_bv"))
+            .withColumn(out, (F.col("_off") + F.row_number().over(win)).cast("int"))
+            .drop("_bv", "_off")
+        )
+
+    r = _ranked(_ranked(s, "a", "ra"), "b", "rb").select("ra", "rb")
     ra = F.col("ra").cast("decimal(19,0)")
     rb = F.col("rb").cast("decimal(19,0)")
     m = r.agg(
