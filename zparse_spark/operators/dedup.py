@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from zparse_spark.functions.numeric import round_duck
 from zparse_spark.functions.text import normalize_text
 
 # ---------------------------------------------------------------------------
@@ -330,11 +331,20 @@ def ngram_jaccard_pairs(
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+            # rounded BEFORE the threshold filter (r5 advice): several
+            # DuckDB twins gate on round(j, 6), so Spark must gate on
+            # the identical double — a raw jaccard in [t-5e-7, t) would
+            # otherwise be kept by the oracle and dropped here.
+            # round_duck (not F.round) keeps the rounded double
+            # bit-equal to DuckDB's round on last-ulp inputs.
+            round_duck(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
     )
     return out
 

@@ -102,7 +102,6 @@ def expectation_suite(tables: dict[str, DataFrame], spec: list[dict]) -> DataFra
                     F.expr(f"percentile({c}, {float(e['p'])!r})").alias(f"__q{i}")
                 )
             elif e["kind"] == "accepted_values":
-                vals = ", ".join(f"'{v}'" for v in e["values"])
                 aggs.append(
                     F.count(
                         F.when(
@@ -110,7 +109,6 @@ def expectation_suite(tables: dict[str, DataFrame], spec: list[dict]) -> DataFra
                         )
                     ).alias(f"__b{i}")
                 )
-                del vals
             elif e["kind"] == "min_at_least":
                 aggs.append(F.min(F.col(c)).alias(f"__m{i}"))
             elif e["kind"] == "max_at_most":
