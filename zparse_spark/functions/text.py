@@ -1343,9 +1343,15 @@ def retrieval_ndcg(
         F.round(F.sum(gain(F.col("grade"), F.col("rank"))), 6).alias("dcg"),
         F.min(F.when(F.col("grade") >= 2, F.col("rank"))).alias("_first_good"),
     )
+    # TakeOrdered(top_k) first, then rank the bounded result: the ideal
+    # ranking only needs ranks <= top_k, and a bare global row_number
+    # would sort the whole judged set through one partition (the r6
+    # single-partition-window sweep; same fix as corpus_zipf_anchors)
     w = Window.orderBy(F.col("grade").desc(), F.col("_doc").asc())
     ideal = (
-        grades.withColumn("_irank", F.row_number().over(w))
+        grades.orderBy(F.col("grade").desc(), F.col("_doc").asc())
+        .limit(top_k)
+        .withColumn("_irank", F.row_number().over(w))
         .filter(F.col("_irank") <= top_k)
         .agg(F.round(F.sum(gain(F.col("grade"), F.col("_irank"))), 6).alias("idcg"))
     )
